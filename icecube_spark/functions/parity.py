@@ -1,0 +1,47 @@
+"""Oracle-parity aggregation helpers.
+
+The driver compares Spark results against DuckDB by value-hash, so
+float aggregates must be BIT-EXACT across engines. Plain
+``sum(double)`` is order-dependent (Spark and DuckDB reduce in
+different orders) and will drift in the last bits. The fix: per-row
+expressions stay in IEEE double (deterministic given identical
+inputs), but every reduction is done in exact DECIMAL(18,8)
+arithmetic, then cast back to double. Identical decimals summed
+exactly → identical double, regardless of reduction order.
+
+Precision 18 keeps Spark's Decimal on its compact long fast path
+(~1.6x a raw double sum vs ~4x for decimal(38,10)). Scale 8 makes
+round-ties in the double→decimal cast effectively impossible: a tie
+requires the double to be exactly odd/2^9-ish with a 9-digit decimal
+expansion ending in 5, which real-valued data never hits.
+
+SQL twin of ``dsum(x)``:  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+SQL twin of ``davg(x)``:  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(x)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,8)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-insensitive, oracle-exact sum of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-insensitive, oracle-exact mean of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,8))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,8))) AS DOUBLE) / COUNT({expr})"

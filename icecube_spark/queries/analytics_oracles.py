@@ -1,0 +1,81 @@
+"""DuckDB oracle SQL for SURVEY §2 group B (twin of analytics.py).
+
+Every aggregate follows the parity rule from functions/parity.py:
+reductions in DECIMAL(18,8), cast back to DOUBLE — bit-exact across
+engines. Aliases match the Spark column names exactly (the driver
+hashes by sorted column name).
+"""
+
+from icecube_spark.functions.parity import sql_davg, sql_dsum
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier": f"""
+        SELECT n_name,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "top_parts_by_revenue": f"""
+        WITH by_part AS (
+            SELECT p_brand, p_partkey, p_name,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_partkey, p_name
+        )
+        SELECT p_brand, p_partkey, p_name, revenue, brand_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
+            ) AS brand_rank
+            FROM by_part
+        )
+        WHERE brand_rank <= 3
+        ORDER BY p_brand, brand_rank
+    """,
+}

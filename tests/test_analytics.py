@@ -1,0 +1,33 @@
+"""SURVEY §2 group B: analytics core vs DuckDB oracle (bit-exact)."""
+
+import pytest
+
+from icecube_spark.queries import analytics
+from icecube_spark.queries.analytics_oracles import ORACLES
+
+from .conftest import assert_matches_oracle
+
+CASES = [
+    ("q1_pricing_summary", analytics.q1_pricing_summary),
+    ("q3_shipping_priority", analytics.q3_shipping_priority),
+    ("q5_local_supplier", analytics.q5_local_supplier),
+    ("q6_forecast_revenue", analytics.q6_forecast_revenue),
+    ("top_parts_by_revenue", analytics.top_parts_by_revenue),
+]
+
+
+@pytest.mark.parametrize("name,fn", CASES, ids=[c[0] for c in CASES])
+def test_analytics_matches_oracle(spark, sf_dir, oracle, name, fn):
+    assert_matches_oracle(fn(spark, sf_dir), oracle, ORACLES[name])
+
+
+def test_q1_plan_pushes_filter_and_prunes(spark, sf_dir):
+    plan = analytics.q1_pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned: orderkey/partkey/suppkey not read
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = analytics.q3_shipping_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
