@@ -12,7 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from icecube_spark.queries import analytics
+from icecube_spark.queries import datacube_queries as dq
 from icecube_spark.queries.analytics_oracles import ORACLES as ANALYTICS_ORACLES
+from icecube_spark.queries.datacube_oracles import ORACLES as DATACUBE_ORACLES
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -20,10 +22,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_local_supplier": analytics.q5_local_supplier,
     "q6_forecast_revenue": analytics.q6_forecast_revenue,
     "top_parts_by_revenue": analytics.top_parts_by_revenue,
+    "metadata_summary": dq.metadata_summary,
+    "cube_config_filter": dq.cube_config_filter,
+    "cube_temporal_dedup": dq.cube_temporal_dedup,
+    "cube_resample_gapfill": dq.cube_resample_gapfill,
+    "cube_pivot": dq.cube_pivot,
+    "metadata_concat": dq.metadata_concat,
+    "spatial_overlap_1d": dq.spatial_overlap_1d,
+    "labels_align": dq.labels_align,
+    "cube_merge": dq.cube_merge,
+    "sar_band_math": dq.sar_band_math,
 }
 
 _ORACLES: dict[str, str] = {}
 _ORACLES.update(ANALYTICS_ORACLES)
+_ORACLES.update(DATACUBE_ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

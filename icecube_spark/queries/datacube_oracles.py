@@ -1,0 +1,112 @@
+"""DuckDB oracle SQL for SURVEY §2 group A (twin of datacube_queries.py)."""
+
+from icecube_spark.functions.parity import sql_davg, sql_dsum
+
+_BANDS = ["click", "error", "purchase", "signup", "view"]
+
+_pivot_cols = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN event_type='{b}' THEN CAST(value AS DECIMAL(18,8)) END) AS DOUBLE)"
+    f" / COUNT(CASE WHEN event_type='{b}' THEN value END) AS {b}"
+    for b in _BANDS
+)
+
+ORACLES: dict[str, str] = {
+    "metadata_summary": f"""
+        SELECT event_type,
+               COUNT(*) AS n_products,
+               MIN(ts) AS first_acq,
+               MAX(ts) AS last_acq,
+               {sql_davg('value')} AS avg_value,
+               COUNT(DISTINCT user_id) AS n_stacks
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "cube_config_filter": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-22'
+          AND value >= 20.0 AND value <= 80.0
+    """,
+    "cube_temporal_dedup": """
+        SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS acq_date, event_id, event_type, value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    "cube_resample_gapfill": f"""
+        WITH grid AS (
+            SELECT u.user_id, g.bucket_start,
+                   CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01', g.bucket_start) / 259200) AS INT) AS bucket
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30', INTERVAL 3 DAY)) AS bucket_start
+            ) g
+        ), bucketed AS (
+            SELECT user_id,
+                   CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01', ts) / 259200) AS INT) AS bucket,
+                   COUNT(*) AS n_acq,
+                   {sql_dsum('value')} AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-30'
+            GROUP BY 1, 2
+        )
+        SELECT grid.user_id, grid.bucket_start,
+               COALESCE(b.n_acq, 0) AS n_acq,
+               b.sum_value AS sum_value,
+               CASE WHEN b.n_acq IS NULL THEN 'temporal_gap' ELSE 'acquisition' END AS description
+        FROM grid LEFT JOIN bucketed b
+          ON grid.user_id = b.user_id AND grid.bucket = b.bucket
+        ORDER BY grid.user_id, grid.bucket_start
+    """,
+    "cube_pivot": f"""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS acq_date,
+               {_pivot_cols}
+        FROM events
+        GROUP BY acq_date
+        ORDER BY acq_date
+    """,
+    "metadata_concat": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS band_types,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_dates,
+               COUNT(*) AS n_layers
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "spatial_overlap_1d": """
+        WITH primary_ext AS (
+            SELECT o_totalprice * 0.9 AS p_lo, o_totalprice * 1.1 AS p_hi
+            FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1
+        )
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders, primary_ext
+        WHERE o_totalprice * 0.9 <= p_hi AND p_lo <= o_totalprice * 1.1
+    """,
+    "labels_align": """
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               COALESCE(p_name, 'NA') AS label,
+               CASE WHEN p_name IS NULL THEN 'unlabeled' ELSE 'labeled' END AS description
+        FROM lineitem
+        LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size > 25) p
+          ON l_partkey = p_partkey
+    """,
+    "cube_merge": """
+        SELECT event_id, user_id, event_type, value, src
+        FROM (
+            SELECT event_id, user_id, event_type, value, 1 AS src
+            FROM events WHERE value >= 40
+            UNION ALL
+            SELECT event_id, user_id, event_type, value, 2 AS src
+            FROM events WHERE value < 60
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src) = 1
+    """,
+    "sar_band_math": """
+        SELECT vec_id,
+               embedding[1] AS re,
+               embedding[2] AS im,
+               SQRT(embedding[1]*embedding[1] + embedding[2]*embedding[2]) AS amplitude,
+               embedding[1]*embedding[1] + embedding[2]*embedding[2] AS intensity
+        FROM embeddings
+    """,
+}

@@ -1,0 +1,240 @@
+"""Datacube parity queries (SURVEY §2 group A).
+
+Each query re-expresses one reference behavior on the driver's
+tabular testdata: `events` plays the acquisition catalog (ts =
+acquisition time, user_id = stack id, value = incidence angle,
+event_type = product type), `orders`/`part`/`lineitem` play
+labels/fact tables. Reference citations on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icecube_spark import catalog
+from icecube_spark.config import CubeConfig
+from icecube_spark.functions.parity import davg, dsum
+from icecube_spark.operators import spatial, temporal
+
+START = "2024-01-01"
+END = "2024-01-31"
+
+
+def metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — metadata crawl → catalog stats table.
+
+    Reference: metadata_crawler (icecube/utils/metadata_crawler.py:20-38)
+    builds a one-row-per-image metadata table; this is its groupwise
+    summary over the acquisition catalog.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.min("ts").alias("first_acq"),
+            F.max("ts").alias("last_acq"),
+            davg("value").alias("avg_value"),
+            F.countDistinct("user_id").alias("n_stacks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cube_config_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — config-driven date + angle filtering.
+
+    Reference: select_requested_dates + select_requested_angles
+    (sar_datacube_metadata.py:168-186). Both filters land in the
+    parquet scan as pushed range predicates.
+    """
+    cfg = CubeConfig.from_dict(
+        {
+            "start_date": 20240108,
+            "end_date": 20240122,
+            "min_incidence_angle": 20.0,
+            "max_incidence_angle": 80.0,
+        }
+    )
+    ev = catalog.load(spark, sf_dir, "events")
+    ev = temporal.date_range_filter(ev, "ts", cfg.start_date, cfg.end_date)
+    ev = temporal.value_range_filter(
+        ev, "value", cfg.min_incidence_angle, cfg.max_incidence_angle
+    )
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def cube_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — temporal_overlap=False: keep latest acquisition per date.
+
+    Reference: prune_temporal_overlap (sar_datacube_metadata.py:188-205).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    out = temporal.latest_per_period(ev, "ts", ["user_id"], tiebreak=["event_id"])
+    return out.select(
+        "user_id",
+        F.to_date("ts").cast("timestamp").alias("acq_date"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+def cube_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — temporal_resolution: N-day grid with dummy gap layers.
+
+    Reference: set_temporal_resolution (sar_datacube_metadata.py:226-255)
+    + dummy layers (sar_datacube.py:118-121, get_dummy_data:283-288).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    return (
+        temporal.resample_to_grid(
+            ev,
+            ts_col="ts",
+            key_col="user_id",
+            start=START,
+            end="2024-01-30",
+            step_days=3,
+            aggs={"n_acq": F.count(F.lit(1)), "sum_value": dsum("value")},
+        )
+        .select(
+            "user_id",
+            "bucket_start",
+            F.coalesce("n_acq", F.lit(0)).alias("n_acq"),
+            "sum_value",
+            "description",
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
+def cube_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — cube assembly: stack bands along the date axis.
+
+    Reference: create_by_metadata xr.concat along Band=acquisition_date
+    (sar_datacube.py:108-160). Tabular cube = day × band matrix.
+    Pivot values are enumerated so Spark skips the discovery pass.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    bands = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("acq_date", F.to_date("ts").cast("timestamp"))
+        .groupBy("acq_date")
+        .pivot("event_type", bands)
+        .agg(davg("value"))
+        .orderBy("acq_date")
+    )
+
+
+def metadata_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-layer metadata concatenation.
+
+    Reference: concat_metadata (sar_datacube.py:162-188) folds each
+    layer's metadata dict into superset-of-keys lists. Tabular analog:
+    per stack, the sorted distinct set of band types plus coverage.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "band_types"
+            ),
+            F.countDistinct(F.to_date("ts")).alias("n_dates"),
+            F.count(F.lit(1)).alias("n_layers"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def spatial_overlap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — space_overlap: keep rasters intersecting the earliest one.
+
+    Reference: select_overlapping_rasters
+    (sar_datacube_metadata.py:207-224). Extents here are 1-D price
+    intervals [0.9*p, 1.1*p]; the primary is the earliest order.
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.col("o_totalprice") * 0.9).alias("ext_lo"),
+        (F.col("o_totalprice") * 1.1).alias("ext_hi"),
+    )
+    out = spatial.overlap_with_primary_1d(
+        orders, "ext_lo", "ext_hi", order_cols=["o_orderdate", "o_orderkey"]
+    )
+    return out.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+def labels_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — labels cube: align labels to layers, dummy where unlabeled.
+
+    Reference: LabelsDatacube.create_by_metadata + dummy labels for
+    bands without annotations (labels_cube/labels_datacube.py:60-100,
+    vector_labels.py:36-42). Labels = part names for parts with
+    p_size > 25; lineitem layers without one get the 'NA' dummy.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    labels = (
+        catalog.load(spark, sf_dir, "part")
+        .where(F.col("p_size") > 25)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        li.join(F.broadcast(labels), li.l_partkey == labels.p_partkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.coalesce("p_name", F.lit("NA")).alias("label"),
+            F.when(F.col("p_name").isNull(), F.lit("unlabeled"))
+            .otherwise(F.lit("labeled"))
+            .alias("description"),
+        )
+    )
+
+
+def cube_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — merge two cubes, first-cube-wins on conflicts.
+
+    Reference: Datacube.merge_xrdatasets with
+    combine_attrs='drop_conflicts' (icecube/bin/datacube.py:176-199).
+    Two overlapping event cubes union; conflicting layers (same
+    event_id) resolve to the first cube's row.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cube1 = ev.where(F.col("value") >= 40).withColumn("src", F.lit(1))
+    cube2 = ev.where(F.col("value") < 60).withColumn("src", F.lit(2))
+    w = Window.partitionBy("event_id").orderBy("src")
+    return (
+        cube1.unionByName(cube2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_id", "user_id", "event_type", "value", "src")
+    )
+
+
+def sar_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — SLC band derivation: Real/Imag → Amplitude/Intensity.
+
+    Reference: SLC cubes carry Real + Complex bands
+    (slc_datacube.py:25-40); amplitude/intensity derive from them
+    (analytics_IO.py:113-160). Here Re/Im = first two embedding
+    components; all math is per-row IEEE (+,*,sqrt) so it stays
+    bit-exact vs the oracle. Phase (atan2) and dB (log10) live in
+    functions/sar.py — libm rounding differs across engines, so they
+    are tested with tolerance instead of hashed.
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    re = F.element_at("embedding", 1)
+    im = F.element_at("embedding", 2)
+    intensity = re * re + im * im
+    return emb.select(
+        "vec_id",
+        re.alias("re"),
+        im.alias("im"),
+        F.sqrt(intensity).alias("amplitude"),
+        intensity.alias("intensity"),
+    )

@@ -42,7 +42,9 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Mirror the driver's compare: sort columns by name, then rows."""
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
-        if pdf[c].dtype == object:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pdf[c].dtype == object:
             pdf[c] = pdf[c].apply(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
             )
