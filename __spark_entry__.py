@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from icecube_spark.queries import analytics
 from icecube_spark.queries import datacube_queries as dq
+from icecube_spark.queries import timeseries_queries as tsq
 from icecube_spark.queries.analytics_oracles import ORACLES as ANALYTICS_ORACLES
 from icecube_spark.queries.datacube_oracles import ORACLES as DATACUBE_ORACLES
+from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACLES
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -32,11 +34,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "labels_align": dq.labels_align,
     "cube_merge": dq.cube_merge,
     "sar_band_math": dq.sar_band_math,
+    "asof_join": tsq.asof_join_orders,
+    "sessionize": tsq.sessionize_events,
+    "window_tumbling": tsq.window_tumbling,
+    "rolling_daily_revenue": tsq.rolling_daily_revenue,
 }
 
 _ORACLES: dict[str, str] = {}
 _ORACLES.update(ANALYTICS_ORACLES)
 _ORACLES.update(DATACUBE_ORACLES)
+_ORACLES.update(TIMESERIES_ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

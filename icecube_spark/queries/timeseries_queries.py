@@ -1,0 +1,83 @@
+"""Time-series queries (SURVEY §2 group C)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icecube_spark import catalog
+from icecube_spark.functions.parity import dsum
+from icecube_spark.operators import asof, timeseries
+
+
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — as-of join: each event gets the user's most recent order.
+
+    Generalizes the reference's nearest-acquisition alignment
+    (sar_datacube.py:108-160). user_id keys directly into o_custkey.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof.asof_join(
+        ev,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_key="user_id",
+        right_key="o_custkey",
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — session windows (gap > 30 min) with per-session stats."""
+    ev = catalog.load(spark, sf_dir, "events")
+    sess = timeseries.sessionize(ev, "ts", "user_id", gap_minutes=30)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — tumbling 1-hour aggregate; batch twin of streaming/events.py."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)), "sum_value": dsum("value")},
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — 7-day rolling mean of daily order revenue (RANGE frame)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn("day", F.to_date("o_orderdate").cast("timestamp"))
+        .groupBy("day")
+        .agg(dsum("o_totalprice").alias("revenue"))
+        .withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    out = timeseries.rolling_window_agg(
+        daily, "day_num", "revenue", preceding=6
+    )
+    return out.select(
+        "day",
+        "revenue",
+        F.col("rolling_avg").alias("rolling_avg_7d"),
+        F.col("n_in_window").alias("n_days_in_window"),
+    )

@@ -1,0 +1,44 @@
+"""SURVEY §2 group C: time-series ops vs DuckDB oracle + streaming twin."""
+
+import pytest
+
+from icecube_spark.queries import timeseries_queries as tq
+from icecube_spark.queries.timeseries_oracles import ORACLES
+
+from .conftest import assert_matches_oracle, normalize
+
+CASES = [
+    ("asof_join", tq.asof_join_orders),
+    ("sessionize", tq.sessionize_events),
+    ("window_tumbling", tq.window_tumbling),
+    ("rolling_daily_revenue", tq.rolling_daily_revenue),
+]
+
+
+@pytest.mark.parametrize("name,fn", CASES, ids=[c[0] for c in CASES])
+def test_timeseries_matches_oracle(spark, sf_dir, oracle, name, fn):
+    assert_matches_oracle(fn(spark, sf_dir), oracle, ORACLES[name])
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must be union+window — no join node at all."""
+    plan = (
+        tq.asof_join_orders(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, "as-of should not materialize a join"
+    assert plan.count("Exchange") <= 2
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """C5: availableNow stream drain == batch tumbling aggregate."""
+    from icecube_spark.streaming.events import run_available_now
+
+    run_available_now(spark, sf_dir, "stream_tumbling")
+    got = normalize(spark.table("stream_tumbling").toPandas())
+    want = normalize(tq.window_tumbling(spark, sf_dir).toPandas())
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["sum_value"].to_numpy() == want["sum_value"].to_numpy()).all()
