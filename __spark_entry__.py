@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from icecube_spark.queries import analytics
 from icecube_spark.queries import datacube_queries as dq
+from icecube_spark.queries import llm_queries as lq
 from icecube_spark.queries import timeseries_queries as tsq
+from icecube_spark.queries.llm_oracles import ORACLES as LLM_ORACLES
 from icecube_spark.queries.analytics_oracles import ORACLES as ANALYTICS_ORACLES
 from icecube_spark.queries.datacube_oracles import ORACLES as DATACUBE_ORACLES
 from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACLES
@@ -38,12 +40,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": tsq.sessionize_events,
     "window_tumbling": tsq.window_tumbling,
     "rolling_daily_revenue": tsq.rolling_daily_revenue,
+    "dedup_exact": lq.dedup_exact,
+    "dedup_minhash_lsh": lq.dedup_minhash_lsh,
+    "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
+    "dedup_simhash": lq.dedup_simhash,
+    "embed_cosine_topk": lq.embed_cosine_topk,
+    "embed_knn_label": lq.embed_knn_label,
+    "embed_ann_lsh": lq.embed_ann_lsh,
+    "lang_id": lq.lang_id,
+    "quality_score": lq.quality_score,
+    "token_count": lq.token_count,
+    "doc_fingerprint": lq.doc_fingerprint,
+    "multimodal_meta": lq.multimodal_meta,
 }
 
 _ORACLES: dict[str, str] = {}
 _ORACLES.update(ANALYTICS_ORACLES)
 _ORACLES.update(DATACUBE_ORACLES)
 _ORACLES.update(TIMESERIES_ORACLES)
+_ORACLES.update(LLM_ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -70,9 +70,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT p_brand, p_partkey, p_name, revenue, brand_rank
         FROM (
-            SELECT *, ROW_NUMBER() OVER (
+            SELECT *, CAST(ROW_NUMBER() OVER (
                 PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
-            ) AS brand_rank
+            ) AS INT) AS brand_rank
             FROM by_part
         )
         WHERE brand_rank <= 3

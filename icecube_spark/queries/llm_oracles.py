@@ -1,0 +1,247 @@
+"""DuckDB oracle SQL for SURVEY §2 groups D/E/F/G (twin of
+llm_queries.py). Hash parity: md5 hex strings are identical across
+engines; minhash minima are lexicographic minima of fixed-width hex;
+dot products fold in DECIMAL(18,12) (exact => order-free). Integer
+outputs are cast to Spark's types so schemas align.
+"""
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# distinct word 3-grams (whole normalized text when < 3 words)
+_GRAMS_CTES = f"""
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN range(1, len(t) - 1)]
+                     END) AS g
+            FROM toks)
+"""
+
+# per-vector norm with quantized-integer fold (floor(x*1e12) matches
+# Spark bit-for-bit; decimal casts do not — see operators/similarity.py)
+_VNORM = """
+        v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(CAST(list_sum(
+                       [CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR x IN embedding]) AS DOUBLE) / 1e12) AS nrm
+            FROM embeddings)
+"""
+
+_PAIR_COS = """
+            (CAST(list_sum(
+                [CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT)
+                 FOR x IN list_zip({a}, {b})]) AS DOUBLE) / 1e12) / ({na} * {nb})
+"""
+
+_STOPS = "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it']"
+_MARKERS = {
+    "en": "['the', 'a', 'is', 'and', 'of']",
+    "de": "['der', 'die', 'das', 'und', 'ist']",
+    "fr": "['le', 'la', 'les', 'et', 'est']",
+    "es": "['el', 'los', 'las', 'y', 'es']",
+}
+_scores = ",\n               ".join(
+    f"CAST(len(list_filter({_TOKS}, x -> list_contains({lst}, x))) AS INT) AS {lang}_score"
+    for lang, lst in _MARKERS.items()
+)
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+        WITH h AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+        g AS (SELECT content_hash, MIN(doc_id) AS canonical_id,
+                     COUNT(*) AS group_size
+              FROM h GROUP BY 1)
+        SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size,
+               g.group_size > 1 AS is_duplicate
+        FROM h JOIN g USING (content_hash)
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_GRAMS_CTES},
+        sigs AS (
+            SELECT doc_id, g,
+                   [list_min([md5(i::VARCHAR || '|' || x) FOR x IN g])
+                    FOR i IN range(64)] AS sig
+            FROM grams),
+        banded AS (
+            SELECT doc_id,
+                   [md5(b::VARCHAR || '|' || sig[b*4+1] || '|' || sig[b*4+2]
+                        || '|' || sig[b*4+3] || '|' || sig[b*4+4])
+                    FOR b IN range(16)] AS bands
+            FROM sigs),
+        expl AS (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                 FROM banded, range(16) t(i)),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM expl a JOIN expl b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id),
+        verify AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(ga.g, gb.g)) AS inter,
+                   len(ga.g) AS la, len(gb.g) AS lb
+            FROM cands c
+            JOIN grams ga ON c.doc_a = ga.doc_id
+            JOIN grams gb ON c.doc_b = gb.doc_id)
+        SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard
+        FROM verify WHERE inter / (la + lb - inter) >= 0.8
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_GRAMS_CTES},
+        e AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+        sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+        FROM p
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter / (sa.n + sb.n - inter) >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH toksd AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+        hs AS (SELECT doc_id,
+                      [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                       FOR t IN tk] AS hl
+               FROM toksd),
+        flat AS (SELECT doc_id, UNNEST(hl) AS h FROM hs),
+        bits AS (SELECT doc_id, b,
+                        SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM flat, range(60) t(b) GROUP BY 1, 2),
+        sim AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN s >= 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1),
+        chunks AS (SELECT doc_id, simhash, k AS chunk_id,
+                          (simhash >> (k * 15)) & 32767 AS chunk
+                   FROM sim, range(4) t(k))
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id)
+        WHERE hamming <= 10
+    """,
+    "embed_cosine_topk": f"""
+        WITH {_VNORM},
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+              FROM v WHERE vec_id < 10),
+        pairs AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} AS cosine
+            FROM q JOIN v c ON c.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS INT) AS rank
+            FROM pairs)
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "embed_knn_label": f"""
+        WITH {_VNORM},
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+              FROM v WHERE vec_id < 10),
+        pairs AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS nl,
+                   {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} AS cosine
+            FROM q JOIN v c ON c.vec_id != q.query_id),
+        topk AS (
+            SELECT query_id, neighbor_id, nl FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS r FROM pairs)
+            WHERE r <= 5),
+        votes AS (SELECT query_id, nl, COUNT(*) AS votes
+                  FROM topk GROUP BY 1, 2)
+        SELECT query_id, nl AS predicted_label, votes FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY votes DESC, nl ASC
+            ) AS r FROM votes)
+        WHERE r = 1 ORDER BY query_id
+    """,
+    "embed_ann_lsh": f"""
+        WITH {_VNORM},
+        coded AS (
+            SELECT vec_id, embedding, nrm,
+                   CAST((SELECT SUM(CASE WHEN
+                       list_sum(
+                           [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                      THEN 1.0 ELSE -1.0 END
+                                 * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                            FOR j IN range(1, len(embedding) + 1)]) >= 0
+                       THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+            FROM v),
+        pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.code,
+                   {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+            FROM coded a JOIN coded b
+              ON a.code = b.code AND a.vec_id != b.vec_id)
+        SELECT vec_id, neighbor_id, cosine, code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+            ) AS r FROM pairs)
+        WHERE r = 1 ORDER BY vec_id
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, {_scores}
+            FROM documents)
+        SELECT *,
+               CASE WHEN en_score + de_score + fr_score + es_score = 0 THEN 'und'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                         AND en_score >= es_score THEN 'en'
+                    WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                    WHEN fr_score >= es_score THEN 'fr'
+                    ELSE 'es' END AS predicted_lang
+        FROM scored
+    """,
+    "quality_score": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INT) AS n_words,
+                   CAST(length({_NORM}) AS INT) AS n_chars_norm,
+                   length(regexp_replace({_NORM}, '[^a-z]', '', 'g'))
+                       / length({_NORM}) AS alpha_ratio,
+                   len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x)))
+                       / len({_TOKS}) AS stopword_ratio,
+                   length(replace({_NORM}, ' ', '')) / len({_TOKS}) AS avg_word_len
+            FROM documents)
+        SELECT *,
+               0.3 * least(n_words / 100.0, 1.0)
+               + 0.3 * stopword_ratio
+               + 0.2 * alpha_ratio
+               + 0.2 * least(avg_word_len / 10.0, 1.0) AS quality
+        FROM base
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        WITH {_GRAMS_CTES}
+        SELECT doc_id,
+               CAST(len(g) AS INT) AS n_grams,
+               array_to_string(list_sort([md5(x) FOR x IN g])[1:5], ',') AS fingerprint
+        FROM grams
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               strlen(text) AS byte_len,
+               (strlen(text) % 64) * 16 + 16 AS width,
+               ((strlen(text) // 64) % 64) * 16 + 16 AS height,
+               strlen(text) % 7 + 1 AS n_frames,
+               'image' AS modality
+        FROM documents
+    """,
+}

@@ -1,0 +1,87 @@
+"""LLM-pipeline queries (SURVEY §2 groups D/E/F/G) over documents +
+embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icecube_spark import catalog
+from icecube_spark.operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark, sf_dir):
+    return catalog.load(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return catalog.load(spark, sf_dir, "embeddings")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — exact dedup groups by md5(normalized text)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — MinHash+LSH candidates, exact-Jaccard-verified >= 0.8."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — exact all-pairs 3-gram Jaccard >= 0.5 (inverted index)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — SimHash-60 near-dup pairs (chunk candidates, hamming <= 10)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=10)
+
+
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — brute-force cosine top-5 for query vectors vec_id < 10."""
+    return similarity.cosine_topk(
+        _emb(spark, sf_dir), "vec_id", "embedding", F.col("vec_id") < 10, k=5
+    )
+
+
+def embed_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — 5-NN majority-vote label for query vectors vec_id < 10."""
+    return similarity.knn_label(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label", F.col("vec_id") < 10, k=5
+    )
+
+
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — hyperplane-LSH bucketed ANN: best in-bucket neighbor."""
+    return similarity.lsh_ann_best_neighbor(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — marker-word language identification."""
+    return text.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — composite document quality score."""
+    return text.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — whitespace/regex token counts."""
+    return text.token_count(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — 5-min-hash shingle fingerprint."""
+    return text.doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — binary payload through the Arrow decode-stub stage."""
+    payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.decode_stub(payload)

@@ -1,0 +1,67 @@
+"""SURVEY §2 groups D/E/F/G: LLM-pipeline ops vs DuckDB oracle."""
+
+import pytest
+
+from icecube_spark.queries import llm_queries as lq
+from icecube_spark.queries.llm_oracles import ORACLES
+
+from .conftest import assert_matches_oracle
+
+CASES = [
+    ("dedup_exact", lq.dedup_exact),
+    ("dedup_minhash_lsh", lq.dedup_minhash_lsh),
+    ("dedup_ngram_jaccard", lq.dedup_ngram_jaccard),
+    ("dedup_simhash", lq.dedup_simhash),
+    ("embed_cosine_topk", lq.embed_cosine_topk),
+    ("embed_knn_label", lq.embed_knn_label),
+    ("embed_ann_lsh", lq.embed_ann_lsh),
+    ("lang_id", lq.lang_id),
+    ("quality_score", lq.quality_score),
+    ("token_count", lq.token_count),
+    ("doc_fingerprint", lq.doc_fingerprint),
+    ("multimodal_meta", lq.multimodal_meta),
+]
+
+
+@pytest.mark.parametrize("name,fn", CASES, ids=[c[0] for c in CASES])
+def test_llm_matches_oracle(spark, sf_dir, oracle, name, fn):
+    assert_matches_oracle(fn(spark, sf_dir), oracle, ORACLES[name])
+
+
+def test_minhash_finds_planted_neardups(spark, sf_dir):
+    """The generator plants near-dup pairs; LSH must surface them."""
+    out = lq.dedup_minhash_lsh(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["jaccard"] >= 0.8).all()
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidates (verified >= 0.8) == exact all-pairs >= 0.8."""
+    lsh = lq.dedup_minhash_lsh(spark, sf_dir).toPandas()
+    from icecube_spark import catalog
+    from icecube_spark.operators import dedup
+
+    exact = dedup.ngram_jaccard_pairs(
+        catalog.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    ).toPandas()
+    got = set(zip(lsh.doc_a, lsh.doc_b))
+    want = set(zip(exact.doc_a, exact.doc_b))
+    assert got == want, f"LSH missed {want - got} / extra {got - want}"
+
+
+def test_cosine_topk_is_broadcast_no_corpus_shuffle(spark, sf_dir):
+    plan = (
+        lq.embed_cosine_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_multimodal_batches_are_real_arrow(spark, sf_dir):
+    out = lq.multimodal_meta(spark, sf_dir)
+    pdf = out.toPandas()
+    assert (pdf["byte_len"] > 0).all()
+    assert set(pdf["modality"]) == {"image"}
+    assert pdf["width"].between(16, 1024).all()
