@@ -14,18 +14,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icecube_spark.functions import hashing
+
 # normalized text: lowercase, trimmed, single-spaced
 NORM = "regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
 
-# distinct word 3-grams of the normalized text (whole text if <3 words)
+# distinct word 3-grams of the normalized text (whole text if <3 words).
+# The outer transform-over-singleton binds the token array to a lambda
+# variable so split() runs ONCE per row — referencing a split() column
+# from another projection gets inlined by Catalyst's projection
+# collapse and re-evaluated per array element (regex per gram).
 GRAMS = f"""
-    array_distinct(
-      CASE WHEN size(split({NORM}, ' ')) < 3
-           THEN array({NORM})
-           ELSE transform(
-                  sequence(1, size(split({NORM}, ' ')) - 2),
-                  i -> concat_ws(' ', slice(split({NORM}, ' '), i, 3)))
-      END)
+    array_distinct(element_at(
+      transform(array(split({NORM}, ' ')),
+        t -> CASE WHEN size(t) < 3
+                  THEN array(concat_ws(' ', t))
+                  ELSE transform(sequence(1, size(t) - 2),
+                                 i -> concat_ws(' ', slice(t, i, 3)))
+             END),
+      1))
 """
 
 
@@ -63,37 +70,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature.
+    """Per-doc MinHash signature columns s0..s{n-1}.
 
-    sig[i] = min over grams of md5('<i>|' + gram) — the lexicographic
-    min of fixed-width hex strings equals the numeric min, so no int
-    conversion is needed and DuckDB reproduces it exactly.
+    One md5 per gram (30-bit base), then h_i = (a_i*base + b_i) mod
+    (2^31-1) inside codegen'd min() aggregates — explode + groupBy,
+    fully whole-stage-codegen, map-side partial mins, one shuffle on
+    the doc id. (The HOF formulation — 64 md5s per gram inside nested
+    lambdas — is interpreted and ~50x slower.)
     """
-    df = with_grams(df.select(id_col, text_col), text_col)
-    sig = f"""
-        transform(sequence(0, {num_hashes - 1}),
-                  i -> array_min(transform(grams, g -> md5(concat(cast(i as string), '|', g)))))
-    """
-    return df.withColumn("sig", F.expr(sig)).select(id_col, "grams", "sig")
+    base = hashing.spark_hex2int("gram")
+    exploded = (
+        with_grams(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col), F.explode("grams").alias("gram"))
+        .withColumn("base", F.expr(f"{base} & {hashing.BASE_MASK}"))
+    )
+    aggs = [
+        F.expr(
+            f"min((({a} * base + {b}) % {hashing.MERSENNE_P})) as s{i}"
+        )
+        for i, (a, b) in enumerate(hashing.minhash_coeffs(num_hashes))
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
-def _bands_expr(num_hashes: int, band_rows: int) -> str:
-    """LSH band hashes computed straight from `grams` in ONE expression.
-
-    band[b] = md5('<b>|' + sig[4b] + '|' + ... + sig[4b+3]) — but the
-    sig values are folded inline so each of the `num_hashes` minhashes
-    is computed exactly once. (Materializing `sig` as a column and
-    indexing it from a second projection looks cleaner, but Catalyst's
-    projection collapse inlines the whole 64-element sig array into
-    every element_at, exploding the md5 count ~6000x.)
-    """
+def _band_hashes(num_hashes: int, band_rows: int) -> list[str]:
+    """band[b] = md5('<b>|' + s_{4b} + '|' + ... + s_{4b+3})."""
     n_bands = num_hashes // band_rows
-    return f"""
-        transform(sequence(0, {n_bands - 1}),
-                  b -> md5(concat(cast(b as string), '|',
-                       concat_ws('|', transform(sequence(b * {band_rows}, b * {band_rows} + {band_rows - 1}),
-                           i -> array_min(transform(grams, g -> md5(concat(cast(i as string), '|', g)))))))))
-    """
+    out = []
+    for b in range(n_bands):
+        parts = ", '|', ".join(
+            f"cast(s{b * band_rows + r} as string)" for r in range(band_rows)
+        )
+        out.append(f"md5(concat('{b}', '|', {parts}))")
+    return out
 
 
 def minhash_lsh_pairs(
@@ -114,11 +123,11 @@ def minhash_lsh_pairs(
     grams = with_grams(df.select(id_col, text_col), text_col).select(
         id_col, "grams"
     )
-    exploded = grams.select(
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
+    exploded = sigs.select(
         id_col,
-        F.posexplode(F.expr(_bands_expr(num_hashes, band_rows))).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode(F.expr(f"array({bands_arr})")).alias("band_id", "band_hash"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
@@ -194,17 +203,25 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Token hash = first 15 hex chars of md5 as int (60 bits — conv()
     and DuckDB's hex cast agree exactly at this width). Bit b of the
     signature is the sign of sum(+1/-1 for each token's bit b).
+
+    Plan: explode tokens, 60 codegen'd sum(±1) aggregates (map-side
+    partials), then assemble the signature in one projection — the
+    nested-HOF formulation is interpreted and ~10x slower.
     """
     toks = f"array_distinct(split({NORM.format(col=text_col)}, ' '))"
-    hs = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-    sim = f"""
-        aggregate(sequence(0, 59), cast(0 as bigint),
-            (acc, b) -> acc + IF(
-                aggregate({hs}, 0, (a2, h) -> a2 + IF((h >> b) & 1 = 1, 1, -1)) >= 0,
-                shiftleft(cast(1 as bigint), b),
-                cast(0 as bigint)))
-    """
-    return df.select(F.col(id_col), F.expr(sim).alias("simhash"))
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("tok")
+    ).withColumn("h", F.expr(hashing.spark_hex2int("tok")))
+    aggs = [
+        F.expr(f"sum(IF(shiftright(h, {b}) & 1 = 1, 1, -1)) as bit{b}")
+        for b in range(60)
+    ]
+    assemble = " + ".join(f"IF(bit{b} >= 0, {1 << b}L, 0L)" for b in range(60))
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.expr(f"cast({assemble} as bigint)").alias("simhash"))
+    )
 
 
 def simhash_pairs(

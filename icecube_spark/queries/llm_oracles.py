@@ -62,17 +62,13 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_minhash_lsh": f"""
         WITH {_GRAMS_CTES},
-        sigs AS (
-            SELECT doc_id, g,
-                   [list_min([md5(i::VARCHAR || '|' || x) FOR x IN g])
-                    FOR i IN range(64)] AS sig
-            FROM grams),
-        banded AS (
-            SELECT doc_id,
-                   [md5(b::VARCHAR || '|' || sig[b*4+1] || '|' || sig[b*4+2]
-                        || '|' || sig[b*4+3] || '|' || sig[b*4+4])
-                    FOR b IN range(16)] AS bands
-            FROM sigs),
+        eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+        based AS (SELECT doc_id,
+                         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                             & {{base_mask}} AS base
+                  FROM eg),
+        sigs AS (SELECT doc_id, {{sig_cols}} FROM based GROUP BY doc_id),
+        banded AS (SELECT doc_id, [{{band_list}}] AS bands FROM sigs),
         expl AS (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
                  FROM banded, range(16) t(i)),
         cands AS (
@@ -245,3 +241,20 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# fill the minhash universal-hash placeholders from the shared coeffs
+from icecube_spark.functions import hashing as _hashing  # noqa: E402
+
+_sig_cols = ", ".join(
+    f"MIN(({a} * base + {b}) % {_hashing.MERSENNE_P}) AS s{i}"
+    for i, (a, b) in enumerate(_hashing.minhash_coeffs(64))
+)
+_band_list = ", ".join(
+    "md5('%d' || '|' || s%d || '|' || s%d || '|' || s%d || '|' || s%d)"
+    % (b, b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3)
+    for b in range(16)
+)
+ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].format(
+    base_mask=_hashing.BASE_MASK, sig_cols=_sig_cols, band_list=_band_list
+)
