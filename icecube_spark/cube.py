@@ -1,0 +1,127 @@
+"""Datacube facade — the reference's user-facing API, Spark-first.
+
+Reference: icecube/bin/datacube.py (accessors, merge, to_file) and
+icecube/bin/generate_cube.py (IceyeProcessGenerateCube.create_cube).
+The cube is NOT a dense array: at 100 TB a materialized xarray is
+impossible. Here a datacube is a lazy DataFrame keyed by
+(stack key, acquisition ts) plus band columns; every accessor stays
+declarative so Catalyst prunes/pushes, and `to_parquet` partitions by
+a time bucket so downstream reads prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icecube_spark.config import CubeConfig
+from icecube_spark.operators import spatial, temporal
+
+
+class Datacube:
+    """Lazy tabular datacube.
+
+    Parity map (reference icecube/bin/datacube.py):
+      get_data_variables  -> band/value columns          (:44)
+      get_dimensions      -> sizes per dimension         (:59)
+      get_xrdataset_metadata -> catalog stats            (:66)
+      get_metadata_by_product -> per-product row         (:117)
+      merge_xrdatasets    -> merge()                     (:176)
+      to_file             -> to_parquet()                (:201)
+    """
+
+    DIMS = ("key", "ts")
+
+    def __init__(
+        self, df: DataFrame, key_col: str, ts_col: str, band_cols: list[str]
+    ):
+        self.df = df
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.band_cols = list(band_cols)
+
+    def get_data_variables(self) -> list[str]:
+        return list(self.band_cols)
+
+    def get_dimensions(self) -> dict[str, int]:
+        row = self.df.agg(
+            F.countDistinct(self.key_col).alias("k"),
+            F.countDistinct(self.ts_col).alias("t"),
+        ).collect()[0]
+        return {self.key_col: row.k, self.ts_col: row.t}
+
+    def get_metadata(self) -> dict:
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("n_layers"),
+            F.min(self.ts_col).alias("start"),
+            F.max(self.ts_col).alias("end"),
+        ).collect()[0]
+        return {"n_layers": row.n_layers, "start": row.start, "end": row.end}
+
+    def get_layer(self, key, ts) -> DataFrame:
+        """Per-product access (reference get_metadata_by_product /
+        get_product_values): one pruned lookup, no scan of other keys."""
+        return self.df.where(
+            (F.col(self.key_col) == F.lit(key)) & (F.col(self.ts_col) == F.lit(ts))
+        )
+
+    def merge(self, other: "Datacube") -> "Datacube":
+        """Union two cubes; on (key, ts) conflict the left cube wins
+        (reference merge_xrdatasets combine_attrs='drop_conflicts')."""
+        from pyspark.sql import Window
+
+        left = self.df.withColumn("__src", F.lit(1))
+        right = other.df.withColumn("__src", F.lit(2))
+        w = Window.partitionBy(self.key_col, self.ts_col).orderBy("__src")
+        merged = (
+            left.unionByName(right, allowMissingColumns=True)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        return Datacube(merged, self.key_col, self.ts_col, self.band_cols)
+
+    def to_parquet(self, path: str, bucket: str = "1 month") -> None:
+        """Reference to_file → netCDF; here: parquet partitioned by a
+        time bucket so scans prune by time range."""
+        (
+            self.df.withColumn(
+                "__part",
+                F.date_format(F.date_trunc("month", F.col(self.ts_col)), "yyyy-MM"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("__part")
+            .parquet(path)
+        )
+
+
+def build_cube(
+    df: DataFrame,
+    config: CubeConfig,
+    key_col: str,
+    ts_col: str,
+    angle_col: str | None,
+    band_cols: list[str],
+    extent_cols: tuple[str, str] | None = None,
+) -> Datacube:
+    """One-shot config-driven cube build — the Spark twin of
+    IceyeProcessGenerateCube.create_cube (generate_cube.py:36-80) and
+    SARDatacubeMetadata.filter_metadata_df_as_per_configuration
+    (sar_datacube_metadata.py:122-147). Applies, in reference order:
+    date filter, angle filter, temporal dedup (unless
+    temporal_overlap), spatial overlap (unless coregistered), and
+    leaves resampling to `temporal.resample_to_grid` (gap rows only
+    make sense on an aggregated view).
+    """
+    out = temporal.date_range_filter(df, ts_col, config.start_date, config.end_date)
+    if angle_col is not None:
+        out = temporal.value_range_filter(
+            out, angle_col, config.min_incidence_angle, config.max_incidence_angle
+        )
+    if not config.temporal_overlap:
+        out = temporal.latest_per_period(out, ts_col, [key_col])
+    if config.space_overlap and not config.coregistered and extent_cols:
+        out = spatial.overlap_with_primary_1d(
+            out, extent_cols[0], extent_cols[1], order_cols=[ts_col]
+        )
+    return Datacube(out, key_col, ts_col, band_cols)

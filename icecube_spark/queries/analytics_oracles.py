@@ -79,3 +79,57 @@ ORACLES: dict[str, str] = {
         ORDER BY p_brand, brand_rank
     """,
 }
+
+ORACLES.update({
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority != '1-URGENT'
+            GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": f"""
+        SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+               / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    "q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {sql_dsum('l_quantity')} > 350)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+})

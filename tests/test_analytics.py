@@ -13,6 +13,11 @@ CASES = [
     ("q5_local_supplier", analytics.q5_local_supplier),
     ("q6_forecast_revenue", analytics.q6_forecast_revenue),
     ("top_parts_by_revenue", analytics.top_parts_by_revenue),
+    ("q4_order_priority", analytics.q4_order_priority),
+    ("q10_returned_items", analytics.q10_returned_items),
+    ("q13_customer_distribution", analytics.q13_customer_distribution),
+    ("q14_promo_revenue", analytics.q14_promo_revenue),
+    ("q18_large_orders", analytics.q18_large_orders),
 ]
 
 

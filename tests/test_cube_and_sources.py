@@ -1,0 +1,103 @@
+"""SURVEY §2 A11/A12 + H: Datacube facade, cube builder, sources."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from icecube_spark import catalog
+from icecube_spark.config import CubeConfig
+from icecube_spark.cube import Datacube, build_cube
+from icecube_spark.sources import readers
+
+
+def _events_cube(spark, sf_dir, cfg=None):
+    ev = catalog.load(spark, sf_dir, "events")
+    cfg = cfg or CubeConfig.from_dict(
+        {"start_date": 20240101, "end_date": 20240131}
+    )
+    return build_cube(
+        ev, cfg, key_col="user_id", ts_col="ts", angle_col="value",
+        band_cols=["event_type", "value"],
+    )
+
+
+def test_cube_accessors(spark, sf_dir):
+    cube = _events_cube(spark, sf_dir)
+    assert cube.get_data_variables() == ["event_type", "value"]
+    dims = cube.get_dimensions()
+    assert dims["user_id"] > 0 and dims["ts"] > 0
+    meta = cube.get_metadata()
+    assert meta["n_layers"] > 0 and meta["start"] <= meta["end"]
+
+
+def test_cube_layer_lookup_prunes(spark, sf_dir):
+    cube = _events_cube(spark, sf_dir)
+    row = cube.df.limit(1).collect()[0]
+    layer = cube.get_layer(row.user_id, row.ts)
+    assert layer.count() >= 1
+    plan = layer._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_build_cube_applies_config(spark, sf_dir):
+    cfg = CubeConfig.from_dict(
+        {
+            "start_date": 20240105,
+            "end_date": 20240110,
+            "min_incidence_angle": 10,
+            "max_incidence_angle": 50,
+            "temporal_overlap": False,
+        }
+    )
+    cube = _events_cube(spark, sf_dir, cfg)
+    pdf = cube.df.toPandas()
+    assert pdf["value"].between(10, 50).all()
+    assert pdf["ts"].min().date().isoformat() >= "2024-01-05"
+    # temporal_overlap=False: one layer per (user, date)
+    days = pdf["ts"].dt.date
+    assert not pdf.assign(d=days).duplicated(["user_id", "d"]).any()
+
+
+def test_cube_merge_left_wins(spark, sf_dir):
+    ev = catalog.load(spark, sf_dir, "events")
+    c1 = Datacube(
+        ev.where("value >= 40").withColumn("tag", F.lit("left")),
+        "event_id", "ts", ["value"],
+    )
+    c2 = Datacube(
+        ev.where("value < 60").withColumn("tag", F.lit("right")),
+        "event_id", "ts", ["value"],
+    )
+    merged = c1.merge(c2).df.toPandas()
+    overlap = merged[(merged.value >= 40) & (merged.value < 60)]
+    assert (overlap.tag == "left").all()
+    assert not merged.duplicated(["event_id", "ts"]).any()
+
+
+def test_cube_to_parquet_partitions(spark, sf_dir, tmp_path):
+    cube = _events_cube(spark, sf_dir)
+    out = str(tmp_path / "cube")
+    cube.to_parquet(out)
+    parts = [p for p in os.listdir(out) if p.startswith("__part=")]
+    assert parts, "expected time-bucket partition dirs"
+    back = spark.read.parquet(out)
+    assert back.count() == cube.df.count()
+
+
+def test_binary_file_source(spark, sf_dir):
+    df = readers.read_binary_files(spark, sf_dir, glob="events.parquet")
+    row = df.select("path", "length", "content").collect()[0]
+    assert row.length > 0 and row.content[:4] == b"PAR1"
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    src = catalog.load(spark, sf_dir, "region")
+    csv_path, json_path = str(tmp_path / "r.csv"), str(tmp_path / "r.json")
+    src.write.option("header", "true").csv(csv_path)
+    src.write.json(json_path)
+    csv_back = readers.read_csv(spark, csv_path)
+    json_back = readers.read_json(
+        spark, json_path, "r_regionkey int, r_name string"
+    )
+    assert csv_back.count() == src.count() == json_back.count()
+    assert set(csv_back.columns) == set(src.columns)
