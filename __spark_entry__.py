@@ -57,6 +57,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": lq.token_count,
     "doc_fingerprint": lq.doc_fingerprint,
     "multimodal_meta": lq.multimodal_meta,
+    # rows-only (iterative / engine-internal hashing — no SQL oracle):
+    "embed_ann_ivf": lq.embed_ann_ivf,
+    "text_features": lq.text_features,
 }
 
 _ORACLES: dict[str, str] = {}

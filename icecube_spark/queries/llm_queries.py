@@ -85,3 +85,31 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — binary payload through the Arrow decode-stub stage."""
     payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     return multimodal.decode_stub(payload)
+
+
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path — IVF (KMeans-bucketed) ANN. Iterative clustering:
+    rows-only driver check; recall is tested against brute force in
+    tests/test_scale_paths.py."""
+    from icecube_spark.operators.ivf import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), "vec_id", "embedding", F.col("vec_id") < 10,
+        k_neighbors=5, n_clusters=16, nprobe=4,
+    )
+
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib TF-IDF features (rows-only: HashingTF is engine-internal).
+    Returns stable stats columns rather than raw ml vectors so the
+    driver can hash the schema."""
+    from pyspark.ml.functions import vector_to_array
+
+    from icecube_spark.operators.features import tfidf_features
+
+    out = tfidf_features(_docs(spark, sf_dir), "doc_id", "text")
+    return out.withColumn("arr", vector_to_array("tfidf")).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("size(filter(arr, x -> x != 0D))").alias("n_distinct_terms"),
+    )
