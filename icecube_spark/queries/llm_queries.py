@@ -103,13 +103,13 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib TF-IDF features (rows-only: HashingTF is engine-internal).
     Returns stable stats columns rather than raw ml vectors so the
     driver can hash the schema."""
-    from pyspark.ml.functions import vector_to_array
-
     from icecube_spark.operators.features import tfidf_features
 
     out = tfidf_features(_docs(spark, sf_dir), "doc_id", "text")
-    return out.withColumn("arr", vector_to_array("tfidf")).select(
+    # distinct-token count stays JVM-side; unpacking the 4096-wide
+    # tfidf vector per row would cost 20M interpreted ops at sf0.1
+    return out.select(
         "doc_id",
         "n_tokens",
-        F.expr("size(filter(arr, x -> x != 0D))").alias("n_distinct_terms"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_terms"),
     )
