@@ -45,6 +45,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": tsq.sessionize_events,
     "window_tumbling": tsq.window_tumbling,
     "rolling_daily_revenue": tsq.rolling_daily_revenue,
+    "range_join_clicks": tsq.range_join_clicks,
+    "hypertable_rollup": tsq.hypertable_rollup,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,

@@ -59,3 +59,38 @@ ORACLES: dict[str, str] = {
         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 }
+
+ORACLES.update({
+    "range_join_clicks": """
+        WITH errors AS (
+            SELECT event_id AS error_id, user_id, ts AS t0,
+                   ts + INTERVAL 1 HOUR AS t1
+            FROM events WHERE event_type = 'error'),
+        clicks AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click'),
+        counts AS (
+            SELECT e.error_id, COUNT(*) AS n
+            FROM errors e JOIN clicks c
+              ON e.user_id = c.user_id
+             AND c.click_ts > e.t0 AND c.click_ts <= e.t1
+            GROUP BY e.error_id)
+        SELECT e.error_id, e.user_id, e.t0 AS error_ts,
+               COALESCE(counts.n, 0) AS n_clicks_next_hour
+        FROM errors e LEFT JOIN counts USING (error_id)
+        ORDER BY error_id
+    """,
+    "hypertable_rollup": f"""
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value,
+               CAST(GROUPING(date_trunc('month', ts)) * 4
+                    + GROUPING(date_trunc('day', ts)) * 2
+                    + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS level
+        FROM events
+        GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts),
+                         date_trunc('hour', ts))
+    """,
+})

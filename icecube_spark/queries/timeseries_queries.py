@@ -81,3 +81,61 @@ def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rolling_avg").alias("rolling_avg_7d"),
         F.col("n_in_window").alias("n_days_in_window"),
     )
+
+
+def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — bucketed range join: for every error event, how many click
+    events the same user produced in the following hour. The naive
+    plan is an inequality join (cartesian per user); the bucketed plan
+    equi-joins on (user, hour-bucket) with bounded interval fanout.
+    """
+    from icecube_spark.operators.rangejoin import bucketed_interval_join
+
+    ev = catalog.load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    pairs = bucketed_interval_join(
+        clicks, errors, key="user_id", point_ts="click_ts",
+        start_col="t0", end_col="t1",
+    )
+    counts = pairs.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_next_hour")
+    )
+    return (
+        errors.join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.col("t0").alias("error_ts"),
+            F.coalesce("n_clicks_next_hour", F.lit(0)).alias("n_clicks_next_hour"),
+        )
+        .orderBy("error_id")
+    )
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — hypertable-style continuous aggregate: one pass producing
+    hour, day, and month resolutions via ROLLUP (TimescaleDB
+    continuous-aggregate pattern). grouping_id disambiguates levels;
+    partial aggregation keeps it one shuffle."""
+    ev = catalog.load(spark, sf_dir, "events")
+    month = F.date_trunc("month", "ts").alias("month")
+    day = F.date_trunc("day", "ts").alias("day")
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    return (
+        ev.select(month, day, hour, "value")
+        .rollup("month", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.grouping_id().alias("level"),
+        )
+        .where(F.col("month").isNotNull() | (F.col("level") == 7))
+    )

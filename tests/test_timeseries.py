@@ -12,7 +12,22 @@ CASES = [
     ("sessionize", tq.sessionize_events),
     ("window_tumbling", tq.window_tumbling),
     ("rolling_daily_revenue", tq.rolling_daily_revenue),
+    ("range_join_clicks", tq.range_join_clicks),
+    ("hypertable_rollup", tq.hypertable_rollup),
 ]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketed plan must be a hash/sort-merge equi join — never
+    BroadcastNestedLoop (the naive inequality-join plan)."""
+    plan = (
+        tq.range_join_clicks(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.parametrize("name,fn", CASES, ids=[c[0] for c in CASES])
