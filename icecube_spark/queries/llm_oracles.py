@@ -258,3 +258,13 @@ _band_list = ", ".join(
 ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].format(
     base_mask=_hashing.BASE_MASK, sig_cols=_sig_cols, band_list=_band_list
 )
+
+ORACLES["dedup_embedding_cosine"] = f"""
+    WITH {_VNORM},
+    sub AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 500)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} >= 0.35
+    ORDER BY vec_a, vec_b
+"""

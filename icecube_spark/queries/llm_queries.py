@@ -113,3 +113,29 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.size(F.array_distinct("toks")).alias("n_distinct_terms"),
     )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — embedding-cosine near-dup pairs: vectors closer than 0.35
+    cosine among the first 500 ids. Quantized-integer dot products keep
+    scores oracle-exact; at corpus scale candidates would come from the
+    LSH/IVF buckets (E2/E4) instead of all pairs."""
+    from icecube_spark.operators.similarity import dot_expr, norm_expr
+
+    emb = catalog.load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        norm_expr("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        norm_expr("embedding").alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -31,5 +31,10 @@ def get_spark(app_name: str = "icecube-spark", master: str | None = None) -> Spa
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/icecube-spark-warehouse")
+        .config(
+            "javax.jdo.option.ConnectionURL",
+            "jdbc:derby:;databaseName=/tmp/icecube-spark-metastore;create=true",
+        )
     )
     return builder.getOrCreate()

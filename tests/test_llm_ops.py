@@ -12,6 +12,7 @@ CASES = [
     ("dedup_minhash_lsh", lq.dedup_minhash_lsh),
     ("dedup_ngram_jaccard", lq.dedup_ngram_jaccard),
     ("dedup_simhash", lq.dedup_simhash),
+    ("dedup_embedding_cosine", lq.dedup_embedding_cosine),
     ("embed_cosine_topk", lq.embed_cosine_topk),
     ("embed_knn_label", lq.embed_knn_label),
     ("embed_ann_lsh", lq.embed_ann_lsh),
