@@ -133,12 +133,20 @@ def _plane_sign(p: int, j: int) -> float:
 
 
 def lsh_code(vec_col: str, n_planes: int = 8, dim: int = EMBED_DIM) -> F.Column:
+    # Per-plane projection folds via the aggregate HOF over a literal
+    # sign array rather than a flat n_planes*dim-term sum: the flat form
+    # (512 floor terms in ONE expression) exceeds Janino's 64 KB method
+    # limit, which knocked the ENTIRE stage — including the per-pair
+    # dot products — back to interpreted eval. HOFs are CodegenFallback
+    # at expression granularity, so the stage still whole-stage-compiles
+    # and only this once-per-ROW code pays the interpreted fold.
     planes = []
     for p in range(n_planes):
-        proj = " + ".join(
-            f"cast(floor({_plane_sign(p, j)}D"
-            f" * cast(element_at({vec_col}, {j}) as double) * 1e12) as bigint)"
-            for j in range(1, dim + 1)
+        signs = ", ".join(f"{_plane_sign(p, j)}D" for j in range(1, dim + 1))
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({signs}),"
+            " (x, s) -> cast(floor(s * cast(x as double) * 1e12) as bigint)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
         )
         planes.append(f"IF(({proj}) >= 0, {1 << p}, 0)")
     return F.expr(" + ".join(planes))
