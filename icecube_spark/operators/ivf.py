@@ -30,8 +30,13 @@ def build_ivf_index(
     = k rows broadcastable to every probe.
     """
     ml = vectors.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    ml.persist()
+    # random init: k-means|| costs ~5 extra corpus passes and an IVF
+    # coarse quantizer doesn't need optimal centers — recall is gated
+    # by the nprobe search, asserted in tests/test_scale_paths.py
     model = KMeans(
-        k=k, seed=seed, maxIter=10, featuresCol="features", predictionCol="cluster"
+        k=k, seed=seed, maxIter=10, initMode="random",
+        featuresCol="features", predictionCol="cluster",
     ).fit(ml)
     assigned = model.transform(ml).select(id_col, vec_col, "cluster")
     centroids = vectors.sparkSession.createDataFrame(

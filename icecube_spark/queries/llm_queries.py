@@ -123,7 +123,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icecube_spark.operators.similarity import dot_expr, norm_expr
 
     emb = catalog.load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    a = emb.select(
+    # the filtered corpus is one parquet split -> one task would score
+    # every pair; spread the stream side so all cores share the O(n^2)
+    a = emb.repartition(32).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
         norm_expr("embedding").alias("na"),
     )
