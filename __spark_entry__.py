@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from icecube_spark.queries import analytics
 from icecube_spark.queries import datacube_queries as dq
 from icecube_spark.queries import llm_queries as lq
+from icecube_spark.queries import pipeline_queries as pq
 from icecube_spark.queries import timeseries_queries as tsq
 from icecube_spark.queries.llm_oracles import ORACLES as LLM_ORACLES
+from icecube_spark.queries.pipeline_oracles import ORACLES as PIPELINE_ORACLES
 from icecube_spark.queries.analytics_oracles import ORACLES as ANALYTICS_ORACLES
 from icecube_spark.queries.datacube_oracles import ORACLES as DATACUBE_ORACLES
 from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACLES
@@ -31,6 +33,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_distribution": analytics.q13_customer_distribution,
     "q14_promo_revenue": analytics.q14_promo_revenue,
     "q18_large_orders": analytics.q18_large_orders,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q8_market_share": analytics.q8_market_share,
+    "q12_ship_delay": analytics.q12_ship_delay,
+    "q15_top_supplier": analytics.q15_top_supplier,
+    "q17_small_quantity": analytics.q17_small_quantity,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "q21_waiting_supplier": analytics.q21_waiting_supplier,
+    "q22_global_sales": analytics.q22_global_sales,
     "metadata_summary": dq.metadata_summary,
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
@@ -63,6 +73,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
     "text_features": lq.text_features,
+    # training-data pipeline (group P):
+    "train_test_split": pq.train_test_split,
+    "stratified_sample": pq.stratified_sample,
+    "pii_redact": pq.pii_redact,
+    "topk_terms": pq.topk_terms,
+    "doc_length_stats": pq.doc_length_stats,
+    "dedup_clusters": pq.dedup_clusters,
 }
 
 _ORACLES: dict[str, str] = {}
@@ -70,6 +87,7 @@ _ORACLES.update(ANALYTICS_ORACLES)
 _ORACLES.update(DATACUBE_ORACLES)
 _ORACLES.update(TIMESERIES_ORACLES)
 _ORACLES.update(LLM_ORACLES)
+_ORACLES.update(PIPELINE_ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

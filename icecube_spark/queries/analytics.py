@@ -215,3 +215,238 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship
+    year. Both nation dims broadcast; the fact join shuffles once on
+    orderkey and AQE handles skew."""
+    t = catalog.load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ASIA-market STANDARD-part volume
+    per order year. Share = ratio of two decimal-exact sums, so the
+    division is deterministic across engines."""
+    t = catalog.load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_type") == "STANDARD")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    n_cust = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = t["region"].where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            .alias("nation_volume"),
+            dsum(vol).alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .select("o_year", "mkt_share", "nation_volume", "total_volume")
+        .orderBy("o_year")
+    )
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the trimmed schema (no l_shipmode /
+    l_receiptdate): bucket lineitems by ship latency vs order date and
+    count urgent/high-priority vs other orders per bucket."""
+    t = catalog.load_tables(spark, sf_dir)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum 3-month revenue. The
+    revenue aggregate is computed once; the scalar max broadcasts back
+    via a window over an empty partition (no second scan)."""
+    t = catalog.load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    return (
+        revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (p_size<10 stands in for the missing
+    p_container): avg yearly revenue lost to small orders of Brand#1
+    small parts. The per-part avg-quantity is a broadcast agg-join, not
+    a correlated rescan."""
+    t = catalog.load_tables(spark, sf_dir)
+    part = t["part"].where((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10))
+    li = t["lineitem"].join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (davg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (brand/size/quantity stand in for the missing
+    container/shipmode): revenue from a disjunction of brand+size+qty
+    windows. One broadcast join; the OR-of-ANDs stays a single pushed
+    predicate."""
+    t = catalog.load_tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (ship latency >30d stands in for the missing
+    receipt/commit dates): suppliers who were the ONLY late shipper on
+    a finished multi-supplier order. exists/not-exists become
+    aggregated per-order supplier counts — one shuffle on orderkey
+    instead of two correlated self-probes."""
+    t = catalog.load_tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        t["orders"].where(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_order = (
+        li.withColumn(
+            "is_late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
+    )
+    order_stats = per_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    return (
+        per_order.join(order_stats, "l_orderkey")
+        .where(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (nationkey stands in for the missing phone
+    country code; "no recent orders" for "no orders" — this synthetic
+    data gives every customer at least one order): well-funded
+    customers in 7 nations gone quiet since 2000. The scalar avg
+    broadcasts; the lapsed-customer test is a left-anti join."""
+    t = catalog.load_tables(spark, sf_dir)
+    nations = [1, 2, 3, 4, 5, 6, 7]
+    cust = t["customer"].where(F.col("c_nationkey").isin(nations))
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    recent = t["orders"].where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -133,3 +133,128 @@ ORACLES.update({
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
 })
+
+ORACLES.update({
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {sql_dsum('volume')} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": f"""
+        SELECT o_year,
+               nation_volume / total_volume AS mkt_share,
+               nation_volume, total_volume
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   {sql_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_volume,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_volume
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+            GROUP BY 1
+        ) shares
+        ORDER BY o_year
+    """,
+    "q12_ship_delay": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q17_small_quantity": f"""
+        WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1' AND p_size < 10),
+        avg_qty AS (
+            SELECT l_partkey AS ap_key,
+                   {sql_davg('l_quantity')} * 0.5 AS half_avg_qty
+            FROM li GROUP BY 1)
+        SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+        FROM li JOIN avg_qty ON l_partkey = ap_key
+        WHERE l_quantity < half_avg_qty
+    """,
+    "q19_disjunctive_revenue": f"""
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q21_waiting_supplier": """
+        WITH per_order AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                            THEN 1 ELSE 0 END) AS supp_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2),
+        order_stats AS (
+            SELECT l_orderkey, COUNT(*) AS n_supps, SUM(supp_late) AS n_late_supps
+            FROM per_order GROUP BY 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM per_order
+        JOIN order_stats USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_late = 1 AND n_supps > 1 AND n_late_supps = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q22_global_sales": f"""
+        WITH cust AS (
+            SELECT * FROM customer WHERE c_nationkey IN (1,2,3,4,5,6,7)),
+        avg_bal AS (
+            SELECT {sql_davg('c_acctbal')} AS avg_bal
+            FROM cust WHERE c_acctbal > 0.0)
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               {sql_dsum('c_acctbal')} AS totacctbal
+        FROM cust, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY 1
+    """,
+})

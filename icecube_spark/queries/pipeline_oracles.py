@@ -1,0 +1,98 @@
+"""DuckDB oracle SQL for SURVEY §2 group P (twin of
+pipeline_queries.py).
+
+Hash-split parity: the bucket is the first 60 bits of md5(id) mod
+100 — md5 hex is byte-identical across engines and the hex->int
+parse is exact, so split assignment matches bit-for-bit. Quantiles
+are rank-selected (no interpolation), so they are integer-exact.
+"""
+
+from icecube_spark.functions.hashing import duck_hex2int
+from icecube_spark.queries.llm_oracles import ORACLES as _LLM_ORACLES
+
+_BUCKET = f"{duck_hex2int('CAST(doc_id AS VARCHAR)')} % 100"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# same deterministic PII injection as the Spark query
+_PII_TEXT = (
+    "concat(text, ' reach user', CAST(doc_id AS VARCHAR),"
+    " '@example.com or 555-',"
+    " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+ORACLES: dict[str, str] = {
+    "train_test_split": f"""
+        SELECT doc_id,
+               CAST({_BUCKET} AS INT) AS bucket,
+               CASE WHEN {_BUCKET} < 90 THEN 'train'
+                    WHEN {_BUCKET} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_BUCKET} < 20 ORDER BY doc_id
+    """,
+    "pii_redact": f"""
+        WITH planted AS (SELECT doc_id, {_PII_TEXT} AS text FROM documents),
+        scrubbed AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+            FROM planted)
+        SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+               CAST(n_phones AS INT) AS n_phones,
+               CAST(length(clean_text) AS INT) AS clean_len,
+               md5(clean_text) AS clean_md5
+        FROM scrubbed ORDER BY doc_id
+    """,
+    "topk_terms": f"""
+        WITH terms AS (
+            SELECT UNNEST(string_split({_NORM}, ' ')) AS term FROM documents),
+        counts AS (
+            SELECT term, COUNT(*) AS n FROM terms
+            WHERE term != '' GROUP BY term)
+        SELECT term, n, rank FROM (
+            SELECT term, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank
+            FROM counts)
+        WHERE rank <= 20 ORDER BY rank
+    """,
+    "doc_length_stats": """
+        WITH ranked AS (
+            SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, MIN(v) AS min_len,
+               MAX(CASE WHEN rn = CEIL(0.5 * n) THEN v END) AS p50_len,
+               MAX(CASE WHEN rn = CEIL(0.9 * n) THEN v END) AS p90_len,
+               MAX(v) AS max_len
+        FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    # transitive closure over the minhash near-dup pairs; cluster id =
+    # min doc id reachable from each node
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        pairs AS ({_LLM_ORACLES["dedup_minhash_lsh"]}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id,
+               LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,76 @@
+"""Training-data pipeline queries (SURVEY §2 group P) over documents.
+
+The corpus-management surface: deterministic splits/samples, PII
+redaction, corpus term stats, exact length profiles, dedup-cluster
+assignment. Twins in pipeline_oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icecube_spark import catalog
+from icecube_spark.operators import dedup, pipeline
+
+
+def _docs(spark, sf_dir):
+    return catalog.load(spark, sf_dir, "documents")
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — deterministic 90/5/5 hash split of the corpus."""
+    out = pipeline.train_test_split(_docs(spark, sf_dir), "doc_id")
+    return out.select("doc_id", "bucket", "split").orderBy("doc_id")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — deterministic ~20% per-language sample."""
+    out = pipeline.stratified_sample(_docs(spark, sf_dir), "doc_id", "lang", pct=20)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — email/phone scrub. The synthetic corpus carries no PII, so
+    the query plants a deterministic email+phone per doc first (same
+    expression in the oracle) and the operator must remove exactly
+    those; clean_md5 proves the output text matches byte-for-byte."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.expr(
+            "concat(text, ' reach user', cast(doc_id as string),"
+            " '@example.com or 555-',"
+            " lpad(cast(doc_id % 1000 as string), 3, '0'), '-',"
+            " lpad(cast(doc_id % 10000 as string), 4, '0'))"
+        ),
+    )
+    out = pipeline.pii_redact(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — top-20 corpus terms by frequency."""
+    return pipeline.topk_terms(_docs(spark, sf_dir), "text", dedup.NORM, k=20)
+
+
+def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — exact per-language length profile (rank-selected
+    quantiles)."""
+    return pipeline.length_quantiles(
+        _docs(spark, sf_dir), "lang", "n_chars", "doc_id"
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — connected components over the MinHash near-dup pairs:
+    every near-dup doc labeled with its component's min doc id."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
+    )
+    return pipeline.connected_components(pairs, "doc_a", "doc_b")

@@ -1,0 +1,77 @@
+"""SURVEY §2 group P (training-data pipeline) + new B-group TPC-H
+queries vs DuckDB oracle, plus semantic invariants the oracle compare
+can't express (split stability, component well-formedness)."""
+
+import pytest
+
+from icecube_spark.queries import analytics
+from icecube_spark.queries import pipeline_queries as pq
+from icecube_spark.queries.analytics_oracles import ORACLES as B_ORACLES
+from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
+
+from .conftest import assert_matches_oracle
+
+P_CASES = [
+    ("train_test_split", pq.train_test_split),
+    ("stratified_sample", pq.stratified_sample),
+    ("pii_redact", pq.pii_redact),
+    ("topk_terms", pq.topk_terms),
+    ("doc_length_stats", pq.doc_length_stats),
+    ("dedup_clusters", pq.dedup_clusters),
+]
+
+B_CASES = [
+    ("q7_volume_shipping", analytics.q7_volume_shipping),
+    ("q8_market_share", analytics.q8_market_share),
+    ("q12_ship_delay", analytics.q12_ship_delay),
+    ("q15_top_supplier", analytics.q15_top_supplier),
+    ("q17_small_quantity", analytics.q17_small_quantity),
+    ("q19_disjunctive_revenue", analytics.q19_disjunctive_revenue),
+    ("q21_waiting_supplier", analytics.q21_waiting_supplier),
+    ("q22_global_sales", analytics.q22_global_sales),
+]
+
+
+@pytest.mark.parametrize("name,fn", P_CASES, ids=[c[0] for c in P_CASES])
+def test_pipeline_matches_oracle(spark, sf_dir, oracle, name, fn):
+    assert_matches_oracle(fn(spark, sf_dir), oracle, P_ORACLES[name])
+
+
+@pytest.mark.parametrize("name,fn", B_CASES, ids=[c[0] for c in B_CASES])
+def test_tpch_matches_oracle(spark, sf_dir, oracle, name, fn):
+    assert_matches_oracle(fn(spark, sf_dir), oracle, B_ORACLES[name])
+
+
+def test_split_fractions_and_stability(spark, sf_dir):
+    """Hash split lands near 90/5/5 and reassigns nothing on re-run."""
+    a = pq.train_test_split(spark, sf_dir).toPandas()
+    frac = a.split.value_counts(normalize=True)
+    assert 0.80 <= frac["train"] <= 0.97
+    b = pq.train_test_split(spark, sf_dir).toPandas()
+    assert a.equals(b)
+
+
+def test_stratified_sample_subset_of_corpus(spark, sf_dir):
+    from icecube_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents").toPandas()
+    samp = pq.stratified_sample(spark, sf_dir).toPandas()
+    assert set(samp.doc_id) <= set(docs.doc_id)
+    # every language keeps a nonzero share at ~20%
+    assert set(samp.lang) == set(docs.lang)
+
+
+def test_pii_redact_removes_all_planted(spark, sf_dir):
+    out = pq.pii_redact(spark, sf_dir).toPandas()
+    assert (out.n_emails >= 1).all()
+    assert (out.n_phones >= 1).all()
+
+
+def test_dedup_clusters_well_formed(spark, sf_dir):
+    """cluster_id is the min doc_id of each component; representatives
+    label themselves."""
+    labels = pq.dedup_clusters(spark, sf_dir).toPandas()
+    assert (labels.cluster_id <= labels.doc_id).all()
+    reps = set(labels.cluster_id)
+    mapped = {d: c for d, c in zip(labels.doc_id, labels.cluster_id)}
+    assert all(mapped[r] == r for r in reps)
