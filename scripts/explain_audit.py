@@ -30,6 +30,12 @@ def main() -> None:
     ]
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
+        # execute first: under AQE the pre-execution plan is a stub
+        # (isFinalPlan=false) with no codegen annotation — only the
+        # final plan shows real exchanges, join strategies and codegen.
+        # collect() (not write()) so the DataFrame's own cached
+        # QueryExecution is the one that gets finalized in place
+        df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
@@ -42,8 +48,12 @@ def main() -> None:
             checks.append("broadcast join: yes")
         if "SortMergeJoin" in plan:
             checks.append("sort-merge join: yes")
-        wsc = len(re.findall(r"WholeStageCodegen", plan))
+        # formatted mode tags nodes "[codegen id : N]" rather than
+        # printing WholeStageCodegen wrappers
+        wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
         checks.append(f"codegen spans: {wsc}")
+        if wsc == 0:
+            checks.append("WARN no codegen")
         lines += [f"## {name}", "", f"_{'; '.join(checks)}_", "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines))
