@@ -80,6 +80,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_terms": pq.topk_terms,
     "doc_length_stats": pq.doc_length_stats,
     "dedup_clusters": pq.dedup_clusters,
+    "dup_ngram_fraction": pq.dup_ngram_fraction,
+    "decontaminate": pq.decontaminate,
 }
 
 _ORACLES: dict[str, str] = {}

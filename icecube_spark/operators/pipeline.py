@@ -152,6 +152,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     edges.persist()
+    cached = None
     for _ in range(max_iter):
         # label each node with min(own, neighbors') labels
         from_nbrs = (
@@ -159,26 +160,100 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(from_nbrs, labels.node == from_nbrs.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-            )
+        # carry a changed flag out of the same join instead of a third
+        # labels-vs-new-labels join per round — halves the round's
+        # shuffle stages; the flag column is dropped before reuse
+        stepped = labels.join(from_nbrs, labels.node == from_nbrs.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            (F.col("nbr_min") < F.col("label")).alias("chg"),
         )
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        stepped.persist()
+        changed = stepped.where(F.col("chg")).limit(1).count()
+        if cached is not None:
+            cached.unpersist()
+        cached = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def ngram_expr(text_col: str, n: int) -> str:
+    """Distinct word n-grams of the normalized text (whole text when
+    shorter than n words). Same binding trick as operators/dedup.py
+    GRAMS: the token array is bound once via transform-over-singleton
+    so the split regex runs once per row, not once per gram."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    return f"""
+        array_distinct(element_at(
+          transform(array(split({norm}, ' ')),
+            t -> CASE WHEN size(t) < {n}
+                      THEN array(concat_ws(' ', t))
+                      ELSE transform(sequence(1, size(t) - {n - 1}),
+                                     i -> concat_ws(' ', slice(t, i, {n})))
+                 END),
+          1))
+    """
+
+
+def dup_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """P7 — Gopher-style repetition signal: per doc, the fraction of
+    its distinct n-grams that also occur in at least one other doc.
+    High fractions mark boilerplate/template docs that survive exact
+    dedup. One shuffle on the gram (bounded: distinct grams per doc),
+    one on the doc id for the ratio."""
+    grams = df.select(
+        F.col(id_col), F.explode(F.expr(ngram_expr(text_col, n))).alias("gram")
+    )
+    gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_shared"),
+        )
+        .withColumn("dup_fraction", F.col("n_shared") / F.col("n_grams"))
+        .orderBy(id_col)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 2,
+    train_pct: int = 90,
+    eval_pct_from: int = 95,
+) -> DataFrame:
+    """P8 — train/eval contamination report: training docs sharing >=
+    min_shared distinct n-grams with a held-out (hash-split) eval doc.
+    The eval side is a small fixed fraction of the corpus, so at scale
+    its gram index broadcasts and the train side streams through
+    map-side — contamination checking costs one scan of train."""
+    b = _bucket(id_col)
+    grams = df.select(
+        F.col(id_col),
+        b.alias("b"),
+        F.explode(F.expr(ngram_expr(text_col, n))).alias("gram"),
+    )
+    train = grams.where(F.col("b") < train_pct).select(
+        F.col(id_col).alias("train_doc"), "gram"
+    )
+    ev = grams.where(F.col("b") >= eval_pct_from).select(
+        F.col(id_col).alias("eval_doc"), "gram"
+    )
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("train_doc", "eval_doc")
+    )

@@ -96,3 +96,37 @@ ORACLES: dict[str, str] = {
         FROM reach GROUP BY src ORDER BY doc_id
     """,
 }
+
+_G5 = (
+    "list_distinct(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]"
+    " ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+    " FOR i IN range(1, len(t) - 3)] END)"
+)
+
+_G5_CTES = f"""
+        toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+        grams AS (SELECT doc_id, {_G5} AS g FROM toks)
+"""
+
+ORACLES.update({
+    "dup_ngram_fraction": f"""
+        WITH {_G5_CTES},
+        eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+        gram_docs AS (SELECT gram, COUNT(*) AS n_docs FROM eg GROUP BY gram)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+               SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / COUNT(*) AS dup_fraction
+        FROM eg JOIN gram_docs USING (gram)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "decontaminate": f"""
+        WITH {_G5_CTES},
+        eg AS (SELECT doc_id, {_BUCKET} AS b, UNNEST(g) AS gram FROM grams),
+        tr AS (SELECT doc_id AS train_doc, gram FROM eg WHERE b < 90),
+        ev AS (SELECT doc_id AS eval_doc, gram FROM eg WHERE b >= 95)
+        SELECT train_doc, eval_doc, COUNT(*) AS n_shared
+        FROM tr JOIN ev USING (gram)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY train_doc, eval_doc
+    """,
+})

@@ -74,3 +74,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
     )
     return pipeline.connected_components(pairs, "doc_a", "doc_b")
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — per-doc fraction of 5-grams shared with other docs."""
+    return pipeline.dup_ngram_fraction(_docs(spark, sf_dir), "doc_id", "text", n=5)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — train docs sharing >= 2 distinct 5-grams with a hash-split
+    eval doc."""
+    return pipeline.decontaminate(_docs(spark, sf_dir), "doc_id", "text")

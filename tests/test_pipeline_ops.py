@@ -75,3 +75,28 @@ def test_dedup_clusters_well_formed(spark, sf_dir):
     reps = set(labels.cluster_id)
     mapped = {d: c for d, c in zip(labels.doc_id, labels.cluster_id)}
     assert all(mapped[r] == r for r in reps)
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [("dup_ngram_fraction", pq.dup_ngram_fraction),
+     ("decontaminate", pq.decontaminate)],
+    ids=["dup_ngram_fraction", "decontaminate"],
+)
+def test_contamination_matches_oracle(spark, sf_dir, oracle, name, fn):
+    assert_matches_oracle(fn(spark, sf_dir), oracle, P_ORACLES[name])
+
+
+def test_dup_fraction_bounds(spark, sf_dir):
+    out = pq.dup_ngram_fraction(spark, sf_dir).toPandas()
+    assert ((out.dup_fraction >= 0) & (out.dup_fraction <= 1)).all()
+    assert (out.n_shared <= out.n_grams).all()
+
+
+def test_decontaminate_splits_disjoint(spark, sf_dir):
+    """Contaminated pairs really straddle the split: train docs come
+    from the train bucket, eval docs from the test bucket."""
+    pairs = pq.decontaminate(spark, sf_dir).toPandas()
+    split = pq.train_test_split(spark, sf_dir).toPandas().set_index("doc_id")["split"]
+    assert (split.loc[pairs.train_doc] == "train").all()
+    assert (split.loc[pairs.eval_doc] == "test").all()
