@@ -49,6 +49,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metadata_concat": dq.metadata_concat,
     "spatial_overlap_1d": dq.spatial_overlap_1d,
     "labels_align": dq.labels_align,
+    "labels_vector_align": dq.labels_vector_align,
     "cube_merge": dq.cube_merge,
     "sar_band_math": dq.sar_band_math,
     "asof_join": tsq.asof_join_orders,

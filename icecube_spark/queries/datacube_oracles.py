@@ -110,3 +110,27 @@ ORACLES: dict[str, str] = {
         FROM embeddings
     """,
 }
+
+ORACLES["labels_vector_align"] = """
+    WITH ev AS (SELECT event_id FROM events WHERE event_id < 2000),
+    objs AS (
+        SELECT event_id,
+               ((event_id + i) % 7) AS xmin,
+               ((event_id + 2*i) % 11) AS ymin,
+               ((event_id + i) % 7 + 1 + (event_id + i) % 13) AS xmax,
+               ((event_id + 2*i) % 11 + 1 + (event_id + 3*i) % 17) AS ymax,
+               'class_' || CAST((event_id + i) % 5 AS VARCHAR) AS cls
+        FROM ev, range(2) t(i)
+        WHERE event_id % 3 = 0 AND i <= event_id % 2),
+    stats AS (
+        SELECT event_id, COUNT(*) AS n_objects,
+               array_to_string(list_sort(list_distinct(list(cls))), ',') AS classes,
+               SUM((xmax - xmin) * (ymax - ymin)) AS total_area
+        FROM objs GROUP BY event_id)
+    SELECT ev.event_id,
+           COALESCE(n_objects, 0) AS n_objects,
+           COALESCE(classes, 'NA') AS classes,
+           CAST(COALESCE(total_area, 0) AS BIGINT) AS total_area
+    FROM ev LEFT JOIN stats USING (event_id)
+    ORDER BY event_id
+"""

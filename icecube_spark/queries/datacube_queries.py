@@ -238,3 +238,66 @@ def sar_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(intensity).alias("amplitude"),
         intensity.alias("intensity"),
     )
+
+
+def labels_vector_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b — vector-labels cube: per-product JSON label objects
+    (class + bbox) parsed, exploded, and profiled; dummy stats for
+    unlabeled products.
+
+    Reference: vector labels arrive as a JSON file of
+    [{product_file, labels: {objects: [{class, bbox{xmin,ymin,xmax,
+    ymax}}]}}] and attach along the Band axis with dummies for
+    unlabeled bands (labels_cube/vector_labels.py,
+    tests/vector_labels_datacube_test.py). Here the labels "file" is
+    built deterministically from event ids (every 3rd product gets 1-2
+    objects), serialized with to_json, then goes through the REAL
+    from_json -> explode_outer parse path a user's labels would take.
+    All bbox math is integer, so stats hash-match the oracle.
+    """
+    ev = catalog.load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    obj = (
+        "transform(sequence(0, cast(event_id % 2 as int)), i -> named_struct("
+        " 'class', concat('class_', cast((event_id + i) % 5 as string)),"
+        " 'bbox', named_struct("
+        "   'xmin', cast((event_id + i) % 7 as int),"
+        "   'ymin', cast((event_id + 2*i) % 11 as int),"
+        "   'xmax', cast((event_id + i) % 7 + 1 + (event_id + i) % 13 as int),"
+        "   'ymax', cast((event_id + 2*i) % 11 + 1 + (event_id + 3*i) % 17 as int))))"
+    )
+    labels_file = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("event_id").alias("product_id"),
+            F.to_json(F.struct(F.expr(obj).alias("objects"))).alias("labels_json"),
+        )
+    )
+    schema = (
+        "struct<objects: array<struct<class: string,"
+        " bbox: struct<xmin: int, ymin: int, xmax: int, ymax: int>>>>"
+    )
+    parsed = (
+        ev.join(F.broadcast(labels_file), ev.event_id == labels_file.product_id, "left")
+        .select(
+            "event_id",
+            F.from_json("labels_json", schema).alias("lab"),
+        )
+        .select("event_id", F.explode_outer("lab.objects").alias("o"))
+    )
+    area = (F.col("o.bbox.xmax") - F.col("o.bbox.xmin")) * (
+        F.col("o.bbox.ymax") - F.col("o.bbox.ymin")
+    )
+    return (
+        parsed.groupBy("event_id")
+        .agg(
+            F.count("o.class").alias("n_objects"),
+            F.coalesce(
+                F.nullif(
+                    F.array_join(F.array_sort(F.collect_set("o.class")), ","), F.lit("")
+                ),
+                F.lit("NA"),
+            ).alias("classes"),
+            F.coalesce(F.sum(area), F.lit(0)).cast("bigint").alias("total_area"),
+        )
+        .orderBy("event_id")
+    )

@@ -74,3 +74,35 @@ def run_available_now(spark: SparkSession, sf_dir: str, table_name: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup twin (SURVEY §2 C8): drop replayed events
+    by event_id. dropDuplicatesWithinWatermark bounds the dedup state
+    to the watermark horizon — at 100 TB/day the state store holds
+    one horizon of ids, not the full history (which an unbounded
+    dropDuplicates would)."""
+    if df.isStreaming:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return df.dropDuplicates(["event_id"])
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join (SURVEY §2 C9): each micro-batch
+    hash-joins against the static dimension — Spark re-plans the
+    static side per batch, so a broadcast dim never shuffles the
+    stream. The same expression works in batch (the twin/oracle)."""
+    from pyspark.sql import functions as F2
+
+    return events.join(
+        F2.broadcast(dim), events.user_id == dim.c_custkey, "left"
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F2.coalesce("c_mktsegment", F2.lit("UNKNOWN")).alias("segment"),
+    )

@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): operator semantics vs
+brute-force reference implementations on adversarial generated data —
+duplicate timestamps, empty sides, single-key pileups, gap extremes.
+Complements the oracle tests, which only see the fixed testdata
+distributions."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from icecube_spark.operators.asof import asof_join
+from icecube_spark.operators.pipeline import connected_components
+from icecube_spark.operators.timeseries import sessionize
+
+# small domains force collisions (same key, same ts) so ties and
+# dense groups are exercised, not just sparse random data
+_keys = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=20)
+
+_events = st.lists(st.tuples(_keys, _ts), min_size=0, max_size=25)
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute_asof(left: pd.DataFrame, right: pd.DataFrame) -> list:
+    out = []
+    for _, lr in left.iterrows():
+        prior = right[(right.k == lr.k) & (right.t <= lr.t)]
+        if len(prior):
+            best = prior.sort_values(["t", "rv"]).iloc[-1]
+            out.append((lr.k, lr.t, lr.lv, best.rv))
+        else:
+            out.append((lr.k, lr.t, lr.lv, None))
+    return sorted(out, key=lambda x: (x[0], x[1], x[2]))
+
+
+@given(left=_events, right=_events)
+@_slow
+def test_asof_join_matches_bruteforce(spark, left, right):
+    lpdf = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lv"]
+    )
+    rpdf = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right)], columns=["k", "t", "rv"]
+    )
+    ldf = spark.createDataFrame(lpdf) if len(lpdf) else spark.createDataFrame(
+        [], "k long, t long, lv long"
+    )
+    rdf = spark.createDataFrame(rpdf) if len(rpdf) else spark.createDataFrame(
+        [], "k long, t long, rv long"
+    )
+    got = asof_join(ldf, rdf, "t", "t", "k", "k", tiebreak="rv").toPandas()
+    got_rows = sorted(
+        (r.k, r.t, r.lv, None if pd.isna(r.rv) else int(r.rv))
+        for r in got.itertuples()
+    )
+    want = [
+        (k, t, lv, None if rv is None else int(rv))
+        for k, t, lv, rv in _brute_asof(lpdf, rpdf)
+    ]
+    assert got_rows == want
+
+
+def _brute_components(edges: list) -> dict:
+    nodes = {n for e in edges for n in e}
+    label = {n: n for n in nodes}
+
+    def find(n):
+        while label[n] != n:
+            label[n] = label[label[n]]
+            n = label[n]
+        return n
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        label[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@given(edges=_edges)
+@_slow
+def test_connected_components_matches_unionfind(spark, edges):
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).drop_duplicates()
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == _brute_components(edges)
+
+
+def _brute_sessions(rows: list, gap: int) -> list:
+    """session count + sizes per user for gap-threshold sessionization."""
+    out = []
+    by_user: dict = {}
+    for k, t in rows:
+        by_user.setdefault(k, []).append(t)
+    for k, ts in by_user.items():
+        ts.sort()
+        n_sessions = 1
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > gap:
+                n_sessions += 1
+        out.append((k, n_sessions))
+    return sorted(out)
+
+
+@given(rows=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=25))
+@_slow
+def test_sessionize_session_count_matches_bruteforce(spark, rows):
+    gap_min = 5
+    pdf = pd.DataFrame(
+        [(k, pd.Timestamp(t * 60, unit="s")) for k, t in rows],
+        columns=["user_id", "ts"],
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        sessionize(df, "ts", "user_id", gap_minutes=gap_min)
+        .groupBy("user_id")
+        .agg({"session_id": "max"})
+        .collect()
+    )
+    got_counts = sorted((r[0], r[1]) for r in got)  # session_id is 1-based
+    assert got_counts == _brute_sessions(rows, gap_min)

@@ -57,3 +57,52 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert len(got) == len(want) and len(got) > 0
     assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert (got["sum_value"].to_numpy() == want["sum_value"].to_numpy()).all()
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    """C8: streaming dropDuplicatesWithinWatermark == batch dedup on a
+    doubled (replayed) stream."""
+    from icecube_spark.streaming.events import dedup_stream, read_events_stream
+
+    sdf = read_events_stream(spark, sf_dir)
+    # replay: union the stream with itself via two readers of the file
+    doubled = sdf.union(read_events_stream(spark, sf_dir))
+    q = (
+        dedup_stream(doubled)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup").count()
+    from icecube_spark import catalog
+
+    want = catalog.load(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
+    assert got == want
+
+
+def test_streaming_enrich_matches_batch(spark, sf_dir):
+    """C9: stream-static broadcast enrichment == the batch twin."""
+    from icecube_spark import catalog
+    from icecube_spark.streaming.events import enrich_stream, read_events_stream
+
+    dim = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    q = (
+        enrich_stream(read_events_stream(spark, sf_dir), dim)
+        .writeStream.format("memory")
+        .queryName("stream_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = normalize(spark.table("stream_enriched").toPandas())
+    want = normalize(
+        enrich_stream(
+            catalog.load(spark, sf_dir, "events"), dim
+        ).toPandas()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["segment"].to_numpy() == want["segment"].to_numpy()).all()
