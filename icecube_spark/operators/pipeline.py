@@ -141,35 +141,37 @@ def connected_components(
     standard large-graph CC pattern (GraphFrames does the same joins
     underneath).
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+    # the pair-mining pipeline above is the expensive part — persist it
+    # so nodes/edges/labels below all read the cache, not three
+    # recomputations of the mining joins
+    sym.persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # self-loops make each round a single join + single aggregate: the
+    # (n, n) row carries n's own label through the neighbor join, so
+    # min() covers self+neighbors and the old label rides along for the
+    # convergence flag — no second labels join per round. Duplicate
+    # edges are harmless under min(), so no distinct() pass is needed.
+    edges = sym.union(nodes.select("node", "node"))
+    labels = nodes.withColumn("label", F.col("node"))
     edges.persist()
     cached = None
     for _ in range(max_iter):
-        # label each node with min(own, neighbors') labels
-        from_nbrs = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # carry a changed flag out of the same join instead of a third
-        # labels-vs-new-labels join per round — halves the round's
-        # shuffle stages; the flag column is dropped before reuse
-        stepped = labels.join(from_nbrs, labels.node == from_nbrs.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-            (F.col("nbr_min") < F.col("label")).alias("chg"),
+        joined = edges.join(labels, edges.dst == labels.node)
+        stepped = (
+            joined.groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                F.max(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("old"),
+            )
+            .select(F.col("src").alias("node"), "label", "old")
         )
         stepped.persist()
-        changed = stepped.where(F.col("chg")).limit(1).count()
+        changed = stepped.where(F.col("label") < F.col("old")).limit(1).count()
         if cached is not None:
             cached.unpersist()
         cached = stepped
@@ -177,6 +179,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
