@@ -58,6 +58,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_daily_revenue": tsq.rolling_daily_revenue,
     "range_join_clicks": tsq.range_join_clicks,
     "hypertable_rollup": tsq.hypertable_rollup,
+    "ohlc_bars": tsq.ohlc_bars,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -70,6 +71,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": lq.quality_score,
     "token_count": lq.token_count,
     "doc_fingerprint": lq.doc_fingerprint,
+    "repetition_stats": lq.repetition_stats,
+    "gopher_quality": lq.gopher_quality,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,

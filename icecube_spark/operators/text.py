@@ -92,6 +92,88 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F6 — within-doc repetition signals (Gopher-style): fraction of
+    duplicate words and the share of the document covered by its most
+    frequent word 2-gram. High values mark looping/templated text that
+    survives cross-doc dedup (complement of pipeline.dup_ngram_fraction,
+    which measures cross-doc sharing).
+
+    Plan: dup_word_frac is pure per-row HOF math (no shuffle); the
+    top-2-gram share explodes non-distinct 2-grams, counts per
+    (doc, gram), then takes max/sum per doc — shuffles on (doc, gram)
+    then doc, both bounded by document length, never cross-document.
+    """
+    toks = _toks(text_col)
+    grams2 = f"""
+        element_at(transform(array({toks}),
+          t -> CASE WHEN size(t) < 2
+                    THEN array(concat_ws(' ', t))
+                    ELSE transform(sequence(1, size(t) - 1),
+                                   i -> concat_ws(' ', slice(t, i, 2)))
+               END), 1)
+    """
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_words"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct_words"),
+        F.explode(F.expr(grams2)).alias("gram"),
+    )
+    per_gram = words.groupBy(id_col, "n_words", "n_distinct_words", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_gram.groupBy(id_col, "n_words", "n_distinct_words")
+        .agg(
+            F.max("n").alias("top_2gram_n"),
+            F.sum("n").alias("n_2grams"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            (1.0 - F.col("n_distinct_words") / F.col("n_words")).alias(
+                "dup_word_frac"
+            ),
+            "top_2gram_n",
+            (F.col("top_2gram_n") / F.col("n_2grams")).alias("top_2gram_frac"),
+        )
+    )
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """P9/F7 — Gopher-style rule filter: word-count bounds, mean word
+    length bounds, symbol-to-word ratio, distinct-stopword presence;
+    keep = all rules pass. One map-only pass, whole-stage codegen —
+    the canonical first-stage corpus filter at 100 TB (runs at scan
+    speed, before any shuffle-bearing op sees the data).
+    """
+    norm = NORM.format(col=text_col)
+    toks = _toks(text_col)
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_words = F.expr(f"size({toks})")
+    mean_word_len = F.expr(f"length(replace({norm}, ' ', ''))") / n_words
+    n_symbols = F.expr(
+        f"size(regexp_extract_all({norm}, '#|\\\\.\\\\.\\\\.', 0))"
+    )
+    n_stop = F.expr(
+        f"size(array_intersect(array_distinct({toks}), array({stops})))"
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        (n_symbols / n_words).alias("symbol_ratio"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    keep = (
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return out.withColumn("keep", keep)
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """F4 — k-min-hash fingerprint: the k smallest md5s of the doc's
     word 3-grams, joined. Equal fingerprints <=> near-identical

@@ -54,6 +54,35 @@ def tumbling_agg(
     )
 
 
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    bucket: str = "day",
+) -> DataFrame:
+    """C10 — OHLC bars: open/high/low/close + volume per (group,
+    time-bucket). Open/close are selected by min/max over a
+    (ts, value) struct — lexicographic struct ordering makes the
+    tiebreak on equal timestamps deterministic (min value wins for
+    open, max for close), so the result is engine-independent and
+    partial-aggregable: one shuffle on the group key, map-side
+    combine does most of the work at scale.
+    """
+    s = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+    return (
+        df.groupBy(*group_cols, F.date_trunc(bucket, ts_col).alias("bucket"))
+        .agg(
+            F.min(s)["v"].alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max(s)["v"].alias("close"),
+            dsum(value_col).alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def rolling_window_agg(
     df: DataFrame,
     order_num_col: str,

@@ -224,6 +224,42 @@ ORACLES: dict[str, str] = {
                CAST(length(text) AS INT) AS n_chars
         FROM documents
     """,
+    "repetition_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g2 AS (
+            SELECT doc_id,
+                   CAST(len(t) AS INT) AS n_words,
+                   len(list_distinct(t)) AS n_distinct_words,
+                   UNNEST(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                          END) AS gram
+            FROM toks),
+        pg AS (SELECT doc_id, n_words, n_distinct_words, gram, COUNT(*) AS n
+               FROM g2 GROUP BY 1, 2, 3, 4)
+        SELECT doc_id, n_words,
+               1.0 - n_distinct_words / n_words AS dup_word_frac,
+               MAX(n) AS top_2gram_n,
+               MAX(n) / SUM(n) AS top_2gram_frac
+        FROM pg GROUP BY doc_id, n_words, n_distinct_words
+    """,
+    "gopher_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INT) AS n_words,
+                   length(replace({_NORM}, ' ', '')) / len({_TOKS})
+                       AS mean_word_len,
+                   len(regexp_extract_all({_NORM}, '#|\\.\\.\\.'))
+                       / len({_TOKS}) AS symbol_ratio,
+                   CAST(len(list_intersect(list_distinct({_TOKS}), {_STOPS}))
+                        AS INT) AS n_stop_distinct
+            FROM documents)
+        SELECT *,
+               n_words BETWEEN 10 AND 100000
+               AND mean_word_len BETWEEN 2.0 AND 10.0
+               AND symbol_ratio < 0.1
+               AND n_stop_distinct >= 2 AS keep
+        FROM base
+    """,
     "doc_fingerprint": f"""
         WITH {_GRAMS_CTES}
         SELECT doc_id,

@@ -81,6 +81,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=5)
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — within-doc repetition: duplicate-word fraction + top
+    2-gram share (Gopher repetition rules)."""
+    return text.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — Gopher-style rule filter: word count, mean word length,
+    symbol ratio, stopword presence -> keep flag."""
+    return text.gopher_quality(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — binary payload through the Arrow decode-stub stage."""
     payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")

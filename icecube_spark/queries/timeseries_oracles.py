@@ -80,6 +80,17 @@ ORACLES.update({
         FROM errors e LEFT JOIN counts USING (error_id)
         ORDER BY error_id
     """,
+    "ohlc_bars": f"""
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               (min(struct_pack(t := ts, v := value))).v AS open,
+               max(value) AS high,
+               min(value) AS low,
+               (max(struct_pack(t := ts, v := value))).v AS close,
+               {sql_dsum('value')} AS volume,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
     "hypertable_rollup": f"""
         SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

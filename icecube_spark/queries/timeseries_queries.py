@@ -120,6 +120,17 @@ def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — daily OHLC bars per event_type: open/high/low/close +
+    volume, tie-broken deterministically via (ts, value) struct
+    ordering. One shuffle on the group key, map-side partials."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.ohlc(ev, "ts", "value", ["event_type"], "day")
+    return out.select(
+        "event_type", "bucket", "open", "high", "low", "close", "volume", "n"
+    )
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 — hypertable-style continuous aggregate: one pass producing
     hour, day, and month resolutions via ROLLUP (TimescaleDB

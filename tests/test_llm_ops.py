@@ -20,6 +20,8 @@ CASES = [
     ("quality_score", lq.quality_score),
     ("token_count", lq.token_count),
     ("doc_fingerprint", lq.doc_fingerprint),
+    ("repetition_stats", lq.repetition_stats),
+    ("gopher_quality", lq.gopher_quality),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

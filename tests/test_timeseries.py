@@ -14,6 +14,7 @@ CASES = [
     ("rolling_daily_revenue", tq.rolling_daily_revenue),
     ("range_join_clicks", tq.range_join_clicks),
     ("hypertable_rollup", tq.hypertable_rollup),
+    ("ohlc_bars", tq.ohlc_bars),
 ]
 
 
