@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_terms": pq.topk_terms,
     "doc_length_stats": pq.doc_length_stats,
     "dedup_clusters": pq.dedup_clusters,
+    "source_mix": pq.source_mix,
     "dup_ngram_fraction": pq.dup_ngram_fraction,
     "decontaminate": pq.decontaminate,
 }

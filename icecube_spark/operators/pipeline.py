@@ -74,6 +74,47 @@ def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def source_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """P10 — deterministic corpus mixing: resample each source to a
+    target weight. weight < 1 downsamples (hash filter), weight > 1
+    upsamples (integer copies + hash-selected fractional copy), e.g.
+    {'web': 0.5, 'wiki': 2.25}. Epoch-mixing for training runs.
+
+    n_copies(id) = floor(w) + (1 if hash-bucket(id) < frac(w)*100).
+    Pure function of the id — append-stable, no shuffle, no state;
+    the explode emits copy_id for downstream epoch shuffling. Sources
+    missing from `weights` default to 1.0 (pass-through).
+    """
+    b = _bucket(id_col)
+    full = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(w)}" for s, w in weights.items()
+    ) + " ELSE 1 END"
+    rem = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(round(100 * (w - int(w))))}"
+        for s, w in weights.items()
+    ) + " ELSE 0 END"
+    out = df.withColumn("bucket", b.cast("int")).withColumn(
+        "n_copies",
+        F.expr(f"{full} + IF(bucket < {rem}, 1, 0)").cast("int"),
+    )
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+    # zero-copy rows must be filtered before the explode
+    return (
+        out.where(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            "n_copies",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_id"),
+        )
+    )
+
+
 def topk_terms(
     df: DataFrame, text_col: str, norm_expr: str, k: int = 20
 ) -> DataFrame:

@@ -119,6 +119,26 @@ ORACLES.update({
         FROM eg JOIN gram_docs USING (gram)
         GROUP BY doc_id ORDER BY doc_id
     """,
+    "source_mix": f"""
+        WITH b AS (
+            SELECT doc_id, source, CAST({_BUCKET} AS INT) AS bucket
+            FROM documents),
+        n AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN source = 'src0' THEN 0
+                             WHEN source = 'src1' THEN 2
+                             WHEN source = 'src2' THEN 2
+                             WHEN source = 'src3' THEN 0
+                             ELSE 1 END
+                        + CASE WHEN bucket < (CASE WHEN source = 'src0' THEN 50
+                                                   WHEN source = 'src2' THEN 25
+                                                   ELSE 0 END)
+                               THEN 1 ELSE 0 END AS INT) AS n_copies
+            FROM b)
+        SELECT doc_id, source, n_copies,
+               CAST(UNNEST(range(1, n_copies + 1)) AS INT) AS copy_id
+        FROM n WHERE n_copies >= 1
+    """,
     "decontaminate": f"""
         WITH {_G5_CTES},
         eg AS (SELECT doc_id, {_BUCKET} AS b, UNNEST(g) AS gram FROM grams),

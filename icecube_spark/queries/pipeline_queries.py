@@ -81,6 +81,18 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dup_ngram_fraction(_docs(spark, sf_dir), "doc_id", "text", n=5)
 
 
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — deterministic corpus mixing: src0 halved, src1 doubled,
+    src2 x2.25 (fractional copy hash-selected), src3 dropped, the
+    rest pass through."""
+    return pipeline.source_mix(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "source",
+        {"src0": 0.5, "src1": 2.0, "src2": 2.25, "src3": 0.0},
+    )
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — train docs sharing >= 2 distinct 5-grams with a hash-split
     eval doc."""

@@ -18,6 +18,7 @@ P_CASES = [
     ("topk_terms", pq.topk_terms),
     ("doc_length_stats", pq.doc_length_stats),
     ("dedup_clusters", pq.dedup_clusters),
+    ("source_mix", pq.source_mix),
 ]
 
 B_CASES = [
