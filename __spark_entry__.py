@@ -53,6 +53,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_merge": dq.cube_merge,
     "sar_band_math": dq.sar_band_math,
     "asof_join": tsq.asof_join_orders,
+    "asof_join_forward": tsq.asof_join_forward,
+    "asof_join_nearest": tsq.asof_join_nearest,
     "sessionize": tsq.sessionize_events,
     "window_tumbling": tsq.window_tumbling,
     "rolling_daily_revenue": tsq.rolling_daily_revenue,

@@ -17,6 +17,38 @@ ORACLES: dict[str, str] = {
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         ) WHERE rn = 1
     """,
+    "asof_join_forward": """
+        SELECT event_id, ts, user_id, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT e.event_id, e.ts, e.user_id,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        ) WHERE rn = 1
+    """,
+    "asof_join_nearest": """
+        SELECT event_id, ts, user_id, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT e.event_id, e.ts, e.user_id,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+                                (o.o_orderdate <= e.ts) DESC,
+                                o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts))
+                 <= CAST(604800000000 AS BIGINT)
+        ) WHERE rn = 1
+    """,
     "sessionize": f"""
         WITH flagged AS (
             SELECT *,

@@ -34,6 +34,53 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1b — forward as-of join: each event gets the user's NEXT order
+    (earliest order at-or-after the event)."""
+    ev = catalog.load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof.asof_join(
+        ev,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_key="user_id",
+        right_key="o_custkey",
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1c — nearest as-of join with tolerance: the user's closest
+    order in time, either side, within 7 days; ties go backward.
+    Both direction carries share one exchange (two in-partition
+    sorts, zero extra shuffles)."""
+    ev = catalog.load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof.asof_join(
+        ev,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_key="user_id",
+        right_key="o_custkey",
+        tiebreak="o_orderkey",
+        direction="nearest",
+        tolerance=7 * 86400 * 1_000_000,  # 7 days in µs
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 — session windows (gap > 30 min) with per-session stats."""
     ev = catalog.load(spark, sf_dir, "events")

@@ -35,21 +35,50 @@ _slow = settings(
 )
 
 
-def _brute_asof(left: pd.DataFrame, right: pd.DataFrame) -> list:
+def _brute_asof(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    direction: str = "backward",
+    tolerance: int | None = None,
+) -> list:
     out = []
     for _, lr in left.iterrows():
-        prior = right[(right.k == lr.k) & (right.t <= lr.t)]
-        if len(prior):
-            best = prior.sort_values(["t", "rv"]).iloc[-1]
+        cand = right[right.k == lr.k]
+        if direction == "backward":
+            cand = cand[cand.t <= lr.t]
+        elif direction == "forward":
+            cand = cand[cand.t >= lr.t]
+        if tolerance is not None:
+            cand = cand[(cand.t - lr.t).abs() <= tolerance]
+        if len(cand):
+            if direction == "nearest":
+                # min distance, prefer backward, then LARGEST rv
+                cand = cand.assign(
+                    dist=(cand.t - lr.t).abs(), back=(cand.t <= lr.t).astype(int)
+                )
+                cand = cand[cand.dist == cand.dist.min()]
+                cand = cand[cand.back == cand.back.max()]
+                best = cand.sort_values("rv").iloc[-1]
+            else:
+                best = cand.sort_values(["t", "rv"]).iloc[
+                    -1 if direction == "backward" else 0
+                ]
+                if direction == "forward":
+                    at_min = cand[cand.t == cand.t.min()]
+                    best = at_min.sort_values("rv").iloc[-1]
             out.append((lr.k, lr.t, lr.lv, best.rv))
         else:
             out.append((lr.k, lr.t, lr.lv, None))
     return sorted(out, key=lambda x: (x[0], x[1], x[2]))
 
 
-@given(left=_events, right=_events)
+@given(left=_events, right=_events, mode=st.sampled_from(
+    [("backward", None), ("forward", None), ("nearest", None), ("nearest", 3),
+     ("backward", 2), ("forward", 2)]
+))
 @_slow
-def test_asof_join_matches_bruteforce(spark, left, right):
+def test_asof_join_matches_bruteforce(spark, left, right, mode):
+    direction, tolerance = mode
     lpdf = pd.DataFrame(
         [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lv"]
     )
@@ -62,14 +91,17 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     rdf = spark.createDataFrame(rpdf) if len(rpdf) else spark.createDataFrame(
         [], "k long, t long, rv long"
     )
-    got = asof_join(ldf, rdf, "t", "t", "k", "k", tiebreak="rv").toPandas()
+    got = asof_join(
+        ldf, rdf, "t", "t", "k", "k", tiebreak="rv",
+        direction=direction, tolerance=tolerance,
+    ).toPandas()
     got_rows = sorted(
         (r.k, r.t, r.lv, None if pd.isna(r.rv) else int(r.rv))
         for r in got.itertuples()
     )
     want = [
         (k, t, lv, None if rv is None else int(rv))
-        for k, t, lv, rv in _brute_asof(lpdf, rpdf)
+        for k, t, lv, rv in _brute_asof(lpdf, rpdf, direction, tolerance)
     ]
     assert got_rows == want
 

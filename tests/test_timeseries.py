@@ -13,6 +13,8 @@ CASES = [
     ("window_tumbling", tq.window_tumbling),
     ("rolling_daily_revenue", tq.rolling_daily_revenue),
     ("range_join_clicks", tq.range_join_clicks),
+    ("asof_join_forward", tq.asof_join_forward),
+    ("asof_join_nearest", tq.asof_join_nearest),
     ("hypertable_rollup", tq.hypertable_rollup),
     ("ohlc_bars", tq.ohlc_bars),
 ]
