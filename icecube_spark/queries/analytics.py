@@ -450,3 +450,161 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---- Q2/Q9/Q11/Q16/Q20 adaptations -----------------------------------
+# The driver schema has no partsupp table, so the supplies relation is
+# DISTINCT (l_partkey, l_suppkey) from lineitem (at scale: a bucketed
+# pre-computed table), and per-pair supply cost / available quantity
+# are deterministic functions of the keys — identical in both engines:
+#   cost(p, s)  = ((p*7 + s*13) % 10000) / 100.0 + 1.0
+#   avail(p, s) = (p + s) % 50 + 1
+
+_COST = "((l_partkey * 7 + l_suppkey * 13) % 10000) / 100.0 + 1.0"
+_AVAIL = "(l_partkey + l_suppkey) % 50 + 1"
+
+
+def _supplies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumn("cost", F.expr(_COST))
+        .withColumn("avail", F.expr(_AVAIL).cast("int"))
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: for each size-15 part, the cheapest EUROPE
+    supplier that supplies it (min synthetic cost, tie to smallest
+    suppkey). Correlated-min via one window over the supplies join —
+    no re-scan, no correlated subquery execution. Dims broadcast."""
+    t = catalog.load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_size") == 15).select("p_partkey", "p_name")
+    nations = t["nation"].join(
+        F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = t["supplier"].join(
+        F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cand = (
+        _supplies(spark, sf_dir)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("cost"), F.asc("s_suppkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "cost", "s_name", "n_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: profit by supplier nation and order year for
+    red parts; profit = revenue - synthetic supply cost * qty. The
+    5-way snowflake broadcasts every dim; lineitem->orders is the one
+    fact-fact shuffle."""
+    t = catalog.load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = t["orders"].select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.expr(
+        _COST
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: per-part inventory value (synthetic
+    cost x avail) held by NATION_3 suppliers, keeping parts above
+    0.1% of the total. The scalar total broadcasts back — two aggs
+    over one supplies scan, no correlated re-scan."""
+    t = catalog.load_tables(spark, sf_dir)
+    supp = t["supplier"].where(F.col("s_nationkey") == 3).select("s_suppkey")
+    held = (
+        _supplies(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("value", F.col("cost") * F.col("avail"))
+    )
+    per_part = held.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum("value").alias("part_value")
+    )
+    total = held.agg(dsum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct supplier count per (brand, type,
+    size) for non-ECONOMY, non-Brand#1 parts in 5 sizes, excluding
+    "complaint" suppliers (suppkey % 17 == 0). count-distinct after a
+    broadcast dim join; one shuffle on the group key."""
+    t = catalog.load_tables(spark, sf_dir)
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin([1, 14, 23, 45, 9])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ok_supplies = _supplies(spark, sf_dir).where(
+        F.col("l_suppkey") % 17 != 0
+    )
+    return (
+        ok_supplies.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: NATION_1 suppliers holding excess stock of
+    some blue part — avail(p, s) > 50% of the quantity they shipped
+    of that part in 1997. Agg-filtered left-semi join chain; the
+    blue-part filter broadcasts into the shipment agg."""
+    t = catalog.load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_name").like("%blue%")).select("p_partkey")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty_shipped"))
+        .withColumn("avail", F.expr(_AVAIL).cast("int"))
+        .where(F.col("avail") > 0.5 * F.col("qty_shipped"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = t["supplier"].where(F.col("s_nationkey") == 1)
+    return (
+        supp.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

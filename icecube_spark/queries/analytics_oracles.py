@@ -258,3 +258,89 @@ ORACLES.update({
         GROUP BY 1 ORDER BY 1
     """,
 })
+
+_COST_SQL = "((l_partkey * 7 + l_suppkey * 13) % 10000) / 100.0 + 1.0"
+_AVAIL_SQL = "CAST((l_partkey + l_suppkey) % 50 + 1 AS INT)"
+_SUPPLIES = f"""supplies AS (
+            SELECT l_partkey, l_suppkey,
+                   {_COST_SQL} AS cost, {_AVAIL_SQL} AS avail
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"""
+
+ORACLES.update({
+    "q2_min_cost_supplier": f"""
+        WITH {_SUPPLIES},
+        sup AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        cand AS (
+            SELECT p_partkey, p_name, cost, s_name, n_name, s_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p_partkey
+                       ORDER BY cost ASC, s_suppkey ASC) AS rn
+            FROM supplies
+            JOIN part ON l_partkey = p_partkey AND p_size = 15
+            JOIN sup ON l_suppkey = s_suppkey)
+        SELECT p_partkey, p_name, cost, s_name, n_name, s_acctbal
+        FROM cand WHERE rn = 1
+        ORDER BY s_acctbal DESC, p_partkey LIMIT 100
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               {sql_dsum(f"l_extendedprice * (1 - l_discount) - ({_COST_SQL}) * l_quantity")} AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "q11_important_stock": f"""
+        WITH {_SUPPLIES},
+        held AS (
+            SELECT l_partkey, cost * avail AS value
+            FROM supplies
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = 3),
+        per_part AS (
+            SELECT l_partkey AS p_partkey, {sql_dsum('value')} AS part_value
+            FROM held GROUP BY 1),
+        total AS (SELECT {sql_dsum('value')} AS total_value FROM held)
+        SELECT p_partkey, part_value
+        FROM per_part, total
+        WHERE part_value > 0.001 * total_value
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "q16_supplier_count": f"""
+        WITH {_SUPPLIES}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM supplies
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+          AND p_size IN (1, 14, 23, 45, 9)
+          AND l_suppkey % 17 <> 0
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_excess_stock": f"""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   {sql_dsum('l_quantity')} AS qty_shipped
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%blue%'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2),
+        excess AS (
+            SELECT DISTINCT l_suppkey FROM shipped
+            WHERE {_AVAIL_SQL} > 0.5 * qty_shipped)
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey = 1
+          AND s_suppkey IN (SELECT l_suppkey FROM excess)
+        ORDER BY s_suppkey
+    """,
+})

@@ -30,6 +30,11 @@ B_CASES = [
     ("q19_disjunctive_revenue", analytics.q19_disjunctive_revenue),
     ("q21_waiting_supplier", analytics.q21_waiting_supplier),
     ("q22_global_sales", analytics.q22_global_sales),
+    ("q2_min_cost_supplier", analytics.q2_min_cost_supplier),
+    ("q9_product_profit", analytics.q9_product_profit),
+    ("q11_important_stock", analytics.q11_important_stock),
+    ("q16_supplier_count", analytics.q16_supplier_count),
+    ("q20_excess_stock", analytics.q20_excess_stock),
 ]
 
 
