@@ -53,3 +53,62 @@ def write_partitioned_parquet(
 ) -> None:
     """Partitioned sink: downstream scans prune on partition_cols."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Small-file compaction (SURVEY §2 H): rewrite a parquet dataset
+    into ~target_file_mb files. Streaming ingest and fine-grained
+    partition writes leave thousands of small files whose open/footer
+    cost dominates scans at 100 TB; periodic compaction restores
+    scan-speed reads. Sizing uses the file catalog only (no data
+    scan); the rewrite is one repartition — a round-robin shuffle
+    that also rebalances skewed input files. Returns the file count.
+    """
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.length
+        for f in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("length")
+        .collect()
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def upsert_snapshot(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Keep-latest merge: union the update batch onto the snapshot and
+    keep, per key, the row with the highest version (ties go to the
+    update side). The late-labels scenario of the reference's cube
+    merge (datacube.py:176-199) as an incremental sink: labels arrive
+    after the cube is built and overwrite in place. One shuffle on
+    the key; at scale, write the result partitioned on a stable hash
+    of the key so successive upserts reuse the partitioning.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("__src")
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

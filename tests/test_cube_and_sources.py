@@ -101,3 +101,33 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     )
     assert csv_back.count() == src.count() == json_back.count()
     assert set(csv_back.columns) == set(src.columns)
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    """H: compaction rewrites a fragmented dataset into size-targeted
+    files."""
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    ev = catalog.load(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(frag)  # fragment: 64 tiny files
+    n = readers.compact_parquet(spark, frag, out, target_file_mb=512)
+    assert n == 1  # tiny dataset -> one file
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_upsert_snapshot_keeps_latest(spark, sf_dir):
+    """H: keep-latest merge prefers higher version, then update side."""
+    cur = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "k int, v int, val string"
+    )
+    upd = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 2, "c2"), (4, 1, "d")], "k int, v int, val string"
+    )
+    got = {
+        r.k: r.val
+        for r in readers.upsert_snapshot(cur, upd, ["k"], "v").collect()
+    }
+    # k=2: higher version wins; k=3: equal version -> update side wins
+    assert got == {1: "a", 2: "b2", 3: "c2", 4: "d"}
