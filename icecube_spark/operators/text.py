@@ -99,10 +99,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     survives cross-doc dedup (complement of pipeline.dup_ngram_fraction,
     which measures cross-doc sharing).
 
-    Plan: dup_word_frac is pure per-row HOF math (no shuffle); the
-    top-2-gram share explodes non-distinct 2-grams, counts per
-    (doc, gram), then takes max/sum per doc — shuffles on (doc, gram)
-    then doc, both bounded by document length, never cross-document.
+    Plan: entirely map-only — the top-gram count is the longest run in
+    the SORTED per-doc gram array (one linear fold per row), so no
+    exploded (doc, gram) shuffle exists at any scale. Per-doc work is
+    embarrassingly parallel; a corpus 100x larger just means more
+    partitions of the same per-row op.
     """
     toks = _toks(text_col)
     grams2 = f"""
@@ -113,30 +114,26 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                                    i -> concat_ws(' ', slice(t, i, 2)))
                END), 1)
     """
-    words = df.select(
+    # longest run in the sorted gram list == count of the most frequent
+    # gram; the fold state is (prev gram, current run, best run)
+    top_run = f"""
+        aggregate(sort_array({grams2}),
+                  named_struct('prev', '', 'run', 0L, 'best', 0L),
+                  (acc, g) -> named_struct(
+                      'prev', g,
+                      'run', IF(g = acc.prev, acc.run + 1, 1L),
+                      'best', greatest(acc.best,
+                                       IF(g = acc.prev, acc.run + 1, 1L))),
+                  acc -> acc.best)
+    """
+    return df.select(
         F.col(id_col),
         F.expr(f"size({toks})").alias("n_words"),
-        F.expr(f"size(array_distinct({toks}))").alias("n_distinct_words"),
-        F.explode(F.expr(grams2)).alias("gram"),
-    )
-    per_gram = words.groupBy(id_col, "n_words", "n_distinct_words", "gram").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        per_gram.groupBy(id_col, "n_words", "n_distinct_words")
-        .agg(
-            F.max("n").alias("top_2gram_n"),
-            F.sum("n").alias("n_2grams"),
-        )
-        .select(
-            id_col,
-            "n_words",
-            (1.0 - F.col("n_distinct_words") / F.col("n_words")).alias(
-                "dup_word_frac"
-            ),
-            "top_2gram_n",
-            (F.col("top_2gram_n") / F.col("n_2grams")).alias("top_2gram_frac"),
-        )
+        F.expr(
+            f"1.0 - size(array_distinct({toks})) / size({toks})"
+        ).alias("dup_word_frac"),
+        F.expr(top_run).alias("top_2gram_n"),
+        (F.expr(top_run) / F.expr(f"size({grams2})")).alias("top_2gram_frac"),
     )
 
 

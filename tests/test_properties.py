@@ -168,3 +168,28 @@ def test_sessionize_session_count_matches_bruteforce(spark, rows):
     )
     got_counts = sorted((r[0], r[1]) for r in got)  # session_id is 1-based
     assert got_counts == _brute_sessions(rows, gap_min)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e f"]), min_size=1, max_size=12
+    )
+)
+@_slow
+def test_repetition_top_gram_matches_counter(spark, words):
+    from collections import Counter
+
+    from icecube_spark.operators.text import repetition_stats
+
+    text = " ".join(words)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    got = repetition_stats(df, "doc_id", "text").collect()[0]
+    # brute force on the same normalization (lowercase, single-space)
+    toks = text.lower().split()
+    grams = (
+        [" ".join(toks)]
+        if len(toks) < 2
+        else [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+    )
+    assert got.top_2gram_n == max(Counter(grams).values())
+    assert got.n_words == len(toks)
