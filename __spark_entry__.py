@@ -66,6 +66,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_clicks": tsq.range_join_clicks,
     "hypertable_rollup": tsq.hypertable_rollup,
     "ohlc_bars": tsq.ohlc_bars,
+    "anomaly_zscore": tsq.anomaly_zscore,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,

@@ -123,6 +123,23 @@ ORACLES.update({
                COUNT(*) AS n
         FROM events GROUP BY 1, 2
     """,
+    "anomaly_zscore": f"""
+        WITH stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   {sql_dsum('value')} AS s1,
+                   {sql_dsum('value * value')} AS s2
+            FROM events GROUP BY 1),
+        ms AS (
+            SELECT event_type, s1 / n AS mean,
+                   sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+            FROM stats)
+        SELECT event_id, e.event_type, value, mean, std,
+               (value - mean) / std AS zscore
+        FROM events e JOIN ms ON e.event_type = ms.event_type
+        WHERE abs((value - mean) / std) > 3.0
+        ORDER BY event_id
+    """,
     "hypertable_rollup": f"""
         SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

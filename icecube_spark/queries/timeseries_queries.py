@@ -178,6 +178,37 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — per-type z-score outliers: events whose value deviates
+    more than 3 sigma from their event_type's mean. Mean/std come from
+    decimal-exact sum and sum-of-squares (one agg pass), broadcast
+    back onto the stream — two scans, one tiny shuffle, no window.
+    Engine-exact: both engines derive std from identical doubles via
+    identical IEEE arithmetic."""
+    ev = catalog.load(spark, sf_dir, "events")
+    sq = F.col("value") * F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s1"),
+        dsum(sq).alias("s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", (F.col("value") - F.col("mean")) / F.col("std"))
+        .where(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "value", "mean", "std", "zscore")
+        .orderBy("event_id")
+    )
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 — hypertable-style continuous aggregate: one pass producing
     hour, day, and month resolutions via ROLLUP (TimescaleDB

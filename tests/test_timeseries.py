@@ -17,6 +17,7 @@ CASES = [
     ("asof_join_nearest", tq.asof_join_nearest),
     ("hypertable_rollup", tq.hypertable_rollup),
     ("ohlc_bars", tq.ohlc_bars),
+    ("anomaly_zscore", tq.anomaly_zscore),
 ]
 
 
