@@ -67,6 +67,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypertable_rollup": tsq.hypertable_rollup,
     "ohlc_bars": tsq.ohlc_bars,
     "anomaly_zscore": tsq.anomaly_zscore,
+    "gap_stats": tsq.gap_stats,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -81,6 +82,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": lq.doc_fingerprint,
     "repetition_stats": lq.repetition_stats,
     "gopher_quality": lq.gopher_quality,
+    "term_commonness": lq.term_commonness,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,

@@ -171,6 +171,42 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def term_commonness(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F8 — per-doc mean corpus document-frequency of its distinct
+    tokens, as a fraction of the corpus (a cheap LM-quality proxy:
+    low commonness = rare-token soup, high = stopword soup; the
+    CCNet-style perplexity filter's SQL-able stand-in).
+
+    Plan: one shuffle on the token to build the doc-frequency vocab,
+    one shuffle back on the doc id; the corpus size is a broadcast
+    scalar. At 100 TB, cap the vocab (top-k terms) so it broadcasts
+    and the join goes map-side. Integer sums keep it oracle-exact.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(f"array_distinct({_toks(text_col)})")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("df_count").alias("df_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_distinct_tokens",
+            (
+                F.col("df_sum")
+                / F.col("n_distinct_tokens")
+                / F.col("n_docs_total")
+            ).alias("mean_doc_freq"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """F4 — k-min-hash fingerprint: the k smallest md5s of the doc's
     word 3-grams, joined. Equal fingerprints <=> near-identical

@@ -260,6 +260,18 @@ ORACLES: dict[str, str] = {
                AND n_stop_distinct >= 2 AS keep
         FROM base
     """,
+    "term_commonness": f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_distinct({_TOKS})) AS tok
+            FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS df_count FROM toks GROUP BY 1),
+        total AS (SELECT COUNT(*) AS n_docs_total FROM documents)
+        SELECT doc_id,
+               COUNT(*) AS n_distinct_tokens,
+               SUM(df_count) / COUNT(*) / n_docs_total AS mean_doc_freq
+        FROM toks JOIN vocab USING (tok), total
+        GROUP BY doc_id, n_docs_total
+    """,
     "doc_fingerprint": f"""
         WITH {_GRAMS_CTES}
         SELECT doc_id,

@@ -93,6 +93,11 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def term_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — mean corpus document-frequency of each doc's tokens."""
+    return text.term_commonness(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — binary payload through the Arrow decode-stub stage."""
     payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")

@@ -123,6 +123,18 @@ ORACLES.update({
                COUNT(*) AS n
         FROM events GROUP BY 1, 2
     """,
+    "gap_stats": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events)
+        SELECT user_id, COUNT(*) AS n_gaps,
+               SUM(gap_us) / COUNT(*) / 1e6 AS mean_gap_s,
+               MAX(gap_us) / 1e6 AS max_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """,
     "anomaly_zscore": f"""
         WITH stats AS (
             SELECT event_type,

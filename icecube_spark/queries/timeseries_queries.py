@@ -178,6 +178,33 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — per-user inter-event gap profile: number of gaps, mean
+    gap seconds (decimal-exact), max gap. The lag window and the
+    aggregate share one shuffle on user_id. The datacube analogue of
+    the reference's temporal-resolution estimation (how sparse is
+    each stack's time axis)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.select("user_id", gap.alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum(F.col("gap_us")) / F.count(F.lit(1)) / 1e6).alias(
+                "mean_gap_s"
+            ),
+            (F.max("gap_us") / 1e6).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11 — per-type z-score outliers: events whose value deviates
     more than 3 sigma from their event_type's mean. Mean/std come from

@@ -29,7 +29,7 @@ def get_spark(app_name: str = "icecube-spark", master: str | None = None) -> Spa
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read as long and convert in catalog.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/icecube-spark-warehouse")
         .config(

@@ -22,6 +22,7 @@ CASES = [
     ("doc_fingerprint", lq.doc_fingerprint),
     ("repetition_stats", lq.repetition_stats),
     ("gopher_quality", lq.gopher_quality),
+    ("term_commonness", lq.term_commonness),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

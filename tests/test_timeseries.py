@@ -18,6 +18,7 @@ CASES = [
     ("hypertable_rollup", tq.hypertable_rollup),
     ("ohlc_bars", tq.ohlc_bars),
     ("anomaly_zscore", tq.anomaly_zscore),
+    ("gap_stats", tq.gap_stats),
 ]
 
 
