@@ -50,6 +50,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
     "cube_resample_gapfill": dq.cube_resample_gapfill,
+    "cube_completeness": dq.cube_completeness,
     "cube_pivot": dq.cube_pivot,
     "metadata_concat": dq.metadata_concat,
     "spatial_overlap_1d": dq.spatial_overlap_1d,

@@ -134,3 +134,35 @@ ORACLES["labels_vector_align"] = """
     FROM ev LEFT JOIN stats USING (event_id)
     ORDER BY event_id
 """
+
+ORACLES["cube_completeness"] = """
+    WITH grid AS (
+        SELECT u.user_id, g.bucket_start
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                TIMESTAMP '2024-01-30', INTERVAL 3 DAY)) AS bucket_start
+        ) g
+    ), bucketed AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01', ts)
+                    / 259200) AS INT) AS bucket,
+               COUNT(*) AS n_acq
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-30'
+        GROUP BY 1, 2
+    ), slots AS (
+        SELECT grid.user_id, b.n_acq
+        FROM grid LEFT JOIN bucketed b
+          ON grid.user_id = b.user_id
+         AND CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01',
+                  grid.bucket_start) / 259200) AS INT) = b.bucket
+    )
+    SELECT user_id, COUNT(*) AS n_slots,
+           SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END) AS n_filled,
+           COUNT(*) - SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_gaps,
+           SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+               AS fill_ratio
+    FROM slots GROUP BY 1 ORDER BY 1
+"""

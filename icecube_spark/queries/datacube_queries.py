@@ -109,6 +109,43 @@ def cube_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4b — per-stack coverage report over the configured grid: how
+    many slots the cube has, how many carry acquisitions vs dummy gap
+    layers, and the fill ratio. The reference surfaces this implicitly
+    (dummy layers inserted by set_temporal_resolution,
+    sar_datacube_metadata.py:226-255 + sar_datacube.py:118-121); at
+    100 TB it's the per-stack data-quality gate run before training.
+    Composes the A4 resample plan with one more tiny aggregate on the
+    already-shuffled key."""
+    ev = catalog.load(spark, sf_dir, "events")
+    grid = temporal.resample_to_grid(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        start=START,
+        end="2024-01-30",
+        step_days=3,
+        aggs={"n_acq": F.count(F.lit(1))},
+    )
+    filled = (F.col("n_acq").isNotNull()).cast("bigint")
+    return (
+        grid.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum(filled).alias("n_filled"),
+        )
+        .select(
+            "user_id",
+            "n_slots",
+            "n_filled",
+            (F.col("n_slots") - F.col("n_filled")).alias("n_gaps"),
+            (F.col("n_filled") / F.col("n_slots")).alias("fill_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def cube_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — cube assembly: stack bands along the date axis.
 
