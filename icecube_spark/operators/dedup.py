@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icecube_spark.functions import hashing
+from icecube_spark.functions.plans import filter_once
 
 # normalized text: lowercase, trimmed, single-spaced
 NORM = "regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
@@ -144,7 +145,7 @@ def minhash_lsh_pairs(
     )
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
-    return (
+    scored = (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
@@ -152,8 +153,11 @@ def minhash_lsh_pairs(
             "jaccard",
             F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    )
+    # filter_once: otherwise the threshold pushes into the join
+    # condition and array_intersect runs twice per candidate pair
+    return filter_once(scored, F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -186,14 +190,15 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
-    return (
+    scored = (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    )
+    return filter_once(scored, F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 

@@ -150,11 +150,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
         norm_expr("embedding").alias("nb"),
     )
-    return (
+    from icecube_spark.functions.plans import filter_once
+
+    scored = (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
-        .where(F.col("cosine") >= 0.35)
+    )
+    # filter_once: without the barrier the >= threshold pushes into the
+    # join condition and the 64-term dot product runs twice per pair
+    return (
+        filter_once(scored, F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
