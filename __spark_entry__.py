@@ -96,6 +96,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_stats": pq.doc_length_stats,
     "dedup_clusters": pq.dedup_clusters,
     "source_mix": pq.source_mix,
+    "topk_terms_per_lang": pq.topk_terms_per_lang,
     "dup_ngram_fraction": pq.dup_ngram_fraction,
     "decontaminate": pq.decontaminate,
 }

@@ -135,6 +135,38 @@ def topk_terms(
     )
 
 
+def topk_terms_per_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    norm_expr: str,
+    k: int = 5,
+) -> DataFrame:
+    """P11 — heavy hitters per stratum: the k most frequent terms in
+    each group (language, source, ...). One shuffle on (group, term)
+    with map-side partial counts, then a rank window over the small
+    per-group aggregate — the window never sees raw rows, only
+    (group, term) counts, so it scales with vocabulary, not corpus.
+    Ties break lexicographically for determinism."""
+    terms = df.select(
+        F.col(group_col),
+        F.explode(
+            F.expr(f"split({norm_expr.format(col=text_col)}, ' ')")
+        ).alias("term"),
+    )
+    counts = (
+        terms.where(F.col("term") != "")
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .orderBy(group_col, "rank")
+    )
+
+
 def length_quantiles(
     df: DataFrame, group_col: str, value_col: str, id_col: str
 ) -> DataFrame:

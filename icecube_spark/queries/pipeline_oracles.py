@@ -119,6 +119,19 @@ ORACLES.update({
         FROM eg JOIN gram_docs USING (gram)
         GROUP BY doc_id ORDER BY doc_id
     """,
+    "topk_terms_per_lang": f"""
+        WITH terms AS (
+            SELECT lang, UNNEST(string_split({_NORM}, ' ')) AS term
+            FROM documents),
+        counts AS (
+            SELECT lang, term, COUNT(*) AS n
+            FROM terms WHERE term != '' GROUP BY 1, 2)
+        SELECT lang, term, n, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rank
+            FROM counts)
+        WHERE rank <= 5 ORDER BY lang, rank
+    """,
     "source_mix": f"""
         WITH b AS (
             SELECT doc_id, source, CAST({_BUCKET} AS INT) AS bucket

@@ -59,6 +59,13 @@ def topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.topk_terms(_docs(spark, sf_dir), "text", dedup.NORM, k=20)
 
 
+def topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — top-5 terms per language (per-stratum heavy hitters)."""
+    return pipeline.topk_terms_per_group(
+        _docs(spark, sf_dir), "lang", "text", dedup.NORM, k=5
+    )
+
+
 def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 — exact per-language length profile (rank-selected
     quantiles)."""

@@ -19,6 +19,7 @@ P_CASES = [
     ("doc_length_stats", pq.doc_length_stats),
     ("dedup_clusters", pq.dedup_clusters),
     ("source_mix", pq.source_mix),
+    ("topk_terms_per_lang", pq.topk_terms_per_lang),
 ]
 
 B_CASES = [
