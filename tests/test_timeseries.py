@@ -111,3 +111,26 @@ def test_streaming_enrich_matches_batch(spark, sf_dir):
     )
     assert len(got) == len(want) and len(got) > 0
     assert (got["segment"].to_numpy() == want["segment"].to_numpy()).all()
+
+
+def test_streaming_upsert_snapshot_matches_batch(spark, sf_dir, tmp_path):
+    """C13: foreachBatch keep-latest snapshot == batch keep-latest over
+    a replayed (doubled) stream."""
+    from icecube_spark import catalog
+    from icecube_spark.sources.readers import upsert_snapshot
+    from icecube_spark.streaming.events import read_events_stream, run_upsert_stream
+
+    doubled = read_events_stream(spark, sf_dir).union(
+        read_events_stream(spark, sf_dir)
+    )
+    snap = run_upsert_stream(
+        spark, doubled, str(tmp_path / "snap"), key="event_id", version="ts"
+    )
+    got = spark.read.parquet(snap)
+    ev = catalog.load(spark, sf_dir, "events")
+    want = upsert_snapshot(ev, ev.limit(0), ["event_id"], "ts")
+    assert got.count() == want.count()
+    assert (
+        got.join(want, ["event_id", "user_id", "event_type"], "inner").count()
+        == want.count()
+    )
