@@ -69,6 +69,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_bars": tsq.ohlc_bars,
     "anomaly_zscore": tsq.anomaly_zscore,
     "gap_stats": tsq.gap_stats,
+    "time_weighted_avg": tsq.time_weighted_avg,
+    "trend_slope": tsq.trend_slope,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -84,6 +86,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": lq.repetition_stats,
     "gopher_quality": lq.gopher_quality,
     "term_commonness": lq.term_commonness,
+    "vocab_stats": lq.vocab_stats,
+    "embed_label_centroids": lq.embed_label_centroids,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
@@ -98,6 +102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": pq.source_mix,
     "topk_terms_per_lang": pq.topk_terms_per_lang,
     "dup_ngram_fraction": pq.dup_ngram_fraction,
+    "length_histogram": pq.length_histogram,
     "decontaminate": pq.decontaminate,
 }
 

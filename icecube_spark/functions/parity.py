@@ -11,9 +11,18 @@ exactly → identical double, regardless of reduction order.
 
 Precision 18 keeps Spark's Decimal on its compact long fast path
 (~1.6x a raw double sum vs ~4x for decimal(38,10)). Scale 8 makes
-round-ties in the double→decimal cast effectively impossible: a tie
-requires the double to be exactly odd/2^9-ish with a 9-digit decimal
-expansion ending in 5, which real-valued data never hits.
+round-ties in the double→decimal cast rare — but NOT impossible:
+Spark converts via the double's SHORTEST string representation
+(``BigDecimal.valueOf``) and HALF_UP-rounds it, while DuckDB rounds
+the exact binary value. The two disagree whenever the shortest repr
+terminates with exactly 9 fractional digits ending in '5' (e.g.
+900958.003150685 → Spark .00315069, DuckDB .00315068). For
+magnitudes < ~1e5 the shortest repr almost never terminates there
+(17 significant digits reach past the 9th decimal); for larger
+magnitudes (products like value·gap_µs) ties are routine — keep such
+columns OUT of decimal folds and use integer quantization instead
+(``floor(x * 10^k)`` into BIGINT sums; see operators/timeseries.py
+trend_stats / time_weighted_avg).
 
 SQL twin of ``dsum(x)``:  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
 SQL twin of ``davg(x)``:  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(x)

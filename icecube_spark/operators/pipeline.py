@@ -333,3 +333,21 @@ def decontaminate(
         .where(F.col("n_shared") >= min_shared)
         .orderBy("train_doc", "eval_doc")
     )
+
+
+def length_histogram(
+    df: DataFrame, group_col: str, len_col: str, bin_width: int = 64
+) -> DataFrame:
+    """P12 — fixed-width length histogram per group: doc counts and
+    exact bin bounds per `bin_width`-char bucket. Map-only bucketing
+    plus one partial-agg shuffle bounded by |groups|×|bins|."""
+    bin_id = F.expr(f"CAST({len_col} DIV {bin_width} AS INT)").alias("bin")
+    return (
+        df.groupBy(F.col(group_col), bin_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(len_col).alias("min_len"),
+            F.max(len_col).alias("max_len"),
+        )
+        .withColumn("bin_lo", F.col("bin") * bin_width)
+    )

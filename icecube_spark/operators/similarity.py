@@ -190,3 +190,23 @@ def lsh_ann_best_neighbor(
         )
         .orderBy("vec_id")
     )
+
+
+def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """E5 — per-label centroid components: mean of every embedding
+    dimension per label, flat (label, dim, n, centroid) rows so the
+    result is oracle-hashable. The per-dimension mean folds in decimal
+    (functions/parity.py) for association-order-free reductions.
+
+    Plan: posexplode then one shuffle on (label, dim) — map-side
+    partials shrink the exchange to |labels|×|dims| rows per task, so
+    the shuffle is O(cardinality), not O(corpus). The centroid table
+    itself (10×64 here) broadcasts for downstream assignment scoring.
+    """
+    from icecube_spark.functions.parity import davg
+
+    e = df.select(F.col(label_col), F.posexplode(vec_col).alias("dim", "val"))
+    return e.groupBy(label_col, "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("val").cast("double")).alias("centroid"),
+    )

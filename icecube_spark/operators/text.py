@@ -220,3 +220,30 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Da
         F.expr(f"size({grams})").alias("n_grams"),
         F.expr(fp).alias("fingerprint"),
     )
+
+
+def vocab_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """F9 — per-group vocabulary profile: token count, vocabulary size,
+    hapax-legomena count, type-token ratio (Heaps-law inputs — the
+    standard corpus-health report for a training mix).
+
+    Plan: explode → partial-agg on (group, term) — the big shuffle is
+    bounded by the distinct vocabulary per group, with map-side combine
+    absorbing the Zipf head — then a tiny second agg over one row per
+    distinct term. Integer-exact everywhere (no float folds).
+    """
+    terms = df.select(
+        F.col(group_col), F.explode(F.expr(_toks(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    counts = terms.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy(group_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.count_if(F.col("n") == 1).alias("n_hapax"),
+        )
+        .withColumn(
+            "type_token_ratio", F.col("vocab_size") / F.col("n_tokens")
+        )
+    )

@@ -83,6 +83,93 @@ def ohlc(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    tiebreak_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """C14 — time-weighted average per (key, bucket): each sample is
+    weighted by how long it was "current" (until the next sample in the
+    same bucket); the bucket's last sample carries no weight
+    (TimescaleDB ``time_weight('locf')`` semantics on an
+    interval-closed bucket).
+
+    Plan: one shuffle on (key, bucket) shared by the lead() window and
+    the aggregate — Catalyst reuses the exchange because the window
+    partition keys equal the groupBy keys. The per-row value·gap_µs
+    product (~1e14, past decimal(18,8)'s integer range and subject to
+    ulp-divergent decimal(38)→double casts) is floor-quantized to a
+    BIGINT instead: integer sums are association-order-free and
+    engine-identical, and the quantization error is bounded by
+    n_rows/Σgap_µs ≈ 1e-14 relative.
+    """
+    bucket_col = F.date_trunc(bucket, ts_col).alias("bucket")
+    with_bucket = df.select(*key_cols, bucket_col, ts_col, tiebreak_col, value_col)
+    w = Window.partitionBy(*key_cols, "bucket").orderBy(ts_col, tiebreak_col)
+    gap_us = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).alias("gap_us")
+    g = with_bucket.select(*key_cols, "bucket", value_col, gap_us)
+    weighted = F.floor(F.col(value_col) * F.col("gap_us"))
+    return g.groupBy(*key_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum(weighted) / F.sum("gap_us")).alias("twa"),
+    )
+
+
+def trend_stats(
+    df: DataFrame,
+    day_num_col: str,
+    y_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """C15 — per-key OLS trend (slope/intercept) of a daily series via
+    the closed-form normal equations. The datacube analogue of
+    per-stack deformation-trend estimation over the acquisition axis
+    (reference stacks layers by acquisition_date; the trend over that
+    axis is the standard InSAR velocity product).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every moment is kept in
+    int64: x must be a SMALL day index (centered at the series epoch,
+    not 1970 — centering keeps n·Σxy within 2^63 at any realistic
+    series length) and y is floor-quantized to 1e-6 resolution, so
+    both engines run identical integer arithmetic and convert the
+    identical int64s to double only for the final three divisions
+    (int64→double is a single correctly-rounded conversion in both).
+    Decimal folds are NOT used here: Spark casts double→decimal via
+    the shortest string representation, which HALF_UP-rounds ties at
+    the 9th fractional digit that other engines (rounding the exact
+    binary value) break downward — large-magnitude x·y products hit
+    such ties routinely. One tiny shuffle on the key over the
+    already-aggregated daily series.
+    """
+    x = F.col(day_num_col)
+    yq = F.floor(F.col(y_col) * 1_000_000)
+    stats = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(yq).alias("syq"),
+        F.sum(x * yq).alias("sxyq"),
+    )
+    n, sx, sxx, syq, sxyq = (
+        F.col(c) for c in ("n_days", "sx", "sxx", "syq", "sxyq")
+    )
+    num = n * sxyq - sx * syq
+    den = n * sxx - sx * sx
+    slope = num.cast("double") / den.cast("double") / 1e6
+    return stats.select(
+        *key_cols,
+        "n_days",
+        slope.alias("slope"),
+        ((syq.cast("double") / 1e6 - slope * sx) / n).alias("intercept"),
+    )
+
+
 def rolling_window_agg(
     df: DataFrame,
     order_num_col: str,

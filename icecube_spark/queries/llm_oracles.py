@@ -316,3 +316,24 @@ ORACLES["dedup_embedding_cosine"] = f"""
     WHERE {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} >= 0.35
     ORDER BY vec_a, vec_b
 """
+
+ORACLES["vocab_stats"] = f"""
+    WITH terms AS (
+        SELECT source, UNNEST(string_split({_NORM}, ' ')) AS term
+        FROM documents),
+    counts AS (
+        SELECT source, term, COUNT(*) AS n FROM terms
+        WHERE term != '' GROUP BY 1, 2)
+    SELECT source, SUM(n) AS n_tokens, COUNT(*) AS vocab_size,
+           count_if(n = 1) AS n_hapax,
+           COUNT(*) / SUM(n) AS type_token_ratio
+    FROM counts GROUP BY source ORDER BY source
+"""
+
+ORACLES["embed_label_centroids"] = """
+    SELECT label, CAST(gs - 1 AS INT) AS dim, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+                         AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs)
+    GROUP BY 1, 2 ORDER BY label, dim
+"""

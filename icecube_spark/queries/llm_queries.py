@@ -98,6 +98,18 @@ def term_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.term_commonness(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — per-source vocabulary profile (tokens, vocab, hapax, TTR)."""
+    return text.vocab_stats(_docs(spark, sf_dir), "source", "text").orderBy("source")
+
+
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — per-label embedding centroids as flat (label, dim) rows."""
+    return similarity.label_centroids(
+        _emb(spark, sf_dir), "label", "embedding"
+    ).orderBy("label", "dim")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — binary payload through the Arrow decode-stub stage."""
     payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")

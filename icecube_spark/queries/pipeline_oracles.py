@@ -163,3 +163,11 @@ ORACLES.update({
         ORDER BY train_doc, eval_doc
     """,
 })
+
+ORACLES["length_histogram"] = """
+    SELECT source, CAST(n_chars // 64 AS INT) AS bin,
+           COUNT(*) AS n_docs, MIN(n_chars) AS min_len,
+           MAX(n_chars) AS max_len,
+           CAST(n_chars // 64 AS INT) * 64 AS bin_lo
+    FROM documents GROUP BY source, bin ORDER BY source, bin
+"""

@@ -100,6 +100,12 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — 64-char-wide doc-length histogram per source."""
+    out = pipeline.length_histogram(_docs(spark, sf_dir), "source", "n_chars")
+    return out.orderBy("source", "bin")
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — train docs sharing >= 2 distinct 5-grams with a hash-split
     eval doc."""

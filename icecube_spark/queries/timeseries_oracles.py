@@ -152,6 +152,46 @@ ORACLES.update({
         WHERE abs((value - mean) / std) > 3.0
         ORDER BY event_id
     """,
+    "time_weighted_avg": """
+        WITH g AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   value,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+            FROM events)
+        SELECT user_id, bucket,
+               COUNT(*) AS n_events,
+               COUNT(gap_us) AS n_gaps,
+               SUM(CAST(floor(value * gap_us) AS BIGINT))
+                   / SUM(gap_us) AS twa
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "trend_slope": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   CAST(floor(({sql_dsum('value')} / COUNT(*)) * 1000000)
+                        AS BIGINT) AS yq
+            FROM events GROUP BY event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+        m AS (
+            SELECT event_type, COUNT(*) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(yq) AS BIGINT) AS syq,
+                   CAST(SUM(x * yq) AS BIGINT) AS sxyq
+            FROM daily GROUP BY 1),
+        s AS (
+            SELECT event_type, n_days, sx, syq,
+                   CAST(n_days * sxyq - sx * syq AS DOUBLE)
+                       / CAST(n_days * sxx - sx * sx AS DOUBLE) / 1e6 AS slope
+            FROM m)
+        SELECT event_type, n_days, slope,
+               (CAST(syq AS DOUBLE) / 1e6 - slope * sx) / n_days AS intercept
+        FROM s ORDER BY event_type
+    """,
     "hypertable_rollup": f"""
         SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -236,6 +236,38 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 — per-user daily time-weighted average of `value`
+    (TimescaleDB time_weight parity): each event's value is weighted
+    by the microseconds until the user's next event that day. Lead
+    window and aggregate share one (user, day) shuffle."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.time_weighted_avg(
+        ev, "ts", "value", ["user_id"], tiebreak_col="event_id", bucket="day"
+    )
+    return out.orderBy("user_id", "bucket")
+
+
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 — per-event_type OLS trend of the daily-mean value series
+    (slope per day, intercept at the 2024-01-01 series epoch).
+    Generalizes the reference's acquisition-axis stacking
+    (sar_datacube.py:108-160) to the standard time-series velocity
+    product: two shuffles, the second over one row per (type, day)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "day_num"
+            ),
+        )
+        .agg((dsum("value") / F.count(F.lit(1))).alias("daily_mean"))
+    )
+    out = timeseries.trend_stats(daily, "day_num", "daily_mean", ["event_type"])
+    return out.orderBy("event_type")
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 — hypertable-style continuous aggregate: one pass producing
     hour, day, and month resolutions via ROLLUP (TimescaleDB

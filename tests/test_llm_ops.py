@@ -23,6 +23,8 @@ CASES = [
     ("repetition_stats", lq.repetition_stats),
     ("gopher_quality", lq.gopher_quality),
     ("term_commonness", lq.term_commonness),
+    ("vocab_stats", lq.vocab_stats),
+    ("embed_label_centroids", lq.embed_label_centroids),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

@@ -20,6 +20,7 @@ P_CASES = [
     ("dedup_clusters", pq.dedup_clusters),
     ("source_mix", pq.source_mix),
     ("topk_terms_per_lang", pq.topk_terms_per_lang),
+    ("length_histogram", pq.length_histogram),
 ]
 
 B_CASES = [

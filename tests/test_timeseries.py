@@ -19,6 +19,8 @@ CASES = [
     ("ohlc_bars", tq.ohlc_bars),
     ("anomaly_zscore", tq.anomaly_zscore),
     ("gap_stats", tq.gap_stats),
+    ("time_weighted_avg", tq.time_weighted_avg),
+    ("trend_slope", tq.trend_slope),
 ]
 
 
