@@ -71,6 +71,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_stats": tsq.gap_stats,
     "time_weighted_avg": tsq.time_weighted_avg,
     "trend_slope": tsq.trend_slope,
+    "cohort_retention": tsq.cohort_retention,
+    "funnel_conversion": tsq.funnel_conversion,
+    "value_percentiles": tsq.value_percentiles,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -88,6 +91,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_commonness": lq.term_commonness,
     "vocab_stats": lq.vocab_stats,
     "embed_label_centroids": lq.embed_label_centroids,
+    "bigram_lift": lq.bigram_lift,
+    "embed_quantize": lq.embed_quantize,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
@@ -103,6 +108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_terms_per_lang": pq.topk_terms_per_lang,
     "dup_ngram_fraction": pq.dup_ngram_fraction,
     "length_histogram": pq.length_histogram,
+    "dup_cluster_sizes": pq.dup_cluster_sizes,
     "decontaminate": pq.decontaminate,
 }
 

@@ -351,3 +351,21 @@ def length_histogram(
         )
         .withColumn("bin_lo", F.col("bin") * bin_width)
     )
+
+
+def dup_cluster_sizes(df: DataFrame, text_col: str) -> DataFrame:
+    """P13 — duplicate-cluster size histogram: how many exact-dup
+    clusters exist at each multiplicity (the first report run after
+    any dedup pass; 1-clusters = unique docs).
+
+    Plan: two shuffles, the second negligible — cluster sizes via
+    md5-keyed partial agg (map-side combine collapses dup-heavy
+    partitions), then a histogram over one row per cluster.
+    """
+    clusters = df.groupBy(
+        F.md5(F.col(text_col).cast("binary")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -132,3 +132,43 @@ def resample_to_grid(
         )
         .drop("__bucket", "__n")
     )
+
+
+def interpolate_grid(
+    df: DataFrame, key_col: str, x_col: str, value_col: str
+) -> DataFrame:
+    """A4c — linear interpolation across gap slots of a resampled
+    grid: each null value between two observations is replaced by the
+    straight-line value at its x; leading/trailing gaps stay null
+    (TimescaleDB ``interpolate()`` on top of the reference's NaN
+    dummy layers, sar_datacube_metadata.py:226-255).
+
+    Plan: one exchange on the key; the four IGNORE NULLS carries (prev
+    and next observation value + x) share a single sort — Catalyst
+    stacks the Window nodes on one exchange because the specs differ
+    only in frame. Engine-exact: the interpolation formula is the same
+    IEEE double expression in both engines, anchored on exact grid
+    integers.
+    """
+    v = F.col(value_col)
+    x = F.col(x_col)
+    w = Window.partitionBy(key_col).orderBy(x_col)
+    prev_w = w.rowsBetween(Window.unboundedPreceding, -1)
+    next_w = w.rowsBetween(1, Window.unboundedFollowing)
+    obs_v = F.when(v.isNotNull(), v)
+    obs_x = F.when(v.isNotNull(), x)
+    prev_v = F.last(obs_v, ignorenulls=True).over(prev_w)
+    prev_x = F.last(obs_x, ignorenulls=True).over(prev_w)
+    next_v = F.first(obs_v, ignorenulls=True).over(next_w)
+    next_x = F.first(obs_x, ignorenulls=True).over(next_w)
+    interp = prev_v + (next_v - prev_v) * (x - prev_x).cast("double") / (
+        next_x - prev_x
+    ).cast("double")
+    return df.withColumn(
+        "filled_value", F.coalesce(v, interp)
+    ).withColumn(
+        "fill_kind",
+        F.when(v.isNotNull(), F.lit("observed"))
+        .when(interp.isNotNull(), F.lit("interpolated"))
+        .otherwise(F.lit("edge_gap")),
+    )

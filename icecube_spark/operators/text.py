@@ -6,7 +6,7 @@ deliberately SQL-expressible so DuckDB oracles replicate them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from icecube_spark.operators.dedup import GRAMS, NORM
@@ -246,4 +246,61 @@ def vocab_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         .withColumn(
             "type_token_ratio", F.col("vocab_size") / F.col("n_tokens")
         )
+    )
+
+
+def bigram_lift(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """F10 — collocation mining: top-k word bigrams by lift
+    (n·c(ab)) / (c(a)·c(b)), the log-free PMI ordering. Standard
+    corpus-analysis report for spotting templated/boilerplate phrases
+    in a training mix.
+
+    Plan: two shuffles bounded by vocabulary (bigram counts and
+    unigram counts, both with map-side partials absorbing the Zipf
+    head), then two joins of the bigram aggregate against the unigram
+    aggregate — the unigram side broadcasts (vocab ≪ corpus at any
+    scale). All lift arithmetic stays in int64 until one final
+    division, so ordering is engine-exact. The top-k window runs over
+    the min_count-filtered aggregate only.
+    """
+    toks = _toks(text_col)
+    grams2 = f"""
+        element_at(transform(array({toks}),
+          t -> CASE WHEN size(t) < 2 THEN array()
+                    ELSE transform(sequence(1, size(t) - 1),
+                                   i -> concat_ws(' ', slice(t, i, 2)))
+               END), 1)
+    """
+    terms = df.select(F.explode(F.expr(toks)).alias("term")).where(
+        F.col("term") != ""
+    )
+    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    bi = (
+        df.select(F.explode(F.expr(grams2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_gram"))
+        .where(F.col("c_gram") >= min_count)
+        .withColumn("t1", F.split("gram", " ")[0])
+        .withColumn("t2", F.split("gram", " ")[1])
+    )
+    u1 = uni.select(F.col("term").alias("t1"), F.col("c_term").alias("c_t1"))
+    u2 = uni.select(F.col("term").alias("t2"), F.col("c_term").alias("c_t2"))
+    scored = (
+        bi.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift",
+            (F.col("n_total") * F.col("c_gram")).cast("double")
+            / (F.col("c_t1") * F.col("c_t2")).cast("double"),
+        )
+    )
+    wtop = Window.orderBy(F.col("lift").desc(), F.col("gram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= k)
+        .select("rank", "gram", "c_gram", "c_t1", "c_t2", "lift")
     )

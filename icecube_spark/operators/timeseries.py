@@ -187,3 +187,110 @@ def rolling_window_agg(
     dec_sum = F.sum(F.col(value_col).cast("decimal(18,8)")).over(w).cast("double")
     n = F.count(value_col).over(w)
     return df.withColumn("rolling_avg", dec_sum / n).withColumn("n_in_window", n)
+
+
+def cohort_retention(df: DataFrame, ts_col: str, user_col: str) -> DataFrame:
+    """C16 — cohort retention triangle: users grouped by first-active
+    day, counted on each later active day (the standard product-
+    analytics retention report; the datacube analogue is per-stack
+    acquisition recurrence over the time axis).
+
+    Plan: ONE wide shuffle on the user key does all the heavy work —
+    the cohort-day window (min over an unordered user partition), and
+    the (user, day) dedup reuse the same exchange because
+    HashPartitioning(user) satisfies clustering on (user, day, ...).
+    The final rollup shuffles only the deduped activity rows, with
+    map-side partials bounded by |cohorts| x |days| per task.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    w = Window.partitionBy("user")
+    active = (
+        df.select(F.col(user_col).alias("user"), day)
+        .withColumn("cohort_day", F.min("day").over(w))
+        .groupBy("user", "day", "cohort_day")
+        .agg(F.lit(1))
+    )
+    return active.groupBy(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day"))
+        .cast("bigint")
+        .alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def funnel_conversion(
+    df: DataFrame, ts_col: str, user_col: str, type_col: str, steps: list[str]
+) -> DataFrame:
+    """C17 — ordered funnel: per user, the first time of step 1, the
+    first step-2 event strictly after it, the first step-3 event
+    strictly after that, ... rolled up into per-step user counts and
+    conversion rates.
+
+    Plan: chained partition-only windows over ONE user-key exchange —
+    step k's min() can reference step k-1's output column because the
+    windows are unordered (no frame), so Catalyst stacks Window nodes
+    on the same sorted child without re-shuffling. The per-user dedup
+    again reuses the exchange; only |steps| summary rows leave the
+    final (tiny) aggregation.
+    """
+    w = Window.partitionBy("user")
+    cur = df.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("ts"), F.col(type_col)
+    )
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        cur = cur.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    step_cols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    per_user = cur.groupBy("user", *step_cols).agg(F.lit(1))
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[F.count(c).alias(f"n_step{i}") for i, c in enumerate(step_cols, 1)],
+    )
+    rates = [
+        (F.col(f"n_step{i}").cast("double") / F.col(f"n_step{i-1}")).alias(
+            f"rate_step{i}"
+        )
+        for i in range(2, len(steps) + 1)
+    ]
+    return counts.select("n_users", *[f"n_step{i}" for i in range(1, len(steps) + 1)], *rates)
+
+
+def percentile_disc(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """C18 — exact discrete percentiles per key (p = value at rank
+    ceil(q*n), the PERCENTILE_DISC convention), engine-portable because
+    rank selection never interpolates: the answer is an actual data
+    value, so float parity is trivial.
+
+    Plan: one shuffle on the key feeds both windows (the ordered
+    row_number and the unordered count), then the groupBy reuses the
+    same partitioning — a single exchange end to end. At 100 TB the
+    sort is the cost; it parallelizes per key-partition and spills
+    cleanly, unlike a driver-side quantile collect.
+    """
+    wp = Window.partitionBy(*key_cols)
+    wo = wp.orderBy(F.col(value_col), F.col(tiebreak_col))
+    ranked = df.select(
+        *key_cols,
+        F.col(value_col),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col(value_col)
+            )
+        ).alias(f"p{round(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy(*key_cols).agg(F.max("n").alias("n"), *aggs)

@@ -338,3 +338,33 @@ def labels_vector_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def cube_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4c — A4's 3-day grid with temporal gaps linearly interpolated
+    between neighbouring acquisitions (edge gaps stay null). The
+    TimescaleDB interpolate() twin of the reference's NaN dummy layers
+    (sar_datacube_metadata.py:226-255): at training time a gap slot
+    carries the straight-line estimate instead of a hole.
+    Plan: the A4 resample (two shuffles) + ONE more exchange for the
+    per-user ordered carries."""
+    ev = catalog.load(spark, sf_dir, "events")
+    grid = temporal.resample_to_grid(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        start=START,
+        end="2024-01-30",
+        step_days=3,
+        aggs={"mean_value": dsum("value") / F.count(F.lit(1))},
+    ).withColumn(
+        "x", F.datediff(F.col("bucket_start"), F.lit(START).cast("date"))
+    )
+    out = temporal.interpolate_grid(grid, "user_id", "x", "mean_value")
+    return out.select(
+        "user_id",
+        "bucket_start",
+        "mean_value",
+        "filled_value",
+        "fill_kind",
+    ).orderBy("user_id", "bucket_start")

@@ -337,3 +337,49 @@ ORACLES["embed_label_centroids"] = """
     FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs)
     GROUP BY 1, 2 ORDER BY label, dim
 """
+
+ORACLES["bigram_lift"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    terms AS (SELECT UNNEST(t) AS term FROM toks),
+    fterms AS (SELECT term FROM terms WHERE term != ''),
+    uni AS (SELECT term, COUNT(*) AS c_term FROM fterms GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n_total FROM fterms),
+    bi0 AS (
+        SELECT CASE WHEN len(t) < 2 THEN []
+                    ELSE [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+               END AS g
+        FROM toks),
+    bi AS (
+        SELECT gram, COUNT(*) AS c_gram
+        FROM (SELECT UNNEST(g) AS gram FROM bi0)
+        GROUP BY 1 HAVING COUNT(*) >= 5),
+    scored AS (
+        SELECT gram, c_gram,
+               u1.c_term AS c_t1, u2.c_term AS c_t2,
+               CAST(n_total * c_gram AS DOUBLE)
+                   / CAST(u1.c_term * u2.c_term AS DOUBLE) AS lift
+        FROM bi
+        JOIN uni u1 ON u1.term = string_split(gram, ' ')[1]
+        JOIN uni u2 ON u2.term = string_split(gram, ' ')[2]
+        CROSS JOIN total)
+    SELECT * FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, gram) AS INT)
+                   AS rank,
+               gram, c_gram, c_t1, c_t2, lift
+        FROM scored)
+    WHERE rank <= 20
+"""
+
+ORACLES["embed_quantize"] = """
+    WITH s AS (
+        SELECT MIN(CAST(list_min(embedding) AS DOUBLE)) AS gmin,
+               MAX(CAST(list_max(embedding) AS DOUBLE)) AS gmax
+        FROM embeddings)
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               LEAST(255, GREATEST(0, CAST(FLOOR(
+                   (CAST(x AS DOUBLE) - gmin) * CAST(255 AS DOUBLE)
+                       / (gmax - gmin)) AS INT)))) AS qvec,
+           gmin, gmax
+    FROM embeddings CROSS JOIN s
+"""

@@ -176,3 +176,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — top-20 bigram collocations by lift (log-free PMI)."""
+    return text.bigram_lift(_docs(spark, sf_dir), "text", min_count=5, k=20)
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — global-range int8 scalar quantization of embeddings."""
+    return similarity.scalar_quantize(_emb(spark, sf_dir), "vec_id", "embedding")

@@ -171,3 +171,12 @@ ORACLES["length_histogram"] = """
            CAST(n_chars // 64 AS INT) * 64 AS bin_lo
     FROM documents GROUP BY source, bin ORDER BY source, bin
 """
+
+ORACLES["dup_cluster_sizes"] = """
+    WITH clusters AS (
+        SELECT md5(text) AS h, COUNT(*) AS cluster_size
+        FROM documents GROUP BY 1)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS n_docs
+    FROM clusters GROUP BY 1 ORDER BY 1
+"""

@@ -110,3 +110,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — train docs sharing >= 2 distinct 5-grams with a hash-split
     eval doc."""
     return pipeline.decontaminate(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — exact-dup cluster-size histogram over raw text."""
+    return pipeline.dup_cluster_sizes(_docs(spark, sf_dir), "text").orderBy(
+        "cluster_size"
+    )

@@ -206,3 +206,56 @@ ORACLES.update({
                          date_trunc('hour', ts))
     """,
 })
+
+ORACLES.update({
+    "cohort_retention": """
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events),
+        cohorts AS (
+            SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+            FROM active)
+        SELECT cohort_day,
+               date_diff('day', cohort_day, day) AS day_offset,
+               COUNT(*) AS n_users
+        FROM cohorts GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "funnel_conversion": """
+        WITH u1 AS (
+            SELECT user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events),
+        u2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM u1),
+        u3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t3
+            FROM u2),
+        per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM u3)
+        SELECT COUNT(*) AS n_users,
+               COUNT(t1) AS n_step1, COUNT(t2) AS n_step2,
+               COUNT(t3) AS n_step3,
+               CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) AS rate_step2,
+               CAST(COUNT(t3) AS DOUBLE) / COUNT(t2) AS rate_step3
+        FROM per_user
+    """,
+    "value_percentiles": """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events)
+        SELECT event_type, MAX(n) AS n,
+               MAX(CASE WHEN rn = CEIL(CAST(0.5 AS DOUBLE) * n) THEN value END) AS p50,
+               MAX(CASE WHEN rn = CEIL(CAST(0.9 AS DOUBLE) * n) THEN value END) AS p90,
+               MAX(CASE WHEN rn = CEIL(CAST(0.99 AS DOUBLE) * n) THEN value END) AS p99
+        FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+})

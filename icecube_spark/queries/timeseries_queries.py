@@ -287,3 +287,35 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("month").isNotNull() | (F.col("level") == 7))
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 — retention triangle over events: users bucketed by first-
+    active day, counted per later active day. One wide shuffle on
+    user_id serves cohort-window + dedup; the rollup moves only
+    deduped (user, day) rows."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.cohort_retention(ev, "ts", "user_id")
+    return out.orderBy("cohort_day", "day_offset")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 — signup → view → purchase ordered funnel with per-step
+    user counts and conversion rates. Chained partition-only windows
+    over a single user_id exchange."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.funnel_conversion(
+        ev, "ts", "user_id", "event_type", ["signup", "view", "purchase"]
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 — exact discrete p50/p90/p99 of value per event_type
+    (PERCENTILE_DISC rank-selection — engine-exact, no interpolation).
+    Single exchange: ordered + unordered windows and the final groupBy
+    all reuse the event_type partitioning."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.percentile_disc(
+        ev, ["event_type"], "value", tiebreak_col="event_id"
+    )
+    return out.orderBy("event_type")

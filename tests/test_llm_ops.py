@@ -25,6 +25,8 @@ CASES = [
     ("term_commonness", lq.term_commonness),
     ("vocab_stats", lq.vocab_stats),
     ("embed_label_centroids", lq.embed_label_centroids),
+    ("bigram_lift", lq.bigram_lift),
+    ("embed_quantize", lq.embed_quantize),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

@@ -21,6 +21,7 @@ P_CASES = [
     ("source_mix", pq.source_mix),
     ("topk_terms_per_lang", pq.topk_terms_per_lang),
     ("length_histogram", pq.length_histogram),
+    ("dup_cluster_sizes", pq.dup_cluster_sizes),
 ]
 
 B_CASES = [

@@ -21,7 +21,22 @@ CASES = [
     ("gap_stats", tq.gap_stats),
     ("time_weighted_avg", tq.time_weighted_avg),
     ("trend_slope", tq.trend_slope),
+    ("cohort_retention", tq.cohort_retention),
+    ("funnel_conversion", tq.funnel_conversion),
+    ("value_percentiles", tq.value_percentiles),
 ]
+
+
+def test_percentiles_single_exchange(spark, sf_dir):
+    """Both windows and the groupBy must reuse ONE event_type
+    exchange (plus the final orderBy range exchange)."""
+    plan = (
+        tq.value_percentiles(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
