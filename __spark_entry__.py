@@ -50,6 +50,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
     "cube_resample_gapfill": dq.cube_resample_gapfill,
+    "cube_resample_interpolate": dq.cube_resample_interpolate,
     "cube_completeness": dq.cube_completeness,
     "cube_pivot": dq.cube_pivot,
     "metadata_concat": dq.metadata_concat,
@@ -74,6 +75,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": tsq.cohort_retention,
     "funnel_conversion": tsq.funnel_conversion,
     "value_percentiles": tsq.value_percentiles,
+    "calendar_lag_features": tsq.calendar_lag_features,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -109,6 +111,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_fraction": pq.dup_ngram_fraction,
     "length_histogram": pq.length_histogram,
     "dup_cluster_sizes": pq.dup_cluster_sizes,
+    "sample_per_group": pq.sample_per_group,
     "decontaminate": pq.decontaminate,
 }
 

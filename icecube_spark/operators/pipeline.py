@@ -369,3 +369,25 @@ def dup_cluster_sizes(df: DataFrame, text_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """P14 — deterministic k-per-group sample: the k ids with the
+    smallest md5(id) per group. Equivalent to a seeded reservoir but
+    order-free and append-stable for unrelated rows — the same doc is
+    in or out regardless of partitioning, scan order, or cluster size,
+    so pipeline re-runs are reproducible at any scale.
+
+    Plan: one exchange on the group; Spark's WindowGroupLimit rewrite
+    turns the rank<=k filter into a per-partition top-k BEFORE the
+    shuffle, so only k rows per group per input partition move.
+    """
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )

@@ -294,3 +294,44 @@ def percentile_disc(
         for q in qs
     ]
     return ranked.groupBy(*key_cols).agg(F.max("n").alias("n"), *aggs)
+
+
+def calendar_lags(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """C19 — per-key daily feature rows with calendar-exact lag
+    columns: lag_kd is the daily aggregate exactly k days earlier, or
+    null across gaps — a row-based lag() would silently read the wrong
+    day on sparse series. The standard label/feature staging step
+    before training a forecaster on the cube's time axis.
+
+    Plan: an explicit repartition(key) FIRST, so the daily aggregate
+    (clustering (key, day) ⊇ key) and every ordered RANGE window reuse
+    the single exchange; the lag frames [-k, -k] are pure in-partition
+    sorted lookups. Daily sums fold in decimal (functions/parity.py).
+    """
+    from icecube_spark.functions.parity import dsum
+
+    day_num = F.datediff(
+        F.to_date(ts_col), F.lit("1970-01-01").cast("date")
+    ).alias("day_num")
+    daily = (
+        df.repartition(F.col(key_col))
+        .groupBy(F.col(key_col), day_num)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col).alias("daily_value"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("day_num")
+    lag_cols = [
+        F.max("daily_value").over(w.rangeBetween(-k, -k)).alias(f"lag_{k}d")
+        for k in lags
+    ]
+    return daily.select(
+        key_col, "day_num", "n_events", "daily_value", *lag_cols
+    )

@@ -166,3 +166,56 @@ ORACLES["cube_completeness"] = """
                AS fill_ratio
     FROM slots GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["cube_resample_interpolate"] = f"""
+    WITH grid AS (
+        SELECT u.user_id, g.bucket_start,
+               CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01',
+                                    g.bucket_start) / 259200) AS INT) AS bucket
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                          TIMESTAMP '2024-01-30',
+                                          INTERVAL 3 DAY)) AS bucket_start
+        ) g
+    ), bucketed AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01', ts)
+                          / 259200) AS INT) AS bucket,
+               {sql_dsum('value')} / COUNT(*) AS mean_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-30'
+        GROUP BY 1, 2
+    ), joined AS (
+        SELECT grid.user_id, grid.bucket_start,
+               date_diff('day', TIMESTAMP '2024-01-01', grid.bucket_start)
+                   AS x,
+               b.mean_value
+        FROM grid LEFT JOIN bucketed b
+          ON grid.user_id = b.user_id AND grid.bucket = b.bucket
+    ), carried AS (
+        SELECT *,
+               last_value(mean_value IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN mean_value IS NOT NULL THEN x END
+                          IGNORE NULLS) OVER wp AS prev_x,
+               first_value(mean_value IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN mean_value IS NOT NULL THEN x END
+                           IGNORE NULLS) OVER wn AS next_x
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY x
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), interp AS (
+        SELECT *,
+               prev_v + (next_v - prev_v) * CAST(x - prev_x AS DOUBLE)
+                   / CAST(next_x - prev_x AS DOUBLE) AS iv
+        FROM carried
+    )
+    SELECT user_id, bucket_start, mean_value,
+           COALESCE(mean_value, iv) AS filled_value,
+           CASE WHEN mean_value IS NOT NULL THEN 'observed'
+                WHEN iv IS NOT NULL THEN 'interpolated'
+                ELSE 'edge_gap' END AS fill_kind
+    FROM interp ORDER BY user_id, bucket_start
+"""

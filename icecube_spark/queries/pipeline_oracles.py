@@ -180,3 +180,13 @@ ORACLES["dup_cluster_sizes"] = """
            cluster_size * COUNT(*) AS n_docs
     FROM clusters GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["sample_per_group"] = """
+    SELECT doc_id, source, lang, n_chars FROM (
+        SELECT doc_id, source, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 10 ORDER BY source, doc_id
+"""

@@ -117,3 +117,12 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dup_cluster_sizes(_docs(spark, sf_dir), "text").orderBy(
         "cluster_size"
     )
+
+
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 — deterministic 10-per-source doc sample (smallest md5 of
+    doc_id) — reproducible under any partitioning or cluster size."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    return pipeline.sample_per_group(docs, "source", "doc_id", k=10).orderBy(
+        "source", "doc_id"
+    )

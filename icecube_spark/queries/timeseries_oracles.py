@@ -259,3 +259,18 @@ ORACLES.update({
         FROM ranked GROUP BY event_type ORDER BY event_type
     """,
 })
+
+ORACLES["calendar_lag_features"] = f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS daily_value
+        FROM events GROUP BY 1, 2)
+    SELECT user_id, day_num, n_events, daily_value,
+           MAX(daily_value) OVER (PARTITION BY user_id ORDER BY day_num
+               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag_1d,
+           MAX(daily_value) OVER (PARTITION BY user_id ORDER BY day_num
+               RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag_7d
+    FROM daily ORDER BY user_id, day_num
+"""

@@ -319,3 +319,12 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"], "value", tiebreak_col="event_id"
     )
     return out.orderBy("event_type")
+
+
+def calendar_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 — per-user daily values with calendar-exact 1-day and 7-day
+    lag features (null across gaps). One explicit user_id exchange
+    reused by the daily agg and every RANGE window."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.calendar_lags(ev, "ts", "user_id", "value", lags=(1, 7))
+    return out.orderBy("user_id", "day_num")

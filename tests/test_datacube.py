@@ -16,6 +16,7 @@ CASES = [
     ("cube_config_filter", dq.cube_config_filter),
     ("cube_temporal_dedup", dq.cube_temporal_dedup),
     ("cube_resample_gapfill", dq.cube_resample_gapfill),
+    ("cube_resample_interpolate", dq.cube_resample_interpolate),
     ("cube_completeness", dq.cube_completeness),
     ("cube_pivot", dq.cube_pivot),
     ("metadata_concat", dq.metadata_concat),

@@ -22,6 +22,7 @@ P_CASES = [
     ("topk_terms_per_lang", pq.topk_terms_per_lang),
     ("length_histogram", pq.length_histogram),
     ("dup_cluster_sizes", pq.dup_cluster_sizes),
+    ("sample_per_group", pq.sample_per_group),
 ]
 
 B_CASES = [

@@ -24,7 +24,20 @@ CASES = [
     ("cohort_retention", tq.cohort_retention),
     ("funnel_conversion", tq.funnel_conversion),
     ("value_percentiles", tq.value_percentiles),
+    ("calendar_lag_features", tq.calendar_lag_features),
 ]
+
+
+def test_calendar_lags_single_exchange(spark, sf_dir):
+    """repartition(user) + daily agg + RANGE windows must share one
+    hash exchange (partitioning-subset reuse)."""
+    plan = (
+        tq.calendar_lag_features(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_percentiles_single_exchange(spark, sf_dir):
