@@ -46,6 +46,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": analytics.q11_important_stock,
     "q16_supplier_count": analytics.q16_supplier_count,
     "q20_excess_stock": analytics.q20_excess_stock,
+    "rfm_segments": analytics.rfm_segments,
+    "revenue_growth": analytics.revenue_growth,
     "metadata_summary": dq.metadata_summary,
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
@@ -76,6 +78,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": tsq.funnel_conversion,
     "value_percentiles": tsq.value_percentiles,
     "calendar_lag_features": tsq.calendar_lag_features,
+    "running_total": tsq.running_total,
+    "event_transitions": tsq.event_transitions,
+    "rolling_active_users": tsq.rolling_active_users,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -95,6 +100,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_label_centroids": lq.embed_label_centroids,
     "bigram_lift": lq.bigram_lift,
     "embed_quantize": lq.embed_quantize,
+    "centroid_similarity": lq.centroid_similarity,
+    "embed_dim_stats": lq.embed_dim_stats,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
@@ -112,6 +119,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": pq.length_histogram,
     "dup_cluster_sizes": pq.dup_cluster_sizes,
     "sample_per_group": pq.sample_per_group,
+    "profile_table": pq.profile_table,
+    "corpus_matrix": pq.corpus_matrix,
     "decontaminate": pq.decontaminate,
 }
 

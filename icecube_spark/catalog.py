@@ -29,6 +29,23 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (path) -> (num_row_groups, num_rows); parquet footers are immutable here
+_FOOTER_CACHE: dict[str, tuple[int, int]] = {}
+
+_FANOUT_MIN_ROWS = 1000
+
+
+def _footer(path: str) -> tuple[int, int]:
+    if path not in _FOOTER_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            f = pq.ParquetFile(path)
+            _FOOTER_CACHE[path] = (f.num_row_groups, f.metadata.num_rows)
+        except Exception:
+            _FOOTER_CACHE[path] = (0, 0)
+    return _FOOTER_CACHE[path]
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Lazy: no IO until an action runs.
@@ -37,11 +54,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which
     we truncate to microseconds — the same truncation DuckDB applies —
     so both engines see identical timestamps.
+
+    Scan fan-out: parquet scans cannot parallelize below row-group
+    granularity, and the harness's files carry ONE row group — every
+    map stage (decimal partials, per-doc hashing, explodes) would run
+    on a single core. When a non-tiny table has fewer row groups than
+    half the cores, redistribute once right after the scan (a ~10 MB
+    round-robin exchange buys 32-way map parallelism). On a real
+    cluster row groups provide natural splits and this no-ops; tiny
+    dimension tables are left alone so their broadcast stays cheap.
+    Column pruning and predicate pushdown still reach the scan below
+    the exchange. Disable with SPARK_GRAFT_SCAN_FANOUT=0.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns epochs exceed 2^53, double math would round
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") != "0":
+        cores = spark.sparkContext.defaultParallelism
+        row_groups, rows = _footer(path)
+        if rows >= _FANOUT_MIN_ROWS and 0 < row_groups < cores // 2:
+            df = df.repartition(cores)
     return df
 
 

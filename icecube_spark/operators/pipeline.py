@@ -391,3 +391,76 @@ def sample_per_group(
         .where(F.col("sample_rank") <= k)
         .drop("sample_rank")
     )
+
+
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P15 — single-pass column profiler: per column the non-null
+    count, exact distinct count, and numeric min/max (timestamps as
+    epoch micros, strings null) — the ANALYZE/data-quality primitive
+    run before any training job touches a new table drop.
+
+    Plan: ONE scan; all per-column aggregates evaluate together. The
+    multi-column exact COUNT(DISTINCT) rewrites into a single Expand
+    (rows x |cols| map-side, one shuffle) — exact is the oracle-able
+    choice; swap `F.countDistinct` for `F.approx_count_distinct` at
+    100 TB where a 2% HLL answer is the standard trade. The stack()
+    unpivot runs on the single aggregated row.
+    """
+    names = cols or [c for c, _ in df.dtypes]
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in names:
+        t = dtypes[c]
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if t in _NUMERIC_DTYPES:
+            mn = F.min(F.col(c).cast("double"))
+            mx = F.max(F.col(c).cast("double"))
+        elif t in ("timestamp", "timestamp_ntz", "date"):
+            mn = F.min(F.unix_micros(F.col(c).cast("timestamp"))).cast("double")
+            mx = F.max(F.unix_micros(F.col(c).cast("timestamp"))).cast("double")
+        else:
+            mn = F.max(F.lit(None).cast("double"))
+            mx = F.max(F.lit(None).cast("double"))
+        aggs.append(mn.alias(f"__mn_{c}"))
+        aggs.append(mx.alias(f"__mx_{c}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in names
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(names)}, {stack})"
+            " as (col_name, n_nonnull, n_distinct, min_num, max_num)"
+        ),
+        "n_rows",
+    )
+
+
+def corpus_matrix(df: DataFrame, dim_a: str, dim_b: str, size_col: str) -> DataFrame:
+    """P16 — GROUPING SETS corpus report: totals by (a), (b), and
+    (a, b) in one pass — the "how much of each language from each
+    source do we have" matrix reported before fixing a training mix.
+
+    Plan: one scan; Catalyst's Expand replicates each row once per
+    grouping set map-side, then a single partial-agg shuffle covers
+    all three groupings (vs three scans for three GROUP BYs).
+    grouping-flag columns disambiguate real NULL keys from subtotal
+    rows, same as the SQL standard.
+    """
+    return (
+        df.groupingSets(
+            [[dim_a], [dim_b], [dim_a, dim_b]],
+            dim_a,
+            dim_b,
+        )
+        .agg(
+            F.grouping(dim_a).cast("int").alias("is_total_a"),
+            F.grouping(dim_b).cast("int").alias("is_total_b"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).alias("total_size"),
+        )
+    )

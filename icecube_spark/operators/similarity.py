@@ -238,3 +238,96 @@ def scalar_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col("gmin"),
         F.col("gmax"),
     )
+
+
+def centroid_similarity(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """E7 — pairwise cosine similarity between per-label centroids:
+    the cluster-separation report (confusable label pairs) run after
+    any labeling/clustering pass.
+
+    Plan: the centroid aggregate is the only corpus-sized work (one
+    shuffle bounded by |labels|x|dims|); the pairwise stage self-joins
+    the tiny flat centroid table on dim (broadcast) and re-aggregates
+    per pair — O(|labels|^2 · dims) rows, never the corpus. Dot
+    products and norms use the same floor(x·1e12) integer quantization
+    as every similarity op, so cosines are oracle-exact.
+    """
+    cent = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("label"), "dim", "centroid"
+    )
+    qterm = lambda a, b: F.floor(
+        F.col(a) * F.col(b) * F.lit(1e12)
+    ).cast("bigint")
+    norms = (
+        cent.groupBy("label")
+        .agg(F.sum(qterm("centroid", "centroid")).alias("qsq"))
+        .select("label", (F.col("qsq").cast("double") / 1e12).alias("sq"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("centroid").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("centroid").alias("cb")
+    )
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(qterm("ca", "cb")).alias("qdot"))
+        .select(
+            "label_a", "label_b", (F.col("qdot").cast("double") / 1e12).alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("sq").alias("sq_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            (F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b"))).alias("cosine"),
+        )
+    )
+
+
+def dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """E8 — per-dimension distribution profile of an embedding
+    column: n, mean, min, max, and mean-square (RMS energy). The
+    feature-normalization / PCA-preprocessing statistics every
+    embedding pipeline computes before whitening, quantization
+    calibration, or drift monitoring.
+
+    Plan: posexplode then ONE shuffle whose map-side partials reduce
+    each task to |dims| rows — the exchange moves O(dims·tasks), never
+    the corpus. Means fold in decimal (functions/parity.py); the
+    squared moment is a floor(x²·1e12) BIGINT sum (products of
+    doubles hit the decimal-cast tie hazard, integers never do) and
+    the final division is the same double expression in both engines.
+    """
+    from icecube_spark.functions.parity import davg
+
+    e = df.select(F.posexplode(vec_col).alias("dim", "val")).select(
+        "dim", F.col("val").cast("double").alias("x")
+    )
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("x").alias("mean"),
+            F.min("x").alias("min_val"),
+            F.max("x").alias("max_val"),
+            F.sum(F.floor(F.col("x") * F.col("x") * F.lit(1e12)).cast("bigint")).alias(
+                "qsq"
+            ),
+        )
+        .select(
+            "dim",
+            "n",
+            "mean",
+            "min_val",
+            "max_val",
+            (F.col("qsq").cast("double") / 1e12 / F.col("n")).alias("mean_sq"),
+        )
+    )

@@ -335,3 +335,122 @@ def calendar_lags(
     return daily.select(
         key_col, "day_num", "n_events", "daily_value", *lag_cols
     )
+
+
+def running_total(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """C20 — per-key running (cumulative) total and sequence number:
+    the lifetime-to-date ledger view (customer cumulative spend,
+    sensor cumulative dose) every dashboard derives from the raw
+    stream.
+
+    Plan: ONE shuffle on the key, one in-partition sort; the
+    cumulative frame is evaluated incrementally (no O(n^2) rescan).
+    The accumulation itself happens in DECIMAL(18,8) and each row's
+    prefix-sum is cast back to double — prefix sums of exact decimals
+    are association-free, so any engine that sorts the frame the same
+    way produces bit-identical doubles (functions/parity.py).
+    `order_cols` must make the sort total (include a unique id) or
+    per-row prefixes are nondeterministic.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        key_col,
+        *order_cols,
+        F.col(value_col),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy(*order_cols))
+        .alias("seq"),
+        F.sum(F.col(value_col).cast("decimal(18,8)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """C21 — first-order Markov transition matrix of the event stream:
+    count of (previous event_type -> event_type) steps within each
+    key's timeline plus the row-conditional transition probability.
+    The standard session-flow / product-funnel exploration query, and
+    the input to any Markov-chain user model.
+
+    Plan: one shuffle on the key for the lag window; the pair
+    aggregate is a partial-agg shuffle bounded by |types|^2 rows. The
+    probability is an exact INT/INT division done identically by both
+    engines. `order_tiebreak` (a unique id) makes the sort total so
+    ties on ts are deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    steps = df.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_steps",
+        (
+            F.col("n_steps").cast("double")
+            / F.sum("n_steps").over(w_from).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+def rolling_active_users(
+    df: DataFrame, ts_col: str, user_col: str, window_days: int = 7
+) -> DataFrame:
+    """C22 — DAU + trailing-N-day distinct actives (the DAU/WAU
+    engagement ratio): COUNT(DISTINCT user) is not decomposable over
+    sliding windows, so naive rescan-per-day is O(days·corpus).
+
+    Plan: dedup the stream to (day, user) once (one shuffle that also
+    serves the DAU count); the trailing window is a bounded-fanout
+    range join of that *deduped* table against the tiny day grid
+    (each active-day row lands in ≤ N grid rows) followed by a
+    count-distinct per day. All corpus-sized work happens before the
+    fanout; the join is a broadcast of the day grid. At 100 TB the
+    same shape holds — (day,user) is DAU-sized, orders of magnitude
+    smaller than raw events.
+    """
+    # date_trunc keeps the column a TIMESTAMP — date-typed columns
+    # round-trip differently through pandas in Spark vs DuckDB
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    daily = df.select(day, F.col(user_col).alias("u")).distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    grid = dau.select(F.col("day").alias("grid_day"), "dau")
+    trailing = (
+        daily.join(
+            F.broadcast(grid),
+            (F.datediff(F.col("grid_day"), F.col("day")) >= 0)
+            & (F.datediff(F.col("grid_day"), F.col("day")) < window_days),
+        )
+        .groupBy("grid_day", "dau")
+        .agg(F.countDistinct("u").alias("trailing_active"))
+    )
+    return trailing.select(
+        F.col("grid_day").alias("day"),
+        "dau",
+        "trailing_active",
+        (F.col("dau").cast("double") / F.col("trailing_active").cast("double")).alias(
+            "stickiness"
+        ),
+    )

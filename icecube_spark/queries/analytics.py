@@ -608,3 +608,78 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 — RFM customer segmentation: recency / frequency /
+    monetary per customer, each scored into NTILE(4) quartiles — the
+    classic CRM segmentation (and the reference's per-product
+    metadata-profile analogue, generalized to customers).
+
+    Plan: one shuffle aggregates orders per customer; the anchor date
+    is a scalar aggregate broadcast back (no rescan). The three NTILE
+    windows run over the customer-sized aggregate (orders of magnitude
+    below the fact table) — at extreme scale swap for percent_rank
+    binning, which partial-aggregates. Ties break on custkey so the
+    quartile assignment is total-order deterministic; `monetary` is a
+    decimal fold, so both engines sort identical doubles.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    per = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    nt = lambda *order: F.ntile(4).over(  # noqa: E731
+        Window.partitionBy().orderBy(*order)
+    )
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        nt(F.asc("recency_days"), F.asc("o_custkey")).alias("r_score"),
+        nt(F.desc("frequency"), F.asc("o_custkey")).alias("f_score"),
+        nt(F.desc("monetary"), F.asc("o_custkey")).alias("m_score"),
+    ).orderBy("o_custkey")
+
+
+def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 — month-over-month revenue growth per nation: monthly
+    decimal-fold revenue, LAG across months, growth ratio. The trend
+    report behind every revenue dashboard.
+
+    Plan: orders⋈customer shuffles on the customer key once; nation
+    broadcasts. The monthly aggregate is |nations|×|months| rows, so
+    the lag window is driver-trivial but stays distributed (partition
+    by nation). Growth is the same double division in both engines on
+    decimal-fold inputs.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "n_name",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("growth"),
+    ).orderBy("n_name", "month")

@@ -344,3 +344,41 @@ ORACLES.update({
         ORDER BY s_suppkey
     """,
 })
+
+ORACLES["rfm_segments"] = """
+    WITH per AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1),
+    a AS (SELECT MAX(last_order) AS anchor FROM per)
+    SELECT o_custkey,
+           CAST(date_diff('day', last_order, anchor) AS INT) AS recency_days,
+           frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY date_diff('day', last_order, anchor),
+                               o_custkey) AS INT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+               AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+               AS m_score
+    FROM per CROSS JOIN a ORDER BY o_custkey
+"""
+
+ORACLES["revenue_growth"] = """
+    WITH monthly AS (
+        SELECT n_name,
+               date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name, month, revenue,
+           LAG(revenue) OVER w AS prev_revenue,
+           (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    ORDER BY n_name, month
+"""

@@ -383,3 +383,42 @@ ORACLES["embed_quantize"] = """
            gmin, gmax
     FROM embeddings CROSS JOIN s
 """
+
+ORACLES["centroid_similarity"] = """
+    WITH cent AS (
+        SELECT label, CAST(gs - 1 AS INT) AS dim,
+               CAST(SUM(CAST(CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+                             AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs)
+        GROUP BY 1, 2),
+    norms AS (
+        SELECT label,
+               CAST(CAST(SUM(CAST(FLOOR(c * c * 1e12) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 1e12 AS sq
+        FROM cent GROUP BY 1),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(CAST(SUM(CAST(FLOOR(a.c * b.c * 1e12) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 1e12 AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2)
+    SELECT label_a, label_b, dot,
+           dot / (sqrt(na.sq) * sqrt(nb.sq)) AS cosine
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+    ORDER BY label_a, label_b
+"""
+
+ORACLES["embed_dim_stats"] = """
+    WITH e AS (
+        SELECT CAST(gs - 1 AS INT) AS dim,
+               CAST(embedding[CAST(gs AS INT)] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs))
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(x) AS mean,
+           MIN(x) AS min_val, MAX(x) AS max_val,
+           CAST(CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1e12 / COUNT(*) AS mean_sq
+    FROM e GROUP BY 1 ORDER BY dim
+"""

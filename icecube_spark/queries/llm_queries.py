@@ -186,3 +186,17 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 — global-range int8 scalar quantization of embeddings."""
     return similarity.scalar_quantize(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — pairwise cosine between label centroids (cluster
+    separation / confusable-labels report)."""
+    return similarity.centroid_similarity(
+        _emb(spark, sf_dir), "label", "embedding"
+    ).orderBy("label_a", "label_b")
+
+
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — per-dimension embedding distribution profile
+    (normalization / quantization-calibration statistics)."""
+    return similarity.dim_stats(_emb(spark, sf_dir), "embedding").orderBy("dim")

@@ -190,3 +190,39 @@ ORACLES["sample_per_group"] = """
         FROM documents)
     WHERE rn <= 10 ORDER BY source, doc_id
 """
+
+ORACLES["profile_table"] = """
+    SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n_nonnull, COUNT(DISTINCT l_orderkey) AS n_distinct, CAST(MIN(l_orderkey) AS DOUBLE) AS min_num, CAST(MAX(l_orderkey) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey' AS col_name, COUNT(l_partkey) AS n_nonnull, COUNT(DISTINCT l_partkey) AS n_distinct, CAST(MIN(l_partkey) AS DOUBLE) AS min_num, CAST(MAX(l_partkey) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey' AS col_name, COUNT(l_suppkey) AS n_nonnull, COUNT(DISTINCT l_suppkey) AS n_distinct, CAST(MIN(l_suppkey) AS DOUBLE) AS min_num, CAST(MAX(l_suppkey) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber' AS col_name, COUNT(l_linenumber) AS n_nonnull, COUNT(DISTINCT l_linenumber) AS n_distinct, CAST(MIN(l_linenumber) AS DOUBLE) AS min_num, CAST(MAX(l_linenumber) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n_nonnull, COUNT(DISTINCT l_quantity) AS n_distinct, CAST(MIN(l_quantity) AS DOUBLE) AS min_num, CAST(MAX(l_quantity) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice' AS col_name, COUNT(l_extendedprice) AS n_nonnull, COUNT(DISTINCT l_extendedprice) AS n_distinct, CAST(MIN(l_extendedprice) AS DOUBLE) AS min_num, CAST(MAX(l_extendedprice) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n_nonnull, COUNT(DISTINCT l_discount) AS n_distinct, CAST(MIN(l_discount) AS DOUBLE) AS min_num, CAST(MAX(l_discount) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_tax' AS col_name, COUNT(l_tax) AS n_nonnull, COUNT(DISTINCT l_tax) AS n_distinct, CAST(MIN(l_tax) AS DOUBLE) AS min_num, CAST(MAX(l_tax) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag' AS col_name, COUNT(l_returnflag) AS n_nonnull, COUNT(DISTINCT l_returnflag) AS n_distinct, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus' AS col_name, COUNT(l_linestatus) AS n_nonnull, COUNT(DISTINCT l_linestatus) AS n_distinct, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate' AS col_name, COUNT(l_shipdate) AS n_nonnull, COUNT(DISTINCT l_shipdate) AS n_distinct, CAST(MIN(epoch_us(l_shipdate)) AS DOUBLE) AS min_num, CAST(MAX(epoch_us(l_shipdate)) AS DOUBLE) AS max_num, COUNT(*) AS n_rows FROM lineitem
+    ORDER BY col_name
+"""
+
+ORACLES["corpus_matrix"] = """
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS INT) AS is_total_a,
+           CAST(GROUPING(source) AS INT) AS is_total_b,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_size
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    ORDER BY is_total_a, is_total_b, lang, source
+"""

@@ -126,3 +126,19 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.sample_per_group(docs, "source", "doc_id", k=10).orderBy(
         "source", "doc_id"
     )
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — one-pass column profile of lineitem (n_nonnull, exact
+    n_distinct, numeric min/max; timestamps as epoch micros)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return pipeline.profile_table(li).orderBy("col_name")
+
+
+def corpus_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 — GROUPING SETS corpus report: doc counts + total chars by
+    (lang), (source), and (lang, source) in one Expand pass."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.corpus_matrix(docs, "lang", "source", "n_chars").orderBy(
+        "is_total_a", "is_total_b", "lang", "source"
+    )

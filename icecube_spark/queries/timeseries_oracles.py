@@ -274,3 +274,46 @@ ORACLES["calendar_lag_features"] = f"""
                RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag_7d
     FROM daily ORDER BY user_id, day_num
 """
+
+ORACLES["running_total"] = """
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS INT) AS seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, seq
+"""
+
+ORACLES["event_transitions"] = """
+    WITH steps AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events),
+    counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n_steps
+        FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_steps,
+           CAST(n_steps AS DOUBLE) /
+           CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS p_transition
+    FROM counts ORDER BY from_type, to_type
+"""
+
+ORACLES["rolling_active_users"] = """
+    WITH daily AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    dau AS (
+        SELECT day, COUNT(*) AS dau FROM daily GROUP BY 1),
+    trail AS (
+        SELECT g.day, g.dau, COUNT(DISTINCT d.user_id) AS trailing_active
+        FROM dau g JOIN daily d
+          ON d.day <= g.day AND d.day > g.day - INTERVAL 7 DAY
+        GROUP BY 1, 2)
+    SELECT day, dau, trailing_active,
+           CAST(dau AS DOUBLE) / CAST(trailing_active AS DOUBLE) AS stickiness
+    FROM trail ORDER BY day
+"""

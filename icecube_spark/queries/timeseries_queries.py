@@ -328,3 +328,28 @@ def calendar_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     out = timeseries.calendar_lags(ev, "ts", "user_id", "value", lags=(1, 7))
     return out.orderBy("user_id", "day_num")
+
+
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 — per-customer cumulative order spend (lifetime-to-date
+    ledger): one shuffle on o_custkey, decimal prefix sums."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    out = timeseries.running_total(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"
+    )
+    return out.orderBy("o_custkey", "seq")
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 — event-type Markov transition matrix over per-user
+    timelines with conditional probabilities."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+    return out.orderBy("from_type", "to_type")
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — DAU + trailing-7-day distinct actives + stickiness."""
+    ev = catalog.load(spark, sf_dir, "events")
+    out = timeseries.rolling_active_users(ev, "ts", "user_id", window_days=7)
+    return out.orderBy("day")

@@ -18,6 +18,8 @@ CASES = [
     ("q13_customer_distribution", analytics.q13_customer_distribution),
     ("q14_promo_revenue", analytics.q14_promo_revenue),
     ("q18_large_orders", analytics.q18_large_orders),
+    ("rfm_segments", analytics.rfm_segments),
+    ("revenue_growth", analytics.revenue_growth),
 ]
 
 

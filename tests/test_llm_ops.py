@@ -27,6 +27,8 @@ CASES = [
     ("embed_label_centroids", lq.embed_label_centroids),
     ("bigram_lift", lq.bigram_lift),
     ("embed_quantize", lq.embed_quantize),
+    ("centroid_similarity", lq.centroid_similarity),
+    ("embed_dim_stats", lq.embed_dim_stats),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

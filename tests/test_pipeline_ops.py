@@ -23,6 +23,8 @@ P_CASES = [
     ("length_histogram", pq.length_histogram),
     ("dup_cluster_sizes", pq.dup_cluster_sizes),
     ("sample_per_group", pq.sample_per_group),
+    ("profile_table", pq.profile_table),
+    ("corpus_matrix", pq.corpus_matrix),
 ]
 
 B_CASES = [

@@ -25,6 +25,9 @@ CASES = [
     ("funnel_conversion", tq.funnel_conversion),
     ("value_percentiles", tq.value_percentiles),
     ("calendar_lag_features", tq.calendar_lag_features),
+    ("running_total", tq.running_total),
+    ("event_transitions", tq.event_transitions),
+    ("rolling_active_users", tq.rolling_active_users),
 ]
 
 
@@ -79,7 +82,9 @@ def test_asof_join_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Join" not in plan, "as-of should not materialize a join"
-    assert plan.count("Exchange") <= 2
+    # catalog's scan fan-out adds RoundRobin exchanges (row-group
+    # starvation workaround); only KEY shuffles count against the op
+    assert plan.count("hashpartitioning") + plan.count("rangepartitioning") <= 2
 
 
 def test_streaming_matches_batch(spark, sf_dir):
