@@ -48,6 +48,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_excess_stock": analytics.q20_excess_stock,
     "rfm_segments": analytics.rfm_segments,
     "revenue_growth": analytics.revenue_growth,
+    "basket_pairs": analytics.basket_pairs,
     "metadata_summary": dq.metadata_summary,
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
@@ -81,6 +82,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": tsq.running_total,
     "event_transitions": tsq.event_transitions,
     "rolling_active_users": tsq.rolling_active_users,
+    "conversion_lag": tsq.conversion_lag,
+    "activity_heatmap": tsq.activity_heatmap,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -102,6 +105,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize": lq.embed_quantize,
     "centroid_similarity": lq.centroid_similarity,
     "embed_dim_stats": lq.embed_dim_stats,
+    "embed_norm_outliers": lq.embed_norm_outliers,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
@@ -121,6 +125,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_per_group": pq.sample_per_group,
     "profile_table": pq.profile_table,
     "corpus_matrix": pq.corpus_matrix,
+    "source_balance_gini": pq.source_balance_gini,
     "decontaminate": pq.decontaminate,
 }
 

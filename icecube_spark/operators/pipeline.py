@@ -464,3 +464,44 @@ def corpus_matrix(df: DataFrame, dim_a: str, dim_b: str, size_col: str) -> DataF
             F.sum(size_col).alias("total_size"),
         )
     )
+
+
+def group_gini(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:
+    """P17 — per-group Gini coefficient of an integer size column
+    (doc lengths per source here): the inequality report behind
+    corpus-balance decisions — a source whose token mass sits in a few
+    giant docs behaves very differently from an evenly-sized one at
+    the same total size.
+
+    Gini = Σ((2·rank − n − 1)·x) / (n·Σx) over the ascending-sorted
+    sizes. With integer x the numerator and denominator are exact
+    BIGINT sums — both engines do identical integer arithmetic and
+    one final double division. One shuffle on the group key, shared
+    by the rank window and the aggregate; ties sort by id so ranks
+    are total-order deterministic.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("x").alias("total_size"),
+            F.sum((2 * F.col("rn")) * F.col("x")).alias("s2rx"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_size",
+            (
+                (
+                    F.col("s2rx") - (F.col("n_docs") + 1) * F.col("total_size")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("total_size")).cast("double")
+            ).alias("gini"),
+        )
+    )

@@ -331,3 +331,54 @@ def dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
             (F.col("qsq").cast("double") / 1e12 / F.col("n")).alias("mean_sq"),
         )
     )
+
+
+def norm_outliers(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """E9 — embedding-norm outlier detection: per-vector squared L2
+    norm, global mean/σ, and a 3σ flag — the cheap sanity filter that
+    catches broken encoders and zero/exploded vectors before they
+    poison ANN indexes or training batches.
+
+    Plan: the per-vector norm is a map-only lambda fold (one pass over
+    the array, no explode, no shuffle); the global moments are one
+    scalar aggregate broadcast back — the corpus is scanned twice but
+    never shuffled. All moment arithmetic is int64 on floor-quantized
+    norms (norm² ≤ 64 here, ·1e9 keeps even sf-1000 sums inside
+    int64), so both engines compare bit-identical doubles.
+    """
+    qnorm = F.aggregate(
+        F.col(vec_col),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * x.cast("double") * F.lit(1e12)).cast("bigint"),
+    )
+    vecs = df.select(
+        F.col(id_col),
+        (qnorm.cast("double") / 1e12).alias("norm_sq"),
+    )
+    stats = vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("norm_sq") * F.lit(1e9)).cast("bigint")).alias("s1"),
+        F.sum(
+            F.floor(F.col("norm_sq") * F.col("norm_sq") * F.lit(1e9)).cast("bigint")
+        ).alias("s2"),
+    ).select(
+        (F.col("s1").cast("double") / 1e9 / F.col("n")).alias("mean_norm_sq"),
+        F.sqrt(
+            F.col("s2").cast("double") / 1e9 / F.col("n")
+            - (F.col("s1").cast("double") / 1e9 / F.col("n"))
+            * (F.col("s1").cast("double") / 1e9 / F.col("n"))
+        ).alias("std_norm_sq"),
+    )
+    return vecs.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "norm_sq",
+        "mean_norm_sq",
+        ((F.col("norm_sq") - F.col("mean_norm_sq")) / F.col("std_norm_sq")).alias(
+            "z"
+        ),
+        (
+            F.abs(F.col("norm_sq") - F.col("mean_norm_sq"))
+            > 3 * F.col("std_norm_sq")
+        ).alias("is_outlier"),
+    )

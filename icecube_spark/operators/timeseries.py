@@ -454,3 +454,91 @@ def rolling_active_users(
             "stickiness"
         ),
     )
+
+
+def conversion_lag_quantiles(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """C23 — time-to-convert profile: for every key whose first
+    `from_type` event is followed by a `to_type` event, the lag
+    between them, summarized as exact rank-selected quantiles
+    (min/p50/p90/max in microseconds). The funnel-latency twin of
+    funnel_conversion — "how long does signup→purchase take", not
+    just "how many convert".
+
+    Plan: the type filter pushes to the scan (two thin branches of
+    one source); both aggregates shuffle on the key. Lags are integer
+    microseconds and quantiles are rank-selected (value at row
+    ceil(q·n)) — pure integer semantics, bit-equal across engines,
+    no interpolation. The final quantile pass runs over one row per
+    converting key (≪ corpus) in a single global window.
+    """
+    first_from = (
+        df.where(F.col(type_col) == from_type)
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("from_ts"))
+    )
+    to_ev = df.where(F.col(type_col) == to_type).select(
+        F.col(key_col), F.col(ts_col).alias("to_ts")
+    )
+    lags = (
+        to_ev.join(first_from, key_col)
+        .where(F.col("to_ts") >= F.col("from_ts"))
+        .groupBy(key_col, "from_ts")
+        .agg(F.min("to_ts").alias("first_to"))
+        .select(
+            F.col(key_col),
+            (F.unix_micros("first_to") - F.unix_micros("from_ts")).alias("lag_us"),
+        )
+    )
+    w = Window.partitionBy().orderBy("lag_us", key_col)
+    ranked = lags.select(
+        F.col("lag_us"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("lag_us"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_us").alias("min_lag_us"),
+        at(F.lit(0.5)).alias("p50_lag_us"),
+        at(F.lit(0.9)).alias("p90_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    )
+
+
+def activity_heatmap(df: DataFrame, ts_col: str, type_col: str) -> DataFrame:
+    """C24 — weekday×hour activity heat map per event type with the
+    within-type share: the seasonality fingerprint behind load
+    forecasting and anomaly baselines.
+
+    Plan: map-only bucketing (weekday Monday=0, hour) then one
+    partial-agg shuffle bounded by |types|·168 rows; the share
+    divides by a type-total window over that tiny aggregate. Exact
+    INT/INT division in both engines.
+    """
+    buckets = df.select(
+        F.col(type_col).alias("event_type"),
+        F.weekday(ts_col).alias("dow"),
+        F.hour(ts_col).alias("hour"),
+    )
+    counts = buckets.groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "share_of_type"
+        ),
+    )

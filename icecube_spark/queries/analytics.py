@@ -683,3 +683,39 @@ def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("growth"),
     ).orderBy("n_name", "month")
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 — market-basket part-pair mining: the top-20 pairs of
+    parts most often bought in the same order (association-rule /
+    co-occurrence input).
+
+    Plan: distinct (order, part) first so multi-line duplicates never
+    inflate counts, then a self-equi-join on the order key — fanout is
+    bounded by lines-per-order (≤ 7 in TPC-H shape → ≤ 21 pairs per
+    order), so the join output is a small constant multiple of the
+    fact table at any scale. Both sides share one orderkey shuffle;
+    the pair aggregate partial-combines map-side to |parts|²-bounded
+    rows and the top-k rank runs over that aggregate only.
+    """
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy().orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

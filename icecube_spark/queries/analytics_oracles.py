@@ -382,3 +382,20 @@ ORACLES["revenue_growth"] = """
     WINDOW w AS (PARTITION BY n_name ORDER BY month)
     ORDER BY n_name, month
 """
+
+ORACLES["basket_pairs"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT part_a, part_b, n_orders,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b)
+                    AS INT) AS rank
+        FROM pairs)
+    SELECT part_a, part_b, n_orders, rank
+    FROM ranked WHERE rank <= 20 ORDER BY rank
+"""

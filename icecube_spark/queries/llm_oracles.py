@@ -422,3 +422,31 @@ ORACLES["embed_dim_stats"] = """
                 AS DOUBLE) / 1e12 / COUNT(*) AS mean_sq
     FROM e GROUP BY 1 ORDER BY dim
 """
+
+ORACLES["embed_norm_outliers"] = """
+    WITH vecs AS (
+        SELECT vec_id,
+               CAST(CAST(SUM(CAST(FLOOR(
+                   CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+                 * CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+                 * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS norm_sq
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs)
+        GROUP BY 1),
+    stats AS (
+        SELECT
+            CAST(CAST(SUM(CAST(FLOOR(norm_sq * 1e9) AS BIGINT)) AS BIGINT)
+                 AS DOUBLE) / 1e9 / COUNT(*) AS mean_norm_sq,
+            sqrt(
+              CAST(CAST(SUM(CAST(FLOOR(norm_sq * norm_sq * 1e9) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*)
+              - (CAST(CAST(SUM(CAST(FLOOR(norm_sq * 1e9) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / 1e9 / COUNT(*))
+              * (CAST(CAST(SUM(CAST(FLOOR(norm_sq * 1e9) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / 1e9 / COUNT(*))
+            ) AS std_norm_sq
+        FROM vecs)
+    SELECT vec_id, norm_sq, mean_norm_sq,
+           (norm_sq - mean_norm_sq) / std_norm_sq AS z,
+           ABS(norm_sq - mean_norm_sq) > 3 * std_norm_sq AS is_outlier
+    FROM vecs CROSS JOIN stats ORDER BY vec_id
+"""

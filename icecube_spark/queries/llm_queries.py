@@ -200,3 +200,10 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 — per-dimension embedding distribution profile
     (normalization / quantization-calibration statistics)."""
     return similarity.dim_stats(_emb(spark, sf_dir), "embedding").orderBy("dim")
+
+
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — embedding-norm 3σ outlier flags (broken-encoder guard)."""
+    return similarity.norm_outliers(_emb(spark, sf_dir), "vec_id", "embedding").orderBy(
+        "vec_id"
+    )

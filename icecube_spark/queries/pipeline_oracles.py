@@ -226,3 +226,17 @@ ORACLES["corpus_matrix"] = """
     GROUP BY GROUPING SETS ((lang), (source), (lang, source))
     ORDER BY is_total_a, is_total_b, lang, source
 """
+
+ORACLES["source_balance_gini"] = """
+    WITH ranked AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_size,
+           CAST(CAST(SUM(2 * rn * x) AS BIGINT)
+                - (COUNT(*) + 1) * CAST(SUM(x) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * CAST(SUM(x) AS BIGINT) AS DOUBLE) AS gini
+    FROM ranked GROUP BY source ORDER BY source
+"""

@@ -142,3 +142,10 @@ def corpus_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_matrix(docs, "lang", "source", "n_chars").orderBy(
         "is_total_a", "is_total_b", "lang", "source"
     )
+
+
+def source_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 — per-source Gini coefficient of doc lengths (corpus
+    balance / inequality report)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.group_gini(docs, "source", "n_chars", "doc_id").orderBy("source")

@@ -317,3 +317,46 @@ ORACLES["rolling_active_users"] = """
            CAST(dau AS DOUBLE) / CAST(trailing_active AS DOUBLE) AS stickiness
     FROM trail ORDER BY day
 """
+
+ORACLES["conversion_lag"] = """
+    WITH ff AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS from_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+    conv AS (
+        SELECT e.user_id, ff.from_us,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_us
+        FROM events e JOIN ff ON e.user_id = ff.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= ff.from_us
+        GROUP BY 1, 2),
+    lags AS (
+        SELECT user_id, first_us - from_us AS lag_us
+        FROM conv),
+    ranked AS (
+        SELECT lag_us, user_id,
+               ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lags)
+    SELECT COUNT(*) AS n_converted,
+           MIN(lag_us) AS min_lag_us,
+           MAX(CASE WHEN rn = CEIL(CAST(0.5 AS DOUBLE) * n) THEN lag_us END)
+               AS p50_lag_us,
+           MAX(CASE WHEN rn = CEIL(CAST(0.9 AS DOUBLE) * n) THEN lag_us END)
+               AS p90_lag_us,
+           MAX(lag_us) AS max_lag_us
+    FROM ranked
+"""
+
+ORACLES["activity_heatmap"] = """
+    WITH counts AS (
+        SELECT event_type,
+               CAST(isodow(ts) - 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, dow, hour, n,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS share_of_type
+    FROM counts ORDER BY event_type, dow, hour
+"""

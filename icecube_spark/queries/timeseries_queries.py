@@ -353,3 +353,20 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     out = timeseries.rolling_active_users(ev, "ts", "user_id", window_days=7)
     return out.orderBy("day")
+
+
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 — signup→purchase time-to-convert profile: exact
+    rank-selected lag quantiles in microseconds."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.conversion_lag_quantiles(
+        ev, "ts", "user_id", "event_type", "signup", "purchase"
+    )
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 — weekday×hour activity heat map per event type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.activity_heatmap(ev, "ts", "event_type").orderBy(
+        "event_type", "dow", "hour"
+    )

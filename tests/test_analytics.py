@@ -20,6 +20,7 @@ CASES = [
     ("q18_large_orders", analytics.q18_large_orders),
     ("rfm_segments", analytics.rfm_segments),
     ("revenue_growth", analytics.revenue_growth),
+    ("basket_pairs", analytics.basket_pairs),
 ]
 
 

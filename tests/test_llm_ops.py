@@ -29,6 +29,7 @@ CASES = [
     ("embed_quantize", lq.embed_quantize),
     ("centroid_similarity", lq.centroid_similarity),
     ("embed_dim_stats", lq.embed_dim_stats),
+    ("embed_norm_outliers", lq.embed_norm_outliers),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

@@ -25,6 +25,7 @@ P_CASES = [
     ("sample_per_group", pq.sample_per_group),
     ("profile_table", pq.profile_table),
     ("corpus_matrix", pq.corpus_matrix),
+    ("source_balance_gini", pq.source_balance_gini),
 ]
 
 B_CASES = [

@@ -28,6 +28,8 @@ CASES = [
     ("running_total", tq.running_total),
     ("event_transitions", tq.event_transitions),
     ("rolling_active_users", tq.rolling_active_users),
+    ("conversion_lag", tq.conversion_lag),
+    ("activity_heatmap", tq.activity_heatmap),
 ]
 
 
