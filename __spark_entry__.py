@@ -49,6 +49,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": analytics.rfm_segments,
     "revenue_growth": analytics.revenue_growth,
     "basket_pairs": analytics.basket_pairs,
+    "brand_spearman": analytics.brand_spearman,
     "metadata_summary": dq.metadata_summary,
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
@@ -84,11 +85,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": tsq.rolling_active_users,
     "conversion_lag": tsq.conversion_lag,
     "activity_heatmap": tsq.activity_heatmap,
+    "coverage_report": tsq.coverage_report,
+    "rapid_repeat_events": tsq.rapid_repeat_events,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
     "dedup_simhash": lq.dedup_simhash,
     "dedup_embedding_cosine": lq.dedup_embedding_cosine,
+    "dedup_containment": lq.dedup_containment,
     "embed_cosine_topk": lq.embed_cosine_topk,
     "embed_knn_label": lq.embed_knn_label,
     "embed_ann_lsh": lq.embed_ann_lsh,
@@ -106,6 +110,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centroid_similarity": lq.centroid_similarity,
     "embed_dim_stats": lq.embed_dim_stats,
     "embed_norm_outliers": lq.embed_norm_outliers,
+    "doc_top_tfidf": lq.doc_top_tfidf,
+    "langid_confusion": lq.langid_confusion,
+    "sentence_stats": lq.sentence_stats,
+    "char_profile": lq.char_profile,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
@@ -126,6 +134,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": pq.profile_table,
     "corpus_matrix": pq.corpus_matrix,
     "source_balance_gini": pq.source_balance_gini,
+    "length_deciles": pq.length_deciles,
+    "user_features": pq.user_features,
     "decontaminate": pq.decontaminate,
 }
 

@@ -265,3 +265,52 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """D6 — exact n-gram CONTAINMENT near-dup pairs: |∩| / min(|A|,|B|).
+    Jaccard misses subset duplicates (a doc embedded inside a much
+    larger one scores low because the union is big); containment is
+    the standard complement that catches them (Broder's resemblance
+    vs containment distinction).
+
+    Plan: identical inverted-index shape to ngram_jaccard_pairs — one
+    gram-explode, one self-equi-join on gram, per-pair count, sizes
+    broadcast back. |∩| and the min size are exact integers; the
+    ratio is one INT/INT double division, bit-equal in both engines.
+    At 100 TB the candidate generation moves to minhash_lsh_pairs and
+    this stays as the verifier on candidates.
+    """
+    grams = with_grams(df.select(id_col, text_col), text_col).select(
+        id_col, F.col("grams")
+    )
+    sizes = grams.select(F.col(id_col), F.size("grams").alias("n"))
+    e = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "grams_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "grams_b")
+    scored = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double")
+            / F.least("grams_a", "grams_b").cast("double"),
+        )
+    )
+    return filter_once(scored, F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "grams_a", "grams_b", "n_shared", "containment"
+    )

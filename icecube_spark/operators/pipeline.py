@@ -505,3 +505,96 @@ def group_gini(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Da
             ).alias("gini"),
         )
     )
+
+
+def length_deciles(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
+    """P18 — global quantile-bucket assignment WITHOUT a global sort:
+    the scale-correct way to tag every row with its corpus-wide
+    length decile (curriculum buckets, stratified eval splits).
+
+    A window row_number over the whole corpus would funnel everything
+    through one partition. Instead: (1) aggregate the exact value
+    histogram — one shuffle to a |distinct-values|-sized table;
+    (2) cumulative counts over that tiny table give, for each decile
+    d, the cut value = min v whose running count reaches ceil(d·N/10);
+    (3) broadcast the 9 cuts back and assign bucket = 1 + #cuts < v,
+    map-only. Integer ranks make the decile edges engine-exact; rows
+    equal to a cut value all land in the same bucket (standard
+    histogram-quantile semantics, deterministic without an id sort).
+    """
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy().orderBy("v")
+    cum = hist.select(
+        "v",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(df.sparkSession.range(1, 10).select(
+            F.col("id").alias("d")
+        )))
+        .where(F.col("cum") >= F.ceil(F.col("d") * F.col("n_total") / 10))
+        .groupBy("d")
+        .agg(F.min("v").alias("cut"))
+    )
+    cut_arr = cuts.agg(
+        F.sort_array(F.collect_list("cut")).alias("cut_list")
+    )
+    return (
+        df.select(F.col(id_col), F.col(value_col))
+        .crossJoin(F.broadcast(cut_arr))
+        .select(
+            id_col,
+            value_col,
+            (
+                1
+                + F.size(
+                    F.filter(
+                        "cut_list", lambda c: c < F.col(value_col)
+                    )
+                )
+            ).cast("int").alias("decile"),
+        )
+    )
+
+
+def feature_join(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """P19 — per-user feature assembly across sources (the
+    feature-store pattern): activity features from the event stream
+    FULL OUTER joined with spend features from the transactional
+    table, zero-filled so downstream training never sees nulls.
+
+    Plan: each source partial-aggregates to one row per user BEFORE
+    the join, so the full-outer shuffle moves user-cardinality rows,
+    never raw facts. Value sums fold in decimal (functions/parity.py).
+    """
+    from icecube_spark.functions.parity import dsum
+
+    ev = events.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        dsum("value").alias("total_value"),
+        F.max("ts").alias("last_event_ts"),
+    )
+    od = orders.groupBy(F.col("o_custkey").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_spend"),
+    )
+    j = ev.join(od, "uid", "full_outer")
+    return j.select(
+        F.col("uid").alias("user_id"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        "last_event_ts",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )

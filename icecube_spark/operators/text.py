@@ -304,3 +304,121 @@ def bigram_lift(
         .where(F.col("rank") <= k)
         .select("rank", "gram", "c_gram", "c_t1", "c_t2", "lift")
     )
+
+
+def top_tfidf_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """F11 — per-doc top-k distinctive terms by tf·(N/df): keyword
+    extraction, the per-document counterpart of term_commonness. The
+    log is deliberately dropped from idf — log(N/df) is monotone in
+    N/df, so the RANKING is identical and the score stays a pure
+    ratio of exact integers (both engines evaluate the identical
+    double expression; no transcendental-function parity risk).
+
+    Plan: one (doc,term) tf shuffle; df folds out of the same tf
+    table with a vocab-bounded second shuffle; N is a scalar
+    broadcast. The df join-back shuffles on term — Zipf-head skew is
+    absorbed by AQE skew split (at 100 TB broadcast the head of the
+    df table instead). The rank window partitions by doc over
+    tf-table-sized input.
+    """
+    toks = _toks(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def langid_confusion(df: DataFrame, id_col: str, text_col: str, truth_col: str) -> DataFrame:
+    """F12 — language-ID quality audit: confusion matrix of the
+    metadata language label vs the F1 heuristic's prediction, with
+    the within-truth share. The calibration report run before
+    trusting either signal for corpus filtering.
+
+    Plan: the F1 scoring is map-only codegen; one partial-agg
+    shuffle bounded by |langs|² rows; the share divides by a
+    truth-total window over that tiny aggregate.
+    """
+    pred = lang_id(df.select(id_col, text_col, truth_col), id_col, text_col)
+    joined = df.select(F.col(id_col), F.col(truth_col)).join(
+        pred.select(F.col(id_col), "predicted_lang"), id_col
+    )
+    counts = joined.groupBy(
+        F.col(truth_col).alias("true_lang"), F.col("predicted_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "share_of_true"
+        ),
+    )
+
+
+def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F13 — per-doc sentence profile: sentence count, mean/max words
+    per sentence — the readability / fragment-detection signal
+    (one-sentence walls of text and staccato fragments both predict
+    low training value).
+
+    Plan: map-only — the sentence split and the word counts are one
+    pass of codegen'd array lambdas; no explode, no shuffle. The mean
+    is one exact INT/INT double division.
+    """
+    norm = NORM.format(col=text_col)
+    sents = f"filter(split({norm}, '\\\\. '), s -> length(s) > 0)"
+    wc = f"transform({sents}, s -> size(split(s, ' ')))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({sents})").cast("int").alias("n_sentences"),
+        F.expr(f"aggregate({wc}, 0L, (a, x) -> a + x)").alias("n_words"),
+        (
+            F.expr(f"aggregate({wc}, 0L, (a, x) -> a + x)").cast("double")
+            / F.expr(f"size({sents})").cast("double")
+        ).alias("mean_sentence_words"),
+        F.expr(f"array_max({wc})").cast("int").alias("max_sentence_words"),
+    )
+
+
+def char_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F14 — raw-text character-class profile: digit / uppercase /
+    whitespace / punctuation ratios — the cheap symbol-soup filters
+    (C4/Gopher both gate on these) computed without normalizing, so
+    case information survives.
+
+    Plan: pure regexp_replace length arithmetic in whole-stage
+    codegen; ratios are exact INT/INT double divisions.
+    """
+    n = F.length(text_col)
+    cls = lambda pat: F.length(  # noqa: E731
+        F.regexp_replace(F.col(text_col), pat, "")
+    )
+    ratio = lambda pat: (  # noqa: E731
+        (n - cls(pat)).cast("double") / n.cast("double")
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars_raw"),
+        ratio("[0-9]").alias("digit_ratio"),
+        ratio("[A-Z]").alias("upper_ratio"),
+        ratio("[ ]").alias("space_ratio"),
+        ratio("[.,!?;:]").alias("punct_ratio"),
+    )

@@ -542,3 +542,78 @@ def activity_heatmap(df: DataFrame, ts_col: str, type_col: str) -> DataFrame:
             "share_of_type"
         ),
     )
+
+
+def coverage_report(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
+    """C25 — per-key time-axis coverage: active days, span, longest
+    day gap, completeness ratio. The reference's dummy-layer
+    accounting (sar_datacube.py gap rows) turned into the per-stack
+    coverage report an ingestion pipeline checks before trusting a
+    time series.
+
+    Plan: dedup to (key, day) first (one shuffle that the lag window
+    and the aggregate then reuse — dedup output is hash-clustered by
+    the same key). All arithmetic is integer day numbers; the
+    completeness ratio is one exact INT/INT double division.
+    """
+    day = F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date"))
+    days = df.select(F.col(key_col), day.alias("day_num")).distinct()
+    w = Window.partitionBy(key_col).orderBy("day_num")
+    g = days.select(
+        F.col(key_col),
+        F.col("day_num"),
+        (F.col("day_num") - F.lag("day_num").over(w) - 1).alias("gap_days"),
+    )
+    return g.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        (F.max("day_num") - F.min("day_num") + 1).alias("span_days"),
+        F.coalesce(F.max("gap_days"), F.lit(0)).alias("max_gap_days"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / (F.max("day_num") - F.min("day_num") + 1).cast("double")
+        ).alias("completeness"),
+    )
+
+
+def rapid_repeats(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    max_gap_s: int = 1,
+) -> DataFrame:
+    """C26 — rapid-repeat detector: per key, how many events repeat
+    the same type within `max_gap_s` of the previous one — the
+    bot/dup-fire signal behind rate-limit and data-quality alerts.
+
+    Plan: one shuffle on (key, type) for the lag window; the per-key
+    rollup re-shuffles only (key, type) aggregate rows. Gap compare
+    is integer microseconds; the ratio is exact INT/INT division.
+    """
+    w = Window.partitionBy(key_col, type_col).orderBy(ts_col, tiebreak_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    flagged = df.select(
+        F.col(key_col),
+        F.col(type_col),
+        F.when(gap_us < max_gap_s * 1_000_000, 1).otherwise(0).alias("is_rapid"),
+    )
+    per_type = flagged.groupBy(key_col, type_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_rapid").alias("n_rapid")
+    )
+    return (
+        per_type.groupBy(key_col)
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("n_rapid").alias("n_rapid"),
+        )
+        .where(F.col("n_rapid") > 0)
+        .select(
+            key_col,
+            "n_events",
+            "n_rapid",
+            (F.col("n_rapid").cast("double") / F.col("n_events").cast("double")).alias(
+                "rapid_ratio"
+            ),
+        )
+    )

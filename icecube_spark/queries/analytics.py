@@ -719,3 +719,55 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+def brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 — per-brand Spearman rank correlation between quantity and
+    price: ρ = 1 − 6·Σd²/(n(n²−1)). Rank correlation instead of
+    Pearson deliberately: ranks are integers, so Σd² is exact int64
+    and the whole statistic is one double division at the end —
+    Pearson's raw-double moment sums can't be made engine-exact at
+    price magnitudes (see functions/parity.py).
+
+    Plan: one exchange on the brand key reused by BOTH rank windows
+    (same partition key, two in-partition sorts) and the final
+    aggregate. Ties break on (orderkey, linenumber) so ranks are
+    total-order deterministic.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        "l_quantity",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    # (orderkey, linenumber) is NOT unique in this data — the full
+    # (orderkey, linenumber, partkey, suppkey) quad is the row identity
+    tie = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    wq = Window.partitionBy("p_brand").orderBy(
+        "l_quantity", *tie, "l_extendedprice"
+    )
+    wp = Window.partitionBy("p_brand").orderBy(
+        "l_extendedprice", *tie, "l_quantity"
+    )
+    ranked = j.select(
+        "p_brand",
+        (F.row_number().over(wq) - F.row_number().over(wp)).cast("bigint").alias("d"),
+    )
+    agg = ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("sd2"),
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        (
+            1
+            - (6 * F.col("sd2")).cast("double")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
+        ).alias("spearman_rho"),
+    ).orderBy("p_brand")

@@ -399,3 +399,21 @@ ORACLES["basket_pairs"] = """
     SELECT part_a, part_b, n_orders, rank
     FROM ranked WHERE rank <= 20 ORDER BY rank
 """
+
+ORACLES["brand_spearman"] = """
+    WITH ranked AS (
+        SELECT p_brand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                    ORDER BY l_quantity, l_orderkey, l_linenumber,
+                             l_partkey, l_suppkey, l_extendedprice)
+                  - ROW_NUMBER() OVER (PARTITION BY p_brand
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                             l_partkey, l_suppkey, l_quantity)
+                    AS BIGINT) AS d
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT p_brand, COUNT(*) AS n,
+           1 - CAST(6 * CAST(SUM(d * d) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+               AS spearman_rho
+    FROM ranked GROUP BY p_brand ORDER BY p_brand
+"""

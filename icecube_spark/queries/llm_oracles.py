@@ -450,3 +450,99 @@ ORACLES["embed_norm_outliers"] = """
            ABS(norm_sq - mean_norm_sq) > 3 * std_norm_sq AS is_outlier
     FROM vecs CROSS JOIN stats ORDER BY vec_id
 """
+
+ORACLES["dedup_containment"] = f"""
+    WITH {_GRAMS_CTES},
+    e AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+    sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(sa.n AS INT) AS grams_a, CAST(sb.n AS INT) AS grams_b,
+           n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+               AS containment
+    FROM p
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.8
+"""
+
+ORACLES["doc_top_tfidf"] = f"""
+    WITH terms AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        WHERE term != '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                   AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS INT) AS rank
+        FROM scored)
+    SELECT doc_id, term, tf, df, score, rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+ORACLES["langid_confusion"] = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_scores}
+        FROM documents),
+    pred AS (
+        SELECT doc_id, lang AS true_lang,
+               CASE WHEN en_score + de_score + fr_score + es_score = 0 THEN 'und'
+                    WHEN en_score >= de_score AND en_score >= fr_score
+                         AND en_score >= es_score THEN 'en'
+                    WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                    WHEN fr_score >= es_score THEN 'fr'
+                    ELSE 'es' END AS predicted_lang
+        FROM scored),
+    counts AS (
+        SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY 1, 2)
+    SELECT true_lang, predicted_lang, n_docs,
+           CAST(n_docs AS DOUBLE) /
+           CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)
+               AS share_of_true
+    FROM counts ORDER BY true_lang, predicted_lang
+"""
+
+ORACLES["sentence_stats"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM}, '. '), s -> length(s) > 0)
+                   AS sents
+        FROM documents),
+    wc AS (
+        SELECT doc_id, sents,
+               [len(string_split(x, ' ')) FOR x IN sents] AS wcs
+        FROM s)
+    SELECT doc_id,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(list_sum(wcs) AS BIGINT) AS n_words,
+           CAST(list_sum(wcs) AS DOUBLE) / CAST(len(sents) AS DOUBLE)
+               AS mean_sentence_words,
+           CAST(list_max(wcs) AS INT) AS max_sentence_words
+    FROM wc ORDER BY doc_id
+"""
+
+ORACLES["char_profile"] = """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE) AS upper_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+    FROM documents ORDER BY doc_id
+"""

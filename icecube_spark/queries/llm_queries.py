@@ -207,3 +207,35 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.norm_outliers(_emb(spark, sf_dir), "vec_id", "embedding").orderBy(
         "vec_id"
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — exact n-gram containment near-dup pairs (catches subset
+    duplicates that Jaccard misses)."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+def doc_top_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — per-doc top-3 distinctive terms by tf·(N/df)."""
+    return text.top_tfidf_terms(_docs(spark, sf_dir), "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — metadata-lang vs heuristic-prediction confusion matrix."""
+    return text.langid_confusion(_docs(spark, sf_dir), "doc_id", "text", "lang").orderBy(
+        "true_lang", "predicted_lang"
+    )
+
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — per-doc sentence-length profile (readability signal)."""
+    return text.sentence_stats(_docs(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — raw-text character-class ratios (symbol-soup filters)."""
+    return text.char_profile(_docs(spark, sf_dir), "doc_id", "text").orderBy("doc_id")

@@ -240,3 +240,46 @@ ORACLES["source_balance_gini"] = """
            / CAST(COUNT(*) * CAST(SUM(x) AS BIGINT) AS DOUBLE) AS gini
     FROM ranked GROUP BY source ORDER BY source
 """
+
+ORACLES["length_deciles"] = """
+    WITH hist AS (
+        SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    cum AS (
+        SELECT v,
+               SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER () AS n_total
+        FROM hist),
+    cuts AS (
+        SELECT d, MIN(v) AS cut
+        FROM cum CROSS JOIN range(1, 10) t(d)
+        WHERE cum >= CEIL(d * n_total / 10)
+        GROUP BY d)
+    SELECT doc_id, n_chars,
+           CAST(1 + (SELECT COUNT(*) FROM cuts WHERE cut < n_chars) AS INT)
+               AS decile
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLES["user_features"] = """
+    WITH ev AS (
+        SELECT user_id AS uid, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS total_value,
+               CAST(MAX(ts) AS TIMESTAMP) AS last_event_ts
+        FROM events GROUP BY 1),
+    od AS (
+        SELECT o_custkey AS uid, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY 1)
+    SELECT COALESCE(ev.uid, od.uid) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(total_value, 0.0) AS total_value,
+           last_event_ts,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_spend, 0.0) AS total_spend
+    FROM ev FULL OUTER JOIN od ON ev.uid = od.uid
+    ORDER BY user_id
+"""

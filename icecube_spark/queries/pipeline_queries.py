@@ -149,3 +149,18 @@ def source_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance / inequality report)."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.group_gini(docs, "source", "n_chars", "doc_id").orderBy("source")
+
+
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 — corpus-wide length-decile tag per doc via histogram
+    cutpoints (no global sort)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.length_deciles(docs, "doc_id", "n_chars").orderBy("doc_id")
+
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 — per-user cross-source feature assembly (events ⋈ orders
+    full-outer, zero-filled)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    orders = catalog.load(spark, sf_dir, "orders")
+    return pipeline.feature_join(ev, orders).orderBy("user_id")

@@ -360,3 +360,46 @@ ORACLES["activity_heatmap"] = """
                AS share_of_type
     FROM counts ORDER BY event_type, dow, hour
 """
+
+ORACLES["coverage_report"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+        FROM events),
+    g AS (
+        SELECT user_id, day_num,
+               day_num - LAG(day_num) OVER (PARTITION BY user_id
+                                            ORDER BY day_num) - 1 AS gap_days
+        FROM days)
+    SELECT user_id,
+           COUNT(*) AS n_active_days,
+           MAX(day_num) - MIN(day_num) + 1 AS span_days,
+           CAST(COALESCE(MAX(gap_days), 0) AS BIGINT) AS max_gap_days,
+           CAST(COUNT(*) AS DOUBLE) /
+           CAST(MAX(day_num) - MIN(day_num) + 1 AS DOUBLE) AS completeness
+    FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["rapid_repeat_events"] = """
+    WITH flagged AS (
+        SELECT user_id, event_type,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(CAST(LAG(ts) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS TIMESTAMP))
+                      < 60000000
+                    THEN 1 ELSE 0 END AS is_rapid
+        FROM events),
+    per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               CAST(SUM(is_rapid) AS BIGINT) AS n_rapid
+        FROM flagged GROUP BY 1, 2),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(n_rapid) AS BIGINT) AS n_rapid
+        FROM per_type GROUP BY 1)
+    SELECT user_id, n_events, n_rapid,
+           CAST(n_rapid AS DOUBLE) / CAST(n_events AS DOUBLE) AS rapid_ratio
+    FROM per_user WHERE n_rapid > 0 ORDER BY user_id
+"""

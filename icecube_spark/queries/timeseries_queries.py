@@ -370,3 +370,19 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.activity_heatmap(ev, "ts", "event_type").orderBy(
         "event_type", "dow", "hour"
     )
+
+
+def coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 — per-user time-axis coverage (active days, span, longest
+    gap, completeness)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.coverage_report(ev, "ts", "user_id").orderBy("user_id")
+
+
+def rapid_repeat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 — same-type sub-second repeat detector (bot / dup-fire
+    signal) per user."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.rapid_repeats(
+        ev, "ts", "user_id", "event_type", "event_id", max_gap_s=60
+    ).orderBy("user_id")

@@ -21,6 +21,7 @@ CASES = [
     ("rfm_segments", analytics.rfm_segments),
     ("revenue_growth", analytics.revenue_growth),
     ("basket_pairs", analytics.basket_pairs),
+    ("brand_spearman", analytics.brand_spearman),
 ]
 
 

@@ -30,6 +30,11 @@ CASES = [
     ("centroid_similarity", lq.centroid_similarity),
     ("embed_dim_stats", lq.embed_dim_stats),
     ("embed_norm_outliers", lq.embed_norm_outliers),
+    ("dedup_containment", lq.dedup_containment),
+    ("doc_top_tfidf", lq.doc_top_tfidf),
+    ("langid_confusion", lq.langid_confusion),
+    ("sentence_stats", lq.sentence_stats),
+    ("char_profile", lq.char_profile),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 

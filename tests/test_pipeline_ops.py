@@ -26,6 +26,8 @@ P_CASES = [
     ("profile_table", pq.profile_table),
     ("corpus_matrix", pq.corpus_matrix),
     ("source_balance_gini", pq.source_balance_gini),
+    ("length_deciles", pq.length_deciles),
+    ("user_features", pq.user_features),
 ]
 
 B_CASES = [

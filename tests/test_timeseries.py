@@ -30,6 +30,8 @@ CASES = [
     ("rolling_active_users", tq.rolling_active_users),
     ("conversion_lag", tq.conversion_lag),
     ("activity_heatmap", tq.activity_heatmap),
+    ("coverage_report", tq.coverage_report),
+    ("rapid_repeat_events", tq.rapid_repeat_events),
 ]
 
 
