@@ -87,6 +87,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "activity_heatmap": tsq.activity_heatmap,
     "coverage_report": tsq.coverage_report,
     "rapid_repeat_events": tsq.rapid_repeat_events,
+    "props_extract": tsq.props_extract,
+    "value_histogram": tsq.value_histogram,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
@@ -114,10 +116,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": lq.langid_confusion,
     "sentence_stats": lq.sentence_stats,
     "char_profile": lq.char_profile,
+    "embed_top_dims": lq.embed_top_dims,
+    "multimodal_frames": lq.multimodal_frames,
     "multimodal_meta": lq.multimodal_meta,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
     "embed_ann_ivf": lq.embed_ann_ivf,
     "text_features": lq.text_features,
+    "approx_profile": pq.approx_profile,
+    "multimodal_features": lq.multimodal_features,
     # training-data pipeline (group P):
     "train_test_split": pq.train_test_split,
     "stratified_sample": pq.stratified_sample,

@@ -64,3 +64,71 @@ def decode_stub(df: DataFrame) -> DataFrame:
             yield _decode_batch(pdf)
 
     return df.mapInPandas(run, schema=META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_offset long, frame_key string"
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """G2 — frame sampling: each payload row fans out to its n_frames
+    frame rows (video → frame table), the 1→N mapInPandas shape every
+    video pipeline needs. Frame count and byte offsets reuse the stub
+    codec's deterministic dimensions; frame_key is md5(doc_id:idx) so
+    the output is oracle-replicable despite the pandas path.
+
+    Plan: embarrassingly parallel — no shuffle; each Arrow batch
+    expands in-worker (fanout bounded by max n_frames = 7). At 100 TB
+    the frame table lands partitioned by doc hash, never through the
+    driver.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            byte_len = pdf["payload"].apply(len).astype("int64")
+            n_frames = byte_len % 7 + 1
+            rows = {
+                "doc_id": pdf["doc_id"].repeat(n_frames),
+                "byte_len": byte_len.repeat(n_frames),
+                "n_frames": n_frames.repeat(n_frames),
+            }
+            out = pd.DataFrame(rows).reset_index(drop=True)
+            out["frame_idx"] = out.groupby("doc_id").cumcount()
+            out["frame_offset"] = out["frame_idx"] * (
+                out["byte_len"] // out["n_frames"]
+            )
+            out["frame_key"] = [
+                hashlib.md5(f"{d}:{i}".encode()).hexdigest()
+                for d, i in zip(out["doc_id"], out["frame_idx"])
+            ]
+            yield out[["doc_id", "frame_idx", "frame_offset", "frame_key"]]
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, feature array<double>"
+FEATURE_DIM = 8
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """G3 — feature extraction stub: payload bytes → fixed-width
+    float vector (the embed-the-image stage; a real model swaps in
+    without touching the plan). v_j = payload[j·L/8] / 255 —
+    deterministic in the bytes, values in [0,1]. Rows-only (blob
+    indexing is pandas-side); the unit test pins determinism, schema,
+    bounds.
+
+    Plan: map-only mapInPandas, vector width constant — the output is
+    ANN-index-ready input for the E-group operators.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                ln = max(len(b), 1)
+                feats.append(
+                    [b[(j * ln) // FEATURE_DIM % ln] / 255.0 for j in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

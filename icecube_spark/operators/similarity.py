@@ -382,3 +382,34 @@ def norm_outliers(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             > 3 * F.col("std_norm_sq")
         ).alias("is_outlier"),
     )
+
+
+def top_dims(df: DataFrame, id_col: str, vec_col: str, k: int = 3) -> DataFrame:
+    """E10 — per-vector top-k dimensions by |magnitude|: the sparse
+    fingerprint used for interpretability probes and sparse-index
+    pruning (which dims carry this vector's mass).
+
+    Plan: entirely map-only — the (|x|, dim) pairs are built, sorted,
+    and sliced inside one codegen'd array expression; no explode, no
+    shuffle, output rows = k·corpus via a bounded posexplode of the
+    k-slice. Magnitude compare is exact double; ties break on the
+    LOWER dim via the (|x|, -dim) struct sort so both engines pick
+    identical winners.
+    """
+    pairs = (
+        f"transform({vec_col}, (x, i) -> "
+        f"struct(abs(cast(x as double)) as m, -i as nd))"
+    )
+    top = (
+        f"slice(reverse(array_sort({pairs})), 1, {k})"
+    )
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(top)).alias("rank0", "p"),
+    )
+    return e.select(
+        id_col,
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+        (-F.col("p.nd")).cast("int").alias("dim"),
+        F.col("p.m").alias("magnitude"),
+    )

@@ -617,3 +617,56 @@ def rapid_repeats(
             ),
         )
     )
+
+
+def json_props_stats(df: DataFrame, type_col: str, props_col: str) -> DataFrame:
+    """C27 — semi-structured payload promotion: parse the JSON props
+    column into typed fields (from_json with an explicit schema — the
+    schema-on-read path every event pipeline needs) and profile the
+    extracted value per event type.
+
+    Plan: from_json is map-only codegen (no Python); the aggregate is
+    one partial-agg shuffle bounded by |types|. avg is an exact
+    INT/INT double division. At 100 TB promote once and persist the
+    typed column — this op is the promotion audit.
+    """
+    parsed = df.select(
+        F.col(type_col).alias("event_type"),
+        F.from_json(F.col(props_col), "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_parsed"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
+def value_histogram(
+    df: DataFrame, type_col: str, value_col: str, width: float = 50.0
+) -> DataFrame:
+    """C28 — fixed-width value histogram per event type: the
+    distribution fingerprint behind drift monitors and range checks.
+
+    Plan: map-only bucketing (one floor division, codegen), a single
+    partial-agg shuffle bounded by |types|·|buckets|, and an exact
+    INT/INT share division. floor(value/width) is the identical
+    double op in both engines.
+    """
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bucket")
+    counts = df.select(F.col(type_col).alias("event_type"), b).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * F.lit(width)).alias("bucket_low"),
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "share"
+        ),
+    )

@@ -546,3 +546,33 @@ ORACLES["char_profile"] = """
                 AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
     FROM documents ORDER BY doc_id
 """
+
+ORACLES["embed_top_dims"] = """
+    WITH pairs AS (
+        SELECT vec_id,
+               list_sort(
+                 [{m: abs(CAST(embedding[CAST(gs AS INT)] AS DOUBLE)),
+                   nd: -(CAST(gs AS INT) - 1)}
+                  FOR gs IN range(1, 65)], 'DESC') AS top
+        FROM embeddings)
+    SELECT vec_id,
+           CAST(r AS INT) AS rank,
+           CAST(-top[CAST(r AS INT)].nd AS INT) AS dim,
+           top[CAST(r AS INT)].m AS magnitude
+    FROM pairs CROSS JOIN range(1, 4) t(r)
+    ORDER BY vec_id, rank
+"""
+
+ORACLES["multimodal_frames"] = """
+    WITH meta AS (
+        SELECT doc_id, strlen(text) AS byte_len,
+               strlen(text) % 7 + 1 AS n_frames
+        FROM documents)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * (byte_len // n_frames) AS BIGINT) AS frame_offset,
+           md5(doc_id || ':' || f) AS frame_key
+    FROM meta CROSS JOIN range(0, 7) t(f)
+    WHERE f < n_frames
+    ORDER BY doc_id, frame_idx
+"""

@@ -239,3 +239,23 @@ def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14 — raw-text character-class ratios (symbol-soup filters)."""
     return text.char_profile(_docs(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def embed_top_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — per-vector top-3 |magnitude| dimensions (sparse
+    fingerprint)."""
+    return similarity.top_dims(_emb(spark, sf_dir), "vec_id", "embedding", k=3).orderBy(
+        "vec_id", "rank"
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — 1→N frame sampling through Arrow mapInPandas."""
+    payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.sample_frames(payload).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — binary → fixed-width feature-vector stub (rows-only)."""
+    payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.extract_features(payload).orderBy("doc_id")

@@ -164,3 +164,19 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     orders = catalog.load(spark, sf_dir, "orders")
     return pipeline.feature_join(ev, orders).orderBy("user_id")
+
+
+def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20 — HLL approximate-distinct profile of lineitem key columns
+    (rows-only: HLL sketches are engine-specific; the unit test
+    asserts <5% relative error vs exact). This is the 100 TB
+    profiling path — profile_table's exact countDistinct is the
+    oracle-able small-scale twin."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        # rsd 0.02: a 3.5 KB HLL++ sketch per column — still constant
+        # memory per task at 100 TB, comfortably inside the 5% bound
+        F.approx_count_distinct(c, rsd=0.02).alias(f"approx_{c}") for c in cols
+    ]
+    return li.agg(*aggs)

@@ -403,3 +403,29 @@ ORACLES["rapid_repeat_events"] = """
            CAST(n_rapid AS DOUBLE) / CAST(n_events AS DOUBLE) AS rapid_ratio
     FROM per_user WHERE n_rapid > 0 ORDER BY user_id
 """
+
+ORACLES["props_extract"] = """
+    WITH parsed AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events)
+    SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_parsed,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE)
+               AS avg_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS n_distinct_k
+    FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["value_histogram"] = """
+    WITH counts AS (
+        SELECT event_type,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, bucket, bucket * 50.0 AS bucket_low, n,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+    FROM counts ORDER BY event_type, bucket
+"""

@@ -386,3 +386,19 @@ def rapid_repeat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rapid_repeats(
         ev, "ts", "user_id", "event_type", "event_id", max_gap_s=60
     ).orderBy("user_id")
+
+
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 — JSON payload promotion (from_json) + per-type profile of
+    the extracted field."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.json_props_stats(ev, "event_type", "props").orderBy("event_type")
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 — fixed-width value histogram per event type (drift
+    monitor input)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.value_histogram(ev, "event_type", "value", width=50.0).orderBy(
+        "event_type", "bucket"
+    )

@@ -35,6 +35,7 @@ CASES = [
     ("langid_confusion", lq.langid_confusion),
     ("sentence_stats", lq.sentence_stats),
     ("char_profile", lq.char_profile),
+    ("embed_top_dims", lq.embed_top_dims),
     ("multimodal_meta", lq.multimodal_meta),
 ]
 
@@ -81,3 +82,19 @@ def test_multimodal_batches_are_real_arrow(spark, sf_dir):
     assert (pdf["byte_len"] > 0).all()
     assert set(pdf["modality"]) == {"image"}
     assert pdf["width"].between(16, 1024).all()
+
+
+def test_multimodal_frames_fanout(spark, sf_dir, oracle):
+    """G2: 1→N frame fanout matches the deterministic oracle."""
+    assert_matches_oracle(
+        lq.multimodal_frames(spark, sf_dir), oracle, ORACLES["multimodal_frames"]
+    )
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    """G3 (rows-only): fixed width, [0,1] bounds, run-to-run stable."""
+    a = lq.multimodal_features(spark, sf_dir).toPandas()
+    assert (a.feature.apply(len) == 8).all()
+    assert a.feature.apply(lambda v: all(0.0 <= x <= 1.0 for x in v)).all()
+    b = lq.multimodal_features(spark, sf_dir).toPandas()
+    assert a.feature.apply(tuple).equals(b.feature.apply(tuple))

@@ -115,3 +115,14 @@ def test_decontaminate_splits_disjoint(spark, sf_dir):
     split = pq.train_test_split(spark, sf_dir).toPandas().set_index("doc_id")["split"]
     assert (split.loc[pairs.train_doc] == "train").all()
     assert (split.loc[pairs.eval_doc] == "test").all()
+
+
+def test_approx_profile_error_bounds(spark, sf_dir, oracle):
+    """P20 (rows-only): HLL distinct estimates within 5% of exact."""
+    got = pq.approx_profile(spark, sf_dir).toPandas().iloc[0]
+    for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]:
+        exact = oracle.execute(
+            f"SELECT COUNT(DISTINCT {c}) FROM lineitem"
+        ).fetchone()[0]
+        rel = abs(got[f"approx_{c}"] - exact) / exact
+        assert rel < 0.05, f"{c}: approx {got[f'approx_{c}']} vs {exact}"

@@ -32,6 +32,8 @@ CASES = [
     ("activity_heatmap", tq.activity_heatmap),
     ("coverage_report", tq.coverage_report),
     ("rapid_repeat_events", tq.rapid_repeat_events),
+    ("props_extract", tq.props_extract),
+    ("value_histogram", tq.value_histogram),
 ]
 
 
