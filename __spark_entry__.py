@@ -50,7 +50,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_growth": analytics.revenue_growth,
     "basket_pairs": analytics.basket_pairs,
     "brand_spearman": analytics.brand_spearman,
+    "ship_latency_quantiles": analytics.ship_latency_quantiles,
+    "basket_lift": analytics.basket_lift,
     "metadata_summary": dq.metadata_summary,
+    "spatial_bbox_join": dq.spatial_bbox_join,
     "cube_config_filter": dq.cube_config_filter,
     "cube_temporal_dedup": dq.cube_temporal_dedup,
     "cube_resample_gapfill": dq.cube_resample_gapfill,
@@ -89,12 +92,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rapid_repeat_events": tsq.rapid_repeat_events,
     "props_extract": tsq.props_extract,
     "value_histogram": tsq.value_histogram,
+    "scd2_intervals": tsq.scd2_intervals,
+    "purchase_attribution": tsq.purchase_attribution,
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,
     "dedup_ngram_jaccard": lq.dedup_ngram_jaccard,
     "dedup_simhash": lq.dedup_simhash,
     "dedup_embedding_cosine": lq.dedup_embedding_cosine,
     "dedup_containment": lq.dedup_containment,
+    "fuzzy_name_pairs": lq.fuzzy_name_pairs,
     "embed_cosine_topk": lq.embed_cosine_topk,
     "embed_knn_label": lq.embed_knn_label,
     "embed_ann_lsh": lq.embed_ann_lsh,
@@ -142,6 +148,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_balance_gini": pq.source_balance_gini,
     "length_deciles": pq.length_deciles,
     "user_features": pq.user_features,
+    "skew_report": pq.skew_report,
     "decontaminate": pq.decontaminate,
 }
 

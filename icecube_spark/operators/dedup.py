@@ -314,3 +314,36 @@ def containment_pairs(
     return filter_once(scored, F.col("containment") >= threshold).select(
         "doc_a", "doc_b", "grams_a", "grams_b", "n_shared", "containment"
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """D7 — edit-distance near-dup pairs with blocking: Levenshtein ≤
+    max_dist between DISTINCT values, candidates generated per block
+    (last token) instead of all-pairs — the entity-resolution /
+    catalog-dedup primitive (typo'd titles, product-name variants)
+    that the hash-family dedups (D1-D4) can't express.
+
+    Plan: distinct-first shrinks the join to value cardinality (the
+    Zipf tail of names, not the corpus); the block equi-join bounds
+    candidate fanout to within-block pairs; levenshtein runs in
+    codegen on candidates only. At 100 TB add a length-band to the
+    block key and/or a q-gram prefilter — the shape (block equi-join
+    then verify) is unchanged.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.select(
+        "name", F.element_at(F.split("name", " "), -1).alias("block")
+    )
+    a = blocked.select(F.col("name").alias("name_a"), "block")
+    b = blocked.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("name_a", "name_b", "edit_dist")
+    )

@@ -598,3 +598,44 @@ def feature_join(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
     )
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """P21 — join-key skew diagnosis: per-key cardinalities reduced to
+    the numbers a planner (or a human) needs — total keys, max/mean
+    rows per key, skew factor, and the top-k heavy keys. Run before
+    any big join to decide between AQE skew split, salting, or a
+    broadcast of the hot keys.
+
+    Plan: one partial-agg shuffle to key cardinality; everything after
+    runs on the aggregate (scalar stats broadcast back, heavy-hitter
+    rank over the aggregate only). The mean is an exact INT/INT
+    double division.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("rows_per_key")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("rows_per_key").alias("n_rows"),
+        F.max("rows_per_key").alias("max_rows"),
+    )
+    w = Window.partitionBy().orderBy(F.desc("rows_per_key"), F.asc("key"))
+    top = per_key.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        "key",
+        "rows_per_key",
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")).alias(
+            "mean_rows_per_key"
+        ),
+        (
+            F.col("rows_per_key").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+        ).alias("skew_factor"),
+    )

@@ -56,3 +56,72 @@ def bbox_intersects(
         & (ymin_a <= ymax_b)
         & (ymin_b <= ymax_a)
     )
+
+
+def bbox_join_grid(
+    boxes: DataFrame,
+    id_col: str,
+    cell: int = 100,
+) -> DataFrame:
+    """A13 — all-pairs 2-D bbox intersection via grid bucketing: the
+    distributed spatial join behind select_overlapping_rasters
+    generalized from 1-vs-primary to all-pairs (which rasters can
+    co-register with which).
+
+    Expects integer columns xmin/ymin/xmax/ymax. Each box explodes to
+    the grid cells it covers (bounded fanout: ceil(w/cell)+1 per
+    axis); candidates equi-join on the cell — never a cross join. A
+    pair sharing several cells is emitted ONCE without any DISTINCT
+    shuffle via the reference-point trick: only the cell containing
+    (max(xmin), max(ymin)) — a cell both boxes cover whenever they
+    intersect — reports the pair. Overlap area is exact integer math.
+    """
+    cells = boxes.select(
+        F.col(id_col),
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        F.explode(
+            F.sequence(F.floor(F.col("xmin") / cell), F.floor(F.col("xmax") / cell))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("ymin") / cell), F.floor(F.col("ymax") / cell))
+        ).alias("cy"),
+    )
+    a = cells.select(
+        *[F.col(c).alias(f"{c}_a") for c in (id_col, "xmin", "ymin", "xmax", "ymax")],
+        "cx",
+        "cy",
+    )
+    b = cells.select(
+        *[F.col(c).alias(f"{c}_b") for c in (id_col, "xmin", "ymin", "xmax", "ymax")],
+        "cx",
+        "cy",
+    )
+    ref_x = F.greatest("xmin_a", "xmin_b")
+    ref_y = F.greatest("ymin_a", "ymin_b")
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .where(
+            (F.col("xmin_a") <= F.col("xmax_b"))
+            & (F.col("xmin_b") <= F.col("xmax_a"))
+            & (F.col("ymin_a") <= F.col("ymax_b"))
+            & (F.col("ymin_b") <= F.col("ymax_a"))
+        )
+        .where(
+            (F.floor(ref_x / cell) == F.col("cx"))
+            & (F.floor(ref_y / cell) == F.col("cy"))
+        )
+    )
+    return pairs.select(
+        f"{id_col}_a",
+        f"{id_col}_b",
+        (
+            (F.least("xmax_a", "xmax_b") - F.greatest("xmin_a", "xmin_b"))
+            * (F.least("ymax_a", "ymax_b") - F.greatest("ymin_a", "ymin_b"))
+        ).alias("overlap_area"),
+    )

@@ -670,3 +670,84 @@ def value_histogram(
             "share"
         ),
     )
+
+
+def scd2_intervals(
+    df: DataFrame, key_col: str, ts_col: str, state_col: str, tiebreak_col: str
+) -> DataFrame:
+    """C29 — SCD2 validity-interval compression: collapse an event
+    stream into (key, state, valid_from, valid_to) rows, one per
+    state RUN (consecutive repeats merge), open-ended for the current
+    state. The slowly-changing-dimension history table every
+    warehouse derives from a change stream.
+
+    Plan: one shuffle on the key serves all three windows (lag to
+    find run starts, then lead over run-start rows for valid_to).
+    Timestamps exported as epoch µs integers so both engines compare
+    exact int64s.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = df.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.unix_micros(ts_col).alias("ts_us"),
+        (
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col))
+        ).alias("is_start"),
+    ).where(F.col("is_start"))
+    w2 = Window.partitionBy(key_col).orderBy("ts_us")
+    return runs.select(
+        F.col(key_col),
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    target: str,
+) -> DataFrame:
+    """C30 — last-touch attribution: each `target` event (purchase)
+    is credited to the most recent PRECEDING non-target event type of
+    the same key; the report is conversions + share per channel. The
+    standard marketing-attribution query, and a carry-forward
+    (last IGNORE NULLS over an open frame) window pattern the engine
+    must support for SCD gap-filling generally.
+
+    Plan: one shuffle on the key; the carry is an in-partition
+    incremental frame (no rescan per row). The report aggregate is
+    |types|-bounded. Share is exact INT/INT division.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = df.select(
+        F.col(type_col),
+        F.last(
+            F.when(F.col(type_col) != target, F.col(type_col)), ignorenulls=True
+        )
+        .over(w)
+        .alias("channel"),
+    )
+    conv = (
+        carried.where(F.col(type_col) == target)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+    total = Window.partitionBy()
+    return conv.select(
+        F.coalesce("channel", F.lit("none")).alias("channel"),
+        "n_conversions",
+        (
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(total).cast("double")
+        ).alias("share"),
+    )

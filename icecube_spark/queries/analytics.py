@@ -771,3 +771,108 @@ def brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
         ).alias("spearman_rho"),
     ).orderBy("p_brand")
+
+
+def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 — order→ship latency profile per order priority: exact
+    rank-selected p50/p90/p99 of (shipdate − orderdate) days. The SLA
+    report behind Q12's bucket counts — full distribution instead of
+    two buckets.
+
+    Plan: the fact-fact join shuffles once on the order key; the
+    quantile pass reuses the (priority) clustering for both the rank
+    window and the aggregate. Latencies are integer days; quantiles
+    are rank-selected — no interpolation, engine-exact.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lat_days"),
+        "l_orderkey",
+        "l_shipdate",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lat_days", "l_orderkey", "l_shipdate"
+    )
+    ranked = lat.select(
+        "o_orderpriority",
+        "lat_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("lat_days"))
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("lat_days").alias("min_days"),
+            at(F.lit(0.5)).alias("p50_days"),
+            at(F.lit(0.9)).alias("p90_days"),
+            at(F.lit(0.99)).alias("p99_days"),
+            F.max("lat_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 — association-rule lift for part pairs: lift(a,b) =
+    P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) over order baskets, top-20
+    with support ≥ 3. Extends basket_pairs from raw co-occurrence to
+    the independence-normalized score a recommender actually ranks by.
+
+    Plan: same bounded self-join as basket_pairs for n_ab; the
+    per-part basket counts aggregate once and BROADCAST back onto the
+    pair table (parts ≪ pairs); N is a scalar. The lift expression is
+    all-integer inputs with one double division, engine-exact, and
+    ranking ties break on the pair keys.
+    """
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    na = per_part.select(F.col("part").alias("part_a"), F.col("n_part").alias("n_a"))
+    nb = per_part.select(F.col("part").alias("part_b"), F.col("n_part").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

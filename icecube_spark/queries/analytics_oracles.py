@@ -417,3 +417,57 @@ ORACLES["brand_spearman"] = """
                AS spearman_rho
     FROM ranked GROUP BY p_brand ORDER BY p_brand
 """
+
+ORACLES["ship_latency_quantiles"] = """
+    WITH lat AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS lat_days,
+               l_orderkey, l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ranked AS (
+        SELECT o_orderpriority, lat_days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY lat_days, l_orderkey, l_shipdate) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lat)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           MIN(lat_days) AS min_days,
+           MAX(CASE WHEN rn = CEIL(CAST(0.5 AS DOUBLE) * n) THEN lat_days END)
+               AS p50_days,
+           MAX(CASE WHEN rn = CEIL(CAST(0.9 AS DOUBLE) * n) THEN lat_days END)
+               AS p90_days,
+           MAX(CASE WHEN rn = CEIL(CAST(0.99 AS DOUBLE) * n) THEN lat_days END)
+               AS p99_days,
+           MAX(lat_days) AS max_days
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["basket_lift"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+    per_part AS (
+        SELECT l_partkey AS part, COUNT(*) AS n_part FROM li GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    scored AS (
+        SELECT part_a, part_b, n_ab,
+               na.n_part AS n_a, nb.n_part AS n_b,
+               CAST(n_ab * n_baskets AS DOUBLE)
+               / CAST(na.n_part * nb.n_part AS DOUBLE) AS lift
+        FROM pairs
+        JOIN per_part na ON na.part = part_a
+        JOIN per_part nb ON nb.part = part_b
+        CROSS JOIN n_orders),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER
+                   (ORDER BY lift DESC, part_a, part_b) AS INT) AS rank
+        FROM scored)
+    SELECT part_a, part_b, n_ab, n_a, n_b, lift, rank
+    FROM ranked WHERE rank <= 20 ORDER BY rank
+"""

@@ -219,3 +219,21 @@ ORACLES["cube_resample_interpolate"] = f"""
                 ELSE 'edge_gap' END AS fill_kind
     FROM interp ORDER BY user_id, bucket_start
 """
+
+ORACLES["spatial_bbox_join"] = """
+    WITH boxes AS (
+        SELECT s_suppkey AS raster_id,
+               (s_suppkey * 7919) % 1000 AS xmin,
+               (s_suppkey * 104729) % 1000 AS ymin,
+               (s_suppkey * 7919) % 1000 + 50 + s_suppkey % 50 AS xmax,
+               (s_suppkey * 104729) % 1000 + 50 + (s_suppkey * 13) % 50 AS ymax
+        FROM supplier)
+    SELECT a.raster_id AS raster_id_a, b.raster_id AS raster_id_b,
+           (LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+         * (LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)) AS overlap_area
+    FROM boxes a JOIN boxes b
+      ON a.raster_id < b.raster_id
+     AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+     AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+    ORDER BY raster_id_a, raster_id_b
+"""

@@ -368,3 +368,30 @@ def cube_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled_value",
         "fill_kind",
     ).orderBy("user_id", "bucket_start")
+
+
+def spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — all-pairs raster-extent intersection
+    (sar_datacube_metadata.py:207-224 select_overlapping_rasters
+    generalized to all-pairs co-registration candidates). Extents are
+    synthesized as integer boxes from supplier keys — the same
+    formula both engines evaluate — and joined via grid-cell
+    bucketing with reference-point dedup (operators/spatial.py).
+    """
+    from icecube_spark.operators.spatial import bbox_join_grid
+
+    supp = catalog.load(spark, sf_dir, "supplier")
+    boxes = supp.select(
+        F.col("s_suppkey").alias("raster_id"),
+        ((F.col("s_suppkey") * 7919) % 1000).alias("xmin"),
+        ((F.col("s_suppkey") * 104729) % 1000).alias("ymin"),
+    ).select(
+        "raster_id",
+        "xmin",
+        "ymin",
+        (F.col("xmin") + 50 + F.col("raster_id") % 50).alias("xmax"),
+        (F.col("ymin") + 50 + (F.col("raster_id") * 13) % 50).alias("ymax"),
+    )
+    return bbox_join_grid(boxes, "raster_id", cell=100).orderBy(
+        "raster_id_a", "raster_id_b"
+    )

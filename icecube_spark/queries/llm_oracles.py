@@ -576,3 +576,15 @@ ORACLES["multimodal_frames"] = """
     WHERE f < n_frames
     ORDER BY doc_id, frame_idx
 """
+
+ORACLES["fuzzy_name_pairs"] = """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (
+        SELECT name, string_split(name, ' ')[-1] AS block FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY name_a, name_b
+"""

@@ -259,3 +259,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — binary → fixed-width feature-vector stub (rows-only)."""
     payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     return multimodal.extract_features(payload).orderBy("doc_id")
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — Levenshtein ≤ 2 near-dup part names via last-token
+    blocking."""
+    part = catalog.load(spark, sf_dir, "part")
+    return dedup.fuzzy_pairs(part, "p_name", max_dist=2).orderBy("name_a", "name_b")

@@ -283,3 +283,26 @@ ORACLES["user_features"] = """
     FROM ev FULL OUTER JOIN od ON ev.uid = od.uid
     ORDER BY user_id
 """
+
+ORACLES["skew_report"] = """
+    WITH per_key AS (
+        SELECT user_id AS key, COUNT(*) AS rows_per_key
+        FROM events GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(rows_per_key) AS BIGINT) AS n_rows,
+               MAX(rows_per_key) AS max_rows
+        FROM per_key),
+    top AS (
+        SELECT key, rows_per_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY rows_per_key DESC, key)
+                    AS INT) AS rank
+        FROM per_key)
+    SELECT rank, key, rows_per_key, n_keys, n_rows, max_rows,
+           CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+               AS mean_rows_per_key,
+           CAST(rows_per_key AS DOUBLE) /
+           (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor
+    FROM top CROSS JOIN stats
+    WHERE rank <= 10 ORDER BY rank
+"""

@@ -180,3 +180,10 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct(c, rsd=0.02).alias(f"approx_{c}") for c in cols
     ]
     return li.agg(*aggs)
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P21 — join-key skew diagnosis for events.user_id (top-10 heavy
+    keys + global skew stats)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return pipeline.skew_report(ev, "user_id", k=10).orderBy("rank")

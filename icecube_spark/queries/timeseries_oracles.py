@@ -429,3 +429,39 @@ ORACLES["value_histogram"] = """
            CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
     FROM counts ORDER BY event_type, bucket
 """
+
+ORACLES["scd2_intervals"] = """
+    WITH runs AS (
+        SELECT user_id, event_type AS state,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_state
+        FROM events),
+    starts AS (
+        SELECT user_id, state, ts_us FROM runs
+        WHERE prev_state IS NULL OR prev_state != state)
+    SELECT user_id, state,
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS valid_to_us
+    FROM starts ORDER BY user_id, valid_from_us
+"""
+
+ORACLES["purchase_attribution"] = """
+    WITH carried AS (
+        SELECT event_type,
+               LAST_VALUE(CASE WHEN event_type != 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events),
+    conv AS (
+        SELECT COALESCE(channel, 'none') AS channel,
+               COUNT(*) AS n_conversions
+        FROM carried WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT channel, n_conversions,
+           CAST(n_conversions AS DOUBLE) /
+           CAST(SUM(n_conversions) OVER () AS DOUBLE) AS share
+    FROM conv ORDER BY channel
+"""

@@ -402,3 +402,19 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.value_histogram(ev, "event_type", "value", width=50.0).orderBy(
         "event_type", "bucket"
     )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 — SCD2 state-history compression of the event stream."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.scd2_intervals(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("user_id", "valid_from_us")
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 — last-touch purchase attribution by channel."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.last_touch_attribution(
+        ev, "ts", "user_id", "event_type", "event_id", target="purchase"
+    ).orderBy("channel")

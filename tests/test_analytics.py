@@ -22,6 +22,8 @@ CASES = [
     ("revenue_growth", analytics.revenue_growth),
     ("basket_pairs", analytics.basket_pairs),
     ("brand_spearman", analytics.brand_spearman),
+    ("ship_latency_quantiles", analytics.ship_latency_quantiles),
+    ("basket_lift", analytics.basket_lift),
 ]
 
 

@@ -25,6 +25,7 @@ CASES = [
     ("labels_vector_align", dq.labels_vector_align),
     ("cube_merge", dq.cube_merge),
     ("sar_band_math", dq.sar_band_math),
+    ("spatial_bbox_join", dq.spatial_bbox_join),
 ]
 
 

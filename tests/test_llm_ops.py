@@ -31,6 +31,7 @@ CASES = [
     ("embed_dim_stats", lq.embed_dim_stats),
     ("embed_norm_outliers", lq.embed_norm_outliers),
     ("dedup_containment", lq.dedup_containment),
+    ("fuzzy_name_pairs", lq.fuzzy_name_pairs),
     ("doc_top_tfidf", lq.doc_top_tfidf),
     ("langid_confusion", lq.langid_confusion),
     ("sentence_stats", lq.sentence_stats),

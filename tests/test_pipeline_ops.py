@@ -28,6 +28,7 @@ P_CASES = [
     ("source_balance_gini", pq.source_balance_gini),
     ("length_deciles", pq.length_deciles),
     ("user_features", pq.user_features),
+    ("skew_report", pq.skew_report),
 ]
 
 B_CASES = [

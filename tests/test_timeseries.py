@@ -34,6 +34,8 @@ CASES = [
     ("rapid_repeat_events", tq.rapid_repeat_events),
     ("props_extract", tq.props_extract),
     ("value_histogram", tq.value_histogram),
+    ("scd2_intervals", tq.scd2_intervals),
+    ("purchase_attribution", tq.purchase_attribution),
 ]
 
 
