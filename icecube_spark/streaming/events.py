@@ -151,3 +151,40 @@ def run_upsert_stream(
     )
     q.awaitTermination()
     return state["path"]
+
+
+def run_trending_stream(
+    spark: SparkSession, sf_dir: str, table_name: str, k: int = 3
+) -> None:
+    """C14s — streaming trending top-k: per hourly window, the k most
+    active event types by count. Windowed counts are the streaming
+    aggregate; the top-k rank runs per finalized batch inside
+    foreachBatch (complete-mode ranks over open windows would churn
+    every trigger). The batch twin — tumbling counts + rank window —
+    is the oracle in tests.
+
+    Scale: state is bounded by |windows in watermark| × |types|; the
+    rank works on the tiny aggregate only.
+    """
+    sdf = read_events_stream(spark, sf_dir)
+    counts = tumbling_counts(sdf, watermark="1 hour")
+
+    def rank_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        top = (
+            batch.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+        )
+        top.write.mode("overwrite").saveAsTable(table_name)
+
+    q = (
+        counts.writeStream.foreachBatch(rank_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -177,3 +177,27 @@ def test_streaming_upsert_snapshot_matches_batch(spark, sf_dir, tmp_path):
         got.join(want, ["event_id", "user_id", "event_type"], "inner").count()
         == want.count()
     )
+
+
+def test_streaming_trending_matches_batch(spark, sf_dir):
+    """C14s: streaming windowed top-k == batch tumbling agg + rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.streaming.events import run_trending_stream
+
+    run_trending_stream(spark, sf_dir, "stream_trending", k=3)
+    got = normalize(spark.table("stream_trending").toPandas())
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    want = normalize(
+        tq.window_tumbling(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .toPandas()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["event_type"].to_numpy() == want["event_type"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
