@@ -11,6 +11,11 @@ Two passes measure two different things, both reported:
 - queries: per-query steady-state latency from a sequential pass run
   after the JVM/codegen is warm (JMH-style: excludes one-time Janino
   compilation, measures the plan).
+
+Crash-proof by construction: every query runs inside its own
+try/except in both passes and failures land in an "errors" map; the
+JSON line is printed unconditionally (one broken query must never
+zero out the round's perf signal).
 """
 
 from __future__ import annotations
@@ -18,64 +23,75 @@ from __future__ import annotations
 import json
 import os
 import time
+import traceback
 from concurrent.futures import ThreadPoolExecutor
 
-import __spark_entry__ as entry_mod
-from icecube_spark.session import get_spark
+result: dict = {
+    "metric": "icecube_spark_total_query_wall",
+    "value": None,
+    "unit": "sec",
+    "queries": {},
+    "errors": {},
+    "sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+}
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = result["sf"]
+    import __spark_entry__ as entry_mod
+    from icecube_spark.session import get_spark
+
     spark = get_spark("icecube-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    # warm the JVM + parquet footers once so the throughput pass doesn't
-    # fold first-touch classloading into query time.
-    if qs:
-        next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    errors: dict[str, str] = result["errors"]
 
     # noop sink everywhere: materializes every column of every row,
     # no driver collect.
     def run(item: tuple) -> None:
-        _, fn = item
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        name, fn = item
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record, never re-raise
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # warm the JVM + parquet footers once so the throughput pass doesn't
+    # fold first-touch classloading into query time.
+    if qs:
+        run(next(iter(qs.items())))
 
     t_all = time.perf_counter()
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(run, qs.items()))
-    total_concurrent = round(time.perf_counter() - t_all, 3)
+    result["value"] = round(time.perf_counter() - t_all, 3)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = result["queries"]
     t_seq = time.perf_counter()
     for name, fn in qs.items():
+        if name in errors:
+            continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total_sequential = round(time.perf_counter() - t_seq, 3)
-
-    print(
-        json.dumps(
-            {
-                "metric": "icecube_spark_total_query_wall",
-                "value": total_concurrent,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "mode": (
-                    "value = wall for all queries submitted concurrently"
-                    " (8 threads, shared scheduler); queries = per-query"
-                    " warm sequential latency"
-                ),
-                "sequential_total": total_sequential,
-                "n_queries": len(qs),
-            }
-        )
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    result["sequential_total"] = round(time.perf_counter() - t_seq, 3)
+    result["n_queries"] = len(qs)
+    result["n_errors"] = len(errors)
+    result["mode"] = (
+        "value = wall for all queries submitted concurrently"
+        " (8 threads, shared scheduler); queries = per-query"
+        " warm sequential latency"
     )
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        result["fatal"] = traceback.format_exc()[-2000:]
+    finally:
+        print(json.dumps(result))

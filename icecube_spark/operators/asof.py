@@ -31,7 +31,10 @@ def _ticks(col: str, dtype) -> Column:
     diffs are exact where double subtraction of epoch-scale values
     is not."""
     if isinstance(dtype, (TimestampType, TimestampNTZType)):
-        return F.unix_micros(F.col(col))
+        # cast: unix_micros rejects TIMESTAMP_NTZ (how the harness
+        # parquet loads); under the UTC session tz the cast is a pure
+        # reinterpretation, so ticks are identical for both types.
+        return F.unix_micros(F.col(col).cast("timestamp"))
     if isinstance(dtype, DateType):
         return F.datediff(F.col(col), F.lit("1970-01-01").cast("date")).cast("bigint")
     return F.col(col).cast("bigint")

@@ -14,6 +14,15 @@ from pyspark.sql import functions as F
 from icecube_spark.functions.parity import dsum
 
 
+def _us(c) -> Column:
+    """Epoch microseconds of a timestamp column/name. The cast makes
+    TIMESTAMP_NTZ inputs (how the harness parquet loads) acceptable to
+    unix_micros; under the UTC session tz it is a pure
+    reinterpretation, identical for both timestamp types."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def sessionize(
     df: DataFrame, ts_col: str, key_col: str, gap_minutes: int = 30
 ) -> DataFrame:
@@ -109,9 +118,7 @@ def time_weighted_avg(
     bucket_col = F.date_trunc(bucket, ts_col).alias("bucket")
     with_bucket = df.select(*key_cols, bucket_col, ts_col, tiebreak_col, value_col)
     w = Window.partitionBy(*key_cols, "bucket").orderBy(ts_col, tiebreak_col)
-    gap_us = (
-        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
-    ).alias("gap_us")
+    gap_us = (_us(F.lead(ts_col).over(w)) - _us(ts_col)).alias("gap_us")
     g = with_bucket.select(*key_cols, "bucket", value_col, gap_us)
     weighted = F.floor(F.col(value_col) * F.col("gap_us"))
     return g.groupBy(*key_cols, "bucket").agg(
@@ -493,7 +500,7 @@ def conversion_lag_quantiles(
         .agg(F.min("to_ts").alias("first_to"))
         .select(
             F.col(key_col),
-            (F.unix_micros("first_to") - F.unix_micros("from_ts")).alias("lag_us"),
+            (_us("first_to") - _us("from_ts")).alias("lag_us"),
         )
     )
     w = Window.partitionBy().orderBy("lag_us", key_col)
@@ -592,7 +599,7 @@ def rapid_repeats(
     is integer microseconds; the ratio is exact INT/INT division.
     """
     w = Window.partitionBy(key_col, type_col).orderBy(ts_col, tiebreak_col)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    gap_us = _us(ts_col) - _us(F.lag(ts_col).over(w))
     flagged = df.select(
         F.col(key_col),
         F.col(type_col),
@@ -690,7 +697,7 @@ def scd2_intervals(
     runs = df.select(
         F.col(key_col),
         F.col(state_col).alias("state"),
-        F.unix_micros(ts_col).alias("ts_us"),
+        _us(ts_col).alias("ts_us"),
         (
             F.lag(state_col).over(w).isNull()
             | (F.lag(state_col).over(w) != F.col(state_col))

@@ -499,7 +499,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("p_partkey", "p_name", "cost", "s_name", "n_name", "s_acctbal")
+        .select(
+            "p_partkey",
+            "p_name",
+            # decimal -> double so the exported value matches the
+            # oracle's double representation (43.44 vs 43.440000)
+            F.col("cost").cast("double").alias("cost"),
+            "s_name",
+            "n_name",
+            "s_acctbal",
+        )
         .orderBy(F.desc("s_acctbal"), "p_partkey")
         .limit(100)
     )

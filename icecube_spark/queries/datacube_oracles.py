@@ -159,9 +159,10 @@ ORACLES["cube_completeness"] = """
                   grid.bucket_start) / 259200) AS INT) = b.bucket
     )
     SELECT user_id, COUNT(*) AS n_slots,
-           SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END) AS n_filled,
-           COUNT(*) - SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_gaps,
+           CAST(SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_filled,
+           CAST(COUNT(*) - SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gaps,
            SUM(CASE WHEN n_acq IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
                AS fill_ratio
     FROM slots GROUP BY 1 ORDER BY 1

@@ -188,7 +188,9 @@ def gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    from icecube_spark.operators.timeseries import _us
+
+    gap = _us("ts") - _us(F.lag("ts").over(w))
     gaps = ev.select("user_id", gap.alias("gap_us")).where(
         F.col("gap_us").isNotNull()
     )
