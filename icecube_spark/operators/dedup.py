@@ -161,40 +161,66 @@ def minhash_lsh_pairs(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+def capped_gram_candidates(
+    grams: DataFrame, id_col: str, max_df: int = 64
 ) -> DataFrame:
-    """D3 — exact all-pairs n-gram Jaccard via inverted index.
+    """Candidate pairs sharing at least one RARE gram (document
+    frequency <= max_df) — stop-gram blocking, the standard way to
+    keep an inverted-index self-join from going quadratic on the
+    Zipf head. Fanout per surviving gram bucket is <= max_df, so the
+    join is O(n_grams · max_df²/2) worst-case regardless of corpus
+    size. Pairs whose every shared gram is a stop-gram are not
+    candidates (near-dups above any useful threshold always share
+    rare grams). One shuffle on gram serves both the frequency count
+    (window) and the bucket self-join."""
+    from pyspark.sql import Window
 
-    Explode distinct grams, self-join on gram (the inverted-index
-    join), count shared grams per pair, compute J = |∩|/|∪|. Exact
-    but quadratic in bucket size — at 100 TB use minhash_lsh_pairs;
-    this is the ground-truth verifier (and the oracle's own plan).
-    """
-    grams = with_grams(df.select(id_col, text_col), text_col).select(
-        id_col, F.col("grams")
-    )
-    sizes = grams.select(F.col(id_col), F.size("grams").alias("n"))
     e = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
+    rare = e.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).where(F.col("df") <= max_df)
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
-    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """D3 — n-gram Jaccard near-dup pairs via a frequency-capped
+    inverted index.
+
+    Candidates come from rare-gram buckets (capped_gram_candidates:
+    bounded fanout, no quadratic blowup on the Zipf head); the
+    Jaccard itself is EXACT — computed on the full distinct-gram
+    arrays of each candidate pair (array_intersect), not on the
+    capped index. Same candidate/verify shape as minhash_lsh_pairs,
+    with deterministic (not probabilistic) candidate recall for any
+    pair sharing >= 1 gram with df <= max_df.
+    """
+    grams = with_grams(df.select(id_col, text_col), text_col).select(
+        id_col, F.col("grams")
+    )
+    cands = capped_gram_candidates(grams, id_col, max_df)
+    ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
+    gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
     scored = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
-            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            "jaccard",
+            F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
         )
     )
     return filter_once(scored, F.col("jaccard") >= threshold).select(
@@ -268,7 +294,8 @@ def simhash_pairs(
 
 
 def containment_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
+    max_df: int = 64,
 ) -> DataFrame:
     """D6 — exact n-gram CONTAINMENT near-dup pairs: |∩| / min(|A|,|B|).
     Jaccard misses subset duplicates (a doc embedded inside a much
@@ -276,35 +303,28 @@ def containment_pairs(
     the standard complement that catches them (Broder's resemblance
     vs containment distinction).
 
-    Plan: identical inverted-index shape to ngram_jaccard_pairs — one
-    gram-explode, one self-equi-join on gram, per-pair count, sizes
-    broadcast back. |∩| and the min size are exact integers; the
-    ratio is one INT/INT double division, bit-equal in both engines.
-    At 100 TB the candidate generation moves to minhash_lsh_pairs and
-    this stays as the verifier on candidates.
+    Plan: same capped-inverted-index candidates as
+    ngram_jaccard_pairs (rare-gram buckets, bounded fanout); |∩| and
+    sizes are computed EXACTLY on each candidate's full gram arrays.
+    The ratio is one INT/INT double division, bit-equal in both
+    engines.
     """
     grams = with_grams(df.select(id_col, text_col), text_col).select(
         id_col, F.col("grams")
     )
-    sizes = grams.select(F.col(id_col), F.size("grams").alias("n"))
-    e = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "grams_a")
-    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "grams_b")
+    cands = capped_gram_candidates(grams, id_col, max_df)
+    ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
+    gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
     scored = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ga").alias("grams_a"),
+            F.size("gb").alias("grams_b"),
+            F.size(F.array_intersect("ga", "gb")).cast("bigint").alias("n_shared"),
+        )
         .withColumn(
             "containment",
             F.col("n_shared").cast("double")

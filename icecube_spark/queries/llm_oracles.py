@@ -89,16 +89,22 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": f"""
         WITH {_GRAMS_CTES},
         e AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
-        sizes AS (SELECT doc_id, len(g) AS n FROM grams),
-        p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
-        FROM p
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE inter / (sa.n + sb.n - inter) >= 0.5
+        rare AS (SELECT doc_id, gram FROM (
+            SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+            FROM e) WHERE df <= 64),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rare a JOIN rare b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        verify AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(ga.g, gb.g)) AS inter,
+                   len(ga.g) AS la, len(gb.g) AS lb
+            FROM cands c
+            JOIN grams ga ON c.doc_a = ga.doc_id
+            JOIN grams gb ON c.doc_b = gb.doc_id)
+        SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard
+        FROM verify WHERE inter / (la + lb - inter) >= 0.5
     """,
     "dedup_simhash": f"""
         WITH toksd AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
@@ -309,11 +315,21 @@ ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].format(
 
 ORACLES["dedup_embedding_cosine"] = f"""
     WITH {_VNORM},
-    sub AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 500)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
-    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-    WHERE {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} >= 0.35
+    coded AS (
+        SELECT vec_id, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+        FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.35
     ORDER BY vec_a, vec_b
 """
 
@@ -454,20 +470,26 @@ ORACLES["embed_norm_outliers"] = """
 ORACLES["dedup_containment"] = f"""
     WITH {_GRAMS_CTES},
     e AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
-    sizes AS (SELECT doc_id, len(g) AS n FROM grams),
-    p AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(sa.n AS INT) AS grams_a, CAST(sb.n AS INT) AS grams_b,
-           n_shared,
-           CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+    rare AS (SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+        FROM e) WHERE df <= 64),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    verify AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(ga.g) AS INT) AS grams_a,
+               CAST(len(gb.g) AS INT) AS grams_b,
+               CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS n_shared
+        FROM cands c
+        JOIN grams ga ON c.doc_a = ga.doc_id
+        JOIN grams gb ON c.doc_b = gb.doc_id)
+    SELECT doc_a, doc_b, grams_a, grams_b, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(LEAST(grams_a, grams_b) AS DOUBLE)
                AS containment
-    FROM p
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.8
+    FROM verify
+    WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(grams_a, grams_b) AS DOUBLE) >= 0.8
 """
 
 ORACLES["doc_top_tfidf"] = f"""

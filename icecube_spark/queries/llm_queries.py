@@ -145,27 +145,33 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 — embedding-cosine near-dup pairs: vectors closer than 0.35
-    cosine among the first 500 ids. Quantized-integer dot products keep
-    scores oracle-exact; at corpus scale candidates would come from the
-    LSH/IVF buckets (E2/E4) instead of all pairs."""
-    from icecube_spark.operators.similarity import dot_expr, norm_expr
-
-    emb = catalog.load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    # the filtered corpus is one parquet split -> one task would score
-    # every pair; spread the stream side so all cores share the O(n^2)
-    a = emb.repartition(32).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        norm_expr("embedding").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        norm_expr("embedding").alias("nb"),
-    )
+    """D5 — embedding-cosine near-dup pairs, LSH-bucketed: candidates
+    share an 8-bit hyperplane code (the E2 bucketing — one shuffle on
+    the code, within-bucket pairs only, never all-pairs), then the
+    exact quantized-integer cosine keeps every emitted score
+    oracle-exact. Scale path: bucket fanout is O((n/2^bits)²) per
+    bucket; at larger corpora raise the plane count / add probe
+    tables rather than widening buckets."""
     from icecube_spark.functions.plans import filter_once
+    from icecube_spark.operators.similarity import dot_expr, lsh_code, norm_expr
 
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_code("embedding").alias("code"),
+        norm_expr("embedding").alias("nrm"),
+    )
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        "code", F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        "code", F.col("nrm").alias("nb"),
+    )
     scored = (
-        a.crossJoin(b)
+        a.join(b, "code")
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
     )

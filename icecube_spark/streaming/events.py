@@ -22,7 +22,10 @@ from icecube_spark.operators.timeseries import tumbling_agg
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        # parquet carries TIMESTAMP(MICROS, isAdjustedToUTC=false); a
+        # mismatched declared type (e.g. long) makes the vectorized
+        # reader return nulls silently, so this must track the files
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,17 +35,17 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns ts → µs, as in
-    catalog.load)."""
+    """File-source stream over the events parquet."""
     # the file source wants a directory: stream the sf dir, globbed to
-    # the events file
+    # the events file; cast NTZ -> TIMESTAMP (pure reinterpretation
+    # under the UTC session tz) so watermarks/windows work unchanged
     sdf = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(df: DataFrame, watermark: str | None = "1 hour") -> DataFrame:
