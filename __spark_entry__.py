@@ -39,6 +39,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_ship_delay": analytics.q12_ship_delay,
     "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
     "cube_completeness": dq.cube_completeness,
+    # --- new this round: true polygon intersection (A14) ---
+    "spatial_overlap_polygon": dq.spatial_overlap_polygon,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

@@ -58,6 +58,163 @@ def bbox_intersects(
     )
 
 
+# ---------------------------------------------------------------------------
+# True 2-D polygon intersection (SURVEY §2 A14) — the reference's
+# actual footprint semantics: select_overlapping_rasters uses shapely
+# .intersects() on SAR extent polygons
+# (icecube/bin/sar_cube/sar_datacube_metadata.py:207-224). Here the
+# predicate is expressed as flat SQL arithmetic (orientation tests) so
+# it runs inside whole-stage codegen AND can be emitted verbatim for
+# the DuckDB oracle — identical IEEE expressions, bit-identical
+# results in both engines. Quads (4 vertices, CCW) cover the SAR
+# footprint case; the construction generalizes to any fixed arity.
+
+
+def _orient(p, q, r) -> str:
+    """Sign of the cross product (q-p) x (r-p): >0 left turn, <0
+    right turn, 0 collinear. Plain arithmetic, engine-portable."""
+    (px, py), (qx, qy), (rx, ry) = p, q, r
+    return (
+        f"(({qx} - {px}) * ({ry} - {py}) - ({qy} - {py}) * ({rx} - {px}))"
+    )
+
+
+def quad_vertices(pre: str) -> list[tuple[str, str]]:
+    """The 4 vertex (x, y) column names of a quad with column prefix
+    `pre` (pre_x1..pre_x4 / pre_y1..pre_y4, CCW order)."""
+    return [(f"{pre}x{i}", f"{pre}y{i}") for i in range(1, 5)]
+
+
+def quad_intersect_sql(pre_a: str, pre_b: str) -> str:
+    """SQL predicate: do two CCW quads intersect (boundary touch
+    counts)? True iff any edge of A crosses any edge of B, or A
+    contains B's first vertex, or B contains A's first vertex —
+    complete for convex polygons. 16 edge-pair orientation tests + 2
+    containment tests, all flat arithmetic; same string runs in Spark
+    and DuckDB."""
+    A, B = quad_vertices(pre_a), quad_vertices(pre_b)
+
+    def seg_cross(p, q, r, s) -> str:
+        return (
+            f"({_orient(p, q, r)} * {_orient(p, q, s)} <= 0"
+            f" AND {_orient(r, s, p)} * {_orient(r, s, q)} <= 0)"
+        )
+
+    def contains(P, pt) -> str:
+        conds = [
+            f"{_orient(P[i], P[(i + 1) % 4], pt)} >= 0" for i in range(4)
+        ]
+        return "(" + " AND ".join(conds) + ")"
+
+    terms = [
+        seg_cross(A[i], A[(i + 1) % 4], B[j], B[(j + 1) % 4])
+        for i in range(4)
+        for j in range(4)
+    ]
+    terms.append(contains(A, B[0]))
+    terms.append(contains(B, A[0]))
+    return "(" + "\n OR ".join(terms) + ")"
+
+
+def quad_footprint_sql(key: str) -> dict[str, str]:
+    """Deterministic rotated-rectangle footprint for integer id `key`:
+    center/size from modular arithmetic, rotation from exact
+    Pythagorean (cos, sin) pairs — every vertex coordinate is the
+    same IEEE double in any engine evaluating these expressions.
+    Returns {column_name: sql_expr} for x1..y4 + bbox."""
+    cx = f"CAST(({key} * 37) % 1000 AS DOUBLE)"
+    cy = f"CAST(({key} * 91) % 1000 AS DOUBLE)"
+    w2 = f"(20.0 + CAST(({key}) % 5 AS DOUBLE) * 5.0)"
+    h2 = f"(15.0 + CAST(({key}) % 7 AS DOUBLE) * 5.0)"
+    # CAST AS DOUBLE everywhere: Spark parses bare decimal literals as
+    # DECIMAL and 5.0/13.0 becomes DECIMAL(8,6)=0.384615 — six digits,
+    # not the IEEE double DuckDB computes. Explicit double division is
+    # bit-identical in both engines.
+    c = (
+        f"(CASE CAST(({key}) % 4 AS INT) WHEN 0 THEN CAST(1.0 AS DOUBLE)"
+        f" WHEN 1 THEN CAST(0.6 AS DOUBLE) WHEN 2 THEN CAST(0.8 AS DOUBLE)"
+        f" ELSE CAST(5.0 AS DOUBLE) / CAST(13.0 AS DOUBLE) END)"
+    )
+    s = (
+        f"(CASE CAST(({key}) % 4 AS INT) WHEN 0 THEN CAST(0.0 AS DOUBLE)"
+        f" WHEN 1 THEN CAST(0.8 AS DOUBLE) WHEN 2 THEN CAST(0.6 AS DOUBLE)"
+        f" ELSE CAST(12.0 AS DOUBLE) / CAST(13.0 AS DOUBLE) END)"
+    )
+    corners = [(w2, h2), (f"-{w2}", h2), (f"-{w2}", f"-{h2}"), (w2, f"-{h2}")]
+    out: dict[str, str] = {}
+    for i, (dx, dy) in enumerate(corners, start=1):
+        out[f"x{i}"] = f"({cx} + {c} * ({dx}) - {s} * ({dy}))"
+        out[f"y{i}"] = f"({cy} + {s} * ({dx}) + {c} * ({dy}))"
+    out["xmin"] = "LEAST(x1, x2, x3, x4)"
+    out["xmax"] = "GREATEST(x1, x2, x3, x4)"
+    out["ymin"] = "LEAST(y1, y2, y3, y4)"
+    out["ymax"] = "GREATEST(y1, y2, y3, y4)"
+    return out
+
+
+def quad_footprints(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize quad footprints from an integer id column."""
+    exprs = quad_footprint_sql(id_col)
+    vert = df.select(
+        F.col(id_col),
+        *[F.expr(sql).alias(name) for name, sql in list(exprs.items())[:8]],
+    )
+    return vert.select(
+        "*",
+        *[F.expr(exprs[n]).alias(n) for n in ("xmin", "xmax", "ymin", "ymax")],
+    )
+
+
+def polygon_join_grid(
+    polys: DataFrame, id_col: str, cell: int = 128
+) -> DataFrame:
+    """A14 — all-pairs polygon intersection via grid bucketing + exact
+    convex test. Candidates come from bbox grid cells exactly as
+    bbox_join_grid (bounded fanout, reference-point dedup, no cross
+    join, no DISTINCT); intersecting polygons always have
+    intersecting bboxes, so the grid never loses a true pair — the
+    exact quad predicate then keeps true intersections only. The big
+    side shuffles once, on the cell key."""
+    vert_cols = [f"{a}{i}" for a in ("x", "y") for i in range(1, 5)]
+    cells = polys.select(
+        F.col(id_col),
+        *vert_cols,
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        F.explode(
+            F.sequence(F.floor(F.col("xmin") / cell), F.floor(F.col("xmax") / cell))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("ymin") / cell), F.floor(F.col("ymax") / cell))
+        ).alias("cy"),
+    )
+    keep = [id_col, *vert_cols, "xmin", "ymin", "xmax", "ymax"]
+    a = cells.select(*[F.col(c).alias(f"a_{c}") for c in keep], "cx", "cy")
+    b = cells.select(*[F.col(c).alias(f"b_{c}") for c in keep], "cx", "cy")
+    ref_x = F.greatest("a_xmin", "b_xmin")
+    ref_y = F.greatest("a_ymin", "b_ymin")
+    return (
+        a.join(b, ["cx", "cy"])
+        .where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .where(
+            (F.col("a_xmin") <= F.col("b_xmax"))
+            & (F.col("b_xmin") <= F.col("a_xmax"))
+            & (F.col("a_ymin") <= F.col("b_ymax"))
+            & (F.col("b_ymin") <= F.col("a_ymax"))
+        )
+        .where(
+            (F.floor(ref_x / cell) == F.col("cx"))
+            & (F.floor(ref_y / cell) == F.col("cy"))
+        )
+        .where(F.expr(quad_intersect_sql("a_", "b_")))
+        .select(f"a_{id_col}", f"b_{id_col}")
+    )
+
+
 def bbox_join_grid(
     boxes: DataFrame,
     id_col: str,

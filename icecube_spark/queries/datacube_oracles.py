@@ -221,6 +221,35 @@ ORACLES["cube_resample_interpolate"] = f"""
     FROM interp ORDER BY user_id, bucket_start
 """
 
+from icecube_spark.operators.spatial import (  # noqa: E402
+    quad_footprint_sql,
+    quad_intersect_sql,
+)
+
+_FP = quad_footprint_sql("p_partkey")
+_VERTS = ",\n               ".join(
+    f"{sql} AS {name}" for name, sql in list(_FP.items())[:8]
+)
+ORACLES["spatial_overlap_polygon"] = f"""
+    WITH vert AS (
+        SELECT p_partkey AS raster_id,
+               {_VERTS}
+        FROM part),
+    polys AS (
+        SELECT *, LEAST(x1, x2, x3, x4) AS xmin,
+                  GREATEST(x1, x2, x3, x4) AS xmax,
+                  LEAST(y1, y2, y3, y4) AS ymin,
+                  GREATEST(y1, y2, y3, y4) AS ymax
+        FROM vert)
+    SELECT a.raster_id AS raster_id_a, b.raster_id AS raster_id_b
+    FROM polys a JOIN polys b
+      ON a.raster_id < b.raster_id
+     AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+     AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+     AND {quad_intersect_sql("a.", "b.")}
+    ORDER BY raster_id_a, raster_id_b
+"""
+
 ORACLES["spatial_bbox_join"] = """
     WITH boxes AS (
         SELECT s_suppkey AS raster_id,

@@ -395,3 +395,28 @@ def spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbox_join_grid(boxes, "raster_id", cell=100).orderBy(
         "raster_id_a", "raster_id_b"
     )
+
+
+def spatial_overlap_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — TRUE polygon-intersection join: rotated-quad footprints
+    (the reference's actual SAR-extent semantics — shapely
+    .intersects() in select_overlapping_rasters,
+    sar_datacube_metadata.py:207-224) matched all-pairs via bbox grid
+    bucketing + an exact convex orientation-test predicate, entirely
+    in codegen arithmetic (operators/spatial.py:quad_intersect_sql).
+    The oracle evaluates the IDENTICAL expressions, so results are
+    bit-equal without any geometry library on either side."""
+    from icecube_spark.operators.spatial import polygon_join_grid, quad_footprints
+
+    part = catalog.load(spark, sf_dir, "part")
+    polys = quad_footprints(
+        part.select(F.col("p_partkey").alias("raster_id")), "raster_id"
+    )
+    return (
+        polygon_join_grid(polys, "raster_id")
+        .select(
+            F.col("a_raster_id").alias("raster_id_a"),
+            F.col("b_raster_id").alias("raster_id_b"),
+        )
+        .orderBy("raster_id_a", "raster_id_b")
+    )

@@ -87,3 +87,38 @@ def test_cube_config_parity_with_reference_defaults():
         CubeConfig.from_dict({"temporal_resolution": 1.5})
     with pytest.warns(UserWarning):
         CubeConfig.from_dict({"bogus_key": 1})
+
+
+def test_polygon_intersection_hand_cases(spark):
+    """quad_intersect_sql against hand-checked geometry: edge-cross,
+    full containment, corner touch, and disjoint quads."""
+    from icecube_spark.operators.spatial import quad_intersect_sql
+
+    def quad(pre, pts):
+        cols = []
+        for i, (x, y) in enumerate(pts, start=1):
+            cols += [f"CAST({x} AS DOUBLE) AS {pre}x{i}",
+                     f"CAST({y} AS DOUBLE) AS {pre}y{i}"]
+        return ", ".join(cols)
+
+    # all quads CCW: (x1,y1) lower-right area going counterclockwise
+    unit = [(1, 0), (1, 1), (0, 1), (0, 0)]  # unit square
+    cases = [
+        # overlapping squares
+        ([(1.5, 0.5), (1.5, 1.5), (0.5, 0.5 + 1), (0.5, 0.5)], True),
+        # contained small square
+        ([(0.7, 0.3), (0.7, 0.7), (0.3, 0.7), (0.3, 0.3)], True),
+        # corner touch at (1,1)
+        ([(2, 1), (2, 2), (1, 2), (1, 1)], True),
+        # disjoint
+        ([(9, 9), (9, 10), (8, 10), (8, 9)], False),
+        # big quad containing the unit square entirely
+        ([(5, -5), (5, 5), (-5, 5), (-5, -5)], True),
+    ]
+    pred = quad_intersect_sql("a_", "b_")
+    for pts, want in cases:
+        row = spark.sql(
+            f"SELECT {pred} AS hit FROM "
+            f"(SELECT {quad('a_', unit)}) CROSS JOIN (SELECT {quad('b_', pts)})"
+        ).collect()[0]
+        assert row.hit == want, (pts, want)
