@@ -95,6 +95,76 @@ class Datacube:
         )
 
 
+def create_cube_from_rasters(
+    spark: SparkSession, raster_dir: str, config: CubeConfig | str | None
+) -> Datacube:
+    """The reference's one-shot entry point —
+    IceyeProcessGenerateCube.create_cube(raster_dir, config_fpath)
+    (generate_cube.py:36-80) — end-to-end on Spark: crawl GDAL
+    metadata + decode pixels from the binaryFile source (both
+    distributed Arrow maps, sources/raster.py), apply the CubeConfig
+    filters in reference order (date range on acquisition_date,
+    incidence-angle range, temporal dedup), then resample onto the
+    configured temporal grid: one slot per `temporal_resolution` days
+    from start_date to end_date, empty slots = dummy layers with null
+    product/pixels (sar_datacube_metadata.py:226-255
+    compute_dummy_metadata_df_for_temporal_sampling semantics).
+    """
+    if not isinstance(config, CubeConfig):
+        config = CubeConfig.load(config)
+    from icecube_spark.sources.raster import crawl_iceye_metadata, decode_rasters
+
+    bdf = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.tif*"
+    ).load(raster_dir)
+    meta = crawl_iceye_metadata(bdf)
+    layers = meta.join(decode_rasters(bdf).select("path", "pixels"), "path")
+    layers = layers.where(
+        F.col("acquisition_date").between(
+            F.lit(config.start_date.date()), F.lit(config.end_date.date())
+        )
+    )
+    layers = layers.where(
+        F.col("incidence_center").isNull()
+        | F.col("incidence_center").between(
+            F.lit(config.min_incidence_angle), F.lit(config.max_incidence_angle)
+        )
+    )
+    if not config.temporal_overlap:
+        # keep the latest acquisition per date (reference
+        # sar_datacube_metadata.py:188-205 temporal dedup)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("acquisition_date").orderBy(
+            F.desc("acquisition_end_utc"), F.desc("product_file")
+        )
+        layers = (
+            layers.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if config.temporal_resolution > 0:
+        # distributed slot grid: sequence+explode, no driver loop
+        step = int(config.temporal_resolution)
+        grid = spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(config.start_date.date()),
+                    F.lit(config.end_date.date()),
+                    F.expr(f"INTERVAL {step} DAYS"),
+                )
+            ).alias("slot_date")
+        )
+        cube_df = grid.join(
+            layers, layers.acquisition_date == grid.slot_date, "left"
+        ).drop("acquisition_date")
+        ts_col = "slot_date"
+    else:
+        cube_df = layers
+        ts_col = "acquisition_date"
+    return Datacube(cube_df, "product_file", ts_col, ["pixels"])
+
+
 def build_cube(
     df: DataFrame,
     config: CubeConfig,

@@ -1,0 +1,130 @@
+"""End-to-end create_cube against the reference's own config fixtures
+(tests/resources/json_config/config_use_case*.json) and GRD rasters —
+the IceyeProcessGenerateCube.create_cube parity surface
+(reference tests/datacube_test.py + grd_datacube_test.py)."""
+
+import glob
+import os
+
+import pytest
+
+from icecube_spark.config import CubeConfig
+from icecube_spark.cube import create_cube_from_rasters
+from icecube_spark.sources.raster import decode_tiff_pixels
+
+REF = "/root/reference/tests/resources"
+CFG = os.path.join(REF, "json_config")
+GRD = os.path.join(REF, "grd_stack")
+
+# reference grd_datacube_test.py:23-27
+ORDER_BY_ACQ = [
+    "ICEYE_GRD_54549_20210427T215124_hollow_10x10pixels_fake_1.tif",
+    "ICEYE_GRD_54549_20210427T215124_hollow_10x10pixels_fake_0.tif",
+    "ICEYE_GRD_54549_20210427T215124_hollow_10x10pixels_fake_2.tif",
+]
+
+pytestmark = pytest.mark.skipif(
+    not glob.glob(os.path.join(GRD, "*.tif")), reason="reference fixtures absent"
+)
+
+
+def _cfg(name):
+    return os.path.join(CFG, f"config_use_case{name}.json")
+
+
+def test_default_config_full_stack(spark):
+    """Default config: natural timeline, all 3 rasters, 10x10 pixels
+    (reference test_with_default_config dims azimuth=10, band=3,
+    range=10)."""
+    dc = create_cube_from_rasters(spark, GRD, _cfg("_default"))
+    rows = dc.df.orderBy("acquisition_date").collect()
+    assert [r.product_file for r in rows] == ORDER_BY_ACQ
+    dims = dc.get_dimensions()
+    assert dims["product_file"] == 3 and dims["acquisition_date"] == 3
+    for r in rows:
+        assert r.width == 10 and r.height == 10
+        want = decode_tiff_pixels(
+            open(os.path.join(GRD, r.product_file), "rb").read()
+        )
+        assert list(want.astype("float64").ravel()) == list(r.pixels)
+
+
+def test_use_case1_filters_everything(spark):
+    """use_case1: date window ends 20210420, before every acquisition
+    — plus incidence [20, 21] — keeps no real layers; with
+    temporal_resolution=1 the cube is all dummy slots
+    (2020-04-02..2021-04-20 inclusive = 384 of them)."""
+    dc = create_cube_from_rasters(spark, GRD, _cfg(1))
+    rows = dc.df.collect()
+    assert len(rows) == 384
+    assert all(r.product_file is None for r in rows)
+
+
+def test_use_case2_unknown_keys_warn(spark):
+    with pytest.warns(UserWarning):
+        cfg = CubeConfig.load(_cfg(2))
+    dc = create_cube_from_rasters(spark, GRD, cfg)
+    assert dc.df.count() == 0  # same 2020-04..2021-04-20 window
+
+
+def test_use_case3_fractional_resolution_rejected():
+    with pytest.raises(ValueError):
+        CubeConfig.load(_cfg(3))
+
+
+def test_use_case4_single_day_grid(spark):
+    """use_case4: start=end=20210427, res=1 day -> exactly one slot,
+    holding fake_1 (acquisition_end 2021-04-27)."""
+    dc = create_cube_from_rasters(spark, GRD, _cfg(4))
+    rows = dc.df.collect()
+    assert len(rows) == 1
+    assert rows[0].product_file == ORDER_BY_ACQ[0]
+    assert rows[0].incidence_center == 29.5
+
+
+def test_use_case5_six_day_grid(spark):
+    """use_case5: 20210425..20210430 daily -> 6 slots; fake_1 on the
+    27th, fake_0 on the 28th, the rest dummy layers."""
+    dc = create_cube_from_rasters(spark, GRD, _cfg(5))
+    rows = dc.df.orderBy("slot_date").collect()
+    assert len(rows) == 6
+    filled = {str(r.slot_date): r.product_file for r in rows if r.product_file}
+    assert filled == {
+        "2021-04-27": ORDER_BY_ACQ[0],
+        "2021-04-28": ORDER_BY_ACQ[1],
+    }
+    assert all(r.pixels is None for r in rows if r.product_file is None)
+
+
+def test_use_case6_natural_timeline_window(spark):
+    """use_case6: same window, no temporal resolution -> 2 layers on
+    the natural timeline."""
+    dc = create_cube_from_rasters(spark, GRD, _cfg(6))
+    rows = dc.df.orderBy("acquisition_date").collect()
+    assert [r.product_file for r in rows] == ORDER_BY_ACQ[:2]
+
+
+def test_dummy_grid_33_days(spark):
+    """The reference's test_dummy_data: res=1 over 20210426..20210528
+    -> 33 slots with acquisitions at indices 1, 2 and 31; every other
+    slot is a dummy layer (grd_datacube_test.py:88-140)."""
+    cfg = CubeConfig.from_dict(
+        {"start_date": 20210426, "end_date": 20210528, "temporal_resolution": 1}
+    )
+    dc = create_cube_from_rasters(spark, GRD, cfg)
+    rows = dc.df.orderBy("slot_date").collect()
+    assert len(rows) == 33
+    filled_idx = [i for i, r in enumerate(rows) if r.product_file is not None]
+    assert filled_idx == [1, 2, 31]
+    assert [rows[i].product_file for i in filled_idx] == ORDER_BY_ACQ
+    assert [rows[i].incidence_center for i in filled_idx] == [29.5, 30.5, 28.5]
+    assert [rows[i].orbit_direction for i in filled_idx] == [
+        "DESCENDING",
+        "ASCENDING",
+        "ASCENDING",
+    ]
+    for i in filled_idx:
+        want = decode_tiff_pixels(
+            open(os.path.join(GRD, rows[i].product_file), "rb").read()
+        )
+        assert list(want.astype("float64").ravel()) == list(rows[i].pixels)

@@ -116,3 +116,119 @@ def test_streaming_stateful_sessionize(spark, sf_dir, tmp_path):
         == merged.session_start_b.astype("datetime64[us]")
     ]
     assert (matched.n_events_s == matched.n_events_b).all()
+
+
+def _mk_tiff_full(pix, bits=16, endian="<", fmt=1, strips=1) -> bytes:
+    """Assemble a complete uncompressed TIFF: header, IFD (incl. strip
+    layout + sample format), and pixel strips."""
+    import numpy as np
+
+    height, width = pix.shape
+    bpp = bits // 8
+    rows_per_strip = max(1, height // strips)
+    offsets, counts, blobs = [], [], []
+    n_tags = 9
+    data_start = 8 + 2 + n_tags * 12 + 4
+    pos = data_start
+    for r0 in range(0, height, rows_per_strip):
+        chunk = pix[r0 : r0 + rows_per_strip].astype(
+            np.dtype(f"{endian}u{bpp}" if fmt == 1 else f"{endian}i{bpp}")
+        )
+        blob = chunk.tobytes()
+        offsets.append(pos)
+        counts.append(len(blob))
+        blobs.append(blob)
+        pos += len(blob)
+    n_strips = len(blobs)
+    # strip offset/count arrays that don't fit inline go after pixel data
+    extra = b""
+
+    def arr_tag(tag, values):
+        nonlocal extra
+        if len(values) == 1:
+            return struct.pack(endian + "HHI", tag, 4, 1) + struct.pack(
+                endian + "I", values[0]
+            )
+        off = pos + len(extra)
+        extra_bytes = struct.pack(endian + "I" * len(values), *values)
+        extra += extra_bytes
+        return struct.pack(endian + "HHI", tag, 4, len(values)) + struct.pack(
+            endian + "I", off
+        )
+
+    def short_tag(tag, value):
+        return struct.pack(endian + "HHI", tag, 3, 1) + struct.pack(
+            endian + "HH", value, 0
+        )
+
+    tags = (
+        short_tag(256, width)
+        + short_tag(257, height)
+        + short_tag(258, bits)
+        + short_tag(259, 1)
+        + arr_tag(273, offsets)
+        + short_tag(277, 1)
+        + short_tag(278, rows_per_strip)
+        + arr_tag(279, counts)
+        + short_tag(339, fmt)
+    )
+    hdr = (b"II" if endian == "<" else b"MM") + struct.pack(endian + "HI", 42, 8)
+    ifd = struct.pack(endian + "H", n_tags) + tags + struct.pack(endian + "I", 0)
+    return hdr + ifd + b"".join(blobs) + extra
+
+
+def test_tiff_pixel_decode_roundtrip():
+    import numpy as np
+
+    from icecube_spark.sources.raster import decode_tiff_pixels
+
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 60000, size=(13, 9)).astype("uint16")
+    for endian in ("<", ">"):
+        for strips in (1, 4):
+            out = decode_tiff_pixels(_mk_tiff_full(pix, 16, endian, strips=strips))
+            assert out.shape == (13, 9) and (out == pix).all(), (endian, strips)
+    # 8-bit single strip
+    pix8 = rng.randint(0, 255, size=(5, 7)).astype("uint8")
+    out8 = decode_tiff_pixels(_mk_tiff_full(pix8, 8))
+    assert (out8 == pix8).all()
+
+
+def test_reference_grd_fixtures_decode():
+    """The reference's own 10x10 GRD fixtures decode without rasterio
+    (analytics_IO.load_tiff parity for uncompressed rasters)."""
+    import glob
+
+    from icecube_spark.sources.raster import decode_tiff_pixels
+
+    paths = sorted(
+        glob.glob("/root/reference/tests/resources/grd_stack/*.tif")
+    )
+    if not paths:
+        pytest.skip("reference fixtures not present")
+    for p in paths:
+        arr = decode_tiff_pixels(open(p, "rb").read())
+        assert arr.shape == (10, 10) and str(arr.dtype) == "uint16"
+        assert arr.max() > arr.min()
+
+
+def test_decode_rasters_distributed(spark, tmp_path):
+    import numpy as np
+
+    from icecube_spark.sources.raster import decode_rasters
+
+    rng = np.random.RandomState(3)
+    pix = {}
+    for i in range(3):
+        p = rng.randint(0, 60000, size=(6, 4)).astype("uint16")
+        (tmp_path / f"r{i}.tif").write_bytes(_mk_tiff_full(p, 16))
+        pix[f"r{i}.tif"] = p
+    (tmp_path / "junk.bin").write_bytes(b"not a tiff")
+    bdf = spark.read.format("binaryFile").load(str(tmp_path))
+    out = decode_rasters(bdf).toPandas()
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        name = row["path"].rsplit("/", 1)[-1]
+        assert row["width"] == 4 and row["height"] == 6
+        got = np.array(row["pixels"]).reshape(6, 4)
+        assert (got == pix[name]).all()
