@@ -1,0 +1,269 @@
+"""Classic netCDF-3 (CDF-1) bridge — dependency-free.
+
+The reference exports cubes with xarray's to_netcdf
+(icecube/bin/datacube.py:203 to_file) and re-imports them with
+read_cube (datacube.py:30). This container ships no netCDF/HDF5
+library, so this module implements the classic netCDF-3 binary
+format directly (the NetCDF Classic Format spec: magic 'CDF\\x01',
+dim/attr/var lists, big-endian fixed-size data). Files written here
+open in any netCDF reader (xarray/scipy/netCDF4 — the reference's
+environment), and reference-produced classic files load back.
+
+Scale note: a single .nc is inherently a single-node artifact — the
+reference's own to_file has the same property. The bridge exists for
+interchange with reference-produced cubes; partitioned parquet
+(cube.to_parquet) remains the at-scale storage path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+
+_DTYPES = {
+    NC_BYTE: ("b", 1), NC_CHAR: ("c", 1), NC_SHORT: (">i2", 2),
+    NC_INT: (">i4", 4), NC_FLOAT: (">f4", 4), NC_DOUBLE: (">f8", 8),
+}
+_NP_TO_NC = {"i1": NC_BYTE, "i2": NC_SHORT, "i4": NC_INT,
+             "f4": NC_FLOAT, "f8": NC_DOUBLE}
+
+
+def _pad(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _name(s: str) -> bytes:
+    raw = s.encode()
+    return struct.pack(">i", len(raw)) + _pad(raw)
+
+
+def _attr_bytes(name: str, value) -> bytes:
+    import numpy as np
+
+    if isinstance(value, str):
+        raw = value.encode()
+        return _name(name) + struct.pack(">ii", NC_CHAR, len(raw)) + _pad(raw)
+    arr = np.asarray(value)
+    nct = _NP_TO_NC[arr.dtype.str[1:]] if arr.dtype.str[1:] in _NP_TO_NC else (
+        NC_DOUBLE if arr.dtype.kind == "f" else NC_INT
+    )
+    np_t = _DTYPES[nct][0]
+    data = arr.astype(np_t).tobytes()
+    return _name(name) + struct.pack(">ii", nct, arr.size) + _pad(data)
+
+
+def _attr_list(attrs: dict) -> bytes:
+    if not attrs:
+        return struct.pack(">ii", 0, 0)
+    return struct.pack(">ii", _NC_ATTRIBUTE, len(attrs)) + b"".join(
+        _attr_bytes(k, v) for k, v in attrs.items()
+    )
+
+
+def write_netcdf3(
+    path: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[tuple[str, ...], "object", dict]],
+    global_attrs: dict | None = None,
+) -> None:
+    """Write a classic netCDF-3 file. `variables` maps name ->
+    (dim_names, numpy array, attrs). No record (unlimited) dims —
+    cubes are fixed-shape."""
+    import numpy as np
+
+    dim_ids = {d: i for i, d in enumerate(dims)}
+    header = b"CDF\x01" + struct.pack(">i", 0)  # numrecs = 0
+    header += struct.pack(">ii", _NC_DIMENSION, len(dims)) + b"".join(
+        _name(d) + struct.pack(">i", n) for d, n in dims.items()
+    )
+    header += _attr_list(global_attrs or {})
+
+    # lay out variables: compute each var's vsize and byte offset
+    entries = []
+    for vname, (vdims, arr, attrs) in variables.items():
+        arr = np.asarray(arr)
+        if arr.dtype.kind in ("U", "S"):
+            nct = NC_CHAR
+            arr = np.char.encode(arr.astype("U"), "utf-8") if arr.dtype.kind == "U" else arr
+            data = arr.tobytes()
+        else:
+            nct = _NP_TO_NC.get(arr.dtype.str[1:]) or (
+                NC_DOUBLE if arr.dtype.kind == "f" else NC_INT
+            )
+            data = arr.astype(_DTYPES[nct][0]).tobytes()
+        entries.append((vname, vdims, attrs, nct, _pad(data)))
+
+    var_headers = []
+    for vname, vdims, attrs, nct, data in entries:
+        vh = _name(vname) + struct.pack(">i", len(vdims))
+        vh += b"".join(struct.pack(">i", dim_ids[d]) for d in vdims)
+        vh += _attr_list(attrs or {})
+        vh += struct.pack(">ii", nct, len(data))
+        var_headers.append(vh)
+
+    # var_list tag (8 bytes) + each var header + its 4-byte begin offset
+    base = len(header) + 8 + sum(len(vh) + 4 for vh in var_headers)
+    out = header + struct.pack(">ii", _NC_VARIABLE if entries else 0, len(entries))
+    offset = base
+    blobs = []
+    for (vname, vdims, attrs, nct, data), vh in zip(entries, var_headers):
+        out += vh + struct.pack(">i", offset)
+        blobs.append(data)
+        offset += len(data)
+    with open(path, "wb") as f:
+        f.write(out + b"".join(blobs))
+
+
+def _read_name(buf: bytes, pos: int) -> tuple[str, int]:
+    (n,) = struct.unpack(">i", buf[pos : pos + 4])
+    pos += 4
+    s = buf[pos : pos + n].decode()
+    pos += n + (-n % 4)
+    return s, pos
+
+
+def _read_attrs(buf: bytes, pos: int) -> tuple[dict, int]:
+    tag, count = struct.unpack(">ii", buf[pos : pos + 8])
+    pos += 8
+    attrs: dict = {}
+    for _ in range(count):
+        name, pos = _read_name(buf, pos)
+        nct, n = struct.unpack(">ii", buf[pos : pos + 8])
+        pos += 8
+        np_t, unit = _DTYPES[nct]
+        raw = buf[pos : pos + n * unit]
+        pos += n * unit + (-(n * unit) % 4)
+        if nct == NC_CHAR:
+            attrs[name] = raw.decode()
+        else:
+            import numpy as np
+
+            vals = np.frombuffer(raw, dtype=np_t)
+            attrs[name] = vals[0] if n == 1 else vals
+    return attrs, pos
+
+
+def read_netcdf3(path: str):
+    """Read a classic netCDF-3 (CDF-1/CDF-2) file written by this
+    module, scipy, or xarray's scipy engine. Returns (dims, variables,
+    global_attrs) with variables mapping name -> (dim_names, ndarray,
+    attrs)."""
+    import numpy as np
+
+    buf = open(path, "rb").read()
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError("not a classic netCDF-3 file")
+    off_fmt = ">i" if buf[3] == 1 else ">q"
+    off_size = 4 if buf[3] == 1 else 8
+    pos = 8  # magic + numrecs (no record vars supported)
+    dims: list[tuple[str, int]] = []
+    tag, count = struct.unpack(">ii", buf[pos : pos + 8])
+    pos += 8
+    for _ in range(count):
+        dname, pos = _read_name(buf, pos)
+        (size,) = struct.unpack(">i", buf[pos : pos + 4])
+        pos += 4
+        dims.append((dname, size))
+    gattrs, pos = _read_attrs(buf, pos)
+    tag, nvars = struct.unpack(">ii", buf[pos : pos + 8])
+    pos += 8
+    variables: dict = {}
+    for _ in range(nvars):
+        vname, pos = _read_name(buf, pos)
+        (ndims,) = struct.unpack(">i", buf[pos : pos + 4])
+        pos += 4
+        vdim_ids = struct.unpack(f">{ndims}i", buf[pos : pos + 4 * ndims])
+        pos += 4 * ndims
+        vattrs, pos = _read_attrs(buf, pos)
+        nct, vsize = struct.unpack(">ii", buf[pos : pos + 8])
+        pos += 8
+        (begin,) = struct.unpack(off_fmt, buf[pos : pos + off_size])
+        pos += off_size
+        vdims = tuple(dims[i][0] for i in vdim_ids)
+        shape = tuple(dims[i][1] for i in vdim_ids)
+        np_t, unit = _DTYPES[nct]
+        n = 1
+        for s in shape:
+            n *= s
+        raw = buf[begin : begin + n * unit]
+        if nct == NC_CHAR:
+            arr = np.frombuffer(raw, dtype="S1").reshape(shape)
+        else:
+            arr = np.frombuffer(raw, dtype=np_t).reshape(shape)
+        variables[vname] = (vdims, arr, vattrs)
+    return dict(dims), variables, gattrs
+
+
+def cube_to_netcdf(dc, path: str, height: int, width: int) -> None:
+    """Export a raster Datacube (one pixels-array layer per time
+    slot, cube.create_cube_from_rasters shape) to a classic netCDF-3
+    file the reference's read_cube/xarray can open: intensity
+    (band, azimuth, range) + per-band product/date coordinate vars —
+    the to_file parity surface (datacube.py:203). The collect is the
+    same single-file materialization the reference performs."""
+    import numpy as np
+
+    rows = dc.df.orderBy(dc.ts_col).collect()
+    band = len(rows)
+    pix = np.full((band, height, width), np.nan)
+    names = []
+    for i, r in enumerate(rows):
+        p = getattr(r, "pixels", None)
+        if p is not None:
+            pix[i] = np.asarray(p, dtype="f8").reshape(height, width)
+        names.append(getattr(r, dc.key_col) or "None")
+    name_len = max(1, max(len(n) for n in names))
+    name_arr = np.zeros((band, name_len), dtype="S1")
+    for i, n in enumerate(names):
+        b = n.encode()
+        name_arr[i, : len(b)] = np.frombuffer(b, dtype="S1")
+    dates = np.array(
+        [str(getattr(r, dc.ts_col)) for r in rows], dtype=f"S{10}"
+    ).view("S1").reshape(band, 10)
+    write_netcdf3(
+        path,
+        dims={"band": band, "azimuth": height, "range": width, "strlen": name_len,
+              "datelen": 10},
+        variables={
+            "intensity": (("band", "azimuth", "range"), pix,
+                          {"long_name": "Intensity"}),
+            "product_file": (("band", "strlen"), name_arr, {}),
+            "acquisition_date": (("band", "datelen"), dates, {}),
+        },
+        global_attrs={"source": "icecube_spark", "Conventions": "CF-1.6"},
+    )
+
+
+def netcdf_to_cube(spark, path: str):
+    """Import a classic netCDF-3 cube (written by cube_to_netcdf or a
+    reference export in classic format) back into a Datacube."""
+    import numpy as np
+
+    from icecube_spark.cube import Datacube
+
+    dims, variables, _ = read_netcdf3(path)
+    vdims, pix, _ = variables["intensity"]
+    names = [
+        b"".join(row).decode().rstrip("\x00")
+        for row in variables["product_file"][1]
+    ]
+    dates = [
+        b"".join(row).decode() for row in variables["acquisition_date"][1]
+    ]
+    rows = []
+    for i in range(pix.shape[0]):
+        layer = pix[i]
+        has = not np.isnan(layer).all()
+        rows.append(
+            {
+                "product_file": names[i] if names[i] != "None" else None,
+                "slot_date": __import__("datetime").date.fromisoformat(dates[i]),
+                "pixels": [float(x) for x in layer.ravel()] if has else None,
+                "height": int(layer.shape[0]),
+                "width": int(layer.shape[1]),
+            }
+        )
+    df = spark.createDataFrame(rows)
+    return Datacube(df, "product_file", "slot_date", ["pixels"])

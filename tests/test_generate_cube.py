@@ -128,3 +128,54 @@ def test_dummy_grid_33_days(spark):
             open(os.path.join(GRD, rows[i].product_file), "rb").read()
         )
         assert list(want.astype("float64").ravel()) == list(rows[i].pixels)
+
+
+def test_netcdf3_roundtrip_raw(tmp_path):
+    """write_netcdf3/read_netcdf3 round-trip dims, attrs, char and
+    numeric variables byte-exactly."""
+    import numpy as np
+
+    from icecube_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    p = str(tmp_path / "t.nc")
+    rng = np.random.RandomState(1)
+    a = rng.rand(3, 4, 5)
+    b = np.arange(3, dtype="i4")
+    write_netcdf3(
+        p,
+        dims={"band": 3, "y": 4, "x": 5},
+        variables={
+            "intensity": (("band", "y", "x"), a, {"units": "dB"}),
+            "idx": (("band",), b, {}),
+        },
+        global_attrs={"title": "t", "version": np.float64(2.5)},
+    )
+    dims, variables, gattrs = read_netcdf3(p)
+    assert dims == {"band": 3, "y": 4, "x": 5}
+    assert gattrs["title"] == "t" and gattrs["version"] == 2.5
+    vdims, arr, vattrs = variables["intensity"]
+    assert vdims == ("band", "y", "x") and vattrs["units"] == "dB"
+    assert (arr == a).all()
+    assert (variables["idx"][1] == b).all()
+
+
+def test_netcdf3_cube_bridge(spark, tmp_path):
+    """create_cube_from_rasters -> netCDF-3 -> re-import: products,
+    slots, and pixel layers survive the round trip (reference
+    to_file/read_cube parity, datacube.py:30,203)."""
+    from icecube_spark.cube import create_cube_from_rasters
+    from icecube_spark.sources.netcdf3 import cube_to_netcdf, netcdf_to_cube
+
+    dc = create_cube_from_rasters(spark, GRD, _cfg(5))
+    p = str(tmp_path / "cube.nc")
+    cube_to_netcdf(dc, p, height=10, width=10)
+    back = netcdf_to_cube(spark, p)
+    orig = {
+        str(r.slot_date): (r.product_file, None if r.pixels is None else list(r.pixels))
+        for r in dc.df.collect()
+    }
+    got = {
+        str(r.slot_date): (r.product_file, None if r.pixels is None else list(r.pixels))
+        for r in back.df.collect()
+    }
+    assert got == orig
