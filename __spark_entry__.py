@@ -84,8 +84,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_stats": pq.doc_length_stats,
     "dedup_clusters": pq.dedup_clusters,
     "decontaminate": pq.decontaminate,
+    "temperature_resample": pq.temperature_resample,
+    # ^-- ~50 keys: the round-1 driver cutoff
+    "cross_source_leakage": pq.cross_source_leakage,
     "source_mix": pq.source_mix,
-    # ^-- 50 keys: the round-1 driver cutoff
     # --- never graded: pipeline (P, rest) ---
     "topk_terms_per_lang": pq.topk_terms_per_lang,
     "dup_ngram_fraction": pq.dup_ngram_fraction,

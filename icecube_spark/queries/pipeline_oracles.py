@@ -306,3 +306,35 @@ ORACLES["skew_report"] = """
     FROM top CROSS JOIN stats
     WHERE rank <= 10 ORDER BY rank
 """
+
+ORACLES["temperature_resample"] = """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(FLOOR(sqrt(COUNT(*)) * 1e9) AS BIGINT) AS qw
+        FROM documents GROUP BY 1),
+    total AS (SELECT CAST(SUM(qw) AS BIGINT) AS qtotal FROM counts)
+    SELECT source, n_docs,
+           CAST(qw AS DOUBLE) / 1e9 AS weight,
+           CAST(qw AS DOUBLE) / CAST(qtotal AS DOUBLE) AS share,
+           CAST(FLOOR(CAST(qw AS DOUBLE) / CAST(qtotal AS DOUBLE) * 10000)
+                AS BIGINT) AS target_n_at_10k
+    FROM counts CROSS JOIN total ORDER BY source
+"""
+
+# P23 reuses the full D2 oracle as a subquery (nested WITH is legal
+# inside a parenthesized derived table)
+from icecube_spark.queries.llm_oracles import ORACLES as _LLM  # noqa: E402
+
+ORACLES["cross_source_leakage"] = f"""
+    WITH pairs AS (SELECT * FROM ({_LLM["dedup_minhash_lsh"]})),
+    labeled AS (
+        SELECT LEAST(da.source, db.source) AS src_lo,
+               GREATEST(da.source, db.source) AS src_hi,
+               CAST(FLOOR(jaccard * 1e12) AS BIGINT) AS qj
+        FROM pairs
+        JOIN documents da ON pairs.doc_a = da.doc_id
+        JOIN documents db ON pairs.doc_b = db.doc_id)
+    SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+           CAST(SUM(qj) AS DOUBLE) / 1e12 / COUNT(*) AS mean_jaccard
+    FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -187,3 +187,83 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys + global skew stats)."""
     ev = catalog.load(spark, sf_dir, "events")
     return pipeline.skew_report(ev, "user_id", k=10).orderBy("rank")
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P22 — temperature-scaled source mixing (t=0.5): per-source
+    sampling share ∝ sqrt(n_docs), the standard multi-corpus rebalance
+    (upweight small sources, damp the head) used when mixing training
+    corpora. sqrt is correctly-rounded IEEE so both engines compute
+    identical weights; the share denominator sums floor(sqrt·1e9)
+    BIGINTs — association-order-free — and the final division is one
+    double op.
+
+    Plan: one partial-agg shuffle to |sources| rows, then a broadcast
+    of the tiny totals row back over the aggregate. Corpus never
+    shuffles twice at any scale."""
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "qw", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e9)).cast("bigint")
+        )
+    )
+    total = counts.agg(F.sum("qw").alias("qtotal"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("qw").cast("double") / 1e9).alias("weight"),
+            (F.col("qw").cast("double") / F.col("qtotal").cast("double")).alias(
+                "share"
+            ),
+            F.floor(
+                F.col("qw").cast("double") / F.col("qtotal").cast("double") * 10000
+            )
+            .cast("bigint")
+            .alias("target_n_at_10k"),
+        )
+        .orderBy("source")
+    )
+
+
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P23 — near-dup leakage matrix across sources: MinHash-verified
+    pairs (D2 machinery, threshold 0.8) grouped by unordered source
+    pair — the train/eval contamination report run before any split
+    ships. Same-source cells measure intra-corpus redundancy.
+
+    Plan: D2's bounded bucket join produces the (tiny) pair set; two
+    broadcast joins attach sources; the final aggregate is on a
+    handful of cells. Mean Jaccard folds as floor(j·1e12) BIGINTs so
+    the matrix is bit-identical to the oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    src = docs.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "source", "source_a"
+    )
+    sb = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "source", "source_b"
+    )
+    labeled = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+            F.floor(F.col("jaccard") * F.lit(1e12)).cast("bigint").alias("qj"),
+        )
+    )
+    return (
+        labeled.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum("qj").cast("double") / 1e12 / F.count(F.lit(1))).alias(
+                "mean_jaccard"
+            ),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
