@@ -41,6 +41,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_completeness": dq.cube_completeness,
     # --- new this round: true polygon intersection (A14) ---
     "spatial_overlap_polygon": dq.spatial_overlap_polygon,
+    # --- new this round: time-series additions (C31-C34) ---
+    "ewma_smooth": tsq.ewma_smooth,
+    "event_paths": tsq.event_paths,
+    "interval_coverage": tsq.interval_coverage,
+    "changepoint_cusum": tsq.changepoint_cusum,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

@@ -116,14 +116,25 @@ def quad_intersect_sql(pre_a: str, pre_b: str) -> str:
     return "(" + "\n OR ".join(terms) + ")"
 
 
-def quad_footprint_sql(key: str) -> dict[str, str]:
+def quad_footprint_sql(key: str, space: str = "1000") -> dict[str, str]:
     """Deterministic rotated-rectangle footprint for integer id `key`:
     center/size from modular arithmetic, rotation from exact
     Pythagorean (cos, sin) pairs — every vertex coordinate is the
     same IEEE double in any engine evaluating these expressions.
-    Returns {column_name: sql_expr} for x1..y4 + bbox."""
-    cx = f"CAST(({key} * 37) % 1000 AS DOUBLE)"
-    cy = f"CAST(({key} * 91) % 1000 AS DOUBLE)"
+    Returns {column_name: sql_expr} for x1..y4 + bbox.
+
+    `space` is the coordinate-space side length (SQL expression). Pass
+    a sqrt(n)-scaled value so footprint DENSITY stays constant as the
+    catalog grows: with a fixed space the number of true intersecting
+    pairs grows quadratically with n (a scale-killer at 100x); with
+    space ~ sqrt(n) both output size and per-grid-cell fanout stay
+    linear in n."""
+    # Knuth multiplicative hashes (mod 2^32) scatter centers uniformly
+    # in BOTH axes — a bare linear congruence (37k, 91k) puts centers
+    # on a 1-D lattice where near-coincidence in x and y never happens
+    # at large moduli. All-integer, exact in any engine.
+    cx = f"CAST((({key} * 2654435761) % 4294967296) % {space} AS DOUBLE)"
+    cy = f"CAST((({key} * 2246822519) % 4294967296) % {space} AS DOUBLE)"
     w2 = f"(20.0 + CAST(({key}) % 5 AS DOUBLE) * 5.0)"
     h2 = f"(15.0 + CAST(({key}) % 7 AS DOUBLE) * 5.0)"
     # CAST AS DOUBLE everywhere: Spark parses bare decimal literals as
@@ -153,9 +164,17 @@ def quad_footprint_sql(key: str) -> dict[str, str]:
 
 
 def quad_footprints(df: DataFrame, id_col: str) -> DataFrame:
-    """Synthesize quad footprints from an integer id column."""
-    exprs = quad_footprint_sql(id_col)
-    vert = df.select(
+    """Synthesize quad footprints from an integer id column inside a
+    sqrt(n)-scaled coordinate space (constant density at any scale).
+    The space side is one tiny scalar aggregate broadcast to every
+    partition — the big side never shuffles."""
+    space = df.agg(
+        F.floor(F.sqrt(F.max(id_col).cast("double") * F.lit(50000.0)))
+        .cast("bigint")
+        .alias("__space")
+    )
+    exprs = quad_footprint_sql(id_col, "__space")
+    vert = df.crossJoin(F.broadcast(space)).select(
         F.col(id_col),
         *[F.expr(sql).alias(name) for name, sql in list(exprs.items())[:8]],
     )

@@ -758,3 +758,211 @@ def last_touch_attribution(
             / F.sum("n_conversions").over(total).cast("double")
         ).alias("share"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    span: int = 10,
+) -> DataFrame:
+    """C31 — windowed EWMA smoothing of per-type daily series.
+
+    The classic exponential smoother truncated to the last `span`
+    points with alpha=1/2, so weights are exact powers of two:
+    ewma_d = sum_k 2^(span-1-k) * x_{d-k} / sum_k 2^(span-1-k).
+    Generalizes the reference's per-band temporal smoothing over the
+    time axis (sar_datacube_metadata.py:226-255 resampling family).
+
+    Oracle parity: the daily mean is an exact decimal fold; the
+    smoothing input is quantized to integer micro-units so numerator
+    and denominator are exact INT64 sums; the final division is one
+    IEEE double op — bit-identical across engines.
+
+    Scale: one shuffle to |types|x|days| rows; the lag chain is one
+    in-partition sort on an aggregate that is tiny at any corpus
+    size. The raw scan only feeds a partial agg (map-side combine).
+    """
+    daily = (
+        df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .agg(
+            (dsum(value_col) / F.count(value_col)).alias("day_mean"),
+        )
+        .withColumn("q", F.floor(F.col("day_mean") * F.lit(1000000.0)))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k in range(span):
+        weight = 1 << (span - 1 - k)
+        lagged = F.lag("q", k).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return daily.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "day_mean",
+        (num.cast("double") / den.cast("double") / F.lit(1000000.0)).alias("ewma"),
+    )
+
+
+def top_event_paths(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """C32 — top-k onboarding paths: the first `depth` event types of
+    each key's timeline joined into a path string, counted across
+    keys. The clickstream "what do users do first" query.
+
+    Plan: one shuffle on the key; WindowGroupLimit prunes each
+    partition to `depth` rows per key BEFORE the exchange, so the
+    path-assembly aggregate moves at most depth rows per key. The
+    final top-k is a window over |distinct paths| rows (bounded by
+    |types|^depth).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    firsts = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(type_col).alias("t"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= depth)
+    )
+    paths = firsts.groupBy("k").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    rank_w = Window.orderBy(F.col("n_users").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("path", "n_users", "rank")
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    hold_s: int = 300,
+) -> DataFrame:
+    """C33 — interval-union coverage: each event opens a [ts, ts+hold)
+    activity interval; report per key per day the union length,
+    number of merged islands, and event count. The gaps-and-islands
+    interval-algebra pattern (same shape the reference needs to merge
+    overlapping acquisition windows, sar_datacube_metadata.py:207-224).
+
+    Plan: one shuffle on (key, day); island detection is a running
+    max over the sorted partition (no self-join); all arithmetic is
+    integer microseconds — exact in both engines.
+    """
+    hold_us = hold_s * 1_000_000
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.to_date(ts_col).alias("day"),
+        _us(ts_col).alias("s_us"),
+        (_us(ts_col) + F.lit(hold_us)).alias("e_us"),
+    )
+    w = Window.partitionBy("k", "day").orderBy("s_us", "e_us")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = base.withColumn(
+        "new_island",
+        F.when(
+            F.coalesce(F.max("e_us").over(wprev), F.lit(-1)) < F.col("s_us"), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("k", "day", "island").agg(
+        F.min("s_us").alias("i_start"),
+        F.max("e_us").alias("i_end"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        islands.groupBy("k", "day")
+        .agg(
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .select(
+            F.col("k").alias("user_id"),
+            F.col("day").cast("timestamp").alias("day"),
+            (F.col("covered_us").cast("double") / F.lit(1000000.0)).alias(
+                "covered_s"
+            ),
+            "n_islands",
+            "n_events",
+        )
+    )
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """C34 — CUSUM changepoint scan over per-type daily counts.
+
+    S_d = cumsum(c)_d - d*mean(c) is the classic CUSUM statistic;
+    the day with max |S_d| is the level-shift candidate. Scaled by
+    n_days everything stays exact INT64:
+    S'_d = n*cumsum_d - d*total (same argmax).
+
+    Plan: the scan partial-aggregates to |types|x|days| rows in one
+    shuffle; the cumsum + argmax windows reuse that one exchange
+    (both partition by type). Report is |types| rows.
+    """
+    daily = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(ts_col).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    word = wt.orderBy("day")
+    scored = (
+        daily.withColumn("d", F.row_number().over(word))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total", F.sum("c").over(wt))
+        .withColumn("n_days", F.count(F.lit(1)).over(wt))
+        .withColumn(
+            "s", F.col("n_days") * F.col("cum") - F.col("d") * F.col("total")
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("change_day"),
+            F.col("s").alias("cusum_scaled"),
+            "n_days",
+            F.col("total").alias("total_events"),
+        )
+    )

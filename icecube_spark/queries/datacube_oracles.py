@@ -226,15 +226,19 @@ from icecube_spark.operators.spatial import (  # noqa: E402
     quad_intersect_sql,
 )
 
-_FP = quad_footprint_sql("p_partkey")
+_FP = quad_footprint_sql("p_partkey", "__space")
 _VERTS = ",\n               ".join(
     f"{sql} AS {name}" for name, sql in list(_FP.items())[:8]
 )
 ORACLES["spatial_overlap_polygon"] = f"""
-    WITH vert AS (
+    WITH sp AS (
+        SELECT CAST(FLOOR(SQRT(CAST(MAX(p_partkey) AS DOUBLE) * 50000.0))
+                    AS BIGINT) AS __space
+        FROM part),
+    vert AS (
         SELECT p_partkey AS raster_id,
                {_VERTS}
-        FROM part),
+        FROM part CROSS JOIN sp),
     polys AS (
         SELECT *, LEAST(x1, x2, x3, x4) AS xmin,
                   GREATEST(x1, x2, x3, x4) AS xmax,

@@ -465,3 +465,122 @@ ORACLES["purchase_attribution"] = """
            CAST(SUM(n_conversions) OVER () AS DOUBLE) AS share
     FROM conv ORDER BY channel
 """
+
+
+def _ewma_terms(span: int = 10) -> tuple[str, str]:
+    num, den = [], []
+    for k in range(span):
+        w = 1 << (span - 1 - k)
+        num.append(f"COALESCE(lag(q, {k}) OVER w * {w}, 0)")
+        den.append(f"CASE WHEN lag(q, {k}) OVER w IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+ORACLES.update(
+    {
+        "ewma_smooth": f"""
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                       {sql_dsum('value')} / COUNT(value) AS day_mean
+                FROM events GROUP BY 1, 2
+            ), q AS (
+                SELECT *, CAST(floor(day_mean * 1000000.0) AS BIGINT) AS q
+                FROM daily
+            )
+            SELECT event_type, day, day_mean,
+                   CAST({_EWMA_NUM} AS DOUBLE)
+                     / CAST({_EWMA_DEN} AS DOUBLE) / 1000000.0 AS ewma
+            FROM q
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        """,
+        "event_paths": """
+            WITH firsts AS (
+                SELECT user_id AS k, event_type AS t,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ), p AS (
+                SELECT k, string_agg(t, '>' ORDER BY rn) AS path
+                FROM firsts WHERE rn <= 3 GROUP BY k
+            ), c AS (
+                SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+            )
+            SELECT path, n_users, rank FROM (
+                SELECT path, n_users,
+                       ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS rank
+                FROM c
+            ) WHERE rank <= 20
+        """,
+        "interval_coverage": """
+            WITH base AS (
+                SELECT user_id AS k, CAST(ts AS DATE) AS day,
+                       epoch_us(ts) AS s_us,
+                       epoch_us(ts) + 300000000 AS e_us
+                FROM events
+            ), flagged AS (
+                SELECT *,
+                       CASE WHEN COALESCE(max(e_us) OVER (
+                                PARTITION BY k, day ORDER BY s_us, e_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ), -1) < s_us THEN 1 ELSE 0 END AS new_island
+                FROM base
+            ), isl AS (
+                SELECT *,
+                       SUM(new_island) OVER (
+                           PARTITION BY k, day ORDER BY s_us, e_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS island
+                FROM flagged
+            ), agg AS (
+                SELECT k, day, island,
+                       min(s_us) AS i_start, max(e_us) AS i_end,
+                       COUNT(*) AS n_ev
+                FROM isl GROUP BY 1, 2, 3
+            )
+            SELECT k AS user_id,
+                   CAST(day AS TIMESTAMP) AS day,
+                   CAST(CAST(SUM(i_end - i_start) AS BIGINT) AS DOUBLE)
+                       / 1000000.0 AS covered_s,
+                   COUNT(*) AS n_islands,
+                   CAST(SUM(n_ev) AS BIGINT) AS n_events
+            FROM agg GROUP BY 1, 2
+        """,
+        "changepoint_cusum": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ), scored AS (
+                SELECT event_type, day,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY day) AS d,
+                       CAST(SUM(c) OVER (
+                           PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum,
+                       CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS total,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n_days
+                FROM daily
+            ), s AS (
+                SELECT event_type, day,
+                       n_days * cum - d * total AS s,
+                       n_days, total
+                FROM scored
+            )
+            SELECT event_type,
+                   CAST(day AS TIMESTAMP) AS change_day,
+                   s AS cusum_scaled,
+                   n_days,
+                   total AS total_events
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_type ORDER BY abs(s) DESC, day) AS rn
+                FROM s
+            ) WHERE rn = 1
+        """,
+    }
+)

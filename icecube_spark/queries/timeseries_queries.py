@@ -420,3 +420,33 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.last_touch_attribution(
         ev, "ts", "user_id", "event_type", "event_id", target="purchase"
     ).orderBy("channel")
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31 — exponentially-weighted smoothing of per-type daily means
+    (alpha=1/2 truncated to 10 points; exact power-of-two weights)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.ewma_smooth(ev, "ts", "event_type", "value").orderBy(
+        "event_type", "day"
+    )
+
+
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 — top-20 first-three-event onboarding paths across users."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.top_event_paths(ev, "ts", "user_id", "event_type", "event_id")
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 — per-user-per-day union of 5-minute activity intervals
+    (gaps-and-islands interval algebra)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.interval_coverage(ev, "ts", "user_id").orderBy(
+        "user_id", "day"
+    )
+
+
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 — CUSUM level-shift scan over per-type daily counts."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.changepoint_cusum(ev, "ts", "event_type").orderBy("event_type")

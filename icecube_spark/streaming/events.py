@@ -182,6 +182,18 @@ def run_trending_stream(
             batch.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
         )
+        # the managed-table location may survive from a previous JVM
+        # whose catalog is gone (LOCATION_ALREADY_EXISTS on a table the
+        # current metastore has never heard of) — clear both sides.
+        import shutil
+
+        spark_b = batch.sparkSession
+        spark_b.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark_b.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            wh = wh[len("file:") :]
+        if wh:
+            shutil.rmtree(f"{wh}/{table_name}", ignore_errors=True)
         top.write.mode("overwrite").saveAsTable(table_name)
 
     q = (

@@ -13,8 +13,15 @@ from icecube_spark import catalog
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    # orphan managed-table dirs from a previous JVM (whose catalog is
+    # gone) make saveAsTable fail with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (
         catalog.load(spark, sf_dir, "lineitem")
         .write.bucketBy(8, "l_orderkey")
