@@ -46,6 +46,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_paths": tsq.event_paths,
     "interval_coverage": tsq.interval_coverage,
     "changepoint_cusum": tsq.changepoint_cusum,
+    # --- new this round: cube change detection (A16) ---
+    "cube_change_detection": dq.cube_change_detection,
+    # --- new this round: pipeline/text/ANN additions ---
+    "sequence_packing": pq.sequence_packing,
+    "quality_gate_funnel": pq.quality_gate_funnel,
+    "dedup_survivorship": pq.dedup_survivorship,
+    "class_weights": pq.class_weights,
+    "shard_manifest": pq.shard_manifest,
+    "ngram_novelty": lq.ngram_novelty,
+    "ann_recall_eval": lq.ann_recall_eval,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

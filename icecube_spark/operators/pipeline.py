@@ -639,3 +639,174 @@ def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
             / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
         ).alias("skew_factor"),
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    bin_tokens: int = 4096,
+) -> DataFrame:
+    """P24 — contiguous sequence packing for LLM training: docs are
+    laid end-to-end per source in deterministic id order and cut into
+    fixed-size token bins; a doc belongs to the bin its first token
+    lands in. The report is per-bin occupancy — the input manifest a
+    trainer needs to build packed batches without a driver loop.
+
+    Plan: token counts are map-only column math; the cumulative offset
+    is one window over the group key (one shuffle); the bin report is
+    a second partial agg on (group, bin). All arithmetic INT64-exact.
+    """
+    toks = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col),
+        F.size(F.split(F.expr(normalized_expr(text_col)), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("bin", F.floor(F.col("offset") / bin_tokens))
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def normalized_expr(text_col: str) -> str:
+    return f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+
+
+def quality_gate_funnel(df: DataFrame, text_col: str, len_col: str) -> DataFrame:
+    """P25 — sequential quality-gate funnel: how many docs survive each
+    cleaning rule applied in order (the corpus-curation report every
+    filtering pipeline publishes). Gates: raw length, word count,
+    alphabetic ratio, mean word length sanity.
+
+    Plan: every gate is codegen column math evaluated in ONE scan; the
+    funnel is a single 1-row aggregate unpivoted with stack() — no
+    per-gate rescans, no shuffle beyond the scalar agg."""
+    norm = normalized_expr(text_col)
+    flags = df.select(
+        (F.col(len_col) >= 100).alias("g1"),
+        (F.size(F.split(F.expr(norm), " ")) >= 20).alias("g2"),
+        (
+            F.length(F.regexp_replace(F.expr(norm), "[^a-z]", ""))
+            * 10
+            >= F.length(F.expr(norm)) * 6
+        ).alias("g3"),
+        (
+            F.length(F.expr(norm))
+            <= F.size(F.split(F.expr(norm), " ")) * 12
+        ).alias("g4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("g1").cast("bigint")).alias("n1"),
+        F.sum((F.col("g1") & F.col("g2")).cast("bigint")).alias("n2"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("bigint")).alias("n3"),
+        F.sum(
+            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).cast("bigint")
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'min_length',    n0, n1,"
+            " 2, 'min_words',     n1, n2,"
+            " 3, 'alpha_ratio',   n2, n3,"
+            " 4, 'word_len_sane', n3, n4)"
+            " AS (gate_no, gate, n_in, n_out)"
+        )
+    ).withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+
+
+def dedup_survivorship(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """P26 — survivorship merge: exact-dup clusters collapse to one
+    canonical record keeping the best field from each member (min id,
+    max length, every source seen). The record-linkage "golden record"
+    step after D1.
+
+    Plan: one shuffle on the content hash; list_sort keeps the merged
+    source list deterministic; only multi-member clusters survive the
+    HAVING."""
+    h = df.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col("n_chars"),
+        F.md5(F.expr(normalized_expr(text_col))).alias("content_hash"),
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("best_n_chars"),
+            F.array_sort(F.collect_set("source")).alias("sources"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+def shard_manifest(
+    df: DataFrame, id_col: str, size_col: str, n_shards: int = 16
+) -> DataFrame:
+    """P28 — deterministic shard assignment + manifest: every doc maps
+    to hash(id) % n_shards (append-stable, no global sort) and the
+    manifest reports per-shard row/byte totals — the writer plan for
+    emitting training shards, plus the balance check that the hash is
+    actually uniform.
+
+    Plan: map-only assignment; one partial-agg shuffle to n_shards
+    rows."""
+    shard = ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(
+        n_shards
+    )
+    return (
+        df.select(shard.alias("shard"), F.col(id_col), F.col(size_col))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).alias("total_bytes"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+    )
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """F15 — incremental novelty: per doc, the fraction of its distinct
+    n-grams whose FIRST occurrence (by id order) is this doc. The
+    streaming-corpus twin of P7: "how much genuinely new text does
+    each successive document contribute" — the curve data curators
+    watch to decide when a source is mined out.
+
+    Plan: one shuffle on the gram to find min(id) per gram, join back
+    on the gram (same clustering), then a per-doc aggregate. Exact
+    integer counts; the ratio is one INT/INT double division."""
+    grams = df.select(
+        F.col(id_col), F.explode(F.expr(ngram_expr(text_col, n))).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col(id_col)).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )

@@ -413,3 +413,111 @@ def top_dims(df: DataFrame, id_col: str, vec_col: str, k: int = 3) -> DataFrame:
         (-F.col("p.nd")).cast("int").alias("dim"),
         F.col("p.m").alias("magnitude"),
     )
+
+
+def class_weights(df: DataFrame, label_col: str) -> DataFrame:
+    """P27 — inverse-frequency class weights: weight(label) =
+    N / (|labels| * n_label), the standard imbalance correction fed to
+    a trainer's loss. Exact INT aggregates; the weight is one INT/INT
+    IEEE division, bit-identical in any engine.
+
+    Plan: one partial-agg shuffle to |labels| rows; the scalar totals
+    come from a second aggregate over those rows and broadcast back.
+    """
+    per = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_labels")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        "n_total",
+        "n_labels",
+        (
+            F.col("n_total").cast("double")
+            / (F.col("n_labels") * F.col("n")).cast("double")
+        ).alias("weight"),
+    )
+
+
+def ann_recall_eval(
+    vectors: DataFrame, id_col: str, vec_col: str, query_filter, k: int = 5
+) -> DataFrame:
+    """E11 — ANN quality evaluation: recall@k of the E2 hyperplane-LSH
+    index against E1 exact search, per query. The eval loop every ANN
+    deployment runs before trusting its index — here as one
+    distributed plan with no driver-side comparison.
+
+    Plan: the exact side broadcasts the query set over the corpus
+    (map-only scan + one top-k shuffle on query_id); the ANN side
+    joins only the query's LSH bucket (broadcast of coded queries,
+    corpus coded map-only). Both top-k sets are k*|queries| rows;
+    the overlap join and recall arithmetic are trivial. Recall is an
+    exact INT/INT division."""
+    coded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_code(vec_col).alias("code"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    queries = coded.where(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("code").alias("qcode"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "code",
+        F.col("nrm").alias("cn"),
+    )
+    exact_scored = (
+        cands.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        exact_scored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ann_top = (
+        cands.join(
+            F.broadcast(queries),
+            (F.col("code") == F.col("qcode"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= k)
+        .select("query_id", F.col("neighbor_id").alias("ann_neighbor"))
+    )
+    hits = (
+        exact_top.join(
+            ann_top,
+            (exact_top.query_id == ann_top.query_id)
+            & (exact_top.neighbor_id == ann_top.ann_neighbor),
+        )
+        .groupBy(exact_top.query_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_ann = ann_top.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    base = queries.select("query_id")
+    return (
+        base.join(n_ann, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(k).cast("double")
+            ).alias("recall_at_k"),
+        )
+    )

@@ -271,3 +271,18 @@ ORACLES["spatial_bbox_join"] = """
      AND a.ymin <= b.ymax AND b.ymin <= a.ymax
     ORDER BY raster_id_a, raster_id_b
 """
+
+
+ORACLES["cube_change_detection"] = """
+    SELECT user_id, ts, event_id, value, prev_value,
+           value / prev_value AS ratio,
+           COALESCE(value / prev_value > 1.5
+                    OR (value / prev_value) * 1.5 < 1.0, FALSE) AS changed
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_value
+        FROM events)
+    ORDER BY user_id, ts, event_id
+"""

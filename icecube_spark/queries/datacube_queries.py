@@ -420,3 +420,40 @@ def spatial_overlap_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("raster_id_a", "raster_id_b")
     )
+
+
+def cube_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — SAR-style change detection along the time axis: the ratio
+    of each acquisition's value to the previous acquisition of the
+    same key, flagged when it moves more than 50% either way. The
+    ratio detector is the standard SAR amplitude-change test (the
+    log-ratio thresholded), expressed on the tabular cube.
+
+    Plan: one shuffle on the key for the lag; the ratio and flag are
+    codegen column math. The division is one IEEE double op on
+    identical inputs — bit-equal in any engine (values are > 0 in
+    this dataset; a NULL previous row yields NULL ratio, flag false).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    ratio = F.col("value") / F.col("prev_value")
+    return lagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "prev_value",
+        ratio.alias("ratio"),
+        F.coalesce(
+            (ratio > 1.5) | (ratio * 1.5 < 1.0), F.lit(False)
+        ).alias("changed"),
+    ).orderBy("user_id", "ts", "event_id")

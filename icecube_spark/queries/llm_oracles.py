@@ -610,3 +610,54 @@ ORACLES["fuzzy_name_pairs"] = """
     WHERE levenshtein(a.name, b.name) <= 2
     ORDER BY name_a, name_b
 """
+
+
+_CODED = """
+        coded AS (
+            SELECT vec_id, embedding, nrm,
+                   CAST((SELECT SUM(CASE WHEN
+                       list_sum(
+                           [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                      THEN 1.0 ELSE -1.0 END
+                                 * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                            FOR j IN range(1, len(embedding) + 1)]) >= 0
+                       THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+            FROM v)
+"""
+
+ORACLES["ann_recall_eval"] = f"""
+    WITH {_VNORM},
+    {_CODED},
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, code AS qcode
+          FROM coded WHERE vec_id < 10),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} DESC,
+                       c.vec_id ASC) AS r
+            FROM q JOIN v c ON c.vec_id != q.query_id)
+        WHERE r <= 5),
+    ann AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} DESC,
+                       c.vec_id ASC) AS r
+            FROM q JOIN coded c
+              ON c.code = q.qcode AND c.vec_id != q.query_id)
+        WHERE r <= 5),
+    hits AS (
+        SELECT e.query_id, COUNT(*) AS n_hits
+        FROM exact e JOIN ann a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY 1),
+    nann AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1)
+    SELECT q.query_id, 5 AS k,
+           CAST(COALESCE(nann.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+               AS recall_at_k
+    FROM q LEFT JOIN nann USING (query_id) LEFT JOIN hits USING (query_id)
+    ORDER BY q.query_id
+"""

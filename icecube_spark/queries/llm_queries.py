@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from icecube_spark import catalog
 from icecube_spark.operators import dedup, multimodal, similarity, text
+from icecube_spark.operators import pipeline as pipeline_ops
 
 
 def _docs(spark, sf_dir):
@@ -272,3 +273,17 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking."""
     part = catalog.load(spark, sf_dir, "part")
     return dedup.fuzzy_pairs(part, "p_name", max_dist=2).orderBy("name_a", "name_b")
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — per-doc fraction of 5-grams first seen in that doc."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline_ops.ngram_novelty(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 — recall@5 of the LSH ANN index vs exact brute force."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_eval(
+        emb, "vec_id", "embedding", F.col("vec_id") < 10
+    ).orderBy("query_id")

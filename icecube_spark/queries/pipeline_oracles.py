@@ -338,3 +338,92 @@ ORACLES["cross_source_leakage"] = f"""
            CAST(SUM(qj) AS DOUBLE) / 1e12 / COUNT(*) AS mean_jaccard
     FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES.update({
+    "sequence_packing": f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+        off AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS off FROM toks),
+        b AS (SELECT *, CAST(FLOOR(off / 4096) AS BIGINT) AS bin FROM off)
+        SELECT source, bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM b GROUP BY 1, 2
+    """,
+    "quality_gate_funnel": f"""
+        WITH flags AS (
+            SELECT (n_chars >= 100) AS g1,
+                   (len(string_split({_NORM}, ' ')) >= 20) AS g2,
+                   (length(regexp_replace({_NORM}, '[^a-z]', '', 'g')) * 10
+                        >= length({_NORM}) * 6) AS g3,
+                   (length({_NORM})
+                        <= len(string_split({_NORM}, ' ')) * 12) AS g4
+            FROM documents),
+        a AS (
+            SELECT COUNT(*) AS n0,
+                   CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n3,
+                   CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n4
+            FROM flags)
+        SELECT gate_no, gate, n_in, n_out, n_in - n_out AS n_dropped FROM (
+            SELECT 1 AS gate_no, 'min_length' AS gate, n0 AS n_in, n1 AS n_out
+            FROM a
+            UNION ALL SELECT 2, 'min_words', n1, n2 FROM a
+            UNION ALL SELECT 3, 'alpha_ratio', n2, n3 FROM a
+            UNION ALL SELECT 4, 'word_len_sane', n3, n4 FROM a)
+    """,
+    "dedup_survivorship": f"""
+        WITH aug AS (
+            SELECT doc_id, text, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text, 'mirror' AS source,
+                   n_chars
+            FROM documents WHERE doc_id % 50 = 0),
+        h AS (
+            SELECT doc_id, source, n_chars, md5({_NORM}) AS content_hash
+            FROM aug)
+        SELECT content_hash, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_members, MAX(n_chars) AS best_n_chars,
+               list_sort(list_distinct(list(source))) AS sources
+        FROM h GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    "class_weights": """
+        WITH per AS (
+            SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   COUNT(*) AS n_labels FROM per)
+        SELECT label, n, n_total, n_labels,
+               CAST(n_total AS DOUBLE) / CAST(n_labels * n AS DOUBLE) AS weight
+        FROM per CROSS JOIN tot
+    """,
+    "shard_manifest": """
+        SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents GROUP BY 1
+    """,
+    "ngram_novelty": f"""
+        WITH {_G5_CTES},
+        eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+        first AS (SELECT gram, MIN(doc_id) AS first_doc FROM eg GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM eg JOIN first USING (gram)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+})

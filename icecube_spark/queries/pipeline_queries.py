@@ -267,3 +267,48 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_lo", "src_hi")
     )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P24 — fixed-size token-bin packing manifest per source."""
+    out = pipeline.sequence_packing(_docs(spark, sf_dir), "doc_id", "text", "source")
+    return out.orderBy("source", "bin")
+
+
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P25 — sequential quality-gate survival funnel."""
+    return pipeline.quality_gate_funnel(_docs(spark, sf_dir), "text", "n_chars")
+
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26 — golden-record merge of exact-dup clusters. The synthetic
+    corpus has no exact dups at small SF, so (as pii_redact does for
+    PII) the query plants a deterministic mirror of every 50th doc —
+    re-sourced and id-shifted — and the operator must merge exactly
+    those clusters; the oracle plants the same rows."""
+    docs = _docs(spark, sf_dir)
+    mirrored = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    out = pipeline.dedup_survivorship(
+        docs.unionByName(mirrored), "doc_id", "text"
+    )
+    return out.orderBy("content_hash")
+
+
+def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P27 — inverse-frequency class weights over embedding labels."""
+    from icecube_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.class_weights(emb, "label").orderBy("label")
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P28 — deterministic 16-way shard assignment manifest."""
+    out = pipeline.shard_manifest(_docs(spark, sf_dir), "doc_id", "n_chars")
+    return out.orderBy("shard")
