@@ -112,3 +112,19 @@ def upsert_snapshot(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC source — Spark's other built-in columnar format, kept at
+    parity with parquet: vectorized scan, predicate pushdown, column
+    pruning all apply."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -203,3 +203,48 @@ def run_trending_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def conversion_join(events: DataFrame, horizon_days: int = 7) -> DataFrame:
+    """C31s — stream-stream time-bounded join: every signup matched to
+    the same user's purchases within `horizon_days`. ONE code path for
+    batch and streaming (the batch run is the test oracle); when the
+    input is a stream both sides get watermarks and Spark runs a true
+    stream-stream inner join, buffering each side's state only up to
+    watermark + horizon — the join state is bounded, the canonical
+    production shape for attribution at scale.
+
+    Scale: the join shuffles both sides on user_id; state per key is
+    bounded by the time-range condition (Spark prunes buffered rows
+    older than watermark - horizon automatically).
+    """
+    sig = events.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_id"),
+    )
+    pur = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        sig = sig.withWatermark("signup_ts", "1 hour")
+        pur = pur.withWatermark("purchase_ts", "1 hour")
+    return sig.join(
+        pur,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon_days} DAYS")
+        ),
+    ).select(
+        "user_id",
+        "signup_id",
+        "signup_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -131,3 +131,30 @@ def test_upsert_snapshot_keeps_latest(spark, sf_dir):
     }
     # k=2: higher version wins; k=3: equal version -> update side wins
     assert got == {1: "a", 2: "b2", 3: "c2", 4: "d"}
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """H: ORC sink + source round-trips the events table exactly."""
+    from icecube_spark import catalog
+
+    ev = catalog.load(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    readers.write_orc(ev, path)
+    back = readers.read_orc(spark, path)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    got = back.agg(F.sum(F.col("value").cast("decimal(18,8)"))).collect()[0][0]
+    want = ev.agg(F.sum(F.col("value").cast("decimal(18,8)"))).collect()[0][0]
+    assert got == want
+
+
+def test_orc_scan_prunes_and_pushes(spark, sf_dir, tmp_path):
+    """H: the ORC scan shows pushed filters + pruned read schema."""
+    from icecube_spark import catalog
+
+    ev = catalog.load(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc2")
+    readers.write_orc(ev, path)
+    q = readers.read_orc(spark, path).where(F.col("user_id") == 7).select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan

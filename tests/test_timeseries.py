@@ -201,3 +201,32 @@ def test_streaming_trending_matches_batch(spark, sf_dir):
     assert (got["event_type"].to_numpy() == want["event_type"].to_numpy()).all()
     assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+
+
+def test_streaming_stream_stream_join_matches_batch(spark, sf_dir):
+    """C31s: watermarked stream-stream time-bounded join == batch twin.
+
+    The same conversion_join() code path runs once on the file stream
+    (availableNow drain, true stream-stream join with bounded state)
+    and once on the batch table; row sets must agree exactly."""
+    from icecube_spark import catalog
+    from icecube_spark.streaming.events import conversion_join, read_events_stream
+
+    q = (
+        conversion_join(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("stream_conversions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = normalize(spark.table("stream_conversions").toPandas())
+    want = normalize(
+        conversion_join(catalog.load(spark, sf_dir, "events")).toPandas()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (
+        got["purchase_id"].to_numpy() == want["purchase_id"].to_numpy()
+    ).all()
+    assert (got["signup_id"].to_numpy() == want["signup_id"].to_numpy()).all()
