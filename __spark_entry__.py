@@ -56,6 +56,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": pq.shard_manifest,
     "ngram_novelty": lq.ngram_novelty,
     "ann_recall_eval": lq.ann_recall_eval,
+    "downsample_lttb": tsq.downsample_lttb,
+    "weighted_sample": pq.weighted_sample,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

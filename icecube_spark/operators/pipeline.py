@@ -810,3 +810,60 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
             F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
         )
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, group_col: str) -> DataFrame:
+    """P29 — temperature sampling APPLIED: downsample each source by
+    the acceptance probability that moves the natural source mix to
+    the t=0.5 temperature mix of P22 (p_s ∝ sqrt-share / natural
+    share, capped at 1 — no upsampling). The accept test is a
+    deterministic per-doc hash threshold, so the sample is
+    append-stable and reproducible.
+
+    Exactness: the probability is staged integer floor-divisions
+    (share quantized to 1e5, then scaled by N/n_s) — overflow-safe to
+    1e13 docs; the per-doc test is one modulus compare. The report is
+    per-source kept/target accounting.
+
+    Scale: weights are a |sources|-row aggregate broadcast back; the
+    accept test is map-only on the corpus scan; the report is one
+    partial agg."""
+    counts = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("cast(floor(sqrt(count(1)) * 1e9) as bigint)").alias("qw"),
+    )
+    tot = counts.agg(
+        F.sum("qw").alias("qtotal"), F.sum("n_docs").alias("n_total")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(100000).cast("bigint"),
+            F.expr("(qw * 100000 div qtotal) * n_total div n_docs"),
+        ).alias("p_q5"),
+    )
+    tagged = df.select(
+        F.col(id_col), F.col(group_col).alias("source")
+    ).withColumn(
+        "h", ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)) % 100000
+    )
+    kept = (
+        tagged.join(F.broadcast(probs), "source")
+        .where(F.col("h") < F.col("p_q5"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        probs.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p_q5",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("kept_frac"),
+        )
+    )

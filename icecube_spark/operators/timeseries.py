@@ -966,3 +966,79 @@ def changepoint_cusum(
             F.col("total").alias("total_events"),
         )
     )
+
+
+def downsample_lttb(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_size: int = 20,
+) -> DataFrame:
+    """C35 — LTTB-style series downsampling: per type, keep ONE
+    visually-dominant point per `bucket_size`-point bucket — the point
+    maximizing the triangle area spanned with the neighbor buckets'
+    anchors (TimescaleDB ships this as lttb()). The parallel variant:
+    anchors are bucket centroids rather than the previously selected
+    point, removing the sequential dependency so every bucket scores
+    its points independently — the distributed-friendly formulation.
+
+    Exactness: time in epoch SECONDS and values quantized to 1e-3 keep
+    the cross-product area in int64 (microseconds would overflow);
+    anchor centroids use floor-division (identical for positive ints
+    in both engines); edge buckets (no neighbor) fall back to their
+    first point via a COALESCE(-1) ordering.
+
+    Scale: one shuffle on the type key; ranks, anchors, and the
+    neighbor-anchor carry are three windows sharing that single
+    exchange; the per-bucket argmax moves nothing.
+    """
+    w = Window.partitionBy("t").orderBy("ts_s", "tb")
+    base = df.select(
+        F.col(type_col).alias("t"),
+        (_us(ts_col) / F.lit(1_000_000)).cast("bigint").alias("ts_s"),
+        F.col(ts_col).alias("ts"),
+        F.floor(F.col(value_col) * 1000).alias("q"),
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    ).withColumn("rn", F.row_number().over(w) - 1)
+    pts = base.withColumn("bucket", F.floor(F.col("rn") / bucket_size))
+    anchors = pts.groupBy("t", "bucket").agg(
+        F.expr("sum(ts_s) div count(1)").alias("a_t"),
+        F.expr("sum(q) div count(1)").alias("a_q"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    wb = Window.partitionBy("t").orderBy("bucket")
+    neigh = anchors.select(
+        "t",
+        "bucket",
+        "n_points",
+        F.lag("a_t").over(wb).alias("prev_t"),
+        F.lag("a_q").over(wb).alias("prev_q"),
+        F.lead("a_t").over(wb).alias("next_t"),
+        F.lead("a_q").over(wb).alias("next_q"),
+    )
+    scored = pts.join(neigh, ["t", "bucket"]).withColumn(
+        "area2",
+        F.abs(
+            (F.col("prev_t") - F.col("next_t")) * (F.col("q") - F.col("prev_q"))
+            - (F.col("prev_t") - F.col("ts_s"))
+            * (F.col("next_q") - F.col("prev_q"))
+        ),
+    )
+    pick = Window.partitionBy("t", "bucket").orderBy(
+        F.coalesce("area2", F.lit(-1)).desc(), F.col("rn").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select(
+            F.col("t").alias("event_type"),
+            "bucket",
+            "n_points",
+            "ts",
+            "v",
+            F.coalesce("area2", F.lit(-1)).alias("area2"),
+        )
+    )

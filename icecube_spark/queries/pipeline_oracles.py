@@ -427,3 +427,32 @@ ORACLES.update({
         GROUP BY doc_id ORDER BY doc_id
     """,
 })
+
+
+ORACLES["weighted_sample"] = """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(FLOOR(sqrt(COUNT(*)) * 1e9) AS BIGINT) AS qw
+        FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(qw) AS BIGINT) AS qtotal,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+    probs AS (
+        SELECT source, n_docs,
+               LEAST(CAST(100000 AS BIGINT),
+                     (qw * 100000 // qtotal) * n_total // n_docs) AS p_q5
+        FROM counts CROSS JOIN tot),
+    tagged AS (
+        SELECT doc_id, source,
+               (doc_id * 2654435761) % 4294967296 % 100000 AS h
+        FROM documents),
+    kept AS (
+        SELECT t.source, COUNT(*) AS n_kept
+        FROM tagged t JOIN probs p USING (source)
+        WHERE t.h < p.p_q5 GROUP BY 1)
+    SELECT p.source, p.n_docs, p.p_q5,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+               AS kept_frac
+    FROM probs p LEFT JOIN kept k USING (source)
+    ORDER BY p.source
+"""

@@ -312,3 +312,11 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P28 — deterministic 16-way shard assignment manifest."""
     out = pipeline.shard_manifest(_docs(spark, sf_dir), "doc_id", "n_chars")
     return out.orderBy("shard")
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P29 — temperature sampling applied: deterministic hash-threshold
+    downsampling toward the t=0.5 source mix, with kept/target report."""
+    return pipeline.weighted_sample(_docs(spark, sf_dir), "doc_id", "source").orderBy(
+        "source"
+    )

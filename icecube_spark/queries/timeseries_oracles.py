@@ -584,3 +584,44 @@ ORACLES.update(
         """,
     }
 )
+
+
+ORACLES["downsample_lttb"] = """
+    WITH base AS (
+        SELECT event_type AS t,
+               epoch_us(ts) // 1000000 AS ts_s,
+               ts,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS q,
+               value AS v,
+               event_id AS tb
+        FROM events),
+    pts AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY t ORDER BY ts_s, tb) - 1
+                      AS rn
+        FROM base),
+    pb AS (SELECT *, rn // 20 AS bucket FROM pts),
+    anchors AS (
+        SELECT t, bucket,
+               CAST(SUM(ts_s) AS BIGINT) // COUNT(*) AS a_t,
+               CAST(SUM(q) AS BIGINT) // COUNT(*) AS a_q,
+               COUNT(*) AS n_points
+        FROM pb GROUP BY 1, 2),
+    neigh AS (
+        SELECT t, bucket, n_points,
+               lag(a_t) OVER w AS prev_t, lag(a_q) OVER w AS prev_q,
+               lead(a_t) OVER w AS next_t, lead(a_q) OVER w AS next_q
+        FROM anchors WINDOW w AS (PARTITION BY t ORDER BY bucket)),
+    scored AS (
+        SELECT pb.t, pb.bucket, pb.rn, pb.ts, pb.v, n.n_points,
+               abs((n.prev_t - n.next_t) * (pb.q - n.prev_q)
+                   - (n.prev_t - pb.ts_s) * (n.next_q - n.prev_q)) AS area2
+        FROM pb JOIN neigh n ON pb.t = n.t AND pb.bucket = n.bucket)
+    SELECT t AS event_type, bucket, n_points, ts, v,
+           COALESCE(area2, -1) AS area2
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY t, bucket
+            ORDER BY COALESCE(area2, -1) DESC, rn ASC) AS r
+        FROM scored)
+    WHERE r = 1
+"""

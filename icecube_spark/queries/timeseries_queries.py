@@ -450,3 +450,12 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C34 — CUSUM level-shift scan over per-type daily counts."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.changepoint_cusum(ev, "ts", "event_type").orderBy("event_type")
+
+
+def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35 — LTTB-style visual downsampling: one dominant point per
+    20-point bucket per event type (parallel-anchor variant)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.downsample_lttb(
+        ev, "ts", "event_type", "value", "event_id"
+    ).orderBy("event_type", "bucket")
