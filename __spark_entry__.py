@@ -58,6 +58,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval": lq.ann_recall_eval,
     "downsample_lttb": tsq.downsample_lttb,
     "weighted_sample": pq.weighted_sample,
+    "embed_standardize": lq.embed_standardize,
+    "seasonal_dow": tsq.seasonal_dow,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

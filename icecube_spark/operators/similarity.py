@@ -521,3 +521,46 @@ def ann_recall_eval(
             ).alias("recall_at_k"),
         )
     )
+
+
+def standardize_dims(
+    df: DataFrame, id_col: str, vec_col: str, n_dims: int = 8
+) -> DataFrame:
+    """E12 — per-dimension standardization (z-scores), the
+    normalization step before PCA/whitening/linear probes. Emitted for
+    the first `n_dims` dimensions (bounded posexplode).
+
+    Exactness: with q = floor(x*1e6) per element, z = (n*q - sum_q) /
+    sqrt(n*sum_q2 - sum_q^2) is integer arithmetic up to one IEEE
+    sqrt + one division — bit-identical across engines. Intermediates
+    stay in int64 for n up to ~1e5 rows at this quantization; at
+    corpus scale drop quantization to 1e3 (the formula is unchanged).
+
+    Plan: moments are one partial-agg shuffle to n_dims rows
+    (posexplode of the leading slice only); they broadcast back onto
+    the map-only corpus scan."""
+    sliced = df.select(
+        F.col(id_col),
+        F.posexplode(F.slice(F.col(vec_col), 1, n_dims)).alias("dim", "x"),
+    ).withColumn("q", F.floor(F.col("x").cast("double") * 1e6))
+    moments = sliced.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    return (
+        sliced.join(F.broadcast(moments), "dim")
+        .select(
+            F.col(id_col),
+            "dim",
+            "x",
+            (
+                (F.col("n") * F.col("q") - F.col("sq")).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")
+                    ).cast("double")
+                )
+            ).alias("z"),
+        )
+    )

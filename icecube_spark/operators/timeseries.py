@@ -1042,3 +1042,53 @@ def downsample_lttb(
             F.coalesce("area2", F.lit(-1)).alias("area2"),
         )
     )
+
+
+def seasonal_dow(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """C36 — weekday seasonality after detrending: per type, daily
+    counts minus their centered 7-day moving average, averaged by
+    day-of-week. The additive-decomposition seasonal component (the
+    classic STL first approximation), scaled by 7 so the detrended
+    residual 7*c - sum7 stays in exact INT64.
+
+    Plan: daily counts are one partial-agg shuffle to |types|x|days|;
+    the centered MA and the weekday rollup reuse that single type-key
+    clustering. Only full 7-day windows contribute (edges excluded),
+    so the statistic is deterministic."""
+    daily = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(ts_col).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).where(F.col("n_win") == 7)
+    detr = ma.withColumn("resid7", F.lit(7) * F.col("c") - F.col("sum7"))
+    return (
+        detr.groupBy("event_type", F.dayofweek("day").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("resid7").alias("resid7_sum"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            (
+                F.col("resid7_sum").cast("double")
+                / (F.lit(7.0) * F.col("n_days").cast("double"))
+            ).alias("seasonal"),
+        )
+    )

@@ -661,3 +661,22 @@ ORACLES["ann_recall_eval"] = f"""
     FROM q LEFT JOIN nann USING (query_id) LEFT JOIN hits USING (query_id)
     ORDER BY q.query_id
 """
+
+
+ORACLES["embed_standardize"] = """
+    WITH sliced AS (
+        SELECT vec_id, j - 1 AS dim,
+               CAST(embedding[j] AS DOUBLE) AS x,
+               CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT) AS q
+        FROM embeddings, range(1, 9) t(j)),
+    moments AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q * q) AS BIGINT) AS sq2
+        FROM sliced GROUP BY 1)
+    SELECT vec_id, dim, x,
+           CAST(n * q - sq AS DOUBLE)
+               / sqrt(CAST(n * sq2 - sq * sq AS DOUBLE)) AS z
+    FROM sliced JOIN moments USING (dim)
+    ORDER BY vec_id, dim
+"""

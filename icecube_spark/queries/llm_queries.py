@@ -287,3 +287,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_eval(
         emb, "vec_id", "embedding", F.col("vec_id") < 10
     ).orderBy("query_id")
+
+
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 — exact per-dimension z-scores for the leading 8 dims."""
+    return similarity.standardize_dims(_emb(spark, sf_dir), "vec_id", "embedding").orderBy(
+        "vec_id", "dim"
+    )

@@ -625,3 +625,23 @@ ORACLES["downsample_lttb"] = """
         FROM scored)
     WHERE r = 1
 """
+
+
+ORACLES["seasonal_dow"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    ma AS (
+        SELECT event_type, day, c,
+               CAST(SUM(c) OVER w AS BIGINT) AS sum7,
+               COUNT(*) OVER w AS n_win
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detr AS (
+        SELECT *, 7 * c - sum7 AS resid7 FROM ma WHERE n_win = 7)
+    SELECT event_type, dayofweek(day) + 1 AS dow, COUNT(*) AS n_days,
+           CAST(CAST(SUM(resid7) AS BIGINT) AS DOUBLE)
+               / (7.0 * CAST(COUNT(*) AS DOUBLE)) AS seasonal
+    FROM detr GROUP BY 1, 2
+"""

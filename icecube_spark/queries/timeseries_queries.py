@@ -459,3 +459,11 @@ def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.downsample_lttb(
         ev, "ts", "event_type", "value", "event_id"
     ).orderBy("event_type", "bucket")
+
+
+def seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36 — detrended weekday seasonality per event type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.seasonal_dow(ev, "ts", "event_type").orderBy(
+        "event_type", "dow"
+    )

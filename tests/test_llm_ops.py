@@ -99,3 +99,25 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert a.feature.apply(lambda v: all(0.0 <= x <= 1.0 for x in v)).all()
     b = lq.multimodal_features(spark, sf_dir).toPandas()
     assert a.feature.apply(tuple).equals(b.feature.apply(tuple))
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    """E11: recall in [0,1]; hits never exceed either top-k set."""
+    from icecube_spark.queries import llm_queries as lq
+
+    out = lq.ann_recall_eval(spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert ((out["recall_at_k"] >= 0) & (out["recall_at_k"] <= 1)).all()
+    assert (out["n_hits"] <= out["k"]).all()
+    assert (out["n_hits"] <= out["n_ann"]).all()
+
+
+def test_embed_standardize_moments(spark, sf_dir):
+    """E12: per-dim z-scores sum to ~0 with unit-ish variance."""
+    from icecube_spark.queries import llm_queries as lq
+
+    out = lq.embed_standardize(spark, sf_dir).toPandas()
+    for _, g in out.groupby("dim"):
+        n = len(g)
+        assert abs(g["z"].sum()) < 1e-6 * n
+        assert abs((g["z"] ** 2).sum() / n - 1.0) < 0.01

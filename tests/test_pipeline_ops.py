@@ -127,3 +127,28 @@ def test_approx_profile_error_bounds(spark, sf_dir, oracle):
         ).fetchone()[0]
         rel = abs(got[f"approx_{c}"] - exact) / exact
         assert rel < 0.05, f"{c}: approx {got[f'approx_{c}']} vs {exact}"
+
+
+def test_weighted_sample_caps_and_direction(spark, sf_dir):
+    """P29: acceptance prob capped at 1; kept counts within n_docs;
+    larger sources are downsampled at least as hard as smaller ones."""
+    from icecube_spark.queries import pipeline_queries as pq
+
+    out = pq.weighted_sample(spark, sf_dir).toPandas()
+    assert (out["p_q5"] <= 100000).all()
+    assert (out["n_kept"] <= out["n_docs"]).all()
+    s = out.sort_values("n_docs")
+    assert s["p_q5"].iloc[0] >= s["p_q5"].iloc[-1]
+
+
+def test_sequence_packing_conserves_docs(spark, sf_dir):
+    """P24: every doc lands in exactly one bin; bins are contiguous
+    per source starting at 0."""
+    from icecube_spark import catalog
+    from icecube_spark.queries import pipeline_queries as pq
+
+    out = pq.sequence_packing(spark, sf_dir).toPandas()
+    n_docs = catalog.load(spark, sf_dir, "documents").count()
+    assert out["n_docs"].sum() == n_docs
+    for _, g in out.groupby("source"):
+        assert sorted(g["bin"].tolist()) == list(range(len(g)))

@@ -230,3 +230,26 @@ def test_streaming_stream_stream_join_matches_batch(spark, sf_dir):
         got["purchase_id"].to_numpy() == want["purchase_id"].to_numpy()
     ).all()
     assert (got["signup_id"].to_numpy() == want["signup_id"].to_numpy()).all()
+
+
+def test_downsample_lttb_one_point_per_bucket(spark, sf_dir):
+    """C35: exactly one selected point per (type, bucket); bucket ids
+    are the contiguous 0..n_buckets-1 range; edge buckets (no
+    neighbor anchor) fall back to their first point (area2 = -1)."""
+    out = tq.downsample_lttb(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert not out.duplicated(["event_type", "bucket"]).any()
+    for _, g in out.groupby("event_type"):
+        buckets = sorted(g["bucket"].tolist())
+        assert buckets == list(range(len(buckets)))
+        assert (g.sort_values("bucket").iloc[0]["area2"]) == -1
+
+
+def test_seasonal_dow_zero_sum(spark, sf_dir):
+    """C36: the detrended weekday components of each type sum to ~0
+    when weighted by day counts (additive decomposition residuals)."""
+    out = tq.seasonal_dow(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, g in out.groupby("event_type"):
+        weighted = (g["seasonal"] * g["n_days"]).sum()
+        assert abs(weighted) < g["n_days"].sum() * 2.0
