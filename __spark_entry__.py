@@ -60,6 +60,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": pq.weighted_sample,
     "embed_standardize": lq.embed_standardize,
     "seasonal_dow": tsq.seasonal_dow,
+    "pareto_report": analytics.pareto_report,
+    "cube_mosaic": dq.cube_mosaic,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

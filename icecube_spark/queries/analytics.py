@@ -885,3 +885,55 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 — revenue-concentration (Pareto / "80-20") report: customers
+    ranked by lifetime spend, grouped into spend deciles, each decile's
+    revenue and the cumulative share. The executive concentration
+    curve every revenue team reads.
+
+    Plan: one shuffle on o_custkey to customer grain; the rank window
+    and decile cumsum run over |customers| aggregate rows; totals
+    broadcast back via a 1-row crossJoin. Revenue folds in decimal
+    (order-free); shares are single IEEE divisions of exact decimals.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).alias("rn")
+    ).crossJoin(
+        F.broadcast(
+            per_cust.agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.sum("rev").cast("decimal(28,8)").alias("total_rev"),
+            )
+        )
+    )
+    deciles = (
+        # integer floor division on both sides — a double division +
+        # int cast TRUNCATES in Spark but ROUNDS in DuckDB
+        ranked.withColumn(
+            "decile",
+            (F.expr("((rn - 1) * 10) div n_cust") + 1).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("decimal(28,8)").alias("decile_rev"),
+            F.max("total_rev").alias("total_rev"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return deciles.select(
+        "decile",
+        "n_customers",
+        F.col("decile_rev").cast("double").alias("decile_revenue"),
+        (
+            F.sum("decile_rev").over(wc).cast("double")
+            / F.col("total_rev").cast("double")
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -471,3 +471,31 @@ ORACLES["basket_lift"] = """
     SELECT part_a, part_b, n_ab, n_a, n_b, lift, rank
     FROM ranked WHERE rank <= 20 ORDER BY rank
 """
+
+
+ORACLES["pareto_report"] = """
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS rev
+        FROM orders GROUP BY 1),
+    tot AS (
+        SELECT COUNT(*) AS n_cust,
+               CAST(SUM(rev) AS DECIMAL(28,8)) AS total_rev
+        FROM per_cust),
+    ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+               n_cust, total_rev
+        FROM per_cust CROSS JOIN tot),
+    deciles AS (
+        SELECT CAST(((rn - 1) * 10) // n_cust + 1 AS INT) AS decile,
+               COUNT(*) AS n_customers,
+               CAST(SUM(rev) AS DECIMAL(28,8)) AS decile_rev,
+               MAX(total_rev) AS total_rev
+        FROM ranked GROUP BY 1)
+    SELECT decile, n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_revenue,
+           CAST(SUM(decile_rev) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(total_rev AS DOUBLE) AS cum_share
+    FROM deciles ORDER BY decile
+"""

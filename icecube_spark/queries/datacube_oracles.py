@@ -275,9 +275,11 @@ ORACLES["spatial_bbox_join"] = """
 
 ORACLES["cube_change_detection"] = """
     SELECT user_id, ts, event_id, value, prev_value,
-           value / prev_value AS ratio,
-           COALESCE(value / prev_value > 1.5
-                    OR (value / prev_value) * 1.5 < 1.0, FALSE) AS changed
+           CASE WHEN prev_value != 0 THEN value / prev_value END AS ratio,
+           COALESCE(
+               CASE WHEN prev_value != 0 THEN value / prev_value END > 1.5
+               OR CASE WHEN prev_value != 0 THEN value / prev_value END * 1.5
+                  < 1.0, FALSE) AS changed
     FROM (
         SELECT user_id, ts, event_id, value,
                lag(value) OVER (
@@ -285,4 +287,36 @@ ORACLES["cube_change_detection"] = """
                ) AS prev_value
         FROM events)
     ORDER BY user_id, ts, event_id
+"""
+
+
+ORACLES["cube_mosaic"] = f"""
+    WITH sp AS (
+        SELECT CAST(FLOOR(SQRT(CAST(MAX(p_partkey) AS DOUBLE) * 50000.0))
+                    AS BIGINT) AS __space
+        FROM part),
+    vert AS (
+        SELECT p_partkey AS raster_id,
+               {_VERTS}
+        FROM part CROSS JOIN sp),
+    polys AS (
+        SELECT *, LEAST(x1, x2, x3, x4) AS xmin,
+                  GREATEST(x1, x2, x3, x4) AS xmax,
+                  LEAST(y1, y2, y3, y4) AS ymin,
+                  GREATEST(y1, y2, y3, y4) AS ymax
+        FROM vert),
+    cells AS (
+        SELECT raster_id,
+               UNNEST(range(CAST(FLOOR(xmin / 128) AS BIGINT),
+                            CAST(FLOOR(xmax / 128) AS BIGINT) + 1)) AS cx,
+               ymin, ymax
+        FROM polys),
+    cells2 AS (
+        SELECT raster_id, cx,
+               UNNEST(range(CAST(FLOOR(ymin / 128) AS BIGINT),
+                            CAST(FLOOR(ymax / 128) AS BIGINT) + 1)) AS cy
+        FROM cells)
+    SELECT cx, cy, MAX(raster_id) AS raster_id,
+           COUNT(*) AS n_candidates
+    FROM cells2 GROUP BY 1, 2 ORDER BY cx, cy
 """

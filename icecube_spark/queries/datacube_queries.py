@@ -445,7 +445,12 @@ def cube_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lag("value").over(w).alias("prev_value"),
     )
-    ratio = F.col("value") / F.col("prev_value")
+    # guard the zero divisor explicitly (ANSI mode throws, and engines
+    # disagree on x/0 semantics — NULL ratio / false flag is the
+    # portable contract); larger SFs do contain value = 0 rows
+    ratio = F.when(
+        F.col("prev_value") != 0, F.col("value") / F.col("prev_value")
+    )
     return lagged.select(
         "user_id",
         "ts",
@@ -457,3 +462,50 @@ def cube_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio > 1.5) | (ratio * 1.5 < 1.0), F.lit(False)
         ).alias("changed"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+def cube_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — mosaic assignment: the coordinate space is cut into grid
+    cells and every cell covered by at least one footprint bbox is
+    assigned its most recent raster (max id = latest acquisition
+    proxy) — the standard best-pixel mosaic/compositing step after
+    footprint overlap analysis (reference stacks overlapping rasters;
+    a mosaic picks one winner per cell).
+
+    Plan: bounded bbox->cell explode (constant density per A14's
+    sqrt(n) space), then ONE partial-agg shuffle on the cell key —
+    max and count combine map-side. Output is |covered cells| rows.
+    """
+    from icecube_spark.operators.spatial import quad_footprints
+
+    part = catalog.load(spark, sf_dir, "part")
+    polys = quad_footprints(
+        part.select(F.col("p_partkey").alias("raster_id")), "raster_id"
+    )
+    cell = 128
+    cells = polys.select(
+        "raster_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("xmin") / cell), F.floor(F.col("xmax") / cell)
+            )
+        ).alias("cx"),
+        "ymin",
+        "ymax",
+    ).select(
+        "raster_id",
+        "cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ymin") / cell), F.floor(F.col("ymax") / cell)
+            )
+        ).alias("cy"),
+    )
+    return (
+        cells.groupBy("cx", "cy")
+        .agg(
+            F.max("raster_id").alias("raster_id"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .orderBy("cx", "cy")
+    )
