@@ -62,6 +62,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_dow": tsq.seasonal_dow,
     "pareto_report": analytics.pareto_report,
     "cube_mosaic": dq.cube_mosaic,
+    "feature_pivot": tsq.feature_pivot,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

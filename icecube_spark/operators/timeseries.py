@@ -1092,3 +1092,36 @@ def seasonal_dow(
             ).alias("seasonal"),
         )
     )
+
+
+def feature_pivot(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    value_col: str,
+    types: list[str],
+) -> DataFrame:
+    """C37 — ML feature pivot: one row per key with per-type event
+    counts and decimal-exact value sums as columns — the wide
+    feature-store layout trainers join against. Explicit `types` keeps
+    the pivot a single-pass CASE aggregation (Spark's inferring pivot
+    would scan once extra for distinct values, and column order would
+    be data-dependent).
+
+    Plan: ONE partial-agg shuffle on the key; every pivot cell is a
+    map-side CASE fold. |types| is small and fixed, so the row width
+    is bounded."""
+    aggs = []
+    for t in types:
+        hit = F.col(type_col) == t
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{t}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(hit, F.col(value_col).cast("decimal(18,8)"))
+            )
+            .cast("double")
+            .alias(f"sum_{t}")
+        )
+    return df.groupBy(F.col(key_col).alias("user_id")).agg(*aggs)

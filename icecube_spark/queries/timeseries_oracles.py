@@ -645,3 +645,19 @@ ORACLES["seasonal_dow"] = """
                / (7.0 * CAST(COUNT(*) AS DOUBLE)) AS seasonal
     FROM detr GROUP BY 1, 2
 """
+
+
+_FP_TYPES = ["click", "error", "purchase", "signup", "view"]
+_FP_COLS = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t},\n           "
+    f"CAST(SUM(CASE WHEN event_type = '{t}'"
+    f" THEN CAST(value AS DECIMAL(18,8)) END) AS DOUBLE) AS sum_{t}"
+    for t in _FP_TYPES
+)
+
+ORACLES["feature_pivot"] = f"""
+    SELECT user_id,
+           {_FP_COLS}
+    FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -467,3 +467,13 @@ def seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.seasonal_dow(ev, "ts", "event_type").orderBy(
         "event_type", "dow"
     )
+
+
+def feature_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37 — wide per-user feature pivot (counts + exact sums per
+    event type)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.feature_pivot(
+        ev, "user_id", "event_type", "value",
+        ["click", "error", "purchase", "signup", "view"],
+    ).orderBy("user_id")
