@@ -54,3 +54,29 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,8))) AS DOUBLE) / COUNT({expr})"
+
+
+def qsum(col: Column | str, scale: int = 1_000_000) -> Column:
+    """Quantized-integer exact sum for LARGE-magnitude doubles (>~1e5,
+    e.g. price products), where dsum's double->decimal cast hits the
+    Spark-vs-DuckDB tie-rounding divergence (see module docstring).
+    floor(x*scale) of an identical IEEE double is identical in every
+    engine; the integer fold is exact (decimal(28,0) never overflows
+    at any realistic corpus); one final int->double conversion is
+    correctly rounded in both. Truncation error <= n_rows/scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.floor(c * F.lit(float(scale))).cast("decimal(28,0)")).cast(
+            "double"
+        )
+        / F.lit(float(scale))
+    )
+
+
+def sql_qsum(expr: str, scale: int = 1_000_000) -> str:
+    """DuckDB twin of qsum: SUM(BIGINT) promotes to HUGEINT (exact);
+    the final cast rounds the same exact integer to the same double."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {float(scale)}) AS BIGINT))"
+        f" AS DOUBLE) / {float(scale)}"
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icecube_spark import catalog
-from icecube_spark.functions.parity import davg, dsum
+from icecube_spark.functions.parity import davg, dsum, qsum
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,8 +27,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            # price PRODUCTS reach ~1e5 where dsum's decimal cast hits
+            # the cross-engine tie-rounding divergence -> quantized sums
+            qsum(disc_price).alias("sum_disc_price"),
+            qsum(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -460,7 +462,10 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   cost(p, s)  = ((p*7 + s*13) % 10000) / 100.0 + 1.0
 #   avail(p, s) = (p + s) % 50 + 1
 
-_COST = "((l_partkey * 7 + l_suppkey * 13) % 10000) / 100.0 + 1.0"
+# single double division (int->double cast first): Spark's bare
+# "x / 100.0 + 1.0" runs in DECIMAL and rounds in a different order
+# than DuckDB's double math — 1-ulp cost differences at sf>=0.1
+_COST = "CAST((l_partkey * 7 + l_suppkey * 13) % 10000 + 100 AS DOUBLE) / CAST(100 AS DOUBLE)"
 _AVAIL = "(l_partkey + l_suppkey) % 50 + 1"
 
 
@@ -899,8 +904,15 @@ def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free); shares are single IEEE divisions of exact decimals.
     """
     orders = catalog.load(spark, sf_dir, "orders")
+    # floor-quantized revenue (not a decimal cast): o_totalprice sits in
+    # the >1e5 magnitude band where double->decimal casts tie-round
+    # differently across engines (functions/parity.py)
     per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).alias("rev")
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1000000.0)).cast(
+                "decimal(28,0)"
+            )
+        ).alias("rev")
     )
     w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
     ranked = per_cust.select(
@@ -909,7 +921,7 @@ def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(
             per_cust.agg(
                 F.count(F.lit(1)).alias("n_cust"),
-                F.sum("rev").cast("decimal(28,8)").alias("total_rev"),
+                F.sum("rev").cast("decimal(38,0)").alias("total_rev"),
             )
         )
     )
@@ -923,7 +935,7 @@ def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("rev").cast("decimal(28,8)").alias("decile_rev"),
+            F.sum("rev").cast("decimal(38,0)").alias("decile_rev"),
             F.max("total_rev").alias("total_rev"),
         )
     )
@@ -931,7 +943,9 @@ def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deciles.select(
         "decile",
         "n_customers",
-        F.col("decile_rev").cast("double").alias("decile_revenue"),
+        (F.col("decile_rev").cast("double") / F.lit(1000000.0)).alias(
+            "decile_revenue"
+        ),
         (
             F.sum("decile_rev").over(wc).cast("double")
             / F.col("total_rev").cast("double")

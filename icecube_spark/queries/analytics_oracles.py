@@ -6,15 +6,15 @@ engines. Aliases match the Spark column names exactly (the driver
 hashes by sorted column name).
 """
 
-from icecube_spark.functions.parity import sql_davg, sql_dsum
+from icecube_spark.functions.parity import sql_davg, sql_dsum, sql_qsum
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_quantity')} AS sum_qty,
                {sql_dsum('l_extendedprice')} AS sum_base_price,
-               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_qsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_qsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
                {sql_davg('l_quantity')} AS avg_qty,
                {sql_davg('l_extendedprice')} AS avg_price,
                {sql_davg('l_discount')} AS avg_disc,
@@ -259,7 +259,7 @@ ORACLES.update({
     """,
 })
 
-_COST_SQL = "((l_partkey * 7 + l_suppkey * 13) % 10000) / 100.0 + 1.0"
+_COST_SQL = "CAST((l_partkey * 7 + l_suppkey * 13) % 10000 + 100 AS DOUBLE) / CAST(100 AS DOUBLE)"
 _AVAIL_SQL = "CAST((l_partkey + l_suppkey) % 50 + 1 AS INT)"
 _SUPPLIES = f"""supplies AS (
             SELECT l_partkey, l_suppkey,
@@ -475,11 +475,12 @@ ORACLES["basket_lift"] = """
 
 ORACLES["pareto_report"] = """
     WITH per_cust AS (
-        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS rev
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS rev
         FROM orders GROUP BY 1),
     tot AS (
         SELECT COUNT(*) AS n_cust,
-               CAST(SUM(rev) AS DECIMAL(28,8)) AS total_rev
+               CAST(SUM(rev) AS HUGEINT) AS total_rev
         FROM per_cust),
     ranked AS (
         SELECT rev,
@@ -489,11 +490,11 @@ ORACLES["pareto_report"] = """
     deciles AS (
         SELECT CAST(((rn - 1) * 10) // n_cust + 1 AS INT) AS decile,
                COUNT(*) AS n_customers,
-               CAST(SUM(rev) AS DECIMAL(28,8)) AS decile_rev,
+               CAST(SUM(rev) AS HUGEINT) AS decile_rev,
                MAX(total_rev) AS total_rev
         FROM ranked GROUP BY 1)
     SELECT decile, n_customers,
-           CAST(decile_rev AS DOUBLE) AS decile_revenue,
+           CAST(decile_rev AS DOUBLE) / 1000000.0 AS decile_revenue,
            CAST(SUM(decile_rev) OVER (ORDER BY decile
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                / CAST(total_rev AS DOUBLE) AS cum_share
