@@ -158,3 +158,36 @@ def test_orc_scan_prunes_and_pushes(spark, sf_dir, tmp_path):
     q = readers.read_orc(spark, path).where(F.col("user_id") == 7).select("event_id")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "user_id" in plan
+
+
+REF_LABELS = "/root/reference/tests/resources/labels/dummy_vector_labels.json"
+
+
+def test_labels_json_reads_reference_fixture(spark):
+    """A18: the labels source parses the reference's own vector-labels
+    fixture (create_json_labels.py schema) — object counts per product
+    match the raw document."""
+    import json
+
+    from icecube_spark.sources import labels as L
+
+    flat = L.read_labels_json(spark, REF_LABELS).toPandas()
+    raw = json.load(open(REF_LABELS))
+    want = {r["product_file"]: len(r["labels"]["objects"]) for r in raw}
+    got = flat.groupby("product_file").size().to_dict()
+    assert got == want
+    assert (flat["xmax"] >= flat["xmin"]).all()
+    assert flat["obj_class"].str.startswith("rand-").all()
+
+
+def test_labels_json_round_trip(spark, tmp_path):
+    """A18: flat -> nested JSON -> flat is lossless."""
+    from icecube_spark.sources import labels as L
+
+    flat = L.read_labels_json(spark, REF_LABELS)
+    out = str(tmp_path / "labels_out")
+    L.write_labels_json(flat, out)
+    back = L.read_labels_json(spark, out)
+    a = flat.toPandas().sort_values(list(flat.columns)).reset_index(drop=True)
+    b = back.toPandas().sort_values(list(flat.columns)).reset_index(drop=True)
+    assert a.equals(b)
