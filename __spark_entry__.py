@@ -63,6 +63,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_report": analytics.pareto_report,
     "cube_mosaic": dq.cube_mosaic,
     "feature_pivot": tsq.feature_pivot,
+    "cdc_merge": tsq.cdc_merge,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

@@ -1125,3 +1125,52 @@ def feature_pivot(
             .alias(f"sum_{t}")
         )
     return df.groupBy(F.col(key_col).alias("user_id")).agg(*aggs)
+
+
+def cdc_merge(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    value_col: str,
+    op_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """C38 — CDC MERGE: apply a change stream (upserts + deletes) to a
+    keyed base snapshot and emit the next snapshot — Delta/Iceberg
+    MERGE INTO semantics as one declarative plan. The LATEST change
+    per key wins (ordered by `order_cols`); op 'D' deletes, 'U'
+    upserts (update if the key exists, insert if not).
+
+    Plan: one window shuffle on the change stream's key to pick the
+    latest op, one full-outer shuffle against the base on the same
+    key (co-partitioned — AQE reuses the exchange layout). Row status
+    is codegen CASE math. At scale the base would be bucketed on the
+    key so only the (much smaller) change stream shuffles.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(op_col).alias("__op"),
+            F.col(value_col).alias("__new_v"),
+        )
+    )
+    joined = base.select(
+        F.col(key_col), F.col(value_col).alias("__base_v")
+    ).join(latest, F.col(key_col) == F.col("__k"), "full_outer")
+    merged = joined.select(
+        F.coalesce(F.col(key_col), F.col("__k")).alias(key_col),
+        F.when(F.col("__op") == "U", F.col("__new_v"))
+        .otherwise(F.col("__base_v"))
+        .alias(value_col),
+        F.when(F.col("__op").isNull(), F.lit("unchanged"))
+        .when(F.col("__op") == "D", F.lit("deleted"))
+        .when(F.col("__base_v").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("row_status"),
+    )
+    return merged.where(F.col("row_status") != "deleted")

@@ -661,3 +661,30 @@ ORACLES["feature_pivot"] = f"""
            {_FP_COLS}
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+ORACLES["cdc_merge"] = """
+    WITH changes AS (
+        SELECT (event_id % 30000) + 1 AS k,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value * 100 AS new_v,
+               ts, event_id
+        FROM events),
+    latest AS (
+        SELECT k, op, new_v FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+            FROM changes)
+        WHERE rn = 1),
+    joined AS (
+        SELECT COALESCE(o.o_orderkey, l.k) AS o_orderkey,
+               CASE WHEN l.op = 'U' THEN l.new_v
+                    ELSE o.o_totalprice END AS o_totalprice,
+               CASE WHEN l.op IS NULL THEN 'unchanged'
+                    WHEN l.op = 'D' THEN 'deleted'
+                    WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS row_status
+        FROM orders o FULL OUTER JOIN latest l ON o.o_orderkey = l.k)
+    SELECT * FROM joined WHERE row_status != 'deleted'
+    ORDER BY o_orderkey
+"""

@@ -477,3 +477,30 @@ def feature_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "event_type", "value",
         ["click", "error", "purchase", "signup", "view"],
     ).orderBy("user_id")
+
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38 — MERGE INTO semantics: the events stream is interpreted as
+    a CDC feed against the orders snapshot (error=delete, else
+    upsert of a derived price; latest event per key wins)."""
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ev = catalog.load(spark, sf_dir, "events")
+    changes = ev.select(
+        ((F.col("event_id") % 30000) + 1).alias("o_orderkey"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("value") * 100).alias("o_totalprice"),
+        "ts",
+        "event_id",
+    )
+    return timeseries.cdc_merge(
+        orders,
+        changes,
+        key_col="o_orderkey",
+        value_col="o_totalprice",
+        op_col="op",
+        order_cols=["ts", "event_id"],
+    ).orderBy("o_orderkey")
