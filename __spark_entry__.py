@@ -141,6 +141,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": tsq.value_histogram,
     "purchase_attribution": tsq.purchase_attribution,
     # rows-only (iterative / engine-internal hashing — no SQL oracle):
+    "approx_quantiles": tsq.approx_quantiles,
     "embed_ann_ivf": lq.embed_ann_ivf,
     "text_features": lq.text_features,
     "approx_profile": pq.approx_profile,

@@ -504,3 +504,30 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_col="op",
         order_cols=["ts", "event_id"],
     ).orderBy("o_orderkey")
+
+
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18b — approx_percentile sketch quantiles per event type
+    (rows-only: the sketch is engine-specific; the unit test pins the
+    error vs exact C18). This is the 100 TB quantile path — a
+    KLL/GK-style mergeable sketch, one pass, constant memory per
+    group — where exact rank-selection (C18) is the small-scale twin.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("q"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )

