@@ -232,3 +232,30 @@ def test_decode_rasters_distributed(spark, tmp_path):
         assert row["width"] == 4 and row["height"] == 6
         got = np.array(row["pixels"]).reshape(6, 4)
         assert (got == pix[name]).all()
+
+
+def test_streaming_anomaly_matches_batch(spark, sf_dir):
+    """C39s: applyInPandasWithState running z-score detector flags the
+    IDENTICAL event set as its batch cumulative-window twin — integer
+    moment state makes the two paths exactly comparable."""
+    from icecube_spark import catalog
+    from icecube_spark.streaming.anomaly import batch_anomaly, streaming_anomaly
+    from icecube_spark.streaming.events import read_events_stream
+
+    q = (
+        streaming_anomaly(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("stream_anomalies")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_anomalies").toPandas()
+    want = batch_anomaly(catalog.load(spark, sf_dir, "events")).toPandas()
+    assert len(want) > 0, "fixture should contain anomalies"
+    assert set(got["event_id"]) == set(want["event_id"])
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert (g["n_prior"].to_numpy() == w["n_prior"].to_numpy()).all()
+    assert (g["mean_prior"].to_numpy() == w["mean_prior"].to_numpy()).all()
