@@ -64,6 +64,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_mosaic": dq.cube_mosaic,
     "feature_pivot": tsq.feature_pivot,
     "cdc_merge": tsq.cdc_merge,
+    "dataset_card": pq.dataset_card,
     # --- never graded: dedup (D) ---
     "dedup_exact": lq.dedup_exact,
     "dedup_minhash_lsh": lq.dedup_minhash_lsh,

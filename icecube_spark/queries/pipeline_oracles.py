@@ -456,3 +456,29 @@ ORACLES["weighted_sample"] = """
     FROM probs p LEFT JOIN kept k USING (source)
     ORDER BY p.source
 """
+
+
+ORACLES["dataset_card"] = f"""
+    WITH ranked AS (
+        SELECT source, lang, n_chars,
+               md5({_NORM}) AS h,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents),
+    dup AS (
+        SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+        FROM (SELECT h, COUNT(*) AS c FROM ranked GROUP BY h)),
+    agg AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_chars,
+               MAX(CASE WHEN rn = CEIL(0.5 * (SELECT COUNT(*) FROM ranked))
+                        THEN n_chars END) AS p50_chars
+        FROM ranked)
+    SELECT n_docs, n_sources, n_langs, total_chars, mean_chars, p50_chars,
+           n_dup_docs,
+           CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+    FROM agg CROSS JOIN dup
+"""

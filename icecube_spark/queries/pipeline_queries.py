@@ -320,3 +320,54 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.weighted_sample(_docs(spark, sf_dir), "doc_id", "source").orderBy(
         "source"
     )
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P31 — one-row corpus datasheet: the summary block of a dataset
+    card (sizes, diversity, duplication, length profile) in a single
+    pass + one tiny hash aggregate. Exact integers, rank-selected
+    median, INT/INT divisions — oracle-exact by construction."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.expr(pipeline.normalized_expr("text"))).alias("h"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    )
+    dup = ranked.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup_total = dup.agg(
+        F.sum(F.col("c") - 1).alias("n_dup_docs"),
+    )
+    card = ranked.crossJoin(F.broadcast(dup_total)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_chars"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n_total")),
+                F.col("n_chars"),
+            )
+        ).alias("p50_chars"),
+        F.max("n_dup_docs").alias("n_dup_docs"),
+    )
+    return card.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "mean_chars",
+        "p50_chars",
+        "n_dup_docs",
+        (
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
