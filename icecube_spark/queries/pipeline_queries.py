@@ -324,9 +324,15 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P31 — one-row corpus datasheet: the summary block of a dataset
-    card (sizes, diversity, duplication, length profile) in a single
-    pass + one tiny hash aggregate. Exact integers, rank-selected
-    median, INT/INT divisions — oracle-exact by construction."""
+    card (sizes, diversity, duplication, length profile). Exact
+    integers, rank-selected median, INT/INT divisions — oracle-exact
+    by construction.
+
+    Scale note: the exact median uses a global rank (one single-
+    partition sort of (n_chars, doc_id) pairs — the 2-column
+    projection, not the corpus). At 100 TB swap that term for the
+    P18 histogram-cutpoint quantile or C18b's sketch; the rest of the
+    card is partial-agg only."""
     docs = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
