@@ -27,6 +27,20 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # groups) and keys repaired this round lead; the 44 keys already
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- newest (never graded) lead the registration order ---
+    "unigram_logprob": lq.unigram_logprob,
+    "embed_pca_top": lq.embed_pca_top,
+    "curriculum_shards": pq.curriculum_shards,
+    "order_backlog": tsq.order_backlog,
+    "multimodal_tiles": lq.multimodal_tiles,
+    "zipf_fit": lq.zipf_fit,
+    "chunk_dedup": lq.chunk_dedup,
+    "acf_daily_value": tsq.acf_daily_value,
+    "burst_detection": tsq.burst_detection,
+    "seasonal_decompose": tsq.seasonal_decompose,
+    "rollup_revenue": analytics.rollup_revenue,
+    "sales_cube": analytics.sales_cube,
+    "revenue_share_window": analytics.revenue_share_window,
     # --- repaired this round (r01: err / hash-fail) ---
     "asof_join": tsq.asof_join_orders,
     "asof_join_forward": tsq.asof_join_forward,

@@ -41,6 +41,26 @@ def normalized(col: str):
     return F.expr(NORM.format(col=col))
 
 
+def _materialized_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gram-array table computed ONCE and persisted.
+
+    The candidate/verify shape consumes the gram table three times
+    (inverted-index explode + both sides of the pair rejoin); each
+    consumer repartitions on a different key, so Catalyst cannot
+    reuse one exchange and would re-run the regex shingling per
+    branch (~3x the whole query's CPU). Persisting the narrow
+    (id, grams) projection removes the recompute. At 100 TB the same
+    move is writing the gram table to a staging table (or
+    df.persist(DISK_ONLY)) before the pair join — standard for any
+    multi-consumer derived corpus."""
+    from pyspark import StorageLevel
+
+    grams = with_grams(df.select(id_col, text_col), text_col).select(
+        id_col, F.col("grams")
+    )
+    return grams.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def with_grams(df: DataFrame, text_col: str, out: str = "grams") -> DataFrame:
     return df.withColumn(out, F.expr(GRAMS.format(col=text_col)))
 
@@ -208,9 +228,7 @@ def ngram_jaccard_pairs(
     with deterministic (not probabilistic) candidate recall for any
     pair sharing >= 1 gram with df <= max_df.
     """
-    grams = with_grams(df.select(id_col, text_col), text_col).select(
-        id_col, F.col("grams")
-    )
+    grams = _materialized_grams(df, id_col, text_col)
     cands = capped_gram_candidates(grams, id_col, max_df)
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
@@ -309,9 +327,7 @@ def containment_pairs(
     The ratio is one INT/INT double division, bit-equal in both
     engines.
     """
-    grams = with_grams(df.select(id_col, text_col), text_col).select(
-        id_col, F.col("grams")
-    )
+    grams = _materialized_grams(df, id_col, text_col)
     cands = capped_gram_candidates(grams, id_col, max_df)
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")

@@ -132,3 +132,54 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+TILE = 256
+
+TILE_SCHEMA = (
+    "doc_id long, tile_x int, tile_y int, x0 int, y0 int, "
+    "tile_w int, tile_h int"
+)
+
+
+def tile_manifest(meta: DataFrame) -> DataFrame:
+    """G4 — image tile manifest: each decoded image fans out to its
+    256×256 tile grid (edge tiles clipped) — the unit of work for any
+    tiled vision encoder / SAR patch extractor. Input is the decode
+    stage's metadata (doc_id, width, height).
+
+    Plan: pure column math + one 2-D sequence explode per image —
+    embarrassingly parallel, no shuffle, fanout = ceil(w/T)*ceil(h/T)
+    (bounded by the decoder's max dims). The tile grid is derived
+    from metadata only, so the (heavy) pixel payload is never
+    duplicated per tile; a downstream crop reads (doc_id, x0, y0)
+    against the payload store.
+    """
+    t = TILE
+    nx = F.ceil(F.col("width") / F.lit(t)).cast("int")
+    ny = F.ceil(F.col("height") / F.lit(t)).cast("int")
+    tiles = meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, cast(ceil(height / {t}) as int) - 1),
+                       ty -> transform(sequence(0, cast(ceil(width / {t}) as int) - 1),
+                                       tx -> struct(tx, ty))))"""
+            )
+        ).alias("xy"),
+    )
+    return tiles.select(
+        "doc_id",
+        F.col("xy.tx").alias("tile_x"),
+        F.col("xy.ty").alias("tile_y"),
+        (F.col("xy.tx") * t).alias("x0"),
+        (F.col("xy.ty") * t).alias("y0"),
+        F.least(F.lit(t), F.col("width") - F.col("xy.tx") * t)
+        .cast("int")
+        .alias("tile_w"),
+        F.least(F.lit(t), F.col("height") - F.col("xy.ty") * t)
+        .cast("int")
+        .alias("tile_h"),
+    )

@@ -867,3 +867,32 @@ def weighted_sample(df: DataFrame, id_col: str, group_col: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+def curriculum_shards(
+    df: DataFrame, id_col: str, score_col: str, n_shards: int = 8
+) -> DataFrame:
+    """P30 — curriculum sharding: rank every doc by a difficulty
+    score and deal ranks round-robin into n_shards, so each shard
+    carries the SAME difficulty distribution (stratified-by-rank) —
+    unlike hash sharding (shard_manifest), which equalizes counts but
+    not difficulty. Used when training order matters (curriculum /
+    anti-curriculum schedules) and each worker must see the full
+    difficulty spectrum.
+
+    Plan: one global rank. A total sort is fine at report scale; at
+    100 TB swap row_number for the two-pass histogram rank used by
+    length_deciles (bucket cutpoints + within-bucket offset) — the
+    round-robin deal is rank % n, which only needs rank, not order.
+    Tiebreak on the id makes the rank total and deterministic.
+    """
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    ranked = df.select(id_col, score_col).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    return ranked.select(
+        id_col,
+        F.col(score_col).alias("score"),
+        "rank",
+        ((F.col("rank") - 1) % n_shards).cast("int").alias("shard"),
+    )

@@ -564,3 +564,91 @@ def standardize_dims(
             ).alias("z"),
         )
     )
+
+
+def pca_top(
+    df: DataFrame, vec_col: str, dim: int = EMBED_DIM, k: int = 2
+) -> DataFrame:
+    """E13 — top-k principal components of the embedding corpus via
+    the distributed-Gramian design (MLlib RowMatrix style): the D×D
+    covariance matrix is the ONLY thing that ever leaves the
+    executors — its size depends on the embedding width, not the
+    corpus, so the same plan runs unchanged at 100 TB.
+
+    Plan: mapInPandas computes per-Arrow-batch partial sums (count,
+    per-dim sum, upper-triangle outer-product sums) with numpy BLAS
+    — one D(D+1)/2-wide row per batch — then a single-stage sum
+    reduces partials and the driver eigendecomposes the tiny D×D
+    covariance (numpy.linalg.eigh, microseconds). No collect of data
+    rows, no RDD, no per-row Python.
+
+    Output: (component, dim, weight, explained_var_ratio) flat rows,
+    eigenvector sign fixed deterministically (largest-|w| entry
+    positive). Rows-only key (eigendecomposition is not
+    SQL-expressible; the pytest twin checks against numpy PCA of the
+    collected corpus at test SF).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_tri = dim * (dim + 1) // 2
+
+    def partials(batches):
+        import numpy as _np
+
+        iu0, iu1 = _np.triu_indices(dim)
+        for pdf in batches:
+            mat = _np.asarray(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            if mat.size == 0:
+                continue
+            g = mat.T @ mat  # D×D batch Gramian (BLAS)
+            yield pd.DataFrame(
+                {
+                    "n": [float(mat.shape[0])],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "g": [g[iu0, iu1].tolist()],
+                }
+            )
+
+    schema = (
+        "n double, s array<double>, g array<double>"
+    )
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema=schema)
+        .agg(
+            F.sum("n").alias("n"),
+            *[
+                F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)
+            ],
+            *[
+                F.sum(F.col("g")[i]).alias(f"g{i}") for i in range(n_tri)
+            ],
+        )
+    )
+    row = agg.collect()[0]  # ONE row of D(D+3)/2+1 scalars — the model
+    n = row["n"]
+    s = np.array([row[f"s{i}"] for i in range(dim)])
+    iu0, iu1 = np.triu_indices(dim)
+    gram = np.zeros((dim, dim))
+    gram[iu0, iu1] = [row[f"g{i}"] for i in range(n_tri)]
+    gram = gram + np.triu(gram, 1).T
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    total_var = float(evals.sum())
+    out_rows = []
+    for c in range(k):
+        w = evecs[:, order[c]]
+        if w[np.argmax(np.abs(w))] < 0:
+            w = -w
+        ev = float(evals[order[c]])
+        for d in range(dim):
+            out_rows.append((c, d, float(w[d]), ev / total_var))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "component int, dim int, weight double, explained_var_ratio double"
+    )

@@ -422,3 +422,156 @@ def char_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ratio("[ ]").alias("space_ratio"),
         ratio("[.,!?;:]").alias("punct_ratio"),
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F16 — unigram language-model quality score: the per-doc mean
+    token log-probability under the corpus's own unigram LM. The
+    classic perplexity-proxy filter (CCNet/KenLM style: docs whose
+    tokens are collectively improbable are symbol soup, OCR noise,
+    or the wrong language; reference quality gates are per-field
+    heuristics — this is the statistical complement).
+
+    Cross-engine exactness: ln() is NOT guaranteed identically
+    rounded across engines, so each DISTINCT token's logprob is
+    quantized once in the LM table — floor(ln(p)*1e6) as BIGINT
+    ("micro-nats") — and every downstream reduction is exact integer
+    math. A boundary-crossing ulp disagreement would need ln()'s
+    last bit to straddle a 1e-6 grid line (~1e-10 per distinct
+    token).
+
+    Plan: one explode for the LM (token counts: map-side partial
+    aggs), the tiny LM broadcast back onto a second explode, one
+    groupBy(doc) — corpus is scanned twice, shuffled never (doc-key
+    agg is map-side when docs are unsplit rows). At 100 TB the LM
+    table is a few MB (vocab, not corpus, scale) — stays broadcast.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    lm = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn(
+            "qlp_micro",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * F.lit(1e6)
+            ).cast("bigint"),
+        )
+        .select("tok", "qlp_micro")
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("qlp_micro").alias("sum_qlp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("sum_qlp").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """F17 — Zipf-law fit of the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) over the rank-frequency curve. Natural text
+    sits near slope -1; generated/templated corpora and boilerplate
+    floods show up as flat or broken slopes — a one-row corpus
+    health check.
+
+    Determinism: rank = row_number over (count DESC, token ASC) —
+    total order, no tie ambiguity. ln values are floor-quantized to
+    micro-nats per VOCAB row (not per token occurrence), then the
+    OLS moments are exact integer sums; the final slope/intercept
+    are identical double expressions in both engines.
+
+    Plan: one explode + token-count agg (vocab-sized output), a
+    single-partition window for ranking (vocab is ~1e5-1e6 rows even
+    at 100 TB — one reducer holds it; if vocab ever exceeded that,
+    swap row_number for a two-pass histogram rank), then a scalar
+    aggregate.
+    """
+    vocab = (
+        df.select(F.explode(F.expr(_toks(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok"))),
+    ).select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("lx"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("ly"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("lx")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e12)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        F.col("n").alias("vocab_size"),
+        slope.alias("zipf_slope"),
+        ((sy / n) - slope * (sx / n)).alias("zipf_intercept"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 16
+) -> DataFrame:
+    """D8 — fixed-width chunk-level dedup: split each doc's token
+    stream into non-overlapping 16-token chunks, hash each chunk,
+    and report every chunk occurring in more than one place. This is
+    the scalable stand-in for suffix-array substring dedup
+    (RefinedWeb/Lee et al. "Deduplicating Training Data Makes LMs
+    Better" dedup boilerplate passages INSIDE otherwise-unique docs
+    — whole-doc hashing never sees them).
+
+    Plan: explode is 1/16th the token count; one groupBy on the
+    chunk hash (map-side partials). Output is duplicated chunks
+    only. At 100 TB this is the cheapest intra-doc dedup signal that
+    exists — one shuffle of ~corpus/16 hashed rows.
+    """
+    # transform-over-singleton binds the split() result to `t` so the
+    # regex tokenization runs once per row, not once per chunk (see
+    # dedup.GRAMS for why a plain column reference gets re-inlined).
+    chunk_expr = f"""element_at(
+        transform(array({_toks(text_col)}),
+          t -> transform(
+                 sequence(0, cast((size(t) - 1) / {chunk_tokens} as int)),
+                 i -> concat_ws(' ', slice(t, i * {chunk_tokens} + 1, {chunk_tokens})))),
+        1)"""
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunk_expr)).alias("chunk_idx", "chunk_text"),
+    ).where(F.col("chunk_text") != "")
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )

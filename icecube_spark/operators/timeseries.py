@@ -1174,3 +1174,207 @@ def cdc_merge(
         .alias("row_status"),
     )
     return merged.where(F.col("row_status") != "deleted")
+
+
+def acf(
+    daily: DataFrame, idx_col: str, value_col: str, max_lag: int = 7
+) -> DataFrame:
+    """C40 — autocorrelation function of a regular series at lags
+    1..max_lag: Pearson r between (x_t, x_{t-k}) over all aligned
+    pairs. The standard seasonality detector (a weekly cycle shows as
+    a peak at lag 7) and the first diagnostic before any forecasting
+    model. `daily` must already be one row per integer index
+    (day number); `value_col` an exact double.
+
+    Cross-engine exactness: every reduction is a quantized-integer
+    sum (floor(x*1e6) for values, exact BIGINT products for the
+    cross/square moments) so the Pearson formula evaluates on
+    identical doubles in both engines.
+
+    Plan: the lagged pairing is an equi-join of the (tiny) daily
+    frame against itself shifted by an exploded lag array — daily
+    series size is bounded by the calendar (365 rows/year even at
+    100 TB of events), so Spark broadcasts it; moments are one
+    partial-agg shuffle of max_lag groups.
+    """
+    q = (
+        F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint")
+    )
+    base = daily.select(F.col(idx_col).alias("i"), q.alias("qx"))
+    lags = base.select(
+        "i", "qx", F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag")
+    )
+    prev = base.select(F.col("i").alias("i_prev"), F.col("qx").alias("qy"))
+    pairs = lags.join(
+        F.broadcast(prev), F.col("i") - F.col("lag") == F.col("i_prev")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias("sxx"),
+        F.sum(F.col("qy").cast("decimal(38,0)") * F.col("qy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e12)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    syy = F.col("syy").cast("double") / F.lit(1e12)
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        r.alias("acf"),
+    )
+
+
+def burst_detection(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    min_events: int = 3,
+    ratio: float = 2.0,
+) -> DataFrame:
+    """C41 — per-key activity-burst detector: flag every hour in
+    which a key produced >= min_events events AND >= ratio× its own
+    mean hourly rate (mean over the key's ACTIVE hours). The
+    bot/incident/scraper screen run over any event stream — a
+    volume-based complement to rapid_repeats' gap-based screen.
+
+    Plan: one shuffle to (key, hour) counts, a per-key window for
+    the mean (second small shuffle on key), filter. Counts are
+    exact; the mean is an exact INT/INT double; the threshold
+    compare therefore agrees bit-for-bit with the oracle.
+    """
+    hourly = df.groupBy(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col).cast("timestamp")).alias("hour_start"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = Window.partitionBy(key_col)
+    flagged = hourly.withColumn(
+        "mean_hourly",
+        F.sum("n_events").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double"),
+    ).where(
+        (F.col("n_events") >= min_events)
+        & (
+            F.col("n_events").cast("double")
+            >= F.lit(ratio) * F.col("mean_hourly")
+        )
+    )
+    return flagged.select(
+        key_col,
+        "hour_start",
+        "n_events",
+        "mean_hourly",
+        (F.col("n_events").cast("double") / F.col("mean_hourly")).alias(
+            "burst_ratio"
+        ),
+    )
+
+
+def seasonal_decompose(
+    daily: DataFrame, day_col: str, value_col: str, half_window: int = 3
+) -> DataFrame:
+    """C42 — classical additive decomposition of a daily series:
+    value = trend (centered (2k+1)-day moving average) + weekday
+    seasonal (mean detrended value per day-of-week) + residual.
+    STL-lite: the three-line decomposition every ops/finance
+    dashboard runs before alerting on "anomalous" days that are
+    really just Sundays.
+
+    Cross-engine exactness: the input double is quantized once
+    (floor(x*1e6) BIGINT); trend and seasonal means are exact
+    integer sums divided by exact counts, so all derived doubles are
+    identical. Only COMPLETE centered windows get a trend (edges
+    NULL, excluded from the seasonal fit) — same convention as
+    statsmodels.
+
+    Plan: the daily frame is calendar-bounded (tiny), so the
+    single-partition ordered window and the 7-group seasonal agg are
+    all cheap regardless of raw corpus size; the expensive part
+    (daily aggregation) happens upstream in the caller.
+    """
+    k = half_window
+    span = 2 * k + 1
+    q = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).alias("value"),
+        F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("qv"),
+    )
+    w = Window.orderBy("day").rowsBetween(-k, k)
+    trended = q.withColumn("win_n", F.count(F.lit(1)).over(w)).withColumn(
+        "trend",
+        F.when(
+            F.col("win_n") == span,
+            F.sum("qv").over(w).cast("double") / F.lit(float(span)) / F.lit(1e6),
+        ),
+    )
+    detr = trended.withColumn(
+        "qd",
+        F.floor((F.col("value") - F.col("trend")) * F.lit(1e6)).cast("bigint"),
+    )
+    dow = detr.withColumn("dow", F.dayofweek("day"))
+    seas = (
+        dow.where(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum("qd").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("seasonal")
+        )
+    )
+    out = dow.join(F.broadcast(seas), "dow", "left")
+    return out.select(
+        "day",
+        "value",
+        "trend",
+        "seasonal",
+        (F.col("value") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )
+
+
+def order_backlog(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """C45 — daily order backlog via the sweep-line pattern: +1 the
+    day an order is placed, -1 the day its LAST lineitem ships
+    (completion), running sum = open orders on every active day. The
+    operational "how deep is the queue" series every fulfillment /
+    ticketing system charts.
+
+    Plan: completion date is one map-side-combinable max per order
+    (shuffle on orderkey); the two daily delta streams union into a
+    calendar-bounded frame, so the running-sum window is a
+    single-partition pass over day rows regardless of corpus size —
+    the sweep-line trick that replaces a per-day correlated COUNT
+    (O(days · orders)) with one cumulative sum.
+    """
+    opened = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("opened"))
+    done = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("done_day"))
+        .groupBy(F.col("done_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("completed"))
+    )
+    daily = (
+        opened.join(done, "day", "full")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("completed", F.lit(0)).alias("completed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "opened",
+        "completed",
+        F.sum(F.col("opened") - F.col("completed")).over(w).alias("backlog"),
+    )

@@ -951,3 +951,111 @@ def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_rev").cast("double")
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31 — hierarchical ROLLUP revenue report: order revenue at
+    (region, nation), per-region subtotal, and grand total in ONE
+    Expand pass — the drill-down financial summary every BI layer
+    issues, exercised through Spark's native rollup operator rather
+    than three unioned GROUP BYs.
+
+    Plan: dims broadcast into the orders fact; rollup's Expand emits
+    3 rows per input map-side, then one partial-agg shuffle covers
+    all grouping levels. grouping() flags disambiguate subtotal rows
+    from real NULL keys. qsum keeps the >1e5-magnitude price fold
+    exact cross-engine.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    region = catalog.load(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("is_total_region"),
+            F.grouping("n_name").cast("int").alias("is_total_nation"),
+            F.count(F.lit(1)).alias("n_orders"),
+            qsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("is_total_region", "is_total_nation", "r_name", "n_name")
+    )
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 — GROUP BY CUBE over (returnflag, linestatus): all four
+    grouping combinations (detail, each single-axis margin, grand
+    total) in one Expand pass — the OLAP cube materialization
+    primitive (the engine's namesake operator on the tabular side).
+
+    Plan: single lineitem scan; Expand ×4 map-side, one shuffle.
+    At 100 TB the Expand factor is the price of one-pass margins —
+    the alternative (4 scans) rereads the fact 4x.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("is_total_rf"),
+            F.grouping("l_linestatus").cast("int").alias("is_total_ls"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("is_total_rf", "is_total_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 — ratio-to-report: each nation's share of its region's
+    revenue and of global revenue, via window sums over the
+    aggregated frame (no self-join, no second scan).
+
+    Plan: one fact shuffle to (region, nation) aggregates, then two
+    window sums over the TINY aggregate frame (25 nations) — the
+    window cost is nil; the pattern matters because the naive SQL
+    (join against two subquery totals) rescans the fact twice.
+    Shares are exact-double ratios of quantized sums.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    region = catalog.load(spark, sf_dir, "region")
+    # the per-nation fold keeps the QUANTIZED INTEGER (qrev) so the
+    # window re-sums are exact decimal math (a double window sum
+    # would re-introduce order-dependent rounding)
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("decimal(28,0)")
+            ).alias("qrev")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        (F.col("qrev").cast("double") / F.lit(1e6)).alias("revenue"),
+        (
+            F.col("qrev").cast("double")
+            / F.sum("qrev").over(w_region).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("qrev").cast("double")
+            / F.sum("qrev").over(w_all).cast("double")
+        ).alias("share_global"),
+    ).orderBy("r_name", "n_name")

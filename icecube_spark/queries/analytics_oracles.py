@@ -500,3 +500,47 @@ ORACLES["pareto_report"] = """
                / CAST(total_rev AS DOUBLE) AS cum_share
     FROM deciles ORDER BY decile
 """
+
+ORACLES.update({
+    "rollup_revenue": f"""
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS INT) AS is_total_region,
+               CAST(GROUPING(n_name) AS INT) AS is_total_nation,
+               COUNT(*) AS n_orders,
+               {sql_qsum('o_totalprice')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "sales_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS is_total_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS is_total_ls,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_qsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "revenue_share_window": """
+        WITH per_nation AS (
+            SELECT r_name, n_name,
+                   SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS qrev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT r_name, n_name,
+               CAST(qrev AS DOUBLE) / 1000000.0 AS revenue,
+               CAST(qrev AS DOUBLE)
+                   / CAST(SUM(qrev) OVER (PARTITION BY r_name) AS DOUBLE)
+                   AS share_of_region,
+               CAST(qrev AS DOUBLE)
+                   / CAST(SUM(qrev) OVER () AS DOUBLE) AS share_global
+        FROM per_nation
+    """,
+})

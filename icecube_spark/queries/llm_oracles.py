@@ -680,3 +680,114 @@ ORACLES["embed_standardize"] = """
     FROM sliced JOIN moments USING (dim)
     ORDER BY vec_id, dim
 """
+
+ORACLES.update({
+    "unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+        ),
+        nz AS (SELECT * FROM toks WHERE tok <> ''),
+        lm AS (SELECT tok, COUNT(*) AS cnt FROM nz GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS total FROM lm),
+        qlm AS (
+            SELECT tok,
+                   CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS qlp_micro
+            FROM lm, tot
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(qlp_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0 AS mean_logprob
+        FROM nz JOIN qlm USING (tok)
+        GROUP BY doc_id
+    """,
+    "zipf_fit": f"""
+        WITH toks AS (
+            SELECT UNNEST({_TOKS}) AS tok FROM documents
+        ),
+        nz AS (SELECT tok FROM toks WHERE tok <> ''),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM nz GROUP BY 1),
+        ranked AS (
+            SELECT
+              CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+                                 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+              CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+            FROM vocab
+        ),
+        mom AS (
+            SELECT COUNT(*) AS n, SUM(lx) AS isx, SUM(ly) AS isy,
+                   SUM(CAST(lx AS HUGEINT) * ly) AS isxy,
+                   SUM(CAST(lx AS HUGEINT) * lx) AS isxx
+            FROM ranked
+        )
+        SELECT n AS vocab_size,
+               (CAST(n AS DOUBLE) * (CAST(isxy AS DOUBLE) / 1000000000000.0)
+                  - (CAST(isx AS DOUBLE) / 1000000.0)
+                    * (CAST(isy AS DOUBLE) / 1000000.0))
+               / (CAST(n AS DOUBLE) * (CAST(isxx AS DOUBLE) / 1000000000000.0)
+                  - (CAST(isx AS DOUBLE) / 1000000.0)
+                    * (CAST(isx AS DOUBLE) / 1000000.0)) AS zipf_slope,
+               ((CAST(isy AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+               - ((CAST(n AS DOUBLE) * (CAST(isxy AS DOUBLE) / 1000000000000.0)
+                   - (CAST(isx AS DOUBLE) / 1000000.0)
+                     * (CAST(isy AS DOUBLE) / 1000000.0))
+                  / (CAST(n AS DOUBLE) * (CAST(isxx AS DOUBLE) / 1000000000000.0)
+                     - (CAST(isx AS DOUBLE) / 1000000.0)
+                       * (CAST(isx AS DOUBLE) / 1000000.0)))
+                 * ((CAST(isx AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+                 AS zipf_intercept
+        FROM mom
+    """,
+    "chunk_dedup": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        idx AS (
+            SELECT doc_id, t,
+                   UNNEST(range(0, ((len(t) - 1) // 16) + 1)) AS i
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   array_to_string(t[(i * 16 + 1):(i * 16 + 16)], ' ')
+                     AS chunk_text
+            FROM idx
+        )
+        SELECT md5(chunk_text) AS chunk_hash,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM chunks
+        WHERE chunk_text <> ''
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """,
+})
+
+ORACLES.update({
+    "multimodal_tiles": """
+        WITH meta AS (
+            SELECT doc_id,
+                   (strlen(text) % 64) * 16 + 16 AS width,
+                   ((strlen(text) // 64) % 64) * 16 + 16 AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, width, height,
+                   UNNEST(range(0, CAST(ceil(height / 256.0) AS BIGINT))) AS ty
+            FROM meta
+        ),
+        gg AS (
+            SELECT doc_id, width, height, ty,
+                   UNNEST(range(0, CAST(ceil(width / 256.0) AS BIGINT))) AS tx
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(tx AS INT) AS tile_x,
+               CAST(ty AS INT) AS tile_y,
+               CAST(tx * 256 AS INT) AS x0,
+               CAST(ty * 256 AS INT) AS y0,
+               CAST(LEAST(256, width - tx * 256) AS INT) AS tile_w,
+               CAST(LEAST(256, height - ty * 256) AS INT) AS tile_h
+        FROM gg
+    """,
+})

@@ -294,3 +294,42 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.standardize_dims(_emb(spark, sf_dir), "vec_id", "embedding").orderBy(
         "vec_id", "dim"
     )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — per-doc mean token log-probability under the corpus
+    unigram LM (perplexity-proxy quality score)."""
+    return text.unigram_logprob(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — one-row Zipf rank-frequency fit of the corpus vocabulary."""
+    return text.zipf_fit(_docs(spark, sf_dir), "text")
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — duplicated 16-token chunks across the corpus (substring-
+    level dedup signal whole-doc hashing misses)."""
+    return text.chunk_dedup(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "chunk_hash"
+    )
+
+
+def embed_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 — top-2 principal components of the embedding corpus
+    (rows-only: eigendecomposition has no SQL twin; the unit test
+    checks the components against numpy PCA)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.pca_top(emb, "embedding", k=2).orderBy("component", "dim")
+
+
+def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — 256×256 tile manifest of decoded images (docs-as-payload
+    stub decode; tile grid from metadata only)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    meta = multimodal.decode_stub(docs)
+    return multimodal.tile_manifest(meta).orderBy("doc_id", "tile_y", "tile_x")

@@ -482,3 +482,14 @@ ORACLES["dataset_card"] = f"""
            CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
     FROM agg CROSS JOIN dup
 """
+
+ORACLES.update({
+    "curriculum_shards": """
+        SELECT doc_id,
+               n_chars AS score,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank,
+               CAST((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) % 8
+                    AS INT) AS shard
+        FROM documents
+    """,
+})

@@ -377,3 +377,10 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P30 — difficulty-stratified round-robin sharding by doc length."""
+    return pipeline.curriculum_shards(
+        _docs(spark, sf_dir), "doc_id", "n_chars", n_shards=8
+    ).orderBy("doc_id")

@@ -1,6 +1,6 @@
 """DuckDB oracle SQL for SURVEY §2 group C (twin of timeseries_queries.py)."""
 
-from icecube_spark.functions.parity import sql_dsum
+from icecube_spark.functions.parity import sql_dsum, sql_qsum
 
 ORACLES: dict[str, str] = {
     "asof_join": """
@@ -688,3 +688,127 @@ ORACLES["cdc_merge"] = """
     SELECT * FROM joined WHERE row_status != 'deleted'
     ORDER BY o_orderkey
 """
+
+ORACLES.update({
+    "acf_daily_value": f"""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+                   CAST(FLOOR({sql_dsum('value')} * 1000000.0) AS BIGINT) AS qx
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+        pairs AS (
+            SELECT l.lag, d.qx AS qx, p.qx AS qy
+            FROM daily d CROSS JOIN lags l
+            JOIN daily p ON d.i - l.lag = p.i
+        ),
+        mom AS (
+            SELECT lag,
+                   COUNT(*) AS n,
+                   SUM(qx) AS isx, SUM(qy) AS isy,
+                   SUM(CAST(qx AS HUGEINT) * qy) AS isxy,
+                   SUM(CAST(qx AS HUGEINT) * qx) AS isxx,
+                   SUM(CAST(qy AS HUGEINT) * qy) AS isyy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS INT) AS lag,
+               n AS n_pairs,
+               (CAST(n AS DOUBLE) * (CAST(isxy AS DOUBLE) / 1000000000000.0)
+                  - (CAST(isx AS DOUBLE) / 1000000.0)
+                    * (CAST(isy AS DOUBLE) / 1000000.0))
+               / SQRT(
+                   (CAST(n AS DOUBLE) * (CAST(isxx AS DOUBLE) / 1000000000000.0)
+                      - (CAST(isx AS DOUBLE) / 1000000.0)
+                        * (CAST(isx AS DOUBLE) / 1000000.0))
+                   * (CAST(n AS DOUBLE) * (CAST(isyy AS DOUBLE) / 1000000000000.0)
+                      - (CAST(isy AS DOUBLE) / 1000000.0)
+                        * (CAST(isy AS DOUBLE) / 1000000.0))
+               ) AS acf
+        FROM mom
+    """,
+    "burst_detection": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour_start,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT *,
+                   CAST(SUM(n_events) OVER (PARTITION BY user_id) AS DOUBLE)
+                     / CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE)
+                     AS mean_hourly
+            FROM hourly
+        )
+        SELECT user_id, hour_start, n_events, mean_hourly,
+               CAST(n_events AS DOUBLE) / mean_hourly AS burst_ratio
+        FROM m
+        WHERE n_events >= 3
+          AND CAST(n_events AS DOUBLE) >= 2.0 * mean_hourly
+    """,
+    "seasonal_decompose": f"""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+                   {sql_qsum('o_totalprice')} AS value
+            FROM orders GROUP BY 1
+        ),
+        q AS (
+            SELECT day, value,
+                   CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qv
+            FROM daily
+        ),
+        t AS (
+            SELECT day, value, qv,
+                   COUNT(*) OVER w AS win_n,
+                   SUM(qv) OVER w AS sqv
+            FROM q
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        tr AS (
+            SELECT day, value,
+                   CASE WHEN win_n = 7
+                        THEN CAST(sqv AS DOUBLE) / 7.0 / 1000000.0 END AS trend
+            FROM t
+        ),
+        dt AS (
+            SELECT *,
+                   CAST(FLOOR((value - trend) * 1000000.0) AS BIGINT) AS qd,
+                   dayofweek(day) + 1 AS dow
+            FROM tr
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(qd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     / 1000000.0 AS seasonal
+            FROM dt WHERE trend IS NOT NULL GROUP BY dow
+        )
+        SELECT d.day, d.value, d.trend, s.seasonal,
+               d.value - d.trend - s.seasonal AS residual
+        FROM dt d LEFT JOIN seas s ON d.dow = s.dow
+    """,
+})
+
+ORACLES.update({
+    "order_backlog": """
+        WITH opened AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS opened
+            FROM orders GROUP BY 1
+        ),
+        done AS (
+            SELECT done_day AS day, COUNT(*) AS completed FROM (
+                SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_day
+                FROM lineitem GROUP BY 1
+            ) GROUP BY 1
+        ),
+        daily AS (
+            SELECT COALESCE(o.day, d.day) AS day,
+                   COALESCE(opened, 0) AS opened,
+                   COALESCE(completed, 0) AS completed
+            FROM opened o FULL JOIN done d ON o.day = d.day
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, opened, completed,
+               SUM(opened - completed) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS backlog
+        FROM daily
+    """,
+})

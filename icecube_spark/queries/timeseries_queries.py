@@ -531,3 +531,45 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 — autocorrelation of the daily event-value total at lags
+    1..7 (weekly seasonality diagnostic)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(dsum("value").alias("daily_value"))
+    return timeseries.acf(daily, "day_num", "daily_value", max_lag=7).orderBy(
+        "lag"
+    )
+
+
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41 — per-user hourly activity bursts (>=3 events and >=2x the
+    user's own mean hourly rate)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.burst_detection(ev, "ts", "user_id").orderBy(
+        "user_id", "hour_start"
+    )
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 — additive trend/weekday-seasonal/residual decomposition
+    of daily order revenue (STL-lite)."""
+    from icecube_spark.functions.parity import qsum
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").cast("timestamp").alias("day")
+    ).agg(qsum(F.col("o_totalprice")).alias("revenue"))
+    return timeseries.seasonal_decompose(daily, "day", "revenue").orderBy("day")
+
+
+def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45 — daily open-order backlog (sweep-line running sum)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return timeseries.order_backlog(orders, li).orderBy("day")

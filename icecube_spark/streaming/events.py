@@ -248,3 +248,30 @@ def conversion_join(events: DataFrame, horizon_days: int = 7) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+def session_window_counts(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session-window aggregation (SURVEY §2 C44s): Spark's
+    built-in session_window merges events whose gaps are < `gap` into
+    one window per user — the DECLARATIVE sessionizer (state store
+    managed by the engine, watermark-evicted), complementing the
+    custom applyInPandasWithState one (streaming/stateful.py) that
+    exists to show arbitrary state logic. Identical expression runs
+    in batch (the twin the test compares against).
+    """
+    if df.isStreaming:
+        df = df.withWatermark("ts", "1 hour")
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -24,6 +24,9 @@ CASES = [
     ("brand_spearman", analytics.brand_spearman),
     ("ship_latency_quantiles", analytics.ship_latency_quantiles),
     ("basket_lift", analytics.basket_lift),
+    ("rollup_revenue", analytics.rollup_revenue),
+    ("sales_cube", analytics.sales_cube),
+    ("revenue_share_window", analytics.revenue_share_window),
 ]
 
 

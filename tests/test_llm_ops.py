@@ -38,6 +38,10 @@ CASES = [
     ("char_profile", lq.char_profile),
     ("embed_top_dims", lq.embed_top_dims),
     ("multimodal_meta", lq.multimodal_meta),
+    ("unigram_logprob", lq.unigram_logprob),
+    ("zipf_fit", lq.zipf_fit),
+    ("chunk_dedup", lq.chunk_dedup),
+    ("multimodal_tiles", lq.multimodal_tiles),
 ]
 
 
@@ -121,3 +125,59 @@ def test_embed_standardize_moments(spark, sf_dir):
         n = len(g)
         assert abs(g["z"].sum()) < 1e-6 * n
         assert abs((g["z"] ** 2).sum() / n - 1.0) < 0.01
+
+
+def test_chunk_dedup_finds_planted_chunk(spark, sf_dir):
+    """Two docs sharing an identical 16-token run must produce a
+    shared duplicated chunk; exact-duplicate docs duplicate EVERY
+    chunk, so any corpus with whole-doc dups has n_docs>1 rows."""
+    from icecube_spark.operators import text as text_ops
+
+    docs = lq._docs(spark, sf_dir)
+    out = text_ops.chunk_dedup(docs, "doc_id", "text")
+    assert out.where("n_docs > 1").count() > 0
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    row = lq.zipf_fit(spark, sf_dir).collect()[0]
+    assert row["zipf_slope"] < 0
+    assert row["vocab_size"] > 10
+
+
+def test_unigram_logprob_orders_quality(spark, sf_dir):
+    """Mean token logprob is a probability average: always < 0, and
+    docs of common tokens score higher than the corpus minimum."""
+    import numpy as np
+
+    vals = [
+        r["mean_logprob"]
+        for r in lq.unigram_logprob(spark, sf_dir).collect()
+    ]
+    assert all(v < 0 for v in vals)
+    assert np.std(vals) > 0
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    """Distributed Gramian PCA == numpy PCA of the collected corpus
+    (same eigenvalues; eigenvectors up to sign, which pca_top fixes)."""
+    import numpy as np
+
+    emb = lq._emb(spark, sf_dir)
+    X = np.array([r["embedding"] for r in emb.select("embedding").collect()])
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+
+    out = lq.embed_pca_top(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["component"], [0.0] * X.shape[1])[r["dim"]] = r["weight"]
+    for c in range(2):
+        w = np.array(got[c])
+        ref = evecs[:, order[c]]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        assert np.allclose(w, ref, atol=1e-6)
+    ratios = sorted({round(r["explained_var_ratio"], 9) for r in out}, reverse=True)
+    want = sorted((evals[order[:2]] / evals.sum()).tolist(), reverse=True)
+    assert np.allclose(ratios, want, atol=1e-9)

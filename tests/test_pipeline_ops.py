@@ -29,6 +29,7 @@ P_CASES = [
     ("length_deciles", pq.length_deciles),
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
+    ("curriculum_shards", pq.curriculum_shards),
 ]
 
 B_CASES = [

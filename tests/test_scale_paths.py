@@ -259,3 +259,71 @@ def test_streaming_anomaly_matches_batch(spark, sf_dir):
     w = want.sort_values("event_id").reset_index(drop=True)
     assert (g["n_prior"].to_numpy() == w["n_prior"].to_numpy()).all()
     assert (g["mean_prior"].to_numpy() == w["mean_prior"].to_numpy()).all()
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """Stateful funnel completions (streaming drain) == batch twin
+    fold per user — identical completion set."""
+    from icecube_spark.streaming.events import read_events_stream
+    from icecube_spark.streaming.funnel import batch_funnel, streaming_funnel
+
+    sdf = read_events_stream(spark, sf_dir).select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    q = (
+        streaming_funnel(sdf)
+        .writeStream.format("memory")
+        .queryName("stream_funnels")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_funnels").toPandas()
+
+    ev = catalog.load(spark, sf_dir, "events")
+    want = batch_funnel(ev).toPandas()
+    assert len(want) > 0, "corpus has no completed funnels"
+    key = lambda df: set(  # noqa: E731
+        zip(
+            df.user_id,
+            df.t_start.astype("datetime64[us]"),
+            df.t_complete.astype("datetime64[us]"),
+        )
+    )
+    assert key(got) == key(want)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    """Native session_window aggregation: streaming drain (complete
+    mode) == identical batch expression."""
+    from icecube_spark.streaming.events import (
+        read_events_stream,
+        session_window_counts,
+    )
+
+    sdf = read_events_stream(spark, sf_dir).select("ts", "user_id", "value")
+    q = (
+        session_window_counts(sdf)
+        .writeStream.format("memory")
+        .queryName("stream_session_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_session_windows").toPandas()
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    want = session_window_counts(ev).toPandas()
+    assert len(want) > 0
+    key = lambda df: set(  # noqa: E731
+        zip(
+            df.user_id,
+            df.session_start.astype("datetime64[us]"),
+            df.n_events,
+        )
+    )
+    assert key(got) == key(want)

@@ -36,6 +36,10 @@ CASES = [
     ("value_histogram", tq.value_histogram),
     ("scd2_intervals", tq.scd2_intervals),
     ("purchase_attribution", tq.purchase_attribution),
+    ("acf_daily_value", tq.acf_daily_value),
+    ("burst_detection", tq.burst_detection),
+    ("seasonal_decompose", tq.seasonal_decompose),
+    ("order_backlog", tq.order_backlog),
 ]
 
 
@@ -278,3 +282,37 @@ def test_plan_shapes_new_ops(spark, sf_dir):
 
     assert n_exchanges(tq.feature_pivot(spark, sf_dir).limit(0)) <= 2
     assert n_exchanges(tq.cdc_merge(spark, sf_dir).limit(0)) <= 4
+
+
+def test_seasonal_decompose_recomposes(spark, sf_dir):
+    """Rows with a complete centered window must satisfy
+    value == trend + seasonal + residual exactly (additive model)."""
+    from pyspark.sql import functions as F
+
+    from icecube_spark.queries import timeseries_queries as tq2
+
+    out = tq2.seasonal_decompose(spark, sf_dir)
+    bad = out.where(
+        F.col("trend").isNotNull()
+        & (
+            F.abs(
+                F.col("value")
+                - (F.col("trend") + F.col("seasonal") + F.col("residual"))
+            )
+            > 1e-9
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_acf_lag_bounds(spark, sf_dir):
+    """ACF values are correlations: |r| <= 1, and pair counts shrink
+    as the lag grows (fewer aligned days)."""
+    from icecube_spark.queries import timeseries_queries as tq2
+
+    rows = tq2.acf_daily_value(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0 + 1e-12
+    ns = [r["n_pairs"] for r in sorted(rows, key=lambda r: r["lag"])]
+    assert ns == sorted(ns, reverse=True)
