@@ -33,6 +33,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_shards": pq.curriculum_shards,
     "order_backlog": tsq.order_backlog,
     "multimodal_tiles": lq.multimodal_tiles,
+    "minhash_accuracy": lq.minhash_accuracy,
+    "dup_rate_by_source": pq.dup_rate_by_source,
+    "kmeans_refine": lq.kmeans_refine,
+    "cube_composite": dq.cube_composite,
+    "cohort_ltv": analytics.cohort_ltv,
     "zipf_fit": lq.zipf_fit,
     "chunk_dedup": lq.chunk_dedup,
     "acf_daily_value": tsq.acf_daily_value,

@@ -383,3 +383,84 @@ def fuzzy_pairs(
         .where(F.col("edit_dist") <= max_dist)
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+def minhash_estimate_accuracy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    band_rows: int = 4,
+) -> DataFrame:
+    """F18 — MinHash ESTIMATOR quality gate: for every LSH candidate
+    pair, the signature-estimated Jaccard (matching components / k)
+    next to the exact Jaccard and the absolute error. The index-
+    tuning companion to ann_recall_eval (E11): it answers "is k=64
+    enough for the thresholds we filter at", which every corpus-scale
+    dedup deployment has to sign off on before trusting the sketch.
+
+    Plan: same bounded band-bucket candidates as minhash_lsh_pairs;
+    one extra broadcast-join of the k-column signature table per
+    side; the match count is a codegen sum of k equality flags.
+    Estimate (INT/k) and exact Jaccard (INT/INT) are both exact
+    divisions — bit-identical to the oracle.
+    """
+    grams = with_grams(df.select(id_col, text_col), text_col).select(
+        id_col, "grams"
+    )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
+    exploded = sigs.select(
+        id_col,
+        F.posexplode(F.expr(f"array({bands_arr})")).alias("band_id", "band_hash"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    match_sum = " + ".join(
+        f"IF(a{i} = b{i}, 1, 0)" for i in range(num_hashes)
+    )
+    ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
+    gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", F.expr(match_sum))
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_match").cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+        (
+            F.col("inter")
+            / (F.size("ga") + F.size("gb") - F.col("inter"))
+        ).alias("jaccard"),
+        F.abs(
+            F.col("n_match").cast("double") / F.lit(float(num_hashes))
+            - F.col("inter")
+            / (F.size("ga") + F.size("gb") - F.col("inter"))
+        ).alias("abs_err"),
+    )

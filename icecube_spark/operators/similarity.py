@@ -652,3 +652,61 @@ def pca_top(
     return spark.createDataFrame(
         out_rows, "component int, dim int, weight double, explained_var_ratio double"
     )
+
+
+_QDIST = """
+    aggregate(
+      zip_with({x}, {c}, (x, c) ->
+        cast(floor((cast(x as double) - cast(c as double))
+                   * (cast(x as double) - cast(c as double)) * 1e12) as bigint)),
+      cast(0 as bigint), (acc, v) -> acc + v)
+"""
+
+
+def kmeans_refine(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """E14 — ONE exact Lloyd iteration as a declarative plan: seed
+    centroids = the k lowest-id vectors, assign every vector to its
+    nearest seed (quantized integer squared-distance, deterministic
+    tiebreak), and emit the recomputed per-cluster mean as flat
+    (cluster, dim, centroid_value, n_members) rows.
+
+    This is the oracle-exact twin of the MLlib KMeans loop that backs
+    the IVF index (ivf.py): it pins down, bit-for-bit against DuckDB,
+    that one distributed Lloyd step (broadcast centroids → map-side
+    assignment → one mean shuffle) is correct; the iterative path
+    then simply repeats this plan. Assignment distances fold to
+    BIGINT (floor(d²·1e12)); means reduce in DECIMAL — no
+    order-dependent float anywhere.
+
+    Plan: seeds broadcast (k rows); assignment is map-only over the
+    corpus (k folds per vector); one groupBy(vec) min-struct, one
+    explode + (cluster, dim) partial-agg shuffle. Per-pass cost is
+    O(corpus·k) map work + one shuffle of corpus·dim quantized rows
+    — the canonical 100 TB k-means step.
+    """
+    seeds = vectors.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.col(vec_col).alias("centroid"),
+    )
+    qd = F.expr(_QDIST.format(x=vec_col, c="centroid"))
+    assigned = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("qd", qd)
+        .groupBy(id_col, vec_col)
+        .agg(F.min(F.struct("qd", "cluster")).alias("best"))
+        .select(id_col, vec_col, F.col("best.cluster").alias("cluster"))
+    )
+    dims = assigned.select(
+        "cluster",
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return dims.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("centroid_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )

@@ -1059,3 +1059,55 @@ def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("qrev").over(w_all).cast("double")
         ).alias("share_global"),
     ).orderBy("r_name", "n_name")
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 — customer-lifetime-value triangle: customers cohorted by
+    first-order month; each (cohort, month-offset) cell reports
+    active customers and cumulative revenue per cohort so far — the
+    retention-revenue complement of the count-based cohort_retention
+    (C16).
+
+    Plan: first-order month is one min() per customer reusing the
+    customer-key shuffle that the cohort join needs anyway; the
+    cumulative sum runs over the tiny (cohorts × offsets) aggregate
+    frame. Revenue folds are quantized-integer (qsum twin) so the
+    running sums stay bit-exact.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    cells = (
+        om.join(first, "o_custkey")
+        .withColumn(
+            "month_offset",
+            (
+                F.months_between(F.col("month"), F.col("cohort_month"))
+            ).cast("int"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("decimal(28,0)")
+            ).alias("qrev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.col("cohort_month").cast("timestamp").alias("cohort_month"),
+        "month_offset",
+        "n_active",
+        (F.col("qrev").cast("double") / F.lit(1e6)).alias("revenue"),
+        (F.sum("qrev").over(w).cast("double") / F.lit(1e6)).alias(
+            "cum_revenue"
+        ),
+    ).orderBy("cohort_month", "month_offset")

@@ -544,3 +544,31 @@ ORACLES.update({
         FROM per_nation
     """,
 })
+
+ORACLES["cohort_ltv"] = """
+    WITH om AS (
+        SELECT o_custkey, o_totalprice,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month
+        FROM orders
+    ),
+    first AS (
+        SELECT o_custkey, MIN(month) AS cohort_month FROM om GROUP BY 1
+    ),
+    cells AS (
+        SELECT cohort_month,
+               CAST(date_diff('month', cohort_month, month) AS INT)
+                   AS month_offset,
+               COUNT(DISTINCT o_custkey) AS n_active,
+               SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS qrev
+        FROM om JOIN first USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month, month_offset,
+           n_active,
+           CAST(qrev AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(SUM(qrev) OVER (
+               PARTITION BY cohort_month ORDER BY month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1000000.0 AS cum_revenue
+    FROM cells
+"""

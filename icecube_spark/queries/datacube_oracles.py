@@ -320,3 +320,27 @@ ORACLES["cube_mosaic"] = f"""
            COUNT(*) AS n_candidates
     FROM cells2 GROUP BY 1, 2 ORDER BY cx, cy
 """
+
+ORACLES["cube_composite"] = """
+    WITH mom AS (
+        SELECT user_id AS stack_id, event_type AS band,
+               COUNT(*) AS n_scenes,
+               SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sq,
+               SUM(CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sq2,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT stack_id, band, n_scenes,
+           (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n_scenes AS DOUBLE)
+               AS mean_value,
+           SQRT((CAST(n_scenes AS DOUBLE)
+                   * (CAST(sq2 AS DOUBLE) / 1000000000000.0)
+                 - (CAST(sq AS DOUBLE) / 1000000.0)
+                   * (CAST(sq AS DOUBLE) / 1000000.0))
+                / (CAST(n_scenes AS DOUBLE) * CAST(n_scenes AS DOUBLE)))
+               AS std_value,
+           min_value, max_value
+    FROM mom
+"""

@@ -509,3 +509,41 @@ def cube_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cx", "cy")
     )
+
+
+def cube_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — temporal composite per (stack, band): mean / std / min /
+    max of the band value across all acquisitions of a stack — the
+    mean-composite / std-composite products every EO time-series
+    pipeline derives from a filled cube (the tabular form of
+    reducing the reference's time axis, sar_datacube.py:108-160,
+    with a statistic instead of selection).
+
+    Plan: single partial-agg shuffle on (stack, band); std from
+    exact integer moments (floor(x·1e6) quantization) so both
+    engines evaluate the same sqrt argument.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+    mom = ev.groupBy(
+        F.col("user_id").alias("stack_id"),
+        F.col("event_type").alias("band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
+        F.sum(q).alias("sq"),
+        F.sum(q.cast("decimal(38,0)") * q).alias("sq2"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    n = F.col("n_scenes").cast("double")
+    s = F.col("sq").cast("double") / F.lit(1e6)
+    s2 = F.col("sq2").cast("double") / F.lit(1e12)
+    return mom.select(
+        "stack_id",
+        "band",
+        "n_scenes",
+        (s / n).alias("mean_value"),
+        F.sqrt((n * s2 - s * s) / (n * n)).alias("std_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("stack_id", "band")

@@ -791,3 +791,81 @@ ORACLES.update({
         FROM gg
     """,
 })
+
+# F18: estimated (matching signature components / 64) vs exact Jaccard
+# on the SAME LSH candidate set as dedup_minhash_lsh.
+_match_sum = " + ".join(
+    f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(64)
+)
+ORACLES["minhash_accuracy"] = f"""
+    WITH {{grams_ctes}},
+    eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+    based AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                         & {{base_mask}} AS base
+              FROM eg),
+    sigs AS (SELECT doc_id, {{sig_cols}} FROM based GROUP BY doc_id),
+    banded AS (SELECT doc_id, [{{band_list}}] AS bands FROM sigs),
+    expl AS (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+             FROM banded, range(16) t(i)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM expl a JOIN expl b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    matched AS (
+        SELECT c.doc_a, c.doc_b, ({_match_sum}) AS n_match
+        FROM cands c
+        JOIN sigs sa ON c.doc_a = sa.doc_id
+        JOIN sigs sb ON c.doc_b = sb.doc_id),
+    verify AS (
+        SELECT m.doc_a, m.doc_b, m.n_match,
+               len(list_intersect(ga.g, gb.g)) AS inter,
+               len(ga.g) AS la, len(gb.g) AS lb
+        FROM matched m
+        JOIN grams ga ON m.doc_a = ga.doc_id
+        JOIN grams gb ON m.doc_b = gb.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_match AS DOUBLE) / 64.0 AS est_jaccard,
+           inter / (la + lb - inter) AS jaccard,
+           ABS(CAST(n_match AS DOUBLE) / 64.0
+               - inter / (la + lb - inter)) AS abs_err
+    FROM verify
+"""
+ORACLES["minhash_accuracy"] = ORACLES["minhash_accuracy"].format(
+    grams_ctes=_GRAMS_CTES,
+    base_mask=_hashing.BASE_MASK,
+    sig_cols=_sig_cols,
+    band_list=_band_list,
+)
+
+ORACLES["kmeans_refine"] = """
+    WITH seeds AS (
+        SELECT CAST(vec_id AS INT) AS cluster, embedding AS centroid
+        FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+        SELECT v.vec_id, v.embedding, s.cluster,
+               list_sum([CAST(floor(
+                   (CAST(v.embedding[j] AS DOUBLE) - CAST(s.centroid[j] AS DOUBLE))
+                   * (CAST(v.embedding[j] AS DOUBLE) - CAST(s.centroid[j] AS DOUBLE))
+                   * 1e12) AS BIGINT)
+                 FOR j IN range(1, len(v.embedding) + 1)]) AS qd
+        FROM embeddings v CROSS JOIN seeds s
+    ),
+    a AS (
+        SELECT vec_id, embedding, cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY qd, cluster) AS rn
+            FROM d) WHERE rn = 1
+    ),
+    dims AS (
+        SELECT cluster, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
+        FROM a, UNNEST(range(1, 65)) t(j)
+    )
+    SELECT cluster, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS centroid_value,
+           COUNT(*) AS n_members
+    FROM dims GROUP BY 1, 2
+"""

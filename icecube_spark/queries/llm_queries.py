@@ -333,3 +333,20 @@ def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = multimodal.decode_stub(docs)
     return multimodal.tile_manifest(meta).orderBy("doc_id", "tile_y", "tile_x")
+
+
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — MinHash estimated-vs-exact Jaccard per LSH candidate
+    pair (sketch quality gate)."""
+    return dedup.minhash_estimate_accuracy(
+        _docs(spark, sf_dir), "doc_id", "text"
+    ).orderBy("doc_a", "doc_b")
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 — one exact Lloyd iteration over the embedding corpus
+    (seeds = 8 lowest-id vectors), oracle-exact."""
+    emb = _emb(spark, sf_dir)
+    return similarity.kmeans_refine(emb, "vec_id", "embedding", k=8).orderBy(
+        "cluster", "dim"
+    )

@@ -493,3 +493,31 @@ ORACLES.update({
         FROM documents
     """,
 })
+
+# P32 reuses the (already formatted) minhash pair query as a CTE.
+from icecube_spark.queries.llm_oracles import ORACLES as _LLM  # noqa: E402
+
+ORACLES["dup_rate_by_source"] = f"""
+    WITH pairs AS ({_LLM["dedup_minhash_lsh"]}),
+    labeled AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id),
+    cell AS (
+        SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+        FROM labeled GROUP BY 1, 2),
+    counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+    SELECT source_a, source_b, n_dup_pairs,
+           CAST(CASE WHEN source_a = source_b
+                     THEN ca.n * (ca.n - 1) // 2
+                     ELSE ca.n * cb.n END AS BIGINT) AS possible_pairs,
+           CAST(n_dup_pairs AS DOUBLE) /
+           CAST(CASE WHEN source_a = source_b
+                     THEN ca.n * (ca.n - 1) // 2
+                     ELSE ca.n * cb.n END AS DOUBLE) AS dup_rate
+    FROM cell
+    JOIN counts ca ON source_a = ca.source
+    JOIN counts cb ON source_b = cb.source
+"""

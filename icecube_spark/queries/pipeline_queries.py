@@ -384,3 +384,63 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.curriculum_shards(
         _docs(spark, sf_dir), "doc_id", "n_chars", n_shards=8
     ).orderBy("doc_id")
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P32 — cross-source near-dup contamination matrix: MinHash
+    near-dup pair counts per (source, source) cell, normalized by the
+    number of possible cross pairs — locates WHICH feeds duplicate
+    each other (the actionable step after dedup finds pairs).
+
+    Plan: the pair table is tiny (near-dups only); both source
+    lookups broadcast; the rate is an exact INT/INT division.
+    """
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a")),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b")),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    cell = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    out = (
+        cell.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            # integer DIV keeps the count exact (double division would
+            # round above 2^53 pair counts)
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("n_a * (n_a - 1) DIV 2"),
+            )
+            .otherwise(F.col("n_a") * F.col("n_b"))
+            .cast("bigint")
+            .alias("possible_pairs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_dup_pairs").cast("double")
+            / F.col("possible_pairs").cast("double"),
+        )
+    )
+    return out.orderBy("source_a", "source_b")

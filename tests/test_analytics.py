@@ -27,6 +27,7 @@ CASES = [
     ("rollup_revenue", analytics.rollup_revenue),
     ("sales_cube", analytics.sales_cube),
     ("revenue_share_window", analytics.revenue_share_window),
+    ("cohort_ltv", analytics.cohort_ltv),
 ]
 
 

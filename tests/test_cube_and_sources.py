@@ -191,3 +191,28 @@ def test_labels_json_round_trip(spark, tmp_path):
     a = flat.toPandas().sort_values(list(flat.columns)).reset_index(drop=True)
     b = back.toPandas().sort_values(list(flat.columns)).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """H — date-partitioned parquet layout: a month-filtered read must
+    touch only that month's partition directories (PartitionFilters in
+    the scan, not a post-scan Filter) — THE layout decision that makes
+    a 100 TB event store queryable."""
+    from pyspark.sql import functions as F2
+
+    from icecube_spark import catalog
+
+    ev = catalog.load(spark, sf_dir, "events").withColumn(
+        "month", F2.date_format("ts", "yyyy-MM")
+    )
+    path = str(tmp_path / "events_by_month")
+    ev.write.partitionBy("month").parquet(path)
+
+    m0 = ev.agg(F2.min("month")).collect()[0][0]
+    back = spark.read.parquet(path).where(F2.col("month") == m0)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "month" in plan.split("PartitionFilters")[1][:200]
+    got = back.count()
+    want = ev.where(F2.col("month") == m0).count()
+    assert got == want and got > 0

@@ -26,6 +26,7 @@ CASES = [
     ("cube_merge", dq.cube_merge),
     ("sar_band_math", dq.sar_band_math),
     ("spatial_bbox_join", dq.spatial_bbox_join),
+    ("cube_composite", dq.cube_composite),
 ]
 
 

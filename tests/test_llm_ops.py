@@ -42,6 +42,8 @@ CASES = [
     ("zipf_fit", lq.zipf_fit),
     ("chunk_dedup", lq.chunk_dedup),
     ("multimodal_tiles", lq.multimodal_tiles),
+    ("minhash_accuracy", lq.minhash_accuracy),
+    ("kmeans_refine", lq.kmeans_refine),
 ]
 
 

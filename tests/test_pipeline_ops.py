@@ -30,6 +30,7 @@ P_CASES = [
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
     ("curriculum_shards", pq.curriculum_shards),
+    ("dup_rate_by_source", pq.dup_rate_by_source),
 ]
 
 B_CASES = [
