@@ -38,6 +38,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_refine": lq.kmeans_refine,
     "cube_composite": dq.cube_composite,
     "cohort_ltv": analytics.cohort_ltv,
+    "m4_downsample": tsq.m4_downsample,
+    "pit_join_orders": tsq.pit_join_orders,
+    "near_dup_diff": lq.near_dup_diff,
     "zipf_fit": lq.zipf_fit,
     "chunk_dedup": lq.chunk_dedup,
     "acf_daily_value": tsq.acf_daily_value,

@@ -464,3 +464,64 @@ def minhash_estimate_accuracy(
             / (F.size("ga") + F.size("gb") - F.col("inter"))
         ).alias("abs_err"),
     )
+
+
+def near_dup_diff(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    band_rows: int = 4,
+) -> DataFrame:
+    """D9 — WHAT changed between near-dups: for every MinHash-verified
+    pair above the threshold, the shared / only-in-A / only-in-B gram
+    counts. Dedup pipelines use this to pick survivorship policy
+    (boilerplate header vs real edit) instead of blindly dropping one
+    side.
+
+    Plan: identical candidate/verify shape as minhash_lsh_pairs (band
+    buckets, bounded fanout); the diff adds two array_except sizes on
+    the already-joined gram arrays — no extra shuffle.
+    """
+    grams = with_grams(df.select(id_col, text_col), text_col).select(
+        id_col, "grams"
+    )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
+    exploded = sigs.select(
+        id_col,
+        F.posexplode(F.expr(f"array({bands_arr})")).alias("band_id", "band_hash"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
+    gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
+    scored = (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")),
+        )
+    )
+    return filter_once(scored, F.col("jaccard") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("bigint").alias("n_shared"),
+        F.size(F.array_except("ga", "gb")).cast("bigint").alias("n_only_a"),
+        F.size(F.array_except("gb", "ga")).cast("bigint").alias("n_only_b"),
+        "jaccard",
+    )

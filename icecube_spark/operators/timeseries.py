@@ -1378,3 +1378,130 @@ def order_backlog(
         "completed",
         F.sum(F.col("opened") - F.col("completed")).over(w).alias("backlog"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """C46 — M4 visualization downsampling: per (key, time-bucket)
+    keep min, max, first, and last value — the lossless-for-pixels
+    reduction (Jugel et al., VLDB'14) that charting layers
+    (Grafana/Timescale) push into the store instead of shipping raw
+    points. Complements LTTB (C35): M4 is exact per pixel column and
+    groupBy-only — no window over the full series.
+
+    Plan: one partial-agg shuffle on (key, bucket); first/last are
+    min/max over (ts, id, value) structs — pure codegen, no sort.
+    Bucket edges derive from the global min/max ts (one tiny scalar
+    agg broadcast back), so the plan is two scans of pruned columns
+    and no driver round-trip of data rows.
+    """
+    span = df.agg(
+        F.min(_us(ts_col)).alias("t0"), F.max(_us(ts_col)).alias("t1")
+    )
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(value_col),
+        _us(ts_col).alias("ts_us"),
+    ).crossJoin(F.broadcast(span))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col("ts_us") - F.col("t0"))
+            * F.lit(n_buckets)
+            / (F.col("t1") - F.col("t0") + 1)
+        ),
+    ).cast("int")
+    return (
+        base.withColumn("bucket", bucket)
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.min(F.struct("ts_us", id_col, value_col)).alias("__f"),
+            F.max(F.struct("ts_us", id_col, value_col)).alias("__l"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            "n_points",
+            "min_value",
+            "max_value",
+            F.col(f"__f.{value_col}").alias("first_value"),
+            F.col(f"__l.{value_col}").alias("last_value"),
+        )
+    )
+
+
+def pit_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_key: str,
+    fact_ts_us: str,
+    iv_key: str,
+) -> DataFrame:
+    """C47 — point-in-time (temporal / "AS OF") join: label each fact
+    row with the dimension state whose SCD2 validity interval covers
+    the fact's timestamp — the time-travel lookup every warehouse
+    does against versioned dimensions (and the lookup the reference's
+    nearest-time alignment approximates for rasters).
+
+    Plan: the as-of union+carry shape (same as operators/asof.py) —
+    probes and interval-start rows union, ONE shuffle on the key, an
+    in-partition carry window forwards the latest interval onto each
+    probe, and a final validity check against valid_to. No
+    probe×interval fanout ever materializes, so the plan is immune to
+    keys with many state runs (an event-derived dimension can have
+    one run per event). Timestamps compare as exact int64 µs.
+    """
+    probes = facts.select(
+        F.col(fact_key).alias("__k"),
+        F.col(fact_ts_us).alias("__t"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("__fact"),
+        F.lit(None)
+        .cast("struct<state:string,valid_from_us:bigint,valid_to_us:bigint>")
+        .alias("__iv"),
+    )
+    iv = intervals.select(
+        F.col(iv_key).alias("__k"),
+        F.col("valid_from_us").alias("__t"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(probes.schema["__fact"].dataType).alias("__fact"),
+        # ONE nullable struct: an open interval's NULL valid_to must
+        # ride along with its own state (separate ignorenulls carries
+        # would leak the previous interval's end over it)
+        F.struct(
+            F.col("state").cast("string").alias("state"),
+            F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
+            F.col("valid_to_us").cast("bigint").alias("valid_to_us"),
+        ).alias("__iv"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = probes.unionByName(iv).select(
+        "__t",
+        "__is_probe",
+        "__fact",
+        F.last("__iv", ignorenulls=True).over(w).alias("__iv"),
+    )
+    valid = F.col("__iv").isNotNull() & (
+        F.col("__iv.valid_to_us").isNull()
+        | (F.col("__t") < F.col("__iv.valid_to_us"))
+    )
+    return carried.where(F.col("__is_probe") == 1).select(
+        *[F.col(f"__fact.{c}").alias(c) for c in facts.columns],
+        F.when(valid, F.col("__iv.state")).alias("state"),
+        F.when(valid, F.col("__iv.valid_from_us")).alias("valid_from_us"),
+        F.when(valid, F.col("__iv.valid_to_us")).alias("valid_to_us"),
+    )

@@ -869,3 +869,44 @@ ORACLES["kmeans_refine"] = """
            COUNT(*) AS n_members
     FROM dims GROUP BY 1, 2
 """
+
+ORACLES["near_dup_diff"] = f"""
+    WITH {{grams_ctes}},
+    eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+    based AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                         & {{base_mask}} AS base
+              FROM eg),
+    sigs AS (SELECT doc_id, {{sig_cols}} FROM based GROUP BY doc_id),
+    banded AS (SELECT doc_id, [{{band_list}}] AS bands FROM sigs),
+    expl AS (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+             FROM banded, range(16) t(i)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM expl a JOIN expl b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    verify AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(ga.g, gb.g)) AS inter,
+               len(list_filter(ga.g, x -> NOT list_contains(gb.g, x)))
+                   AS n_only_a,
+               len(list_filter(gb.g, x -> NOT list_contains(ga.g, x)))
+                   AS n_only_b,
+               len(ga.g) AS la, len(gb.g) AS lb
+        FROM cands c
+        JOIN grams ga ON c.doc_a = ga.doc_id
+        JOIN grams gb ON c.doc_b = gb.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS n_shared,
+           CAST(n_only_a AS BIGINT) AS n_only_a,
+           CAST(n_only_b AS BIGINT) AS n_only_b,
+           inter / (la + lb - inter) AS jaccard
+    FROM verify WHERE inter / (la + lb - inter) >= 0.8
+"""
+ORACLES["near_dup_diff"] = ORACLES["near_dup_diff"].format(
+    grams_ctes=_GRAMS_CTES,
+    base_mask=_hashing.BASE_MASK,
+    sig_cols=_sig_cols,
+    band_list=_band_list,
+)

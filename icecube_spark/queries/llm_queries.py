@@ -350,3 +350,11 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_refine(emb, "vec_id", "embedding", k=8).orderBy(
         "cluster", "dim"
     )
+
+
+def near_dup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — gram-level diff (shared / only-A / only-B) for every
+    verified near-dup pair."""
+    return dedup.near_dup_diff(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_a", "doc_b"
+    )

@@ -812,3 +812,71 @@ ORACLES.update({
         FROM daily
     """,
 })
+
+ORACLES.update({
+    "m4_downsample": """
+        WITH span AS (
+            SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+                   MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+            FROM events
+        ),
+        base AS (
+            SELECT event_type, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+        ),
+        b AS (
+            SELECT event_type, event_id, value, ts_us,
+                   CAST(LEAST(99, FLOOR((ts_us - t0) * 100 / (t1 - t0 + 1)))
+                        AS INT) AS bucket
+            FROM base, span
+        )
+        SELECT event_type, bucket,
+               COUNT(*) AS n_points,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               struct_extract(MIN({'t': ts_us, 'i': event_id, 'v': value}),
+                              'v') AS first_value,
+               struct_extract(MAX({'t': ts_us, 'i': event_id, 'v': value}),
+                              'v') AS last_value
+        FROM b GROUP BY 1, 2
+    """,
+    "pit_join_orders": """
+        WITH runs AS (
+            SELECT user_id, event_type AS state,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_state
+            FROM events),
+        starts AS (
+            SELECT user_id, state, ts_us FROM runs
+            WHERE prev_state IS NULL OR prev_state != state),
+        iv AS (
+            SELECT user_id, state,
+                   ts_us AS valid_from_us,
+                   LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       AS valid_to_us
+            FROM starts),
+        probes AS (
+            SELECT o_orderkey, o_custkey,
+                   epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                     + (o_orderkey % 31536000) * 1000000 AS o_ts_us
+            FROM orders),
+        best AS (
+            SELECT p.o_orderkey, p.o_custkey, p.o_ts_us,
+                   i.state, i.valid_from_us, i.valid_to_us,
+                   ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                       ORDER BY i.valid_from_us DESC NULLS LAST) AS rn
+            FROM probes p LEFT JOIN iv i
+              ON p.o_custkey = i.user_id
+             AND i.valid_from_us <= p.o_ts_us)
+        SELECT o_orderkey, o_custkey, o_ts_us,
+               CASE WHEN valid_to_us IS NULL OR o_ts_us < valid_to_us
+                    THEN state END AS state,
+               CASE WHEN valid_to_us IS NULL OR o_ts_us < valid_to_us
+                    THEN valid_from_us END AS valid_from_us,
+               CASE WHEN valid_to_us IS NULL OR o_ts_us < valid_to_us
+                    THEN valid_to_us END AS valid_to_us
+        FROM best WHERE rn = 1
+    """,
+})

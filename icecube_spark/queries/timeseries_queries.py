@@ -573,3 +573,39 @@ def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = catalog.load(spark, sf_dir, "orders")
     li = catalog.load(spark, sf_dir, "lineitem")
     return timeseries.order_backlog(orders, li).orderBy("day")
+
+
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46 — M4 per-pixel-exact downsampling of the value series,
+    100 buckets per event type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.m4_downsample(
+        ev, "ts", "event_type", "value", "event_id", n_buckets=100
+    ).orderBy("event_type", "bucket")
+
+
+def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47 — point-in-time join: each order (as an audit probe) is
+    labeled with its customer's event-stream state (SCD2 interval) at
+    a deterministic probe instant inside the event era. The order
+    dates themselves predate the event stream, so the probe time is
+    derived as a reproducible offset into the stream's year — the
+    mechanism under test (interval-cover temporal lookup) is exactly
+    the warehouse "AS OF" join."""
+    ev = catalog.load(spark, sf_dir, "events")
+    iv = timeseries.scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+    probe_us = (
+        F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        + (F.col("o_orderkey") % 31536000) * F.lit(1000000)
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        probe_us.cast("bigint").alias("o_ts_us"),
+    )
+    out = timeseries.pit_join(
+        orders, iv.withColumnRenamed("user_id", "__iv_user"), "o_custkey", "o_ts_us", "__iv_user"
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_ts_us", "state", "valid_from_us", "valid_to_us"
+    ).orderBy("o_orderkey")

@@ -44,6 +44,7 @@ CASES = [
     ("multimodal_tiles", lq.multimodal_tiles),
     ("minhash_accuracy", lq.minhash_accuracy),
     ("kmeans_refine", lq.kmeans_refine),
+    ("near_dup_diff", lq.near_dup_diff),
 ]
 
 

@@ -40,6 +40,8 @@ CASES = [
     ("burst_detection", tq.burst_detection),
     ("seasonal_decompose", tq.seasonal_decompose),
     ("order_backlog", tq.order_backlog),
+    ("m4_downsample", tq.m4_downsample),
+    ("pit_join_orders", tq.pit_join_orders),
 ]
 
 
