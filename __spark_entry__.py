@@ -41,6 +41,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m4_downsample": tsq.m4_downsample,
     "pit_join_orders": tsq.pit_join_orders,
     "near_dup_diff": lq.near_dup_diff,
+    "mad_outliers": tsq.mad_outliers,
+    "dedup_threshold_curve": lq.dedup_threshold_curve,
     "zipf_fit": lq.zipf_fit,
     "chunk_dedup": lq.chunk_dedup,
     "acf_daily_value": tsq.acf_daily_value,

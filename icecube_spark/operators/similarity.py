@@ -710,3 +710,60 @@ def kmeans_refine(
         ).alias("centroid_value"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
+
+
+def dedup_threshold_curve(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    thresholds: tuple[float, ...] = (0.25, 0.3, 0.35, 0.4, 0.5),
+    n_planes: int = 8,
+) -> DataFrame:
+    """E15 — dedup threshold decision curve: how many near-dup pairs
+    (and docs touched) each candidate cosine threshold would remove —
+    computed in ONE pass over the LSH candidate set. This is the
+    report a team reads before committing to "dedup at 0.9": the
+    knee of this curve IS the deployment threshold.
+
+    Plan: hyperplane-LSH bucket candidates (bounded fanout, same as
+    E2), one exact quantized cosine per candidate, then a tiny
+    explode over the threshold list and a |thresholds|-row aggregate.
+    Counting at 5 thresholds costs one pass, not 5 runs of the dedup.
+    """
+    coded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_expr(vec_col).alias("nrm"),
+        lsh_code(vec_col, n_planes).alias("code"),
+    )
+    a = coded.select(
+        F.col(id_col).alias("va"),
+        F.col(vec_col).alias("ea"),
+        F.col("nrm").alias("na"),
+        "code",
+    )
+    b = coded.select(
+        F.col(id_col).alias("vb"),
+        F.col(vec_col).alias("eb"),
+        F.col("nrm").alias("nb"),
+        "code",
+    )
+    pairs = a.join(b, ["code"]).where(F.col("va") < F.col("vb"))
+    cos = (dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    scored = pairs.select("va", "vb", cos)
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    hits = scored.select("va", "vb", "cosine", th).where(
+        F.col("cosine") >= F.col("threshold")
+    )
+    # each pair contributes its two endpoints; countDistinct scales
+    # (a collect_list of all pair ids per threshold would pile the
+    # whole hit set into one reducer array)
+    expl = hits.select(
+        "threshold", F.explode(F.array("va", "vb")).alias("doc")
+    )
+    return expl.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc").cast("bigint").alias("n_docs_touched"),
+    )

@@ -1505,3 +1505,75 @@ def pit_join(
         F.when(valid, F.col("__iv.valid_from_us")).alias("valid_from_us"),
         F.when(valid, F.col("__iv.valid_to_us")).alias("valid_to_us"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """C50 — robust outlier detection via the median absolute
+    deviation: flag rows where |x − median| > k·1.4826·MAD per key.
+    The z-score detector (C11) breaks when the outliers themselves
+    inflate the std; median/MAD have a 50% breakdown point — this is
+    the screen ops teams actually deploy on dirty metrics.
+
+    Exactness: both medians are rank-selected actual data values
+    (PERCENTILE_DISC convention, rank ceil(n/2)) — no interpolation,
+    no float folds — so the threshold compare is exact in both
+    engines.
+
+    Plan: two rank passes (median of x, then median of |x − med|)
+    over the SAME key partitioning — the shuffle happens once and
+    both sorts reuse it; output is flagged rows only.
+    """
+    wp = Window.partitionBy(key_col)
+    wo = wp.orderBy(F.col(value_col), F.col(id_col))
+    med = (
+        df.select(
+            key_col,
+            id_col,
+            F.col(value_col),
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") / 2), F.col(value_col)
+                )
+            ).alias("median")
+        )
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    wo2 = wp.orderBy(F.col("absdev"), F.col(id_col))
+    mad = (
+        dev.select(
+            key_col,
+            "absdev",
+            F.row_number().over(wo2).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("absdev"))
+            ).alias("mad")
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), key_col).where(
+        F.col("absdev") > F.lit(k) * F.lit(1.4826) * F.col("mad")
+    )
+    return flagged.select(
+        key_col,
+        id_col,
+        value_col,
+        "median",
+        "mad",
+        (F.col("absdev") / (F.lit(1.4826) * F.col("mad"))).alias("robust_z"),
+    )

@@ -910,3 +910,30 @@ ORACLES["near_dup_diff"] = ORACLES["near_dup_diff"].format(
     sig_cols=_sig_cols,
     band_list=_band_list,
 )
+
+ORACLES["dedup_threshold_curve"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+        FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id),
+    th AS (SELECT CAST(UNNEST([0.25, 0.3, 0.35, 0.4, 0.5]) AS DOUBLE) AS threshold),
+    hits AS (
+        SELECT threshold, va, vb FROM pairs, th WHERE cosine >= threshold),
+    expl AS (
+        SELECT threshold, UNNEST([va, vb]) AS doc FROM hits)
+    SELECT threshold,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT doc) AS n_docs_touched
+    FROM expl GROUP BY 1
+"""

@@ -358,3 +358,12 @@ def near_dup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_diff(_docs(spark, sf_dir), "doc_id", "text").orderBy(
         "doc_a", "doc_b"
     )
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 — near-dup pair/doc counts per candidate cosine threshold
+    (one pass over the LSH candidate set)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.dedup_threshold_curve(emb, "vec_id", "embedding").orderBy(
+        "threshold"
+    )

@@ -880,3 +880,34 @@ ORACLES.update({
         FROM best WHERE rn = 1
     """,
 })
+
+ORACLES["mad_outliers"] = """
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    med AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CEIL(n / 2) THEN value END) AS median
+        FROM ranked GROUP BY 1),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.median,
+               ABS(e.value - m.median) AS absdev
+        FROM events e JOIN med m USING (event_type)),
+    dranked AS (
+        SELECT event_type, absdev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY absdev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev),
+    mad AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CEIL(n / 2) THEN absdev END) AS mad
+        FROM dranked GROUP BY 1)
+    SELECT d.event_type, d.event_id, d.value, d.median, m.mad,
+           d.absdev / (1.4826 * m.mad) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.absdev > 3.0 * 1.4826 * m.mad
+"""

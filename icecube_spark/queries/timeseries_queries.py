@@ -609,3 +609,11 @@ def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", "o_ts_us", "state", "valid_from_us", "valid_to_us"
     ).orderBy("o_orderkey")
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 — robust MAD outliers per event type (|x−med| > 3·1.4826·MAD)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.mad_outliers(ev, "event_type", "value", "event_id").orderBy(
+        "event_type", "event_id"
+    )

@@ -45,6 +45,7 @@ CASES = [
     ("minhash_accuracy", lq.minhash_accuracy),
     ("kmeans_refine", lq.kmeans_refine),
     ("near_dup_diff", lq.near_dup_diff),
+    ("dedup_threshold_curve", lq.dedup_threshold_curve),
 ]
 
 

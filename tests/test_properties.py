@@ -193,3 +193,88 @@ def test_repetition_top_gram_matches_counter(spark, words):
     )
     assert got.top_2gram_n == max(Counter(grams).values())
     assert got.n_words == len(toks)
+
+
+_states = st.sampled_from(["a", "b", "c"])
+_stream = st.lists(
+    st.tuples(_keys, _ts, _states), min_size=1, max_size=25, unique_by=lambda r: (r[0], r[1])
+)
+_probes = st.lists(st.tuples(_keys, _ts), min_size=1, max_size=15)
+
+
+@given(stream=_stream, probes=_probes)
+@_slow
+def test_pit_join_matches_bruteforce(spark, stream, probes):
+    """Point-in-time join == per-probe linear scan over the key's
+    SCD2 intervals, including open intervals and uncovered probes."""
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.timeseries import pit_join, scd2_intervals
+
+    from datetime import datetime, timezone
+
+    ev = spark.createDataFrame(
+        [
+            (k, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), s, i)
+            for i, (k, t, s) in enumerate(stream)
+        ],
+        "k long, ts timestamp, state string, eid long",
+    )
+    iv = scd2_intervals(ev, "k", "ts", "state", "eid")
+    pr = spark.createDataFrame(
+        [(k, t * 1_000_000, i) for i, (k, t) in enumerate(probes)],
+        "k long, t_us long, pid long",
+    )
+    got = {
+        r["pid"]: r["state"]
+        for r in pit_join(
+            pr, iv.withColumnRenamed("k", "ivk"), "k", "t_us", "ivk"
+        ).collect()
+    }
+
+    ivs = iv.collect()
+    for i, (k, t) in enumerate(probes):
+        t_us = t * 1_000_000
+        want = None
+        for r in ivs:
+            if (
+                r["k"] == k
+                and r["valid_from_us"] <= t_us
+                and (r["valid_to_us"] is None or t_us < r["valid_to_us"])
+            ):
+                want = r["state"]
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@given(rows=st.lists(st.tuples(_ts, st.integers(0, 100)), min_size=2, max_size=30, unique_by=lambda r: r[0]))
+@_slow
+def test_m4_bucket_invariants(spark, rows):
+    """M4: every bucket's min<=first/last<=max; bucket point counts sum
+    to the input count; min/max match a pandas groupby."""
+    import numpy as np
+
+    from icecube_spark.operators.timeseries import m4_downsample
+
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            ("k", i, float(v), datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None))
+            for i, (t, v) in enumerate(rows)
+        ],
+        "key string, eid long, value double, ts timestamp",
+    )
+    out = m4_downsample(df, "ts", "key", "value", "eid", n_buckets=5).collect()
+    assert sum(r["n_points"] for r in out) == len(rows)
+    for r in out:
+        assert r["min_value"] <= r["first_value"] <= r["max_value"]
+        assert r["min_value"] <= r["last_value"] <= r["max_value"]
+    ts = np.array([t for t, _ in rows], dtype=np.int64) * 1_000_000
+    vs = np.array([v for _, v in rows], dtype=float)
+    t0, t1 = ts.min(), ts.max()
+    bucket = np.minimum(4, np.floor((ts - t0) * 5 / (t1 - t0 + 1))).astype(int)
+    for r in out:
+        mask = bucket == r["bucket"]
+        assert mask.sum() == r["n_points"]
+        assert vs[mask].min() == r["min_value"]
+        assert vs[mask].max() == r["max_value"]

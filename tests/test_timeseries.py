@@ -42,6 +42,7 @@ CASES = [
     ("order_backlog", tq.order_backlog),
     ("m4_downsample", tq.m4_downsample),
     ("pit_join_orders", tq.pit_join_orders),
+    ("mad_outliers", tq.mad_outliers),
 ]
 
 
