@@ -43,6 +43,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_diff": lq.near_dup_diff,
     "mad_outliers": tsq.mad_outliers,
     "dedup_threshold_curve": lq.dedup_threshold_curve,
+    "part_pagerank": pq.part_pagerank,
     "zipf_fit": lq.zipf_fit,
     "chunk_dedup": lq.chunk_dedup,
     "acf_daily_value": tsq.acf_daily_value,

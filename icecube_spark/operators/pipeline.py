@@ -896,3 +896,80 @@ def curriculum_shards(
         "rank",
         ((F.col("rank") - 1) % n_shards).cast("int").alias("shard"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """P33 — weighted PageRank over an edge list, the canonical
+    iterative-join workload (the centrality screen for "which items
+    anchor the co-occurrence graph" — e.g. which parts anchor market
+    baskets, which sources anchor the near-dup graph).
+
+    Plan: the loop body is the textbook distributed step — ranks join
+    onto out-edges (shuffle on src), contributions aggregate on dst
+    (second shuffle), damping applied map-side. Per iteration that is
+    two shuffles of |edges| rows; nothing ever collects. Undirected
+    graphs pass both edge directions. Dangling mass is redistributed
+    uniformly (standard convention) via one scalar aggregate per
+    iteration — a broadcast of ONE row, not a collect of ranks. At
+    100 TB the edge list is the big side and stays partitioned by src
+    across iterations (one repartition up front makes every ranks
+    join a local co-partitioned join).
+
+    Rows-only key: iterative fixpoints have no single-query SQL twin;
+    the pytest twin replays the same fold in numpy and matches to
+    1e-12.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").withColumn("frac", F.col("w") / F.col("out_w"))
+    e = e.repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("frac") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("received"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("received"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.orderBy(F.desc("rank"), "node")

@@ -444,3 +444,29 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("source_a", "source_b")
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P33 — weighted PageRank over the part co-purchase graph
+    (undirected: both edge directions from distinct per-order pairs).
+    Rows-only: iterative fixpoint; pytest replays the fold in numpy.
+    """
+    from pyspark.sql import functions as F
+
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select("pa", "pb", "w").union(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "w")
+    )
+    return pipeline.pagerank(
+        edges, "pa", "pb", weight_col="w", iterations=5
+    ).limit(100)

@@ -154,3 +154,51 @@ def test_sequence_packing_conserves_docs(spark, sf_dir):
     assert out["n_docs"].sum() == n_docs
     for _, g in out.groupby("source"):
         assert sorted(g["bin"].tolist()) == list(range(len(g)))
+
+
+def test_pagerank_matches_numpy(spark, sf_dir):
+    """P33 (rows-only): the distributed 5-iteration fold equals the
+    same fold run densely in numpy, to float tolerance; ranks form a
+    probability distribution."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from icecube_spark import catalog
+    from icecube_spark.operators.pipeline import pagerank
+
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select("pa", "pb", "w").union(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "w")
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, "pa", "pb", "w").collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    ep = edges.toPandas()
+    nodes = sorted(set(ep.pa) | set(ep.pb))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for pa, pb, w in zip(ep.pa, ep.pb, ep.w):
+        M[idx[pb], idx[pa]] += w
+    outw = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        frac = np.divide(M, outw, where=outw > 0)
+        received = frac @ r
+        dm = r[outw == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (received + dm / n)
+    want = {nodes[i]: r[i] for i in range(n)}
+    for node, val in got.items():
+        assert abs(val - want[node]) < 1e-9, (node, val, want[node])
