@@ -1,0 +1,36 @@
+"""Driver-contract invariants: the registry and oracle dict stay
+consistent (every oracle key registered, no stray oracles, callables
+importable) — catches wiring mistakes before the driver does."""
+
+import __spark_entry__ as entry
+
+
+def test_every_oracle_key_is_registered():
+    qs = entry.queries()
+    orphans = [k for k in entry.oracle_sql() if k not in qs]
+    assert orphans == [], f"oracles without queries: {orphans}"
+
+
+def test_rows_only_keys_are_the_documented_set():
+    qs = set(entry.queries())
+    rows_only = qs - set(entry.oracle_sql())
+    assert rows_only == {
+        "approx_quantiles",
+        "embed_ann_ivf",
+        "text_features",
+        "approx_profile",
+        "multimodal_features",
+        "embed_pca_top",
+        "part_pagerank",
+    }, f"unexpected rows-only keys: {sorted(rows_only)}"
+
+
+def test_all_query_callables_are_callable():
+    assert all(callable(fn) for fn in entry.queries().values())
+    assert len(entry.queries()) >= 174
+
+
+def test_oracle_sql_is_nonempty_select():
+    for k, sql in entry.oracle_sql().items():
+        s = sql.strip().upper()
+        assert s.startswith(("SELECT", "WITH")), k
