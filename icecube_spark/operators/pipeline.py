@@ -944,6 +944,11 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()
+    # the dangling-node SET is static — resolve it once, not per
+    # iteration (only its rank mass changes)
+    dangling_nodes = nodes.join(
+        out_w, nodes.node == out_w.src, "left_anti"
+    ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
         contribs = (
@@ -953,9 +958,8 @@ def pagerank(
             .agg(F.sum("c").alias("received"))
         )
         # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.join(F.broadcast(dangling_nodes), "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
@@ -972,4 +976,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # truncate lineage each pass: without this the final plan is
+        # iterations² joins deep and the optimizer, not the data,
+        # dominates wall time (the standard iterative-algorithm
+        # checkpoint; at 100 TB this is a reliable-checkpoint to HDFS)
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.orderBy(F.desc("rank"), "node")

@@ -615,25 +615,34 @@ def pca_top(
     schema = (
         "n double, s array<double>, g array<double>"
     )
-    agg = (
+    # Each Arrow batch yields ONE model-sized partial row. Reducing
+    # them as 2 000+ separate F.sum columns makes Catalyst plan a
+    # 2 145-wide aggregate (~30 s of planning/codegen at ANY data
+    # size); instead the partial vectors explode to (idx, value) rows
+    # and ONE narrow groupBy(idx) sums them — map-side combinable,
+    # scales to any number of partials, returns exactly D(D+3)/2+1
+    # model rows.
+    flat = (
         df.select(vec_col)
         .mapInPandas(partials, schema=schema)
-        .agg(
-            F.sum("n").alias("n"),
-            *[
-                F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)
-            ],
-            *[
-                F.sum(F.col("g")[i]).alias(f"g{i}") for i in range(n_tri)
-            ],
+        .select(
+            F.posexplode(
+                F.concat(F.array("n"), F.col("s"), F.col("g"))
+            ).alias("idx", "val")
         )
+        .groupBy("idx")
+        .agg(F.sum("val").alias("v"))
+        .collect()
     )
-    row = agg.collect()[0]  # ONE row of D(D+3)/2+1 scalars — the model
-    n = row["n"]
-    s = np.array([row[f"s{i}"] for i in range(dim)])
+    model = np.zeros(1 + dim + n_tri)
+    for r in flat:
+        model[r["idx"]] = r["v"]
+    n = float(model[0])
+    s = model[1 : 1 + dim]
+    tri = model[1 + dim :]
     iu0, iu1 = np.triu_indices(dim)
     gram = np.zeros((dim, dim))
-    gram[iu0, iu1] = [row[f"g{i}"] for i in range(n_tri)]
+    gram[iu0, iu1] = tri
     gram = gram + np.triu(gram, 1).T
     mean = s / n
     cov = gram / n - np.outer(mean, mean)
