@@ -133,6 +133,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     band_rows: int = 4,
+    grams: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """D2 — MinHash+LSH near-dup pairs, verified by exact Jaccard.
 
@@ -140,11 +142,18 @@ def minhash_lsh_pairs(
     (band_id, band_hash): bounded fanout, no all-pairs). Verification
     computes true Jaccard on the gram sets of candidates only.
     16 bands x 4 rows => P(candidate | J=0.8) ~ 0.9998.
+
+    `grams`/`sigs` accept a pre-staged (persisted) gram/signature
+    table so a session running several dedup reports computes the
+    shingling and the 64 min-hash aggregates ONCE (the staging-table
+    pattern; see queries/llm_queries.staged_corpus).
     """
-    grams = with_grams(df.select(id_col, text_col), text_col).select(
-        id_col, "grams"
-    )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    if grams is None:
+        grams = with_grams(df.select(id_col, text_col), text_col).select(
+            id_col, "grams"
+        )
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
     exploded = sigs.select(
         id_col,
@@ -215,7 +224,7 @@ def capped_gram_candidates(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
-    max_df: int = 64,
+    max_df: int = 64, grams: DataFrame | None = None,
 ) -> DataFrame:
     """D3 — n-gram Jaccard near-dup pairs via a frequency-capped
     inverted index.
@@ -228,7 +237,8 @@ def ngram_jaccard_pairs(
     with deterministic (not probabilistic) candidate recall for any
     pair sharing >= 1 gram with df <= max_df.
     """
-    grams = _materialized_grams(df, id_col, text_col)
+    if grams is None:
+        grams = _materialized_grams(df, id_col, text_col)
     cands = capped_gram_candidates(grams, id_col, max_df)
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
@@ -313,7 +323,7 @@ def simhash_pairs(
 
 def containment_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
-    max_df: int = 64,
+    max_df: int = 64, grams: DataFrame | None = None,
 ) -> DataFrame:
     """D6 — exact n-gram CONTAINMENT near-dup pairs: |∩| / min(|A|,|B|).
     Jaccard misses subset duplicates (a doc embedded inside a much
@@ -327,7 +337,8 @@ def containment_pairs(
     The ratio is one INT/INT double division, bit-equal in both
     engines.
     """
-    grams = _materialized_grams(df, id_col, text_col)
+    if grams is None:
+        grams = _materialized_grams(df, id_col, text_col)
     cands = capped_gram_candidates(grams, id_col, max_df)
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
@@ -391,6 +402,8 @@ def minhash_estimate_accuracy(
     text_col: str,
     num_hashes: int = 64,
     band_rows: int = 4,
+    grams: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """F18 — MinHash ESTIMATOR quality gate: for every LSH candidate
     pair, the signature-estimated Jaccard (matching components / k)
@@ -405,10 +418,12 @@ def minhash_estimate_accuracy(
     Estimate (INT/k) and exact Jaccard (INT/INT) are both exact
     divisions — bit-identical to the oracle.
     """
-    grams = with_grams(df.select(id_col, text_col), text_col).select(
-        id_col, "grams"
-    )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    if grams is None:
+        grams = with_grams(df.select(id_col, text_col), text_col).select(
+            id_col, "grams"
+        )
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
     exploded = sigs.select(
         id_col,
@@ -473,6 +488,8 @@ def near_dup_diff(
     threshold: float = 0.8,
     num_hashes: int = 64,
     band_rows: int = 4,
+    grams: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """D9 — WHAT changed between near-dups: for every MinHash-verified
     pair above the threshold, the shared / only-in-A / only-in-B gram
@@ -484,10 +501,12 @@ def near_dup_diff(
     buckets, bounded fanout); the diff adds two array_except sizes on
     the already-joined gram arrays — no extra shuffle.
     """
-    grams = with_grams(df.select(id_col, text_col), text_col).select(
-        id_col, "grams"
-    )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    if grams is None:
+        grams = with_grams(df.select(id_col, text_col), text_col).select(
+            id_col, "grams"
+        )
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
     exploded = sigs.select(
         id_col,

@@ -77,8 +77,12 @@ def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — connected components over the MinHash near-dup pairs:
     every near-dup doc labeled with its component's min doc id."""
+    from icecube_spark.queries.llm_queries import staged_corpus
+
+    grams, sigs = staged_corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
+        grams=grams, sigs=sigs,
     )
     return pipeline.connected_components(pairs, "doc_a", "doc_b")
 
@@ -239,8 +243,13 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins attach sources; the final aggregate is on a
     handful of cells. Mean Jaccard folds as floor(j·1e12) BIGINTs so
     the matrix is bit-identical to the oracle."""
+    from icecube_spark.queries.llm_queries import staged_corpus
+
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    grams, sigs = staged_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs
+    )
     src = docs.select("doc_id", "source")
     sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
         "source", "source_a"
@@ -397,8 +406,13 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from icecube_spark.queries.llm_queries import staged_corpus
+
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    grams, sigs = staged_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs
+    )
     src = docs.select("doc_id", "source")
     labeled = (
         pairs.join(
