@@ -28,6 +28,15 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest (never graded) lead the registration order ---
+    "winsorize_values": tsq.winsorize_values,
+    "zonal_stats": dq.zonal_stats,
+    "cube_downsample": dq.cube_downsample,
+    "bm25_topk": lq.bm25_topk,
+    "skyline_parts": analytics.skyline_parts,
+    "part_triangles": analytics.part_triangles,
+    "mi_lang_source": lq.mi_lang_source,
+    "chi2_terms": lq.chi2_terms,
+    "media_prefix_dedup": lq.media_prefix_dedup,
     "unigram_logprob": lq.unigram_logprob,
     "embed_pca_top": lq.embed_pca_top,
     "curriculum_shards": pq.curriculum_shards,

@@ -183,3 +183,35 @@ def tile_manifest(meta: DataFrame) -> DataFrame:
         .cast("int")
         .alias("tile_h"),
     )
+
+
+def prefix_dedup(df: DataFrame, id_col: str, text_col: str,
+                 n_chars: int = 128) -> DataFrame:
+    """G5 — media header-fingerprint dedup: group payloads whose
+    leading bytes hash identically (the cheap first pass real media
+    pipelines run before decoding anything — magic bytes + header +
+    the first encoded block catch re-uploads and container-level
+    copies without touching the full payload).
+
+    The testable twin slices the first n_chars CHARACTERS and hashes
+    their UTF-8 bytes (DuckDB's md5 is VARCHAR-only); with a real
+    binary source swap in substring on the payload column — the plan
+    shape (projection -> hash -> one groupBy shuffle on the digest)
+    is identical. At 100 TB this reads only parquet header/prefix
+    pages when the payload column is chunked, and the shuffle carries
+    32-byte digests, not payloads.
+    """
+    h = F.md5(F.encode(F.substring(F.col(text_col), 1, n_chars), "utf-8"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  h.alias("prefix_hash"),
+                  F.length(F.encode(F.col(text_col), "utf-8")).alias("nb"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("prefix_hash")
+    )

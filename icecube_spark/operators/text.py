@@ -575,3 +575,223 @@ def chunk_dedup(
         )
         .where(F.col("n_occurrences") > 1)
     )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """F19 — pointwise mutual information between two categorical
+    columns (e.g. language x source): per-cell PMI and the cell's
+    contribution to total MI. The corpus-curation use: a cell with
+    strongly positive PMI means that source is a de-facto single-
+    language feed; near-zero everywhere means language is balanced
+    across sources (the mixing target).
+
+    Cross-engine exactness: like unigram_logprob, ln() is quantized
+    once per cell — floor(ln(ratio)*1e6) as BIGINT micro-nats — and
+    every derived value is exact integer math divided once at the end.
+
+    Plan: one (a, b) count shuffle over the corpus; margins, total
+    and PMI all come from windows over the RESULTING cell table,
+    which is |a|x|b| — tens of rows at any corpus scale, so the
+    unpartitioned windows are free.
+    """
+    cells = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("n"))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    wt = Window.partitionBy()
+    cells = (
+        cells.withColumn("na", F.sum("n").over(wa))
+        .withColumn("nb", F.sum("n").over(wb))
+        .withColumn("total", F.sum("n").over(wt))
+        .withColumn(
+            "qpmi_micro",
+            F.floor(
+                F.log(
+                    (F.col("n") * F.col("total")).cast("double")
+                    / (F.col("na") * F.col("nb")).cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("bigint"),
+        )
+    )
+    return cells.select(
+        F.col(a_col),
+        F.col(b_col),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("qpmi_micro").cast("double") / F.lit(1e6)).alias("pmi"),
+        (
+            (F.col("n") * F.col("qpmi_micro")).cast("double")
+            / F.col("total").cast("double")
+            / F.lit(1e6)
+        ).alias("mi_contrib"),
+    ).orderBy(a_col, b_col)
+
+
+def chi2_terms(
+    df: DataFrame, id_col: str, text_col: str, label_col: str, k: int = 30
+) -> DataFrame:
+    """F20 — chi-squared term-label association (the classic feature-
+    selection statistic): for the k highest-document-frequency terms,
+    the 2x2 chi2 of term presence vs each label value. High-chi2
+    terms are label markers (language shibboleths, source
+    boilerplate); the corpus-curation use is leak detection — a
+    "content" term with huge chi2 against source means templating.
+
+    Exactness: all four contingency counts are exact BIGINTs; the
+    statistic is one fixed-shape double expression (products then two
+    divisions) — identical operand order in the SQL twin makes IEEE
+    rounding identical. Squaring is done in double so N^4-magnitude
+    intermediates cannot overflow int64 at large N.
+
+    Plan: one distinct (doc, term) explode; document frequencies fold
+    map-side and the top-k rank runs over the vocabulary-sized
+    aggregate; the k-term list broadcasts back onto the (doc, term)
+    pairs; per-(term,label) counts are k x |labels| — tiny — and the
+    full k x |labels| grid (zeros included) is built by crossJoining
+    the two broadcast-scale side tables, never touching the corpus
+    again.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.explode(F.expr(_toks(text_col))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .select(id_col, label_col, "term")
+        .distinct()
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    wtop = Window.partitionBy().orderBy(F.desc("df_t"), F.asc("term"))
+    top = (
+        dfreq.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= k)
+        .select("term", "df_t")
+    )
+    labels = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_label"))
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n11 = (
+        pairs.join(F.broadcast(top.select("term")), "term")
+        .groupBy("term", label_col)
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    grid = (
+        top.crossJoin(F.broadcast(labels))
+        .crossJoin(F.broadcast(total))
+        .join(n11, ["term", label_col], "left")
+        .na.fill({"n11": 0})
+    )
+    n11c = F.col("n11").cast("bigint")
+    n10 = (F.col("df_t") - F.col("n11")).cast("bigint")
+    n01 = (F.col("n_label") - F.col("n11")).cast("bigint")
+    n00 = (
+        F.col("n_docs") - F.col("df_t") - F.col("n_label") + F.col("n11")
+    ).cast("bigint")
+    d = (n11c * n00 - n10 * n01).cast("double")
+    denom_ok = (
+        ((n11c + n10) > 0) & ((n01 + n00) > 0)
+        & ((n11c + n01) > 0) & ((n10 + n00) > 0)
+    )
+    chi2 = (
+        F.col("n_docs").cast("double") * d * d
+        / (n11c + n10).cast("double")
+        / (n01 + n00).cast("double")
+        / (n11c + n01).cast("double")
+        / (n10 + n00).cast("double")
+    )
+    return grid.select(
+        "term",
+        F.col(label_col),
+        n11c.alias("n11"),
+        F.when(denom_ok, chi2).otherwise(F.lit(0.0)).alias("chi2"),
+    ).orderBy("term", label_col)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """F21 — BM25 keyword search: top-k documents for a fixed query
+    term set under Okapi BM25 (k1=1.2, b=0.75, Lucene's
+    always-positive idf = ln(1 + (N - df + 0.5)/(df + 0.5))). The
+    corpus-side of retrieval pipelines: mine seed documents for a
+    topic before embedding-based expansion.
+
+    Cross-engine exactness: idf is micro-nat quantized once per query
+    term (same scheme as unigram_logprob); each (doc, term)
+    contribution is a FIXED-SHAPE IEEE expression (identical operand
+    order in the SQL twin) quantized to nano-units, so the per-doc
+    score is an exact integer sum regardless of which term adds
+    first. Ranking compares integers; ties break on doc id.
+
+    Plan: tokens explode once; only rows matching the tiny query set
+    survive the codegen filter, so tf/dl aggregate over a sliver of
+    the corpus. df and avgdl are broadcast-scale side aggregates.
+    The final top-k is sort+limit — TakeOrdered's distributed partial
+    top-k, NOT a single-partition rank window — then row_number runs
+    over k rows only.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    nstats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+    )
+    qt = [t.lower() for t in query_terms]
+    hits = toks.where(F.col("tok").isin(qt))
+    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = dfreq.crossJoin(F.broadcast(nstats)).select(
+        "tok",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+                / (F.col("df_t").cast("double") + F.lit(0.5))
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("qidf_micro"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, id_col)
+        .withColumn(
+            "qscore_nano",
+            F.floor(
+                (F.col("qidf_micro").cast("double") / F.lit(1e6))
+                * (
+                    F.col("tf").cast("double") * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                        )
+                    )
+                )
+                * F.lit(1e9)
+            ).cast("bigint"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("qscore_nano").alias("score_nano"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+    )
+    top = scored.orderBy(F.desc("score_nano"), F.asc(id_col)).limit(k)
+    w = Window.partitionBy().orderBy(F.desc("score_nano"), F.asc(id_col))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col(id_col),
+        (F.col("score_nano").cast("double") / F.lit(1e9)).alias("score"),
+        "n_terms_matched",
+    ).orderBy("rank")

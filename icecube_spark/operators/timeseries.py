@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from icecube_spark.functions.parity import dsum
+from icecube_spark.functions.parity import davg, dsum
 
 
 def _us(c) -> Column:
@@ -1576,4 +1576,50 @@ def mad_outliers(
         "median",
         "mad",
         (F.col("absdev") / (F.lit(1.4826) * F.col("mad"))).alias("robust_z"),
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """C52 — winsorized robust summary per key: clip values at the
+    exact discrete [p_lo, p_hi] (PERCENTILE_DISC rank selection, so
+    the fences are actual data values and float parity is trivial),
+    then report raw vs winsorized means and the clip count — the
+    outlier-robust preprocessing step feature pipelines run before
+    standardization (vs mad_outliers, which flags rather than clips).
+
+    Plan: one key shuffle computes the fences (shared-exchange rank
+    windows); the per-key fence table is key-cardinality-sized and
+    broadcasts back onto a second scan; means fold in decimal
+    (order-free) map-side. Two scans, one wide shuffle, no
+    driver-side quantiles.
+    """
+    pcts = percentile_disc(
+        df, key_cols, value_col, tiebreak_col, qs=(lo, hi)
+    ).select(
+        *key_cols,
+        F.col(f"p{round(lo * 100)}").alias("_lo"),
+        F.col(f"p{round(hi * 100)}").alias("_hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(pcts), key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+            davg(v).alias("mean_raw"),
+            davg(clipped).alias("mean_winsorized"),
+            F.min("_lo").cast("double").alias("fence_lo"),
+            F.min("_hi").cast("double").alias("fence_hi"),
+        )
     )

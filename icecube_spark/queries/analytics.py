@@ -1111,3 +1111,142 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     ).orderBy("cohort_month", "month_offset")
+
+
+def _skyline_prune(df: DataFrame, *keys: str) -> DataFrame:
+    """One skyline sweep of (p_retailprice minimize, p_size maximize)
+    within each `keys` partition (global when keys is empty): collapse
+    to per-price groups, prefix-max the group maxima, and a row is
+    dominated iff some strictly-cheaper part is at least as large
+    (premax >= size) or some equal-price part is strictly larger
+    (gmax > size). No self-join — one tiny aggregate + one window.
+    """
+    g = (
+        df.groupBy(*keys, "p_retailprice")
+        .agg(F.max("p_size").alias("gmax"))
+        .withColumn(
+            "premax",
+            F.max("gmax").over(
+                Window.partitionBy(*keys)
+                .orderBy("p_retailprice")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    return (
+        df.join(g, [*keys, "p_retailprice"])
+        .where(
+            (F.col("premax").isNull() | (F.col("premax") < F.col("p_size")))
+            & (F.col("gmax") <= F.col("p_size"))
+        )
+        .drop("gmax", "premax")
+    )
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 — Pareto skyline of the part catalog: the
+    cheapest-for-their-size frontier (minimize p_retailprice, maximize
+    p_size). A part is dominated when another is no more expensive AND
+    no smaller, strictly better on one axis — the classic skyline
+    operator (Borzsonyi et al., ICDE'01) the reference's metadata
+    filters approximate with fixed thresholds.
+
+    Plan: distributed local-prune -> tiny global pass, never a
+    self-join. Stage 1 runs the price-group prefix-max sweep inside
+    each of 32 hash buckets (map-side after one bucket exchange);
+    bucket survivors are a superset of the global skyline and
+    O(skyline x buckets) small. Stage 2 reruns the same sweep
+    globally over that residue — a window over at most a few hundred
+    price groups, broadcast scale at any corpus size. The oracle is
+    the quadratic NOT EXISTS definition; the sweep must match it
+    exactly.
+    """
+    part = catalog.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    local = _skyline_prune(
+        part.withColumn(
+            "bucket", F.pmod(F.hash("p_partkey"), F.lit(32)).cast("int")
+        ),
+        "bucket",
+    ).drop("bucket")
+    return (
+        _skyline_prune(local)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast("double").alias("price"),
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 — triangle census of the co-purchase graph: parts are
+    linked when >= 2 distinct orders contain both; one summary row
+    with nodes/edges/wedges/triangles and the global clustering
+    coefficient 3*triangles/wedges.
+
+    Plan: distinct (order, part) -> orderkey self-join (fanout bounded
+    by lines-per-order, <= 7 in TPC-H shape) -> support filter builds
+    the edge list once and it is reused by all three legs. Triangles
+    join oriented edges a<b<c so each triangle counts exactly once;
+    wedge fan-out per node is capped by the support threshold's
+    density cut. Degrees, edges and triangles fold map-side to 1-row
+    aggregates combined by broadcast crossJoin — no driver collect.
+    (At power-law scale, orient by (degree, id) instead of raw id to
+    cap the worst-case adjacency list; the support>=2 co-purchase
+    graph is near-regular so id-orientation keeps the SQL twin
+    simple.)
+    """
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) / 2").cast("bigint")).alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    ab = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    ac = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    bc = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    wedges = ab.join(ac, "a").where(F.col("b") < F.col("c"))
+    tri_stats = (
+        wedges.join(bc, ["b", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri_stats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.lit(3.0) * F.col("n_triangles").cast("double")
+                   / F.col("n_wedges").cast("double"))
+             .otherwise(F.lit(0.0))
+             .alias("clustering_coef"),
+        )
+    )

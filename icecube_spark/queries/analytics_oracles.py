@@ -572,3 +572,52 @@ ORACLES["cohort_ltv"] = """
              / 1000000.0 AS cum_revenue
     FROM cells
 """
+
+ORACLES["skyline_parts"] = """
+    SELECT p.p_partkey, p.p_name,
+           CAST(p.p_retailprice AS DOUBLE) AS price,
+           CAST(p.p_size AS INT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY price, p_partkey
+"""
+
+ORACLES["part_triangles"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT pa AS node FROM edges
+            UNION ALL SELECT pb AS node FROM edges)
+        GROUP BY 1
+    ),
+    node_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
+                   AS n_wedges
+        FROM deg
+    ),
+    edge_stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+    tri_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges ab
+        JOIN edges ac ON ab.pa = ac.pa AND ab.pb < ac.pb
+        JOIN edges bc ON bc.pa = ab.pb AND bc.pb = ac.pb
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN 3.0 * CAST(n_triangles AS DOUBLE)
+                     / CAST(n_wedges AS DOUBLE)
+                ELSE 0.0 END AS clustering_coef
+    FROM node_stats, edge_stats, tri_stats
+"""

@@ -344,3 +344,63 @@ ORACLES["cube_composite"] = """
            min_value, max_value
     FROM mom
 """
+
+ORACLES["zonal_stats"] = """
+    WITH px AS (
+        SELECT (event_id * 37) % 1000 AS x,
+               (event_id * 61) % 1000 AS y,
+               value
+        FROM events
+    ),
+    zones AS (
+        SELECT zone_id, xmin, ymin,
+               xmin + 50 + zone_id % 50 AS xmax,
+               ymin + 50 + (zone_id * 13) % 50 AS ymax
+        FROM (SELECT s_suppkey AS zone_id,
+                     (s_suppkey * 7919) % 1000 AS xmin,
+                     (s_suppkey * 104729) % 1000 AS ymin
+              FROM supplier)
+    )
+    SELECT zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) / COUNT(value)
+               AS mean_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM px JOIN zones
+      ON px.x >= zones.xmin AND px.x <= zones.xmax
+     AND px.y >= zones.ymin AND px.y <= zones.ymax
+    GROUP BY zone_id
+    ORDER BY zone_id
+"""
+
+ORACLES["cube_downsample"] = """
+    WITH px AS (
+        SELECT (event_id * 37) % 1000 AS x,
+               (event_id * 61) % 1000 AS y,
+               value
+        FROM events
+    ),
+    l1 AS (
+        SELECT CAST(FLOOR(x / 4) AS INT) AS bx,
+               CAST(FLOOR(y / 4) AS INT) AS by,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               SUM(CAST(value AS DECIMAL(18,8))) AS dsum
+        FROM px GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT CAST(FLOOR(bx / 4) AS INT) AS bx,
+               CAST(FLOOR(by / 4) AS INT) AS by,
+               CAST(SUM(n_pixels) AS BIGINT) AS n_pixels,
+               SUM(dsum) AS dsum
+        FROM l1 GROUP BY 1, 2
+    )
+    SELECT CAST(1 AS INT) AS level, bx, by, n_pixels,
+           CAST(dsum AS DOUBLE) / n_pixels AS mean_value
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS level, bx, by, n_pixels,
+           CAST(dsum AS DOUBLE) / n_pixels AS mean_value
+    FROM l2
+    ORDER BY level, bx, by
+"""

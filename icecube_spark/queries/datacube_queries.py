@@ -547,3 +547,125 @@ def cube_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("stack_id", "band")
+
+
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — zonal statistics: per-zone count/mean/min/max of raster
+    pixel values, zones being irregular bboxes (the classic raster
+    analytics op — per-AOI SAR backscatter summaries; reference cubes
+    slice by label regions, labels_cube/*). Pixels are synthesized
+    from events (deterministic integer formula both engines
+    evaluate), zones are the supplier extents of spatial_bbox_join.
+
+    Plan: grid-cell bucketed containment join, never all-pairs — each
+    pixel lands in exactly ONE 100x100 cell, each zone explodes to
+    the <= 4 cells it spans, the equi-join on cell meets every
+    (pixel, zone) pair exactly once (no post-join dedup), and the
+    per-zone aggregate partial-combines map-side. At 100 TB pixels
+    shuffle once by cell and zones are a broadcast-scale side.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    px = ev.select(
+        ((F.col("event_id") * 37) % 1000).alias("x"),
+        ((F.col("event_id") * 61) % 1000).alias("y"),
+        F.col("value"),
+    ).withColumn("cell", (F.col("x") / 100).cast("int") * 10
+                 + (F.col("y") / 100).cast("int"))
+    supp = catalog.load(spark, sf_dir, "supplier")
+    zones = supp.select(
+        F.col("s_suppkey").alias("zone_id"),
+        ((F.col("s_suppkey") * 7919) % 1000).alias("xmin"),
+        ((F.col("s_suppkey") * 104729) % 1000).alias("ymin"),
+    ).select(
+        "zone_id",
+        "xmin",
+        "ymin",
+        (F.col("xmin") + 50 + F.col("zone_id") % 50).alias("xmax"),
+        (F.col("ymin") + 50 + (F.col("zone_id") * 13) % 50).alias("ymax"),
+    )
+    zcells = zones.select(
+        "zone_id", "xmin", "ymin", "xmax", "ymax",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(CAST(xmin/100 AS INT), "
+                "CAST(xmax/100 AS INT)), cx -> "
+                "transform(sequence(CAST(ymin/100 AS INT), "
+                "CAST(ymax/100 AS INT)), cy -> cx*10 + cy)))"
+            )
+        ).alias("cell"),
+    )
+    hits = px.join(F.broadcast(zcells), "cell").where(
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+    )
+    return (
+        hits.groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
+            davg("value").alias("mean_value"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("zone_id")
+    )
+
+
+def cube_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — overview-pyramid downsampling (COG/overview levels):
+    block means at 4x4 (level 1) and 16x16 (level 2), level 2 ROLLED
+    UP from level 1's exact partial sums, never rescanning pixels —
+    the one-pass pyramid shape real tilers use.
+
+    Exactness: sums stay DECIMAL(18,8) through the rollup (decimal
+    addition associates), cast to double only in the final mean — so
+    level 2 from level 1 is bit-identical to level 2 from scratch,
+    which is what the oracle computes.
+
+    Plan: one map-side-combinable shuffle for level 1; level 2 is a
+    second tiny shuffle over level-1 blocks (256x fewer rows). At
+    100 TB each pyramid level costs 1/256 of the previous — the total
+    is a geometric series dominated by the base scan.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    px = ev.select(
+        ((F.col("event_id") * 37) % 1000).alias("x"),
+        ((F.col("event_id") * 61) % 1000).alias("y"),
+        F.col("value"),
+    )
+    l1 = (
+        px.groupBy(
+            (F.col("x") / 4).cast("int").alias("bx"),
+            (F.col("y") / 4).cast("int").alias("by"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pixels"),
+            F.sum(F.col("value").cast("decimal(18,8)")).alias("dsum"),
+        )
+    )
+    l2 = (
+        l1.groupBy(
+            (F.col("bx") / 4).cast("int").alias("bx2"),
+            (F.col("by") / 4).cast("int").alias("by2"),
+        )
+        .agg(
+            F.sum("n_pixels").cast("bigint").alias("n_pixels"),
+            F.sum("dsum").alias("dsum"),
+        )
+        .select(
+            F.lit(2).alias("level"),
+            F.col("bx2").alias("bx"),
+            F.col("by2").alias("by"),
+            "n_pixels",
+            (F.col("dsum").cast("double") / F.col("n_pixels")).alias(
+                "mean_value"
+            ),
+        )
+    )
+    out1 = l1.select(
+        F.lit(1).alias("level"),
+        "bx",
+        "by",
+        "n_pixels",
+        (F.col("dsum").cast("double") / F.col("n_pixels")).alias("mean_value"),
+    )
+    return out1.unionAll(l2).orderBy("level", "bx", "by")

@@ -937,3 +937,144 @@ ORACLES["dedup_threshold_curve"] = f"""
            COUNT(DISTINCT doc) AS n_docs_touched
     FROM expl GROUP BY 1
 """
+
+ORACLES["mi_lang_source"] = """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT lang, source, n,
+               SUM(n) OVER (PARTITION BY lang) AS na,
+               SUM(n) OVER (PARTITION BY source) AS nb,
+               SUM(n) OVER () AS total
+        FROM cells
+    ),
+    q AS (
+        SELECT lang, source, n, total,
+               CAST(FLOOR(ln(CAST(n * total AS DOUBLE)
+                             / CAST(na * nb AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS qpmi_micro
+        FROM m
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n,
+           CAST(qpmi_micro AS DOUBLE) / 1e6 AS pmi,
+           CAST(n * qpmi_micro AS DOUBLE) / CAST(total AS DOUBLE) / 1e6
+               AS mi_contrib
+    FROM q
+    ORDER BY lang, source
+"""
+
+ORACLES["chi2_terms"] = f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    pairs AS (
+        SELECT DISTINCT doc_id, lang, term
+        FROM (SELECT doc_id, lang, UNNEST(t) AS term FROM toks)
+        WHERE term <> ''
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_t FROM pairs GROUP BY 1),
+    top AS (
+        SELECT term, df_t FROM (
+            SELECT term, df_t,
+                   ROW_NUMBER() OVER (ORDER BY df_t DESC, term) AS rank
+            FROM dfreq)
+        WHERE rank <= 30
+    ),
+    labels AS (SELECT lang, COUNT(*) AS n_label FROM documents GROUP BY 1),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    n11t AS (
+        SELECT term, lang, COUNT(*) AS n11
+        FROM pairs JOIN top USING (term)
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.term, l.lang, t.df_t, l.n_label, tt.n_docs,
+               CAST(COALESCE(n.n11, 0) AS BIGINT) AS n11
+        FROM top t CROSS JOIN labels l CROSS JOIN total tt
+        LEFT JOIN n11t n ON n.term = t.term AND n.lang = l.lang
+    )
+    SELECT term, lang, n11,
+           CASE WHEN (n11 + (df_t - n11)) > 0
+                 AND ((n_label - n11) + (n_docs - df_t - n_label + n11)) > 0
+                 AND (n11 + (n_label - n11)) > 0
+                 AND ((df_t - n11) + (n_docs - df_t - n_label + n11)) > 0
+                THEN CAST(n_docs AS DOUBLE)
+                     * CAST(n11 * (n_docs - df_t - n_label + n11)
+                            - (df_t - n11) * (n_label - n11) AS DOUBLE)
+                     * CAST(n11 * (n_docs - df_t - n_label + n11)
+                            - (df_t - n11) * (n_label - n11) AS DOUBLE)
+                     / CAST(n11 + (df_t - n11) AS DOUBLE)
+                     / CAST((n_label - n11)
+                            + (n_docs - df_t - n_label + n11) AS DOUBLE)
+                     / CAST(n11 + (n_label - n11) AS DOUBLE)
+                     / CAST((df_t - n11)
+                            + (n_docs - df_t - n_label + n11) AS DOUBLE)
+                ELSE 0.0 END AS chi2
+    FROM grid
+    ORDER BY term, lang
+"""
+
+ORACLES["media_prefix_dedup"] = """
+    WITH h AS (
+        SELECT doc_id, md5(substr(text, 1, 128)) AS prefix_hash,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    )
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes
+    FROM h
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY prefix_hash
+"""
+
+ORACLES["bm25_topk"] = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_nz GROUP BY 1),
+    nstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS n_tokens
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks_nz WHERE tok IN ('join', 'hash', 'scan')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    idf AS (
+        SELECT tok,
+               CAST(FLOOR(ln(1.0 + (CAST(n_docs AS DOUBLE)
+                                    - CAST(df_t AS DOUBLE) + 0.5)
+                                   / (CAST(df_t AS DOUBLE) + 0.5)) * 1e6)
+                    AS BIGINT) AS qidf_micro,
+               CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+        FROM dfreq, nstats
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR((CAST(qidf_micro AS DOUBLE) / 1e6)
+                   * (CAST(tf AS DOUBLE) * 2.2
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+                   * 1e9) AS BIGINT) AS qscore_nano
+        FROM tf JOIN idf USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, SUM(qscore_nano) AS score_nano,
+               CAST(COUNT(*) AS INT) AS n_terms_matched
+        FROM contrib GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_nano DESC, doc_id)
+                AS INT) AS rank,
+           doc_id,
+           CAST(score_nano AS DOUBLE) / 1e9 AS score,
+           n_terms_matched
+    FROM scored
+    ORDER BY score_nano DESC, doc_id
+    LIMIT 15
+"""

@@ -398,3 +398,28 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.dedup_threshold_curve(emb, "vec_id", "embedding").orderBy(
         "threshold"
     )
+
+
+def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — language x source pointwise mutual information (mixing-
+    balance audit: positive PMI cells are single-language feeds)."""
+    return text.mutual_information(_docs(spark, sf_dir), "lang", "source")
+
+
+def chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — chi-squared association of the top-30 document-frequency
+    terms with language (feature selection / leak detection)."""
+    return text.chi2_terms(_docs(spark, sf_dir), "doc_id", "text", "lang", k=30)
+
+
+def media_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — header-fingerprint media dedup: payloads whose leading
+    block hashes identically, grouped before any decode."""
+    return multimodal.prefix_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 — BM25 top-15 documents for the query {join, hash, scan}."""
+    return text.bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text", ["join", "hash", "scan"], k=15
+    )

@@ -911,3 +911,33 @@ ORACLES["mad_outliers"] = """
     FROM dev d JOIN mad m USING (event_type)
     WHERE d.absdev > 3.0 * 1.4826 * m.mad
 """
+
+ORACLES["winsorize_values"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    fences AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CEIL(CAST(0.05 AS DOUBLE) * n)
+                        THEN value END) AS _lo,
+               MAX(CASE WHEN rn = CEIL(CAST(0.95 AS DOUBLE) * n)
+                        THEN value END) AS _hi
+        FROM ranked GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < f._lo OR e.value > f._hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(e.value) AS mean_raw,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, f._lo), f._hi)
+                         AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(e.value) AS mean_winsorized,
+           CAST(MIN(f._lo) AS DOUBLE) AS fence_lo,
+           CAST(MIN(f._hi) AS DOUBLE) AS fence_hi
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""

@@ -617,3 +617,12 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.mad_outliers(ev, "event_type", "value", "event_id").orderBy(
         "event_type", "event_id"
     )
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52 — winsorized robust value summary per event_type: exact
+    discrete [p5, p95] fences, clip counts, raw vs clipped means."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.winsorize_stats(
+        ev, ["event_type"], "value", tiebreak_col="event_id"
+    ).orderBy("event_type")

@@ -28,6 +28,8 @@ CASES = [
     ("sales_cube", analytics.sales_cube),
     ("revenue_share_window", analytics.revenue_share_window),
     ("cohort_ltv", analytics.cohort_ltv),
+    ("skyline_parts", analytics.skyline_parts),
+    ("part_triangles", analytics.part_triangles),
 ]
 
 

@@ -27,6 +27,8 @@ CASES = [
     ("sar_band_math", dq.sar_band_math),
     ("spatial_bbox_join", dq.spatial_bbox_join),
     ("cube_composite", dq.cube_composite),
+    ("zonal_stats", dq.zonal_stats),
+    ("cube_downsample", dq.cube_downsample),
 ]
 
 

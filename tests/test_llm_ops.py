@@ -46,6 +46,10 @@ CASES = [
     ("kmeans_refine", lq.kmeans_refine),
     ("near_dup_diff", lq.near_dup_diff),
     ("dedup_threshold_curve", lq.dedup_threshold_curve),
+    ("mi_lang_source", lq.mi_lang_source),
+    ("chi2_terms", lq.chi2_terms),
+    ("media_prefix_dedup", lq.media_prefix_dedup),
+    ("bm25_topk", lq.bm25_topk),
 ]
 
 

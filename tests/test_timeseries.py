@@ -43,6 +43,7 @@ CASES = [
     ("m4_downsample", tq.m4_downsample),
     ("pit_join_orders", tq.pit_join_orders),
     ("mad_outliers", tq.mad_outliers),
+    ("winsorize_values", tq.winsorize_values),
 ]
 
 
