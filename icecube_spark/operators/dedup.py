@@ -225,6 +225,7 @@ def capped_gram_candidates(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
     max_df: int = 64, grams: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """D3 — n-gram Jaccard near-dup pairs via a frequency-capped
     inverted index.
@@ -239,7 +240,8 @@ def ngram_jaccard_pairs(
     """
     if grams is None:
         grams = _materialized_grams(df, id_col, text_col)
-    cands = capped_gram_candidates(grams, id_col, max_df)
+    if cands is None:
+        cands = capped_gram_candidates(grams, id_col, max_df)
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
     scored = (
@@ -324,6 +326,7 @@ def simhash_pairs(
 def containment_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
     max_df: int = 64, grams: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """D6 — exact n-gram CONTAINMENT near-dup pairs: |∩| / min(|A|,|B|).
     Jaccard misses subset duplicates (a doc embedded inside a much
@@ -339,7 +342,8 @@ def containment_pairs(
     """
     if grams is None:
         grams = _materialized_grams(df, id_col, text_col)
-    cands = capped_gram_candidates(grams, id_col, max_df)
+    if cands is None:
+        cands = capped_gram_candidates(grams, id_col, max_df)
     ga = grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     gb = grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
     scored = (

@@ -33,9 +33,11 @@ def build_ivf_index(
     ml.persist()
     # random init: k-means|| costs ~5 extra corpus passes and an IVF
     # coarse quantizer doesn't need optimal centers — recall is gated
-    # by the nprobe search, asserted in tests/test_scale_paths.py
+    # by the nprobe search, asserted in tests/test_scale_paths.py;
+    # 4 iterations suffice for a coarse quantizer (each is a full
+    # corpus pass — the dominant cost of index build)
     model = KMeans(
-        k=k, seed=seed, maxIter=10, initMode="random",
+        k=k, seed=seed, maxIter=4, initMode="random",
         featuresCol="features", predictionCol="cluster",
     ).fit(ml)
     assigned = model.transform(ml).select(id_col, vec_col, "cluster")

@@ -776,3 +776,112 @@ def dedup_threshold_curve(
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
         F.countDistinct("doc").cast("bigint").alias("n_docs_touched"),
     )
+
+
+def mmr_diversify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 8,
+    n_candidates: int = 32,
+    lam: float = 0.7,
+) -> DataFrame:
+    """E16 — Maximal Marginal Relevance reranking (Carbonell &
+    Goldstein '98): for each label-centroid query, pick k of the
+    top-n cosine candidates greedily, each step maximizing
+    lam*rel(query, d) - (1-lam)*max_sim(d, already-picked) — the
+    standard post-ANN rerank that trades relevance against
+    redundancy when assembling diverse training batches or retrieval
+    contexts.
+
+    rows-only: greedy selection has no SQL twin; the pytest twin
+    replays the greedy in pure numpy and checks exact equality.
+
+    Plan: relevance scoring is the broadcast-centroid brute-force
+    pass (corpus map-only, one rank shuffle on the label key);
+    the inherently-sequential greedy runs inside applyInPandas per
+    label group over ONLY n_candidates vectors — O(k*n) numpy on 32
+    rows — while label groups parallelize across executors. The
+    corpus-sized work is all declarative; the sequential tail is
+    bounded and per-group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = (
+        label_centroids(df, label_col, vec_col)
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("qv")
+        )
+        .select(
+            F.col(label_col).alias("qlabel"),
+            "qv",
+            norm_expr("qv").alias("qn"),
+        )
+    )
+    cands = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+    )
+    w = Window.partitionBy("qlabel").orderBy(F.desc("rel"), F.asc("vec_id"))
+    top = (
+        cands.crossJoin(F.broadcast(cent))
+        .withColumn("rel", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_candidates)
+        .select("qlabel", "vec_id", "rel", "cv", "r")
+    )
+
+    schema = (
+        "qlabel int, sel_rank int, vec_id bigint, rel double, "
+        "mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("r", ignore_index=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        S = Vn @ Vn.T
+        rel = pdf["rel"].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = list(range(n))
+        while avail and len(picked) < k:
+            if not picked:
+                best, best_s = avail[0], rel[avail[0]]
+                for i in avail[1:]:
+                    if rel[i] > best_s:
+                        best, best_s = i, rel[i]
+            else:
+                best, best_s = -1, -np.inf
+                for i in avail:  # candidate order = rel desc, id asc (tie-stable)
+                    s = lam * rel[i] - (1.0 - lam) * S[i, picked].max()
+                    if s > best_s:
+                        best, best_s = i, s
+            picked.append(best)
+            scores.append(float(best_s))
+            avail.remove(best)
+        return pd.DataFrame(
+            {
+                "qlabel": pdf["qlabel"].iloc[:1].repeat(len(picked)).to_numpy(),
+                "sel_rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "vec_id": pdf["vec_id"].to_numpy()[picked],
+                "rel": rel[picked],
+                "mmr_score": np.array(scores),
+            }
+        )
+
+    return (
+        top.groupBy("qlabel")
+        .applyInPandas(greedy, schema=schema)
+        .orderBy("qlabel", "sel_rank")
+    )

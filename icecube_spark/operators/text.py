@@ -795,3 +795,56 @@ def bm25_topk(
         (F.col("score_nano").cast("double") / F.lit(1e9)).alias("score"),
         "n_terms_matched",
     ).orderBy("rank")
+
+
+def entropy_by_group(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """F22 — token Shannon entropy per group (source/language): the
+    corpus-diversity statistic — low entropy flags templated or
+    boilerplate-heavy feeds, and the normalized form H/ln(V) is
+    comparable across vocabulary sizes.
+
+    Exactness: ln(p) quantized once per (group, term) to micro-nats
+    (exact integer sums, one division at the end); the ln(V)
+    normalizer quantized the same way.
+
+    Plan: one (group, term) count shuffle with map-side partials;
+    margins via group-partitioned windows over the VOCAB-sized
+    aggregate (not the corpus); everything downstream is
+    group-cardinality rows.
+    """
+    toks = df.select(
+        F.col(group_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wg = Window.partitionBy(group_col)
+    counts = counts.withColumn("total", F.sum("n").over(wg)).withColumn(
+        "qlp_micro",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("total").cast("double"))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.max("total").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("n") * F.col("qlp_micro")).alias("sum_nqlp"),
+    )
+    qlnv = F.floor(
+        F.log(F.col("vocab").cast("double")) * F.lit(1e6)
+    ).cast("bigint")
+    entropy = (
+        -F.col("sum_nqlp").cast("double")
+        / F.col("n_tokens").cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "vocab",
+        entropy.alias("entropy"),
+        F.when(F.col("vocab") > 1, entropy * F.lit(1e6) / qlnv.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    ).orderBy(group_col)

@@ -1623,3 +1623,89 @@ def winsorize_stats(
             F.min("_hi").cast("double").alias("fence_hi"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    event_filter,
+) -> DataFrame:
+    """C53 — Kaplan-Meier survival curve for time-to-first-conversion:
+    per user, T = days from first activity to first purchase (event)
+    or to the global observation end (right-censored); at each
+    distinct event day t, the KM factor (1 - d_t/n_t) over the
+    at-risk count. The churn/retention statistic conversion_lag's
+    plain averages can't give: censoring-correct time-to-event.
+
+    Cross-engine exactness: survival is reported as the NEGATIVE LOG
+    curve — each factor's ln quantized to nano-nats (exact BIGINT
+    cumulative sums), divided once at the end. exp() is deliberately
+    NOT applied: libm exp rounding differs across engines, while the
+    log-scale curve is bit-exact and order-isomorphic (tests may exp
+    it with tolerance).
+
+    Plan: two corpus-sized aggregates (per-user firsts, one shuffle
+    on the user key) collapse to per-day (events, censors) counts;
+    everything after — risk sets via prefix sums, the KM fold —
+    is windows over DISTINCT DURATION DAYS (hundreds of rows at any
+    corpus scale), so the unpartitioned windows are free.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = df.groupBy(key_col).agg(
+        F.min(F.to_date(ts)).alias("t0"),
+        F.min(F.when(event_filter, F.to_date(ts))).alias("t_event"),
+    )
+    end = df.agg(F.max(F.to_date(ts)).alias("t_end"))
+    u = per_user.crossJoin(F.broadcast(end)).select(
+        F.when(
+            F.col("t_event").isNotNull(),
+            F.datediff("t_event", "t0"),
+        )
+        .otherwise(F.datediff("t_end", "t0"))
+        .cast("int")
+        .alias("t"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = u.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    wo = Window.partitionBy().orderBy("t")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    n_total = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    risk = (
+        grp.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    factor = F.when(
+        F.col("n_at_risk") > F.col("d"),
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("bigint"),
+    ).otherwise(F.lit(-999_000_000_000).cast("bigint"))
+    wcum = Window.partitionBy().orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.withColumn("qf_nano", factor)
+        .withColumn("cum_nano", F.sum("qf_nano").over(wcum))
+        .select(
+            F.col("t").alias("t_days"),
+            "n_at_risk",
+            F.col("d").alias("n_events"),
+            (-F.col("cum_nano").cast("double") / F.lit(1e9)).alias(
+                "neg_log_survival"
+            ),
+        )
+        .orderBy("t_days")
+    )

@@ -1078,3 +1078,42 @@ ORACLES["bm25_topk"] = f"""
     ORDER BY score_nano DESC, doc_id
     LIMIT 15
 """
+
+ORACLES["entropy_by_source"] = f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, COUNT(*) AS n
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT source, tok, n,
+               SUM(n) OVER (PARTITION BY source) AS total
+        FROM counts
+    ),
+    q AS (
+        SELECT source, n, total,
+               CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                          * 1e6) AS BIGINT) AS qlp_micro
+        FROM m
+    ),
+    agg AS (
+        SELECT source,
+               CAST(MAX(total) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               SUM(n * qlp_micro) AS sum_nqlp
+        FROM q GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab,
+           -CAST(sum_nqlp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e6
+               AS entropy,
+           CASE WHEN vocab > 1
+                THEN -CAST(sum_nqlp AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     / 1e6 * 1e6
+                     / CAST(CAST(FLOOR(ln(CAST(vocab AS DOUBLE)) * 1e6)
+                                 AS BIGINT) AS DOUBLE)
+                ELSE 0.0 END AS norm_entropy
+    FROM agg
+    ORDER BY source
+"""

@@ -44,6 +44,26 @@ def staged_corpus(spark, sf_dir):
     return _STAGED[sf_dir]
 
 
+_STAGED_CANDS: dict[str, object] = {}
+
+
+def staged_candidates(spark, sf_dir):
+    """The capped-inverted-index candidate-pair table, staged once per
+    corpus like the gram/signature tables: D3 (Jaccard) and D6
+    (containment) verify over the SAME rare-gram candidate set, and
+    the window-count + bucket self-join + DISTINCT that builds it is
+    the most expensive part of both plans. Same at-scale story: a
+    dedup campaign writes candidates once, every verifier reads them."""
+    from pyspark import StorageLevel
+
+    if sf_dir not in _STAGED_CANDS:
+        grams, _ = staged_corpus(spark, sf_dir)
+        _STAGED_CANDS[sf_dir] = dedup.capped_gram_candidates(
+            grams, "doc_id", max_df=64
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _STAGED_CANDS[sf_dir]
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — exact dedup groups by md5(normalized text)."""
     return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
@@ -62,7 +82,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — exact all-pairs 3-gram Jaccard >= 0.5 (inverted index)."""
     grams, _ = staged_corpus(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5, grams=grams
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5, grams=grams,
+        cands=staged_candidates(spark, sf_dir),
     )
 
 
@@ -249,7 +270,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates that Jaccard misses)."""
     grams, _ = staged_corpus(spark, sf_dir)
     return dedup.containment_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8, grams=grams
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8, grams=grams,
+        cands=staged_candidates(spark, sf_dir),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -422,4 +444,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21 — BM25 top-15 documents for the query {join, hash, scan}."""
     return text.bm25_topk(
         _docs(spark, sf_dir), "doc_id", "text", ["join", "hash", "scan"], k=15
+    )
+
+
+def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 — token Shannon entropy per source (template/boilerplate
+    detector; normalized by ln(vocab))."""
+    return text.entropy_by_group(_docs(spark, sf_dir), "source", "text")
+
+
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 — MMR diverse top-8 per label-centroid query (rows-only:
+    greedy rerank has no SQL twin; numpy twin in pytest)."""
+    return similarity.mmr_diversify(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label"
     )

@@ -941,3 +941,44 @@ ORACLES["winsorize_values"] = """
     GROUP BY e.event_type
     ORDER BY e.event_type
 """
+
+ORACLES["survival_km"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS t_event
+        FROM events GROUP BY 1),
+    endd AS (SELECT MAX(CAST(ts AS DATE)) AS t_end FROM events),
+    u AS (
+        SELECT CAST(CASE WHEN t_event IS NOT NULL
+                         THEN date_diff('day', t0, t_event)
+                         ELSE date_diff('day', t0, t_end) END AS INT) AS t,
+               CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user, endd),
+    grp AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM u GROUP BY 1),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+    risk AS (
+        SELECT t, d,
+               n_total - COALESCE(SUM(d + c) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_at_risk
+        FROM grp, n_tot),
+    fac AS (
+        SELECT t, d, n_at_risk,
+               CASE WHEN n_at_risk > d
+                    THEN CAST(FLOOR(ln(CAST(n_at_risk - d AS DOUBLE)
+                                       / CAST(n_at_risk AS DOUBLE)) * 1e9)
+                              AS BIGINT)
+                    ELSE CAST(-999000000000 AS BIGINT) END AS qf_nano
+        FROM risk WHERE d > 0)
+    SELECT t AS t_days, n_at_risk, d AS n_events,
+           -CAST(SUM(qf_nano) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9
+               AS neg_log_survival
+    FROM fac
+    ORDER BY t_days
+"""

@@ -626,3 +626,12 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.winsorize_stats(
         ev, ["event_type"], "value", tiebreak_col="event_id"
     ).orderBy("event_type")
+
+
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53 — Kaplan-Meier time-to-first-purchase curve (log scale),
+    right-censored at the observation end."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.kaplan_meier(
+        ev, "ts", "user_id", F.col("event_type") == "purchase"
+    )

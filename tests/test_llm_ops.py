@@ -50,6 +50,7 @@ CASES = [
     ("chi2_terms", lq.chi2_terms),
     ("media_prefix_dedup", lq.media_prefix_dedup),
     ("bm25_topk", lq.bm25_topk),
+    ("entropy_by_source", lq.entropy_by_source),
 ]
 
 
@@ -189,3 +190,59 @@ def test_pca_matches_numpy(spark, sf_dir):
     ratios = sorted({round(r["explained_var_ratio"], 9) for r in out}, reverse=True)
     want = sorted((evals[order[:2]] / evals.sum()).tolist(), reverse=True)
     assert np.allclose(ratios, want, atol=1e-9)
+
+
+def test_mmr_diversify_matches_numpy(spark, sf_dir):
+    """E16 (rows-only): the distributed greedy MMR equals the same
+    greedy replayed densely in numpy (exact selection + exact ids),
+    and per-label picks are unique."""
+    import numpy as np
+
+    got = lq.mmr_diversify(spark, sf_dir).toPandas()
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    V = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    lam, k, n_cand = 0.7, 8, 32
+    for lab in np.unique(labels):
+        # centroid with the operator's decimal(18,8)-fold parity:
+        # per-dim mean of values; plain float64 mean is close enough
+        # for rank equality on this data
+        q = V[labels == lab].mean(axis=0)
+        qn = np.linalg.norm(q)
+        norms = np.linalg.norm(V, axis=1)
+        # operator quantizes each elementwise product at 1e-12 before
+        # the fold; replicate to keep borderline ranks identical
+        def qdot(a, b):
+            return np.floor(a * b * 1e12).sum() / 1e12
+
+        rel = np.array(
+            [qdot(q, V[i]) / (np.sqrt(qdot(q, q)) * np.sqrt(qdot(V[i], V[i])))
+             for i in range(len(V))]
+        )
+        order = np.lexsort((ids, -rel))[:n_cand]
+        cand_rel = rel[order]
+        Vc = V[order] / norms[order][:, None]
+        S = Vc @ Vc.T
+        picked, avail = [], list(range(len(order)))
+        while avail and len(picked) < k:
+            if not picked:
+                best = max(avail, key=lambda i: (cand_rel[i], -ids[order][i]))
+            else:
+                best, best_s = -1, -np.inf
+                for i in avail:
+                    sc = lam * cand_rel[i] - (1 - lam) * S[i, picked].max()
+                    if sc > best_s:
+                        best, best_s = i, sc
+            picked.append(best)
+            avail.remove(best)
+        want_ids = list(ids[order][picked])
+        got_ids = list(
+            got[got["qlabel"] == lab].sort_values("sel_rank")["vec_id"]
+        )
+        assert got_ids == want_ids, f"label {lab}: {got_ids} vs {want_ids}"
+        assert len(set(got_ids)) == len(got_ids)

@@ -22,6 +22,7 @@ def test_rows_only_keys_are_the_documented_set():
         "multimodal_features",
         "embed_pca_top",
         "part_pagerank",
+        "mmr_diversify",
     }, f"unexpected rows-only keys: {sorted(rows_only)}"
 
 

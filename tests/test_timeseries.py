@@ -44,6 +44,7 @@ CASES = [
     ("pit_join_orders", tq.pit_join_orders),
     ("mad_outliers", tq.mad_outliers),
     ("winsorize_values", tq.winsorize_values),
+    ("survival_km", tq.survival_km),
 ]
 
 
