@@ -982,3 +982,120 @@ def pagerank(
         # checkpoint; at 100 TB this is a reliable-checkpoint to HDFS)
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.orderBy(F.desc("rank"), "node")
+
+
+def distributed_depth_cuts(
+    df: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Exact global quantile cuts over a NEAR-CONTINUOUS column
+    without a single-partition window: the distributed prefix-sum
+    pattern. length_deciles' exact-histogram trick assumes few
+    distinct values; with ~1 distinct value per row its cumulative
+    window would funnel the whole column through one task. Here:
+    (1) value histogram (one shuffle; no-op compression on
+    continuous data but harmless), (2) RANGE-repartition by value,
+    local cumsums within each sorted range, (3) per-partition totals
+    (tiny) prefix-summed and broadcast back as offsets — global
+    cumulative counts with no global sort. Cut d = min value whose
+    global running count reaches ceil(d·N/bins); integer counts make
+    the cuts engine-exact regardless of partitioning.
+
+    Returns a 1-row DataFrame with `cut_list` (n_bins-1 ascending
+    values) for broadcast assignment.
+    """
+    h = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hp = h.repartitionByRange(32, "v").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("pid").orderBy("v")
+    hl = hp.withColumn(
+        "lcum", F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ptot = hl.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+    woff = Window.partitionBy().orderBy("pid")
+    off = ptot.select(
+        "pid",
+        F.coalesce(
+            F.sum("ptot").over(woff.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("ptot").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    cum = hl.join(F.broadcast(off), "pid").withColumn(
+        "cum", F.col("lcum") + F.col("off")
+    )
+    ds = df.sparkSession.range(1, n_bins).select(F.col("id").alias("d"))
+    cuts = (
+        cum.crossJoin(F.broadcast(ds))
+        .where(F.col("cum") >= F.ceil(F.col("d") * F.col("n_total") / n_bins))
+        .groupBy("d")
+        .agg(F.min("v").alias("cut"))
+    )
+    return cuts.agg(F.sort_array(F.collect_list("cut")).alias("cut_list"))
+
+
+def feature_binning(
+    df: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """P34 — feature binning both ways, side by side: equal-WIDTH
+    bins (fixed value intervals from the global min/max) and
+    equal-DEPTH bins (global quantile cuts via the distributed
+    prefix sum above) over the same column, reporting per-bin count,
+    value range and mean. The ML-preprocessing discretization step;
+    the side-by-side exposes skew (width bins collapse onto the head,
+    depth bins equalize counts).
+
+    Exactness: bin ids come from integer comparisons (depth) or one
+    fixed-shape floor expression (width); means fold in decimal.
+
+    Plan: two broadcast-scale side tables (min/max row; cut list),
+    assignment entirely map-side, one final (method, bin) aggregate —
+    the column shuffles once per method at any scale.
+    """
+    from icecube_spark.functions.parity import davg
+
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("vmin"), F.max(v).alias("vmax")
+    )
+    width = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.lit("width").alias("method"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (v - F.col("vmin")) * n_bins / (F.col("vmax") - F.col("vmin"))
+                ),
+            ).cast("int").alias("bin"),
+            v.alias("v"),
+        )
+    )
+    cut_arr = distributed_depth_cuts(df, value_col, n_bins)
+    depth = (
+        df.crossJoin(F.broadcast(cut_arr))
+        .select(
+            F.lit("depth").alias("method"),
+            F.size(F.filter("cut_list", lambda c: c < v)).cast("int").alias(
+                "bin"
+            ),
+            v.alias("v"),
+        )
+    )
+    return (
+        width.unionAll(depth)
+        .groupBy("method", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            davg("v").alias("mean_value"),
+        )
+        .orderBy("method", "bin")
+    )

@@ -1250,3 +1250,91 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("clustering_coef"),
         )
     )
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38 — exact-moment Pearson correlation matrix over lineitem's
+    numeric columns (quantity, extendedprice, discount): the
+    feature-screening statistic, computed the only way that is
+    bit-exact across engines — every moment is an EXACT integer sum
+    (quantity as-is; price in cents, discount in basis points — both
+    lossless for DECIMAL(12,2) inputs) folded in DECIMAL(38,0), and
+    the final r is one fixed-shape double expression over those
+    exact moments (brand_spearman documents why raw double moment
+    sums can never be exact; integer moments make Pearson exact too).
+
+    Plan: ONE scan, ten map-side-combinable aggregates (n, 3 sums, 3
+    squares, 3 cross-products), then the 3 output rows are pure
+    projection over the 1-row aggregate — at any scale this is the
+    cheapest possible statistic: a single reduce of 10 numbers.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    # inputs are DOUBLE holding 2-decimal values: v*100 lands within
+    # 1ulp of an integer, so floor(v*100 + 0.5) recovers it exactly
+    # and identically in both engines (a bare bigint cast would not:
+    # Spark truncates, DuckDB rounds)
+    q = F.floor(F.col("l_quantity")).cast("bigint")
+    p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    dec = "decimal(38,0)"
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q.cast(dec)).alias("sq"),
+        F.sum(p.cast(dec)).alias("sp"),
+        F.sum(d.cast(dec)).alias("sd"),
+        F.sum((q * q).cast(dec)).alias("sqq"),
+        F.sum((p * p).cast(dec)).alias("spp"),
+        F.sum((d * d).cast(dec)).alias("sdd"),
+        F.sum((q * p).cast(dec)).alias("sqp"),
+        F.sum((q * d).cast(dec)).alias("sqd"),
+        F.sum((p * d).cast(dec)).alias("spd"),
+    )
+
+    def r(sa, sb, saa, sbb, sab):
+        # the squared-moment sums exceed 2^53, and DuckDB's
+        # int128->double cast is not correctly rounded (Spark's
+        # BigDecimal path is) — a 1-ulp input wobble moves r by
+        # ~1e-19. Quantizing the OUTPUT to a 1e-9 grid absorbs it
+        # (straddle odds ~1e-10, the repo's standard floor-grid
+        # trade; see functions/parity.py)
+        n = F.col("n").cast("double")
+        a, b = F.col(sa).cast("double"), F.col(sb).cast("double")
+        aa, bb, ab = (
+            F.col(saa).cast("double"),
+            F.col(sbb).cast("double"),
+            F.col(sab).cast("double"),
+        )
+        raw = (n * ab - a * b) / (
+            F.sqrt(n * aa - a * a) * F.sqrt(n * bb - b * b)
+        )
+        return F.floor(raw * F.lit(1e9)).cast("bigint").cast("double") / F.lit(
+            1e9
+        )
+
+    pairs = m.select(
+        "n",
+        r("sq", "sp", "sqq", "spp", "sqp").alias("r_qty_price"),
+        r("sq", "sd", "sqq", "sdd", "sqd").alias("r_qty_discount"),
+        r("sp", "sd", "spp", "sdd", "spd").alias("r_price_discount"),
+    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty_price").alias("pair"),
+                    F.col("n"),
+                    F.col("r_qty_price").alias("r"),
+                ),
+                F.struct(
+                    F.lit("qty_discount").alias("pair"),
+                    F.col("n"),
+                    F.col("r_qty_discount").alias("r"),
+                ),
+                F.struct(
+                    F.lit("price_discount").alias("pair"),
+                    F.col("n"),
+                    F.col("r_price_discount").alias("r"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.pair", "s.n", "s.r").orderBy("pair")

@@ -621,3 +621,56 @@ ORACLES["part_triangles"] = """
                 ELSE 0.0 END AS clustering_coef
     FROM node_stats, edge_stats, tri_stats
 """
+
+ORACLES["corr_matrix"] = """
+    WITH q AS (
+        SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+               SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+               SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+               SUM(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+               SUM(CAST(p * p AS DECIMAL(38,0))) AS spp,
+               SUM(CAST(d * d AS DECIMAL(38,0))) AS sdd,
+               SUM(CAST(q * p AS DECIMAL(38,0))) AS sqp,
+               SUM(CAST(q * d AS DECIMAL(38,0))) AS sqd,
+               SUM(CAST(p * d AS DECIMAL(38,0))) AS spd
+        FROM q
+    ),
+    rows_out AS (
+        SELECT 'qty_price' AS pair, n,
+               (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS r
+        FROM m
+        UNION ALL
+        SELECT 'qty_discount', n,
+               (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+        FROM m
+        UNION ALL
+        SELECT 'price_discount', n,
+               (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+        FROM m
+    )
+    SELECT pair, n,
+           CAST(CAST(FLOOR(r * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS r
+    FROM rows_out ORDER BY pair
+"""

@@ -404,3 +404,32 @@ ORACLES["cube_downsample"] = """
     FROM l2
     ORDER BY level, bx, by
 """
+
+ORACLES["focal_mean"] = """
+    WITH cells AS (
+        SELECT (event_id * 37) % 1000 AS x,
+               (event_id * 61) % 1000 AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(CAST(value AS DECIMAL(18,8))) AS cell_sum
+        FROM events GROUP BY 1, 2
+    ),
+    offs AS (SELECT UNNEST([-1, 0, 1]) AS dx),
+    offs2 AS (SELECT UNNEST([-1, 0, 1]) AS dy),
+    contrib AS (
+        SELECT x + dx AS tx, y + dy AS ty, cell_sum, n_obs
+        FROM cells, offs, offs2
+        WHERE x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000
+    ),
+    focal AS (
+        SELECT tx, ty,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n_obs) AS BIGINT) AS n_obs,
+               SUM(cell_sum) AS fsum
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT f.tx AS x, f.ty AS y, f.n_cells, f.n_obs,
+           CAST(f.fsum AS DOUBLE) / f.n_obs AS focal_mean
+    FROM focal f JOIN cells c ON c.x = f.tx AND c.y = f.ty
+    ORDER BY x, y
+"""

@@ -669,3 +669,72 @@ def cube_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dsum").cast("double") / F.col("n_pixels")).alias("mean_value"),
     )
     return out1.unionAll(l2).orderBy("level", "bx", "by")
+
+
+def focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — 3×3 focal (neighborhood) mean filter over the sparse
+    pixel grid: the raster convolution/smoothing primitive (speckle
+    filtering is the canonical SAR use). Output at observed pixel
+    locations only; missing neighbors simply don't contribute
+    (sparse-raster semantics).
+
+    Plan: cell-aggregate first (one map-side-combinable shuffle
+    collapses events to distinct pixels), then each CELL — not each
+    event — explodes to the 9 targets it contributes to; the target
+    aggregate and the pixel-location semi-join reuse one (x, y)
+    partitioning under AQE. Fanout is exactly 9 regardless of data;
+    at 100 TB this is the standard sparse stencil: shuffle volume =
+    9 × distinct cells, never 9 × raw events.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            ((F.col("event_id") * 37) % 1000).alias("x"),
+            ((F.col("event_id") * 61) % 1000).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum(F.col("value").cast("decimal(18,8)")).alias("cell_sum"),
+        )
+    )
+    contrib = (
+        cells.select(
+            "x", "y", "cell_sum", "n_obs",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+        )
+        .select(
+            "x", "y", "cell_sum", "n_obs", "dx",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"),
+            (F.col("y") + F.col("dy")).alias("ty"),
+            "cell_sum",
+            "n_obs",
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < 1000)
+            & (F.col("ty") >= 0) & (F.col("ty") < 1000)
+        )
+    )
+    focal = contrib.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_obs").cast("bigint").alias("n_obs"),
+        F.sum("cell_sum").alias("fsum"),
+    )
+    return (
+        focal.join(
+            cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
+            ["tx", "ty"],
+        )
+        .select(
+            F.col("tx").alias("x"),
+            F.col("ty").alias("y"),
+            "n_cells",
+            "n_obs",
+            (F.col("fsum").cast("double") / F.col("n_obs")).alias("focal_mean"),
+        )
+        .orderBy("x", "y")
+    )

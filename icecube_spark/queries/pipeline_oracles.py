@@ -521,3 +521,47 @@ ORACLES["dup_rate_by_source"] = f"""
     JOIN counts ca ON source_a = ca.source
     JOIN counts cb ON source_b = cb.source
 """
+
+ORACLES["feature_binning"] = """
+    WITH vals AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+    ),
+    stats AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM vals),
+    h AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY 1),
+    cum AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n_total
+        FROM h
+    ),
+    ds AS (SELECT UNNEST(range(1, 10)) AS d),
+    cuts AS (
+        SELECT d, MIN(v) AS cut
+        FROM cum CROSS JOIN ds
+        WHERE cum >= CEIL(d * n_total / 10)
+        GROUP BY d
+    ),
+    cut_arr AS (SELECT array_agg(cut ORDER BY cut) AS cut_list FROM cuts),
+    width AS (
+        SELECT 'width' AS method,
+               CAST(LEAST(9, FLOOR((v - vmin) * 10 / (vmax - vmin)))
+                    AS INT) AS bin,
+               v
+        FROM vals, stats
+    ),
+    depth AS (
+        SELECT 'depth' AS method,
+               CAST(len(list_filter(cut_list, c -> c < v)) AS INT) AS bin,
+               v
+        FROM vals, cut_arr
+    ),
+    unioned AS (SELECT * FROM width UNION ALL SELECT * FROM depth)
+    SELECT method, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo, MAX(v) AS hi,
+           CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(v)
+               AS mean_value
+    FROM unioned
+    GROUP BY method, bin
+    ORDER BY method, bin
+"""

@@ -484,3 +484,10 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.pagerank(
         edges, "pa", "pb", weight_col="w", iterations=5
     ).limit(100)
+
+
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P34 — equal-width vs equal-depth decile binning of
+    l_extendedprice (discretization with skew exposure)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return pipeline.feature_binning(li, "l_extendedprice", n_bins=10)

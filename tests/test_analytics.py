@@ -30,6 +30,7 @@ CASES = [
     ("cohort_ltv", analytics.cohort_ltv),
     ("skyline_parts", analytics.skyline_parts),
     ("part_triangles", analytics.part_triangles),
+    ("corr_matrix", analytics.corr_matrix),
 ]
 
 

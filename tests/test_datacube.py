@@ -29,6 +29,7 @@ CASES = [
     ("cube_composite", dq.cube_composite),
     ("zonal_stats", dq.zonal_stats),
     ("cube_downsample", dq.cube_downsample),
+    ("focal_mean", dq.focal_mean),
 ]
 
 

@@ -27,6 +27,7 @@ P_CASES = [
     ("corpus_matrix", pq.corpus_matrix),
     ("source_balance_gini", pq.source_balance_gini),
     ("length_deciles", pq.length_deciles),
+    ("feature_binning", pq.feature_binning),
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
     ("curriculum_shards", pq.curriculum_shards),
