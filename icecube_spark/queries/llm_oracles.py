@@ -1117,3 +1117,28 @@ ORACLES["entropy_by_source"] = f"""
     FROM agg
     ORDER BY source
 """
+
+ORACLES["minhash_eval_f1"] = f"""
+    WITH acc AS ({ORACLES["minhash_accuracy"]}),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN est_jaccard >= 0.8 AND jaccard >= 0.8
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN est_jaccard >= 0.8 AND jaccard < 0.8
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN est_jaccard < 0.8 AND jaccard >= 0.8
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM acc
+    )
+    SELECT n_candidates, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                ELSE 0.0 END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                ELSE 0.0 END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+                ELSE 0.0 END AS f1
+    FROM c
+"""

@@ -459,3 +459,46 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_diversify(
         _emb(spark, sf_dir), "vec_id", "embedding", "label"
     )
+
+
+def minhash_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P35 — one-row sketch sign-off: over the LSH candidate pairs,
+    treat est_jaccard >= 0.8 as the sketch's dedup decision and exact
+    jaccard >= 0.8 as truth; report the confusion counts and
+    precision/recall/F1 (candidate-conditional — candidate recall
+    itself is covered by minhash_accuracy/ann_recall_eval). All three
+    ratios are single exact-integer divisions, so the row hashes
+    bit-identically.
+    """
+    grams, sigs = staged_corpus(spark, sf_dir)
+    acc = dedup.minhash_estimate_accuracy(
+        _docs(spark, sf_dir), "doc_id", "text", grams=grams, sigs=sigs
+    )
+    pred = F.col("est_jaccard") >= 0.8
+    truth = F.col("jaccard") >= 0.8
+    agg = acc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(pred & truth, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pred & ~truth, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pred & truth, 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+    z = F.lit(0.0)
+    return agg.select(
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp").cast("double")
+               / (F.col("tp") + F.col("fp")).cast("double"))
+         .otherwise(z).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp").cast("double")
+               / (F.col("tp") + F.col("fn")).cast("double"))
+         .otherwise(z).alias("recall"),
+        F.when(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               (F.lit(2) * F.col("tp")).cast("double")
+               / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+                 .cast("double"))
+         .otherwise(z).alias("f1"),
+    )

@@ -51,6 +51,7 @@ CASES = [
     ("media_prefix_dedup", lq.media_prefix_dedup),
     ("bm25_topk", lq.bm25_topk),
     ("entropy_by_source", lq.entropy_by_source),
+    ("minhash_eval_f1", lq.minhash_eval_f1),
 ]
 
 
