@@ -28,6 +28,8 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest (never graded) lead the registration order ---
+    "embed_pq_codes": lq.embed_pq_codes,
+    "cube_gradient": dq.cube_gradient,
     "minhash_eval_f1": lq.minhash_eval_f1,
     "focal_mean": dq.focal_mean,
     "corr_matrix": analytics.corr_matrix,

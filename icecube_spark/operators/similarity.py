@@ -885,3 +885,72 @@ def mmr_diversify(
         .applyInPandas(greedy, schema=schema)
         .orderBy("qlabel", "sel_rank")
     )
+
+
+def pq_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 4,
+) -> DataFrame:
+    """E17 — product quantization assignment: split each embedding
+    into n_sub contiguous sub-vectors and code each against a
+    per-subspace codebook — the memory layout ANN systems use to hold
+    billion-vector indexes in RAM (64 floats → 8 code bytes here).
+    Codebook = the first n_codes vectors' sub-slices (deterministic
+    seeds, same convention as kmeans_refine E14; a production build
+    would Lloyd-iterate them — the assignment plan below is identical
+    either way).
+
+    Exactness: distances quantize per-element with floor(d²·1e12)
+    into BIGINT sums (the kmeans_refine scheme); argmin compares
+    exact integers, ties break on code id.
+
+    Plan: the codebook is n_sub × n_codes rows — broadcast; the
+    corpus explodes into n_sub sub-vector rows map-side, joins the
+    broadcast codebook on subspace, and the per-(vector, subspace)
+    argmin is a rank window whose partitions hold exactly n_codes
+    rows. No corpus shuffle except the final (id, subspace) rank —
+    and that exchange carries code ids, not vectors.
+    """
+    slices = F.array(
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+            for s in range(n_sub)
+        ]
+    )
+    seeds = (
+        df.where(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).cast("int").alias("code"),
+            F.posexplode(slices).alias("subspace", "cv"),
+        )
+    )
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(slices).alias("subspace", "sv"),
+    )
+    qd_terms = " + ".join(
+        f"cast(floor((cast(element_at(sv, {j}) as double)"
+        f" - cast(element_at(cv, {j}) as double))"
+        f" * (cast(element_at(sv, {j}) as double)"
+        f" - cast(element_at(cv, {j}) as double)) * 1e12) as bigint)"
+        for j in range(1, sub_dim + 1)
+    )
+    scored = subs.join(F.broadcast(seeds), "subspace").withColumn(
+        "qd", F.expr(qd_terms)
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy("qd", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("subspace").cast("int").alias("subspace"),
+            "code",
+            (F.col("qd").cast("double") / F.lit(1e12)).alias("qdist"),
+        )
+        .orderBy(id_col, "subspace")
+    )

@@ -407,8 +407,8 @@ ORACLES["cube_downsample"] = """
 
 ORACLES["focal_mean"] = """
     WITH cells AS (
-        SELECT (event_id * 37) % 1000 AS x,
-               (event_id * 61) % 1000 AS y,
+        SELECT event_id % 1000 AS x,
+               CAST(FLOOR(event_id / 1000) AS BIGINT) % 1000 AS y,
                CAST(COUNT(*) AS BIGINT) AS n_obs,
                SUM(CAST(value AS DECIMAL(18,8))) AS cell_sum
         FROM events GROUP BY 1, 2
@@ -432,4 +432,25 @@ ORACLES["focal_mean"] = """
            CAST(f.fsum AS DOUBLE) / f.n_obs AS focal_mean
     FROM focal f JOIN cells c ON c.x = f.tx AND c.y = f.ty
     ORDER BY x, y
+"""
+
+ORACLES["cube_gradient"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.x, c.y, c.v AS center,
+           (e.v - w.v) / 2.0 AS gx,
+           (n.v - s.v) / 2.0 AS gy,
+           sqrt(((e.v - w.v) / 2.0) * ((e.v - w.v) / 2.0)
+                + ((n.v - s.v) / 2.0) * ((n.v - s.v) / 2.0)) AS grad_mag
+    FROM cells c
+    JOIN cells w ON w.x = c.x - 1 AND w.y = c.y
+    JOIN cells e ON e.x = c.x + 1 AND e.y = c.y
+    JOIN cells s ON s.x = c.x AND s.y = c.y - 1
+    JOIN cells n ON n.x = c.x AND n.y = c.y + 1
+    ORDER BY c.x, c.y
 """

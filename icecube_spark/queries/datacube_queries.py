@@ -687,10 +687,13 @@ def focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 × distinct cells, never 9 × raw events.
     """
     ev = catalog.load(spark, sf_dir, "events")
+    # independent coordinate digits (x = id mod 1000, y = next digit):
+    # deriving both axes from the same residue puts every pixel on a
+    # 1-D lattice and the stencil never finds a neighbor
     cells = (
         ev.select(
-            ((F.col("event_id") * 37) % 1000).alias("x"),
-            ((F.col("event_id") * 61) % 1000).alias("y"),
+            (F.col("event_id") % 1000).alias("x"),
+            ((F.col("event_id") / 1000).cast("bigint") % 1000).alias("y"),
             F.col("value"),
         )
         .groupBy("x", "y")
@@ -735,6 +738,82 @@ def focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cells",
             "n_obs",
             (F.col("fsum").cast("double") / F.col("n_obs")).alias("focal_mean"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+def cube_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — central-difference gradient on the sparse pixel grid:
+    gx = (E − W)/2, gy = (N − S)/2 and the gradient magnitude, at
+    interior cells where all four neighbors are observed (terrain
+    slope / edge detection — the derivative complement of
+    focal_mean's smoothing).
+
+    Plan: same stencil discipline as focal_mean — cells aggregate
+    first, then each CELL emits 4 directed (role, target)
+    contributions; one groupBy on the target pivots the roles back
+    into columns (max of a when() per role — never a self-join per
+    direction), and the center join reuses the (x, y) partitioning.
+    Shuffle volume is 4 × distinct cells at any scale. All math is
+    fixed-shape IEEE over decimal-fold means, so rows hash exactly.
+    (Grid is 50×50 — denser than focal_mean's — because a central
+    difference needs ALL four neighbors observed; on a barely-filled
+    grid the interior set is empty at small SFs.)
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(davg("value").alias("v"))
+    )
+    roles = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("west").alias("role")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("east").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                 F.lit("south").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy"),
+                 F.lit("north").alias("role")),
+    )
+    contrib = (
+        cells.select("x", "y", "v", F.explode(roles).alias("r"))
+        .select(
+            (F.col("x") + F.col("r.dx")).alias("tx"),
+            (F.col("y") + F.col("r.dy")).alias("ty"),
+            F.col("r.role").alias("role"),
+            "v",
+        )
+    )
+    nb = contrib.groupBy("tx", "ty").agg(
+        F.max(F.when(F.col("role") == "west", F.col("v"))).alias("w"),
+        F.max(F.when(F.col("role") == "east", F.col("v"))).alias("e"),
+        F.max(F.when(F.col("role") == "south", F.col("v"))).alias("s"),
+        F.max(F.when(F.col("role") == "north", F.col("v"))).alias("n"),
+    )
+    gx = (F.col("e") - F.col("w")) / F.lit(2.0)
+    gy = (F.col("n") - F.col("s")) / F.lit(2.0)
+    return (
+        cells.join(
+            nb,
+            (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")),
+        )
+        .where(
+            F.col("w").isNotNull() & F.col("e").isNotNull()
+            & F.col("s").isNotNull() & F.col("n").isNotNull()
+        )
+        .select(
+            "x",
+            "y",
+            F.col("v").alias("center"),
+            gx.alias("gx"),
+            gy.alias("gy"),
+            F.sqrt(gx * gx + gy * gy).alias("grad_mag"),
         )
         .orderBy("x", "y")
     )

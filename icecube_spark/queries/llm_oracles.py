@@ -1142,3 +1142,30 @@ ORACLES["minhash_eval_f1"] = f"""
                 ELSE 0.0 END AS f1
     FROM c
 """
+
+ORACLES["embed_pq_codes"] = """
+    WITH seeds AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
+        FROM embeddings WHERE vec_id < 4
+    ),
+    pairs AS (
+        SELECT v.vec_id, s.code, t.s AS subspace,
+               list_sum([CAST(FLOOR(
+                   (CAST(v.embedding[t.s * 8 + j] AS DOUBLE)
+                    - CAST(s.cvec[t.s * 8 + j] AS DOUBLE))
+                   * (CAST(v.embedding[t.s * 8 + j] AS DOUBLE)
+                      - CAST(s.cvec[t.s * 8 + j] AS DOUBLE))
+                   * 1e12) AS BIGINT) FOR j IN range(1, 9)]) AS qd
+        FROM embeddings v
+        CROSS JOIN seeds s
+        CROSS JOIN (SELECT UNNEST(range(0, 8)) AS s) t
+    )
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, code,
+           CAST(qd AS DOUBLE) / 1e12 AS qdist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, subspace ORDER BY qd, code) AS rn
+        FROM pairs)
+    WHERE rn = 1
+    ORDER BY vec_id, subspace
+"""

@@ -502,3 +502,9 @@ def minhash_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double"))
          .otherwise(z).alias("f1"),
     )
+
+
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 — product-quantization code assignment (8 subspaces × 4
+    deterministic seed codes, exact quantized distances)."""
+    return similarity.pq_assign(_emb(spark, sf_dir), "vec_id", "embedding")

@@ -30,6 +30,7 @@ CASES = [
     ("zonal_stats", dq.zonal_stats),
     ("cube_downsample", dq.cube_downsample),
     ("focal_mean", dq.focal_mean),
+    ("cube_gradient", dq.cube_gradient),
 ]
 
 

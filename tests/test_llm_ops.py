@@ -52,6 +52,7 @@ CASES = [
     ("bm25_topk", lq.bm25_topk),
     ("entropy_by_source", lq.entropy_by_source),
     ("minhash_eval_f1", lq.minhash_eval_f1),
+    ("embed_pq_codes", lq.embed_pq_codes),
 ]
 
 
