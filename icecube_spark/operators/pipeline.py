@@ -1099,3 +1099,61 @@ def feature_binning(
         )
         .orderBy("method", "bin")
     )
+
+
+def quota_rebalance(
+    df: DataFrame, id_col: str, stratum_col: str
+) -> DataFrame:
+    """P36 — rebalance strata to equal quotas by deterministic
+    hash-thinning (downsample only, never upsample): stratum i keeps
+    min(1, (N/L)/n_i) of its rows, decided per row by the md5 bucket
+    in [0, 1e6) — the same pure-function-of-id discipline as
+    train_test_split, so appends never reassign rows. The mixing
+    counterpart to temperature_resample's power-law reweighting:
+    temperature softens imbalance, quota flattens it.
+
+    Exactness: the keep threshold floor(min(1,(N/L)/n_i)·1e6) is an
+    exact integer; membership is an integer compare.
+
+    Plan: stratum counts are an L-row broadcast; the keep decision is
+    map-only; the output summary re-aggregates per stratum on the
+    same tiny key. The corpus shuffles once (the summary agg) and
+    the filter itself would be scan-time at 100 TB.
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    wt = Window.partitionBy()
+    thr = counts.select(
+        "_s",
+        "n_before",
+        F.sum("n_before").over(wt).alias("n_total"),
+        F.count(F.lit(1)).over(wt).alias("n_strata"),
+    ).select(
+        "_s",
+        "n_before",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.col("n_total").cast("double")
+                    / F.col("n_strata").cast("double")
+                )
+                / F.col("n_before").cast("double"),
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("keep_thr"),
+    )
+    b = _bucket(id_col, 1_000_000)
+    tagged = df.join(
+        F.broadcast(thr), F.col(stratum_col) == F.col("_s")
+    ).withColumn("kept", (b < F.col("keep_thr")).cast("int"))
+    return (
+        tagged.groupBy(stratum_col)
+        .agg(
+            F.max("n_before").cast("bigint").alias("n_before"),
+            F.max("keep_thr").alias("keep_thr"),
+            F.sum("kept").cast("bigint").alias("n_after"),
+        )
+        .orderBy(stratum_col)
+    )

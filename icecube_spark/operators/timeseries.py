@@ -1709,3 +1709,87 @@ def kaplan_meier(
         )
         .orderBy("t_days")
     )
+
+
+def forecast_baseline_eval(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """C55 — seasonal-naive forecast evaluation per key: score the
+    forecast v̂[t] = v[t − season] on the daily series and report MAE
+    and MASE (MAE over the naive-1 in-sample MAE — Hyndman's
+    scale-free standard). The go/no-go gate before believing any
+    fancier model: if it can't beat MASE 1.0 it loses to "same as
+    last week".
+
+    Exactness: daily values are decimal-fold sums; absolute errors
+    are fixed-shape IEEE; the error MEANS fold in decimal again so
+    reduction order can't wobble the last bit. MASE is one final
+    division.
+
+    Plan: one (key, day) aggregate, then calendar-exact lags via
+    RANGE windows on the SAME key exchange (day gaps yield null
+    forecasts and drop out, exactly like calendar_lag_features), and
+    a per-key aggregate still on that exchange — one shuffle end to
+    end.
+    """
+    from icecube_spark.functions.parity import dsum
+
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(dsum(value_col).alias("v"))
+    )
+    w = Window.partitionBy(key_col).orderBy("day_num")
+    lag_s = F.max("v").over(
+        w.rangeBetween(-season, -season)
+    )
+    lag_1 = F.max("v").over(w.rangeBetween(-1, -1))
+    scored = daily.select(
+        key_col,
+        "day_num",
+        "v",
+        lag_s.alias("f_seasonal"),
+        lag_1.alias("f_naive1"),
+    )
+    dec = "decimal(18,8)"
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.count(F.when(F.col("f_seasonal").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_eval"),
+            (
+                F.sum(
+                    F.abs(F.col("v") - F.col("f_seasonal")).cast(dec)
+                ).cast("double")
+                / F.count(F.when(F.col("f_seasonal").isNotNull(), 1))
+            ).alias("mae"),
+            (
+                F.sum(F.abs(F.col("v") - F.col("f_naive1")).cast(dec)).cast(
+                    "double"
+                )
+                / F.count(F.when(F.col("f_naive1").isNotNull(), 1))
+            ).alias("naive1_mae"),
+        )
+        .select(
+            key_col,
+            "n_eval",
+            "mae",
+            "naive1_mae",
+            F.when(
+                F.col("naive1_mae") > 0, F.col("mae") / F.col("naive1_mae")
+            ).otherwise(F.lit(0.0)).alias("mase"),
+        )
+        .orderBy(key_col)
+    )

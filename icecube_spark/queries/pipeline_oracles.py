@@ -565,3 +565,27 @@ ORACLES["feature_binning"] = """
     GROUP BY method, bin
     ORDER BY method, bin
 """
+
+ORACLES["quota_rebalance"] = f"""
+    WITH counts AS (
+        SELECT lang AS _s, COUNT(*) AS n_before FROM documents GROUP BY 1
+    ),
+    thr AS (
+        SELECT _s, n_before,
+               CAST(FLOOR(LEAST(1.0,
+                   (CAST(SUM(n_before) OVER () AS DOUBLE)
+                    / CAST(COUNT(*) OVER () AS DOUBLE))
+                   / CAST(n_before AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS keep_thr
+        FROM counts
+    )
+    SELECT d.lang,
+           CAST(MAX(t.n_before) AS BIGINT) AS n_before,
+           MAX(t.keep_thr) AS keep_thr,
+           CAST(SUM(CASE WHEN {duck_hex2int("CAST(doc_id AS VARCHAR)")}
+                              % 1000000 < t.keep_thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+    FROM documents d JOIN thr t ON d.lang = t._s
+    GROUP BY d.lang
+    ORDER BY d.lang
+"""

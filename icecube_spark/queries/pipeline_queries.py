@@ -491,3 +491,10 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_extendedprice (discretization with skew exposure)."""
     li = catalog.load(spark, sf_dir, "lineitem")
     return pipeline.feature_binning(li, "l_extendedprice", n_bins=10)
+
+
+def quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P36 — flatten the language mix to equal quotas by
+    deterministic hash-thinning; per-lang before/after report."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.quota_rebalance(docs, "doc_id", "lang")

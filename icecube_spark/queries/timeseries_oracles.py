@@ -982,3 +982,42 @@ ORACLES["survival_km"] = """
     FROM fac
     ORDER BY t_days
 """
+
+ORACLES["forecast_baseline_eval"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day_num, v,
+               MAX(v) OVER (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING)
+                   AS f_seasonal,
+               MAX(v) OVER (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+                   AS f_naive1
+        FROM daily
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN f_seasonal IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_eval,
+               CAST(SUM(CAST(ABS(v - f_seasonal) AS DECIMAL(18,8)))
+                    AS DOUBLE)
+                 / COUNT(CASE WHEN f_seasonal IS NOT NULL THEN 1 END)
+                   AS mae,
+               CAST(SUM(CAST(ABS(v - f_naive1) AS DECIMAL(18,8)))
+                    AS DOUBLE)
+                 / COUNT(CASE WHEN f_naive1 IS NOT NULL THEN 1 END)
+                   AS naive1_mae
+        FROM scored GROUP BY 1
+    )
+    SELECT event_type, n_eval, mae, naive1_mae,
+           CASE WHEN naive1_mae > 0 THEN mae / naive1_mae
+                ELSE 0.0 END AS mase
+    FROM agg
+    ORDER BY event_type
+"""

@@ -635,3 +635,12 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.kaplan_meier(
         ev, "ts", "user_id", F.col("event_type") == "purchase"
     )
+
+
+def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55 — seasonal-naive (t-7) forecast MAE/MASE per event_type on
+    the daily value series."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.forecast_baseline_eval(
+        ev, "ts", "event_type", "value", season=7
+    )

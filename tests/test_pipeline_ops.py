@@ -28,6 +28,7 @@ P_CASES = [
     ("source_balance_gini", pq.source_balance_gini),
     ("length_deciles", pq.length_deciles),
     ("feature_binning", pq.feature_binning),
+    ("quota_rebalance", pq.quota_rebalance),
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
     ("curriculum_shards", pq.curriculum_shards),

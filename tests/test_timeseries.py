@@ -45,6 +45,7 @@ CASES = [
     ("mad_outliers", tq.mad_outliers),
     ("winsorize_values", tq.winsorize_values),
     ("survival_km", tq.survival_km),
+    ("forecast_baseline_eval", tq.forecast_baseline_eval),
 ]
 
 
