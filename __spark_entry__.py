@@ -28,6 +28,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest (never graded) lead the registration order ---
+    "cube_coregister": dq.cube_coregister,
     "forecast_baseline_eval": tsq.forecast_baseline_eval,
     "quota_rebalance": pq.quota_rebalance,
     "embed_pq_codes": lq.embed_pq_codes,

@@ -454,3 +454,44 @@ ORACLES["cube_gradient"] = """
     JOIN cells n ON n.x = c.x AND n.y = c.y + 1
     ORDER BY c.x, c.y
 """
+
+ORACLES["cube_coregister"] = """
+    WITH px AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               value,
+               CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16' AS is_a
+        FROM events
+    ),
+    a AS (
+        SELECT x, y, CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                         / COUNT(value) AS v
+        FROM px WHERE is_a GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT x, y, CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                         / COUNT(value) AS v
+        FROM px WHERE NOT is_a GROUP BY 1, 2
+    ),
+    shifts AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM (SELECT UNNEST(range(-2, 3)) AS d) dx,
+             (SELECT UNNEST(range(-2, 3)) AS d) dy
+    ),
+    scored AS (
+        SELECT s.dx, s.dy,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               SUM(CAST(FLOOR(a.v * b.v * 1e6) AS BIGINT)) AS qxcorr
+        FROM a CROSS JOIN shifts s
+        JOIN b ON b.x = a.x + s.dx AND b.y = a.y + s.dy
+        GROUP BY 1, 2
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(qxcorr AS DOUBLE) / CAST(n_overlap AS DOUBLE)
+                        / 1e6 DESC, dx, dy) AS INT) AS rank,
+           dx, dy, n_overlap,
+           CAST(qxcorr AS DOUBLE) / CAST(n_overlap AS DOUBLE) / 1e6
+               AS mean_xcorr
+    FROM scored
+    ORDER BY rank
+"""

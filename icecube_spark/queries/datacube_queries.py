@@ -817,3 +817,77 @@ def cube_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+def cube_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — coregistration shift estimation: cross-correlate two
+    acquisition epochs of the raster over a 5×5 integer shift window
+    and rank the candidate (dx, dy) offsets — the estimation step
+    behind the reference's `coregistered` config flag (config.py:
+    cubes assume pre-coregistered rasters; this measures the residual
+    misalignment). Epoch A = first half of January, epoch B = rest.
+
+    Exactness: per-cell products quantize at 1e-6 into BIGINT sums;
+    the per-shift mean product is one exact division; ranking
+    compares (mean desc, dx, dy) — deterministic in both engines.
+
+    Plan: per-epoch cell means first (two partial-agg shuffles of the
+    same scan shape), then epoch A explodes over the 25 candidate
+    shifts map-side and equi-joins epoch B on the shifted
+    coordinates — a bounded 25× stencil fanout on cell-count rows,
+    never on raw events; the per-shift aggregate is 25 rows. At
+    100 TB the window would tile per scene, keeping the stencil local
+    to each tile's cells.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    px = ev.select(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+        F.col("value"),
+        (F.col("ts").cast("timestamp") < F.lit("2024-01-16").cast("timestamp"))
+        .alias("is_a"),
+    )
+    cells = lambda flag: (
+        px.where(F.col("is_a") == flag)
+        .groupBy("x", "y")
+        .agg(davg("value").alias("v"))
+    )
+    a, b = cells(True), cells(False)
+    shifts = F.expr(
+        "explode(flatten(transform(sequence(-2, 2), dx ->"
+        " transform(sequence(-2, 2), dy -> struct(dx, dy)))))"
+    )
+    a_sh = a.select("x", "y", F.col("v").alias("va"), shifts.alias("s")).select(
+        (F.col("x") + F.col("s.dx")).alias("bx"),
+        (F.col("y") + F.col("s.dy")).alias("by"),
+        F.col("s.dx").alias("dx"),
+        F.col("s.dy").alias("dy"),
+        "va",
+    )
+    j = a_sh.join(
+        b.select(F.col("x").alias("bx"), F.col("y").alias("by"),
+                 F.col("v").alias("vb")),
+        ["bx", "by"],
+    )
+    scored = (
+        j.groupBy("dx", "dy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+            F.sum(
+                F.floor(F.col("va") * F.col("vb") * F.lit(1e6)).cast("bigint")
+            ).alias("qxcorr"),
+        )
+        .withColumn(
+            "mean_xcorr",
+            F.col("qxcorr").cast("double") / F.col("n_overlap").cast("double")
+            / F.lit(1e6),
+        )
+    )
+    w = Window.partitionBy().orderBy(
+        F.desc("mean_xcorr"), F.asc("dx"), F.asc("dy")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "dx", "dy", "n_overlap", "mean_xcorr")
+        .orderBy("rank")
+    )

@@ -31,6 +31,7 @@ CASES = [
     ("cube_downsample", dq.cube_downsample),
     ("focal_mean", dq.focal_mean),
     ("cube_gradient", dq.cube_gradient),
+    ("cube_coregister", dq.cube_coregister),
 ]
 
 
