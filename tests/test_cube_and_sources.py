@@ -216,3 +216,56 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     got = back.count()
     want = ev.where(F2.col("month") == m0).count()
     assert got == want and got > 0
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """H: schema-evolution-safe reads — a corpus written over months
+    gains columns; mergeSchema must union the schemas and null-fill
+    the old files (the alternative, silent column loss, corrupts
+    training data downstream)."""
+    from pyspark.sql import functions as F2
+
+    from icecube_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    p = str(tmp_path / "evolving")
+    docs.select("doc_id", "text").write.parquet(p + "/batch=1")
+    docs.select(
+        "doc_id", "text", F2.lit("v2").alias("pipeline_version")
+    ).write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"doc_id", "text", "pipeline_version"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    # old files surface as nulls, new files keep their value
+    assert merged.where(F2.col("pipeline_version").isNull()).count() == n
+    assert merged.where(F2.col("pipeline_version") == "v2").count() == n
+
+
+def test_corrupt_json_records_are_quarantined(spark, tmp_path):
+    """H: PERMISSIVE JSON ingestion — malformed rows land in
+    _corrupt_record instead of failing the job (at 100 TB some input
+    is ALWAYS malformed; a fail-fast reader cannot finish)."""
+    p = tmp_path / "raw.json"
+    p.write_text(
+        '{"id": 1, "v": 10}\n'
+        'this is not json\n'
+        '{"id": 2, "v": 20}\n'
+        '{"id": 3, "v": broken\n'
+    )
+    from pyspark.sql import functions as F2
+
+    df = (
+        spark.read.schema("id BIGINT, v BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    good = df.where(F2.col("_corrupt_record").isNull())
+    bad = df.where(F2.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 2
+    assert {r.id for r in good.collect()} == {1, 2}
+    df.unpersist()
