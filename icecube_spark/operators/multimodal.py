@@ -215,3 +215,45 @@ def prefix_dedup(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("n_copies") > 1)
         .orderBy("prefix_hash")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    win: int = 4096,
+    hop: int = 2048,
+) -> DataFrame:
+    """G6 — overlapping media window manifest: fixed-size windows at
+    a hop interval over each payload (the audio-pipeline analog of
+    G2's frame sampling — STFT/embedding models consume exactly this
+    (start, end) plan). Windows are metadata-only: the payload is
+    never duplicated, downstream workers slice bytes lazily.
+
+    Plan: map-only — byte length computes in codegen, the window
+    list is a sequence() explode with fanout ceil(len/hop), bounded
+    by payload size, and carries three ints per row.
+    """
+    nb = F.length(F.encode(F.col(text_col), "utf-8"))
+    starts = F.expr(
+        f"sequence(0, cast(greatest(0, nb - 1) / {hop} as int) * {hop}, {hop})"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), nb.alias("nb"))
+        .select(
+            "doc_id",
+            "nb",
+            F.posexplode(starts).alias("window_id", "w_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("window_id").cast("int").alias("window_id"),
+            F.col("w_start").cast("bigint").alias("w_start"),
+            F.least(F.col("w_start") + F.lit(win), F.col("nb"))
+            .cast("bigint")
+            .alias("w_end"),
+            (F.least(F.col("w_start") + F.lit(win), F.col("nb"))
+             - F.col("w_start")).cast("bigint").alias("w_len"),
+        )
+        .orderBy("doc_id", "window_id")
+    )

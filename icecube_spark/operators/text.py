@@ -848,3 +848,40 @@ def entropy_by_group(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     ).orderBy(group_col)
+
+
+BLOCKLIST = (
+    "merge", "deadlock", "rollback", "panic", "corrupt",
+)
+
+
+def blocklist_filter(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple = BLOCKLIST
+) -> DataFrame:
+    """F24 — term-blocklist safety gate: per-doc hit counts for a
+    blocklist (here neutral stand-in terms), distinct terms matched,
+    and the keep/flag verdict (≥2 distinct blocked terms → flag) —
+    the shape of every safety/compliance filter in a curation
+    pipeline. Matching is on normalized whole tokens, not substrings,
+    so "mergers" doesn't trip "merge".
+
+    Plan: pure map-side codegen — one filter over the exploded token
+    set per row via array_intersect on the normalized token array;
+    no shuffle at all (the final orderBy is presentation-only).
+    """
+    toks = F.expr(f"array_distinct({_toks(text_col)})")
+    blocked = F.array(*[F.lit(t) for t in terms])
+    hits = F.array_intersect(toks, blocked)
+    all_toks = F.expr(_toks(text_col))
+    n_hits = F.size(
+        F.filter(all_toks, lambda t: F.array_contains(blocked, t))
+    )
+    return df.select(
+        F.col(id_col),
+        n_hits.cast("int").alias("n_hits"),
+        F.size(hits).cast("int").alias("n_distinct_terms"),
+        F.array_join(F.array_sort(hits), ",").alias("matched"),
+        F.when(F.size(hits) >= 2, F.lit("flag"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    ).orderBy(id_col)

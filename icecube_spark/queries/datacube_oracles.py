@@ -495,3 +495,19 @@ ORACLES["cube_coregister"] = """
     FROM scored
     ORDER BY rank
 """
+
+ORACLES["cube_hist_equalize"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           CASE WHEN n > 1
+                THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                ELSE 0.0 END AS equalized
+    FROM ranked
+    ORDER BY user_id, event_id
+"""

@@ -891,3 +891,40 @@ def cube_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "dx", "dy", "n_overlap", "mean_xcorr")
         .orderBy("rank")
     )
+
+
+def cube_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — per-stack histogram equalization: remap each acquisition
+    value to its empirical CDF position within its stack (the
+    contrast-normalization step before cross-stack band math; SAR
+    pipelines equalize per scene so thresholds transfer).
+
+    Exactness: equalized = (rank − 1)/(n − 1) with a total order
+    (value, event_id) — exact integer division, no interpolation.
+
+    Plan: ONE exchange on the stack key feeds the ordered rank
+    window, the unordered count window, and nothing else — the
+    canonical shared-partitioning shape. At 100 TB the per-stack
+    sort parallelizes across stacks and spills cleanly.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy("value", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(
+            F.col("n") > 1,
+            (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("equalized"),
+    ).orderBy("user_id", "event_id")

@@ -1169,3 +1169,51 @@ ORACLES["embed_pq_codes"] = """
     WHERE rn = 1
     ORDER BY vec_id, subspace
 """
+
+ORACLES["blocklist_filter"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKS} AS toks,
+               list_distinct({_TOKS}) AS dtoks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN
+                   ('merge', 'deadlock', 'rollback', 'panic', 'corrupt')))
+                   AS n_hits,
+               list_sort(list_filter(dtoks, x -> x IN
+                   ('merge', 'deadlock', 'rollback', 'panic', 'corrupt')))
+                   AS matched_list
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_hits AS INT) AS n_hits,
+           CAST(len(matched_list) AS INT) AS n_distinct_terms,
+           COALESCE(array_to_string(matched_list, ','), '') AS matched,
+           CASE WHEN len(matched_list) >= 2 THEN 'flag'
+                ELSE 'keep' END AS verdict
+    FROM m
+    ORDER BY doc_id
+"""
+
+ORACLES["media_chunk_windows"] = """
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    ),
+    w AS (
+        SELECT doc_id, nb, t.s AS w_start,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1
+                   AS window_id
+        FROM d, UNNEST(range(0,
+            CAST(FLOOR(GREATEST(0, nb - 1) / 128) AS INT) * 128 + 1,
+            128)) t(s)
+    )
+    SELECT doc_id,
+           CAST(window_id AS INT) AS window_id,
+           CAST(w_start AS BIGINT) AS w_start,
+           CAST(LEAST(w_start + 256, nb) AS BIGINT) AS w_end,
+           CAST(LEAST(w_start + 256, nb) - w_start AS BIGINT) AS w_len
+    FROM w
+    ORDER BY doc_id, window_id
+"""

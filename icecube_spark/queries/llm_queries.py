@@ -508,3 +508,19 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E17 — product-quantization code assignment (8 subspaces × 4
     deterministic seed codes, exact quantized distances)."""
     return similarity.pq_assign(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 — token-exact blocklist safety gate with per-doc hit
+    counts and keep/flag verdicts."""
+    return text.blocklist_filter(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def media_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — overlapping (win 256, hop 128) byte-window manifest per
+    payload (audio/STFT-style work units; metadata-only — window size
+    chosen so the test corpus' ~50-550-byte payloads actually
+    overlap; production audio would use 4096/2048)."""
+    return multimodal.chunk_windows(
+        _docs(spark, sf_dir), "doc_id", "text", win=256, hop=128
+    )

@@ -32,6 +32,7 @@ CASES = [
     ("focal_mean", dq.focal_mean),
     ("cube_gradient", dq.cube_gradient),
     ("cube_coregister", dq.cube_coregister),
+    ("cube_hist_equalize", dq.cube_hist_equalize),
 ]
 
 

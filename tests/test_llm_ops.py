@@ -53,6 +53,8 @@ CASES = [
     ("entropy_by_source", lq.entropy_by_source),
     ("minhash_eval_f1", lq.minhash_eval_f1),
     ("embed_pq_codes", lq.embed_pq_codes),
+    ("blocklist_filter", lq.blocklist_filter),
+    ("media_chunk_windows", lq.media_chunk_windows),
 ]
 
 
