@@ -28,6 +28,9 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest (never graded) lead the registration order ---
+    "embed_bucket_stats": lq.embed_bucket_stats,
+    "peak_detection": tsq.peak_detection,
+    "mix_drift": pq.mix_drift,
     "cube_hist_equalize": dq.cube_hist_equalize,
     "blocklist_filter": lq.blocklist_filter,
     "media_chunk_windows": lq.media_chunk_windows,

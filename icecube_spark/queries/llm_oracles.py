@@ -1217,3 +1217,23 @@ ORACLES["media_chunk_windows"] = """
     FROM w
     ORDER BY doc_id, window_id
 """
+
+ORACLES["embed_bucket_stats"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v)
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM coded
+    GROUP BY code
+    ORDER BY code
+"""

@@ -524,3 +524,28 @@ def media_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.chunk_windows(
         _docs(spark, sf_dir), "doc_id", "text", win=256, hop=128
     )
+
+
+def embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 — LSH index health: per-bucket occupancy and induced
+    candidate-pair counts for the 8-bit hyperplane code. The ops
+    check before trusting E2's recall: a skewed bucket histogram
+    means one giant bucket does quadratic work while empty buckets
+    return nothing.
+
+    Plan: one map-side code projection + one count shuffle to ≤256
+    rows; pair math is projection over the aggregate."""
+    emb = _emb(spark, sf_dir)
+    coded = emb.select(similarity.lsh_code("embedding").alias("code"))
+    return (
+        coded.groupBy("code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .select(
+            "code",
+            "n_vectors",
+            (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .orderBy("code")
+    )

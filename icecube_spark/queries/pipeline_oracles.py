@@ -589,3 +589,39 @@ ORACLES["quota_rebalance"] = f"""
     GROUP BY d.lang
     ORDER BY d.lang
 """
+
+ORACLES["mix_drift"] = """
+    WITH counts AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day_num, t.event_type, COALESCE(c.n, 0) AS n
+        FROM (SELECT DISTINCT day_num FROM counts) d
+        CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+        LEFT JOIN counts c
+          ON c.day_num = d.day_num AND c.event_type = t.event_type
+    ),
+    shares AS (
+        SELECT day_num, event_type,
+               CAST(FLOOR(CAST(n AS BIGINT) * 1000000
+                          / SUM(n) OVER (PARTITION BY day_num))
+                    AS BIGINT) AS share_micro
+        FROM grid
+    ),
+    lagged AS (
+        SELECT day_num, share_micro,
+               LAG(share_micro) OVER (PARTITION BY event_type
+                                      ORDER BY day_num) AS prev_share
+        FROM shares
+    )
+    SELECT day_num,
+           CAST(CAST(SUM(ABS(share_micro - prev_share)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS l1_drift
+    FROM lagged
+    WHERE prev_share IS NOT NULL
+    GROUP BY day_num
+    ORDER BY day_num
+"""

@@ -7,7 +7,7 @@ assignment. Twins in pipeline_oracles.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icecube_spark import catalog
@@ -498,3 +498,55 @@ def quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-thinning; per-lang before/after report."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.quota_rebalance(docs, "doc_id", "lang")
+
+
+def mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P37 — day-over-day corpus-mix drift: L1 distance between
+    consecutive days' event-type share vectors (micro-share
+    quantized). The monitoring stat that catches a feed silently
+    changing composition — source_mix tells you today's mix, this
+    tells you it MOVED.
+
+    Plan: one (day, type) count shuffle; the dense day×type grid,
+    shares, lags and the per-day L1 fold all run over that tiny
+    aggregate (days × 5 rows)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+            "event_type",
+        )
+        .groupBy("day_num", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = counts.select("day_num").distinct()
+    types = counts.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types)).join(
+        counts, ["day_num", "event_type"], "left"
+    ).na.fill({"n": 0})
+    wd = Window.partitionBy("day_num")
+    wt = Window.partitionBy("event_type").orderBy("day_num")
+    shares = grid.withColumn(
+        "share_micro",
+        F.floor(
+            F.col("n").cast("bigint") * F.lit(1_000_000)
+            / F.sum("n").over(wd)
+        ).cast("bigint"),
+    ).withColumn("prev_share", F.lag("share_micro").over(wt))
+    return (
+        shares.where(F.col("prev_share").isNotNull())
+        .groupBy("day_num")
+        .agg(
+            F.sum(F.abs(F.col("share_micro") - F.col("prev_share")))
+            .cast("bigint")
+            .alias("l1_micro"),
+        )
+        .select(
+            "day_num",
+            (F.col("l1_micro").cast("double") / F.lit(1e6)).alias("l1_drift"),
+        )
+        .orderBy("day_num")
+    )

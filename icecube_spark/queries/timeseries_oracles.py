@@ -1021,3 +1021,26 @@ ORACLES["forecast_baseline_eval"] = """
     FROM agg
     ORDER BY event_type
 """
+
+ORACLES["peak_detection"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT event_type, day_num, v,
+               MAX(v) OVER (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_v,
+               MAX(v) OVER (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS next_v
+        FROM daily
+    )
+    SELECT event_type, day_num, v, prev_v, next_v
+    FROM n
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND v > prev_v AND v > next_v
+    ORDER BY event_type, day_num
+"""

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icecube_spark import catalog
@@ -643,4 +643,47 @@ def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.forecast_baseline_eval(
         ev, "ts", "event_type", "value", season=7
+    )
+
+
+def peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59 — strict local maxima on the daily value series per
+    event_type: days whose total strictly exceeds both calendar
+    neighbors (missing neighbor = not a peak). The alarm primitive
+    burst_detection's rate model doesn't give: point peaks.
+
+    Plan: one (key, day) aggregate, then two calendar-exact RANGE
+    lags on the same key exchange; the peak predicate is a codegen
+    compare of decimal-fold sums."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+            "value",
+        )
+        .groupBy("event_type", "day_num")
+        .agg(dsum("value").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    prev = F.max("v").over(w.rangeBetween(-1, -1))
+    nxt = F.max("v").over(w.rangeBetween(1, 1))
+    return (
+        daily.select(
+            "event_type",
+            "day_num",
+            "v",
+            prev.alias("prev_v"),
+            nxt.alias("next_v"),
+        )
+        .where(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("v") > F.col("prev_v"))
+            & (F.col("v") > F.col("next_v"))
+        )
+        .orderBy("event_type", "day_num")
     )

@@ -55,6 +55,7 @@ CASES = [
     ("embed_pq_codes", lq.embed_pq_codes),
     ("blocklist_filter", lq.blocklist_filter),
     ("media_chunk_windows", lq.media_chunk_windows),
+    ("embed_bucket_stats", lq.embed_bucket_stats),
 ]
 
 

@@ -29,6 +29,7 @@ P_CASES = [
     ("length_deciles", pq.length_deciles),
     ("feature_binning", pq.feature_binning),
     ("quota_rebalance", pq.quota_rebalance),
+    ("mix_drift", pq.mix_drift),
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
     ("curriculum_shards", pq.curriculum_shards),

@@ -46,6 +46,7 @@ CASES = [
     ("winsorize_values", tq.winsorize_values),
     ("survival_km", tq.survival_km),
     ("forecast_baseline_eval", tq.forecast_baseline_eval),
+    ("peak_detection", tq.peak_detection),
 ]
 
 
