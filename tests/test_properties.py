@@ -278,3 +278,127 @@ def test_m4_bucket_invariants(spark, rows):
         assert mask.sum() == r["n_points"]
         assert vs[mask].min() == r["min_value"]
         assert vs[mask].max() == r["max_value"]
+
+
+_parts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # price (small domain → ties)
+        st.integers(min_value=0, max_value=10),   # size
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_parts)
+@_slow
+def test_skyline_matches_brute_force(spark, rows):
+    """B35: the two-stage prefix-max sweep equals the quadratic
+    dominance definition on adversarial data (price ties, duplicate
+    points, single-row frames)."""
+    from icecube_spark.queries.analytics import _skyline_prune
+    from pyspark.sql import functions as F2
+
+    pdf = pd.DataFrame(
+        [
+            {"p_partkey": i, "p_name": f"p{i}", "p_retailprice": p, "p_size": s}
+            for i, (p, s) in enumerate(rows)
+        ]
+    )
+    df = spark.createDataFrame(pdf)
+    local = _skyline_prune(
+        df.withColumn("bucket", F2.pmod(F2.hash("p_partkey"), F2.lit(4)).cast("int")),
+        "bucket",
+    ).drop("bucket")
+    got = sorted(_skyline_prune(local).toPandas()["p_partkey"])
+
+    want = []
+    for i, (p, s) in enumerate(rows):
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s)) for q, t in rows
+        )
+        if not dominated:
+            want.append(i)
+    assert got == sorted(want)
+
+
+_vals = st.lists(
+    st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=_vals)
+@_slow
+def test_depth_cuts_match_brute_force(spark, vals):
+    """P34: the distributed-prefix-sum decile cuts equal the direct
+    sorted-scan definition cut_d = min v with running count >=
+    ceil(d*N/10), including heavy duplicate pileups."""
+    from icecube_spark.operators.pipeline import distributed_depth_cuts
+
+    pdf = pd.DataFrame({"v": vals})
+    df = spark.createDataFrame(pdf)
+    got = distributed_depth_cuts(df, "v", n_bins=10).collect()[0]["cut_list"]
+
+    import math
+
+    s = sorted(vals)
+    n = len(s)
+    want = []
+    for d in range(1, 10):
+        target = math.ceil(d * n / 10)
+        want.append(s[target - 1])
+    assert list(got) == sorted(want)
+
+
+_users = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # user
+        st.integers(min_value=0, max_value=15),   # day
+        st.booleans(),                            # is purchase event
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_users)
+@_slow
+def test_kaplan_meier_structural_properties(spark, rows):
+    """C53: on arbitrary event layouts the KM output is structurally
+    sound — neg-log survival is non-negative and non-decreasing in t,
+    at-risk counts are non-increasing, and every reported day has at
+    least one event."""
+    from icecube_spark.operators.timeseries import kaplan_meier
+    from pyspark.sql import functions as F2
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "day": d,
+                "event_type": "purchase" if p else "view",
+            }
+            for u, d, p in rows
+        ]
+    )
+    df = spark.createDataFrame(pdf).select(
+        "user_id",
+        "event_type",
+        F2.to_timestamp(
+            F2.date_add(
+                F2.lit("2024-01-01").cast("date"), F2.col("day").cast("int")
+            )
+        ).alias("ts"),
+    )
+    out = kaplan_meier(
+        df, "ts", "user_id", F2.col("event_type") == "purchase"
+    ).toPandas()
+    if len(out) == 0:
+        return
+    assert (out["n_events"] >= 1).all()
+    assert (out["neg_log_survival"] >= 0).all()
+    assert out["t_days"].is_monotonic_increasing
+    assert out["neg_log_survival"].is_monotonic_increasing
+    assert out["n_at_risk"].is_monotonic_decreasing
