@@ -1237,3 +1237,23 @@ ORACLES["embed_bucket_stats"] = f"""
     GROUP BY code
     ORDER BY code
 """
+
+ORACLES["label_agreement"] = f"""
+    WITH best AS ({ORACLES["embed_ann_lsh"]}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    j AS (
+        SELECT a.label AS label, b.label AS n_label
+        FROM best
+        JOIN lab a ON a.vec_id = best.vec_id
+        JOIN lab b ON b.vec_id = best.neighbor_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN label = n_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN label = n_label THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS agreement
+    FROM j
+    GROUP BY label
+    ORDER BY label
+"""

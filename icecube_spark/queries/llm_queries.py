@@ -549,3 +549,50 @@ def embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+def label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 — label-noise screen: per label, how often a vector's best
+    in-bucket neighbor (E2's LSH candidate) carries a DIFFERENT
+    label. High disagreement flags mislabeled slices or collapsed
+    classes before anyone trains on them. Agreement ratio is one
+    exact integer division.
+
+    Plan: exactly E2's bucketed pass (one shuffle on the 8-bit code,
+    within-bucket pairs only) plus a broadcast re-join of the tiny
+    (id, label) side and a label-cardinality aggregate.
+    """
+    emb = _emb(spark, sf_dir)
+    best = similarity.lsh_ann_best_neighbor(emb, "vec_id", "embedding")
+    labels = emb.select("vec_id", "label")
+    j = (
+        best.join(F.broadcast(labels), "vec_id")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("label") == F.col("n_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_agree",
+            (
+                F.col("n_agree").cast("double")
+                / F.col("n_vectors").cast("double")
+            ).alias("agreement"),
+        )
+        .orderBy("label")
+    )

@@ -56,6 +56,7 @@ CASES = [
     ("blocklist_filter", lq.blocklist_filter),
     ("media_chunk_windows", lq.media_chunk_windows),
     ("embed_bucket_stats", lq.embed_bucket_stats),
+    ("label_agreement", lq.label_agreement),
 ]
 
 
