@@ -1793,3 +1793,138 @@ def forecast_baseline_eval(
         )
         .orderBy(key_col)
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """C60 — maximum drawdown per key on the cumulative daily series:
+    the largest peak-to-trough fall of the running total (the risk
+    statistic for any monotone-ish KPI — revenue run-rate, cumulative
+    yield; in SAR-ops terms, worst sustained acquisition shortfall).
+
+    Exactness: the cumulative series, its prefix maximum, and every
+    drawdown are DECIMAL(18,8) prefix computations — association-free
+    — cast to double only in the output row.
+
+    Plan: one (key, day) aggregate, then cumsum + running-max + the
+    drawdown max all ride the SAME key exchange (three window passes,
+    one sort). Output is key-cardinality rows.
+    """
+    from icecube_spark.functions.parity import dsum
+
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day")
+        .agg(F.sum(F.col(value_col).cast("decimal(18,8)")).alias("dv"))
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn("cum", F.sum("dv").over(wcum)).withColumn(
+        "peak", F.max(F.sum("dv").over(wcum)).over(wcum)
+    )
+    dd = cum.withColumn("drawdown", F.col("peak") - F.col("cum"))
+    return (
+        dd.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("drawdown").cast("double").alias("max_drawdown"),
+            F.max("peak").cast("double").alias("peak_value"),
+            F.max("cum").cast("double").alias("final_value"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_days: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """C61 — Bollinger bands on the daily series: rolling mean ±
+    k·rolling std over a trailing calendar window, plus the band
+    breach flag — the volatility envelope behind half of anomaly
+    dashboards (anomaly_zscore is the global version; this is the
+    local-regime one).
+
+    Exactness: rolling mean and std come from exact integer moments —
+    daily values quantize to micro-units once, the window sums are
+    BIGINTs — and the final mean/std/band arithmetic is one
+    fixed-shape double expression; breach compares band to the exact
+    daily value.
+
+    Plan: one (key, day) aggregate; both moment windows are
+    calendar-exact RANGE frames on the same key exchange. No
+    self-joins, no rescans.
+    """
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint")
+            ).alias("qv")
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day_num")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    m = daily.select(
+        key_col,
+        "day_num",
+        "qv",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("qv").over(w).alias("s1"),
+        # qv^2 can reach ~1e21 — fold the square sums in decimal(38,0)
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv")).over(w).alias(
+            "s2"
+        ),
+    )
+    n = F.col("n_w").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n / F.lit(1e6)
+    var = (n * s2 - s1 * s1) / (n * n) / F.lit(1e12)
+    # s2 exceeds 2^53, and DuckDB's int128->double cast is not
+    # correctly rounded — quantize std to a 1e-9 grid so the 1-ulp
+    # wobble cannot surface (same trade as corr_matrix)
+    std = (
+        F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * F.lit(1e9))
+        .cast("bigint").cast("double") / F.lit(1e9)
+    )
+    v = F.col("qv").cast("double") / F.lit(1e6)
+    upper = mean + F.lit(k) * std
+    lower = mean - F.lit(k) * std
+    return m.select(
+        key_col,
+        "day_num",
+        v.alias("daily_value"),
+        F.col("n_w").cast("bigint").alias("n_window"),
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        F.when(v > upper, F.lit("high"))
+        .when(v < lower, F.lit("low"))
+        .otherwise(F.lit("in"))
+        .alias("breach"),
+    ).orderBy(key_col, "day_num")

@@ -1044,3 +1044,73 @@ ORACLES["peak_detection"] = """
       AND v > prev_v AND v > next_v
     ORDER BY event_type, day_num
 """
+
+ORACLES["max_drawdown"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,8))) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, day,
+               SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM daily
+    ),
+    p AS (
+        SELECT event_type, day, cum,
+               MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM c
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_value,
+           CAST(MAX(cum) AS DOUBLE) AS final_value
+    FROM p
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+ORACLES["bollinger_bands"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS qv
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, day_num, qv,
+               COUNT(*) OVER w AS n_w,
+               SUM(qv) OVER w AS s1,
+               SUM(CAST(qv AS DECIMAL(38,0)) * qv) OVER w AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    calc AS (
+        SELECT event_type, day_num,
+               CAST(qv AS DOUBLE) / 1e6 AS daily_value,
+               CAST(n_w AS BIGINT) AS n_window,
+               CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE) / 1e6 AS roll_mean,
+               CAST(CAST(FLOOR(sqrt(GREATEST(
+                   (CAST(n_w AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n_w AS DOUBLE) * CAST(n_w AS DOUBLE)) / 1e12,
+                   0.0)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS roll_std
+        FROM m
+    )
+    SELECT event_type, day_num, daily_value, n_window, roll_mean,
+           roll_std,
+           roll_mean + 2.0 * roll_std AS upper_band,
+           roll_mean - 2.0 * roll_std AS lower_band,
+           CASE WHEN daily_value > roll_mean + 2.0 * roll_std THEN 'high'
+                WHEN daily_value < roll_mean - 2.0 * roll_std THEN 'low'
+                ELSE 'in' END AS breach
+    FROM calc
+    ORDER BY event_type, day_num
+"""

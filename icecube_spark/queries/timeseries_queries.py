@@ -687,3 +687,17 @@ def peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_num")
     )
+
+
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60 — max peak-to-trough drawdown of the cumulative daily
+    value per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.max_drawdown(ev, "ts", "event_type", "value")
+
+
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61 — 7-day rolling mean ±2σ envelope with breach flags per
+    event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.bollinger_bands(ev, "ts", "event_type", "value")

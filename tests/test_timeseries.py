@@ -47,6 +47,8 @@ CASES = [
     ("survival_km", tq.survival_km),
     ("forecast_baseline_eval", tq.forecast_baseline_eval),
     ("peak_detection", tq.peak_detection),
+    ("max_drawdown", tq.max_drawdown),
+    ("bollinger_bands", tq.bollinger_bands),
 ]
 
 
