@@ -1338,3 +1338,69 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.pair", "s.n", "s.r").orderBy("pair")
+
+
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 — customer spend-quintile migration matrix, 1996 → 1997:
+    per year, each active customer's total spend lands in a global
+    spend quintile (distributed-prefix-sum cuts — no single-partition
+    rank, see operators/pipeline.distributed_depth_cuts); the output
+    is the 5×5 transition matrix over customers active in BOTH years
+    plus each cell's share. The churn/upsell diagnostic behind
+    loyalty programs — rfm_segments is the snapshot, this is the
+    flow.
+
+    Exactness: spend folds to exact cents BIGINTs; quintile cuts and
+    assignments are integer comparisons; shares are one exact
+    division.
+
+    Plan: one (customer, year) aggregate from the fact scan; each
+    year's cut list is a broadcast 1-row side; assignment is
+    map-side; the final matrix is a ≤25-row aggregate after one
+    customer-key join of two year slices.
+    """
+    from icecube_spark.operators.pipeline import distributed_depth_cuts
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    spend = (
+        orders.select(
+            "o_custkey",
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .where(F.col("yr").isin(1996, 1997))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("cents").alias("spend_cents"))
+    )
+
+    def quintiles(yr: int, out: str):
+        y = spend.where(F.col("yr") == yr)
+        cuts = distributed_depth_cuts(y, "spend_cents", n_bins=5)
+        return y.crossJoin(F.broadcast(cuts)).select(
+            "o_custkey",
+            F.size(
+                F.filter("cut_list", lambda c: c < F.col("spend_cents"))
+            ).cast("int").alias(out),
+        )
+
+    a = quintiles(1996, "q_from")
+    b = quintiles(1997, "q_to")
+    pairs = a.join(b, "o_custkey")
+    total = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        pairs.groupBy("q_from", "q_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q_from",
+            "q_to",
+            "n_customers",
+            (
+                F.col("n_customers").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("q_from", "q_to")
+    )

@@ -674,3 +674,49 @@ ORACLES["corr_matrix"] = """
            CAST(CAST(FLOOR(r * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS r
     FROM rows_out ORDER BY pair
 """
+
+ORACLES["segment_migration"] = """
+    WITH spend AS (
+        SELECT o_custkey,
+               EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS yr,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS spend_cents
+        FROM orders
+        WHERE EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP))
+                  IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    cuts AS (
+        SELECT yr, array_agg(cut ORDER BY cut) AS cut_list FROM (
+            SELECT yr, d, MIN(v) AS cut FROM (
+                SELECT yr, spend_cents AS v,
+                       SUM(cnt) OVER (PARTITION BY yr ORDER BY spend_cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS cum,
+                       SUM(cnt) OVER (PARTITION BY yr) AS n_total
+                FROM (SELECT yr, spend_cents, COUNT(*) AS cnt
+                      FROM spend GROUP BY 1, 2)
+            ) c CROSS JOIN (SELECT UNNEST(range(1, 5)) AS d) ds
+            WHERE cum >= CEIL(d * n_total / 5)
+            GROUP BY yr, d)
+        GROUP BY yr
+    ),
+    assigned AS (
+        SELECT s.o_custkey, s.yr,
+               CAST(len(list_filter(c.cut_list, x -> x < s.spend_cents))
+                    AS INT) AS q
+        FROM spend s JOIN cuts c ON c.yr = s.yr
+    ),
+    pairs AS (
+        SELECT a.o_custkey, a.q AS q_from, b.q AS q_to
+        FROM assigned a JOIN assigned b
+          ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pairs)
+    SELECT q_from, q_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE) AS share
+    FROM pairs, total
+    GROUP BY q_from, q_to
+    ORDER BY q_from, q_to
+"""

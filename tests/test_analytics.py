@@ -31,6 +31,7 @@ CASES = [
     ("skyline_parts", analytics.skyline_parts),
     ("part_triangles", analytics.part_triangles),
     ("corr_matrix", analytics.corr_matrix),
+    ("segment_migration", analytics.segment_migration),
 ]
 
 
