@@ -4,9 +4,10 @@ Chains the engine's LLM-data operators the way a production corpus
 build does — every stage is a lazy DataFrame transformation, so the
 whole pipeline is ONE Spark job graph with no driver-side loops:
 
-  1. quality gates     (P25 rules -> keep mask)
+  1. quality gates     (P25 rules + F24 blocklist -> keep mask)
   2. exact dedup       (D1 md5 clusters -> canonical rows)
   3. near-dup clusters (D2 MinHash-LSH pairs -> P6 components)
+     + P35 sketch F1 sign-off before trusting the sketch decisions
   4. PII redaction     (P3)
   5. hash split        (P1 train/val/test)
   6. temperature mix   (P29 acceptance sampling)
@@ -31,9 +32,15 @@ from icecube_spark.session import get_spark  # noqa: E402
 def curate(spark, sf_dir: str):
     docs = catalog.load(spark, sf_dir, "documents")
 
-    # 1. quality gates: codegen column math, map-only
+    # 1. quality gates: codegen column math, map-only — length rules
+    # plus the F24 token-exact blocklist verdict
+    from icecube_spark.operators import text as text_ops
+
     norm = pipeline.normalized_expr("text")
-    gated = docs.where(
+    flagged = text_ops.blocklist_filter(docs, "doc_id", "text").where(
+        F.col("verdict") == "flag"
+    ).select("doc_id")
+    gated = docs.join(flagged, "doc_id", "left_anti").where(
         (F.col("n_chars") >= 100)
         & (F.size(F.split(F.expr(norm), " ")) >= 20)
     )
@@ -85,6 +92,9 @@ def main() -> None:
     sampled.groupBy("split").count().orderBy("split").show()
     print("packing manifest (first bins):")
     manifest.orderBy("source", "bin").show(10, truncate=False)
+    print("sketch sign-off (P35: MinHash decision F1 at the 0.8 gate):")
+    from icecube_spark.queries import llm_queries as lq
+    lq.minhash_eval_f1(spark, sf_dir).show()
     spark.stop()
 
 
