@@ -28,6 +28,9 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest (never graded) lead the registration order ---
+    "vocab_coverage": lq.vocab_coverage,
+    "pq_code_balance": lq.pq_code_balance,
+    "shard_checksums": pq.shard_checksums,
     "segment_migration": analytics.segment_migration,
     "max_drawdown": tsq.max_drawdown,
     "bollinger_bands": tsq.bollinger_bands,

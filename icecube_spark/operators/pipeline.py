@@ -1157,3 +1157,37 @@ def quota_rebalance(
         )
         .orderBy(stratum_col)
     )
+
+
+def shard_checksums(
+    df: DataFrame, id_col: str, text_col: str, n_shards: int = 16
+) -> DataFrame:
+    """P38 — order-free shard integrity tags: per shard, the XOR of
+    every member's 60-bit md5 content hash plus row/byte counts. XOR
+    is commutative and associative, so the checksum is identical for
+    any scan order and any engine — re-export the shard anywhere,
+    re-XOR, compare: one flipped byte in one document changes the
+    tag. The manifest-side half of corpus replication audits
+    (shard_manifest P28 checks balance; this checks CONTENT).
+
+    Plan: map-only hashing + one partial-agg shuffle to n_shards
+    rows; bit_xor combines map-side like any algebraic aggregate.
+    """
+    shard = ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(
+        n_shards
+    )
+    h = F.expr(spark_hex2int(f"cast({text_col} as string)"))
+    return (
+        df.select(
+            shard.cast("int").alias("shard"),
+            h.alias("h"),
+            F.length(F.encode(F.col(text_col), "utf-8")).alias("nb"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.expr("bit_xor(h)").cast("bigint").alias("content_xor"),
+        )
+        .orderBy("shard")
+    )

@@ -954,3 +954,45 @@ def pq_assign(
         )
         .orderBy(id_col, "subspace")
     )
+
+
+def pq_code_balance(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 4,
+) -> DataFrame:
+    """E20 — PQ codebook health: per (subspace, code) the member
+    count and mean quantized distortion. A code that captures 90% of
+    a subspace (or none of it) means the codebook wastes bits — the
+    check run after every PQ (re)train, here over E17's assignment.
+
+    Exactness: distortions are already exact 1e-12-quantized BIGINTs;
+    the mean is one exact division.
+
+    Plan: E17's assignment plan + one (subspace, code) aggregate of
+    at most n_sub x n_codes rows.
+    """
+    assign = pq_assign(df, id_col, vec_col, n_sub, sub_dim, n_codes)
+    return (
+        assign.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.floor(F.col("qdist") * F.lit(1e12)).cast("bigint")
+            ).alias("qsum"),
+        )
+        .select(
+            "subspace",
+            "code",
+            "n_members",
+            (
+                F.col("qsum").cast("double")
+                / F.col("n_members").cast("double")
+                / F.lit(1e12)
+            ).alias("mean_distortion"),
+        )
+        .orderBy("subspace", "code")
+    )

@@ -885,3 +885,56 @@ def blocklist_filter(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     ).orderBy(id_col)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, cuts: tuple = (100, 500, 1000, 5000)
+) -> DataFrame:
+    """F26 — vocabulary coverage curve: what fraction of all corpus
+    tokens the top-k vocabulary covers, at several k — the sizing
+    statistic tokenizer/embedding-table design starts from (a 1k
+    vocab covering 98% means the long tail is noise; 60% means
+    splitting will dominate).
+
+    Exactness: coverage is an exact integer division of token
+    counts; ranking ties break lexicographically.
+
+    Plan: one term-count shuffle (map-side combined); the rank
+    window, the cumulative sums and the cut probe all run over the
+    VOCAB-sized aggregate, never the corpus.
+    """
+    toks = df.select(
+        F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("tok"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("vocab"),
+    )
+    cut_rows = None
+    for k in cuts:
+        row = (
+            ranked.where(F.col("rank") == F.least(F.lit(k), F.col("vocab")))
+            .select(
+                F.lit(k).alias("top_k"),
+                F.col("rank").cast("bigint").alias("k_effective"),
+                F.col("vocab").cast("bigint").alias("vocab"),
+                F.col("total").cast("bigint").alias("n_tokens"),
+                (F.col("cum").cast("double") / F.col("total").cast("double"))
+                .alias("coverage"),
+            )
+        )
+        cut_rows = row if cut_rows is None else cut_rows.unionAll(row)
+    return cut_rows.orderBy("top_k")

@@ -1257,3 +1257,40 @@ ORACLES["label_agreement"] = f"""
     GROUP BY label
     ORDER BY label
 """
+
+ORACLES["vocab_coverage"] = f"""
+    WITH toks AS (
+        SELECT UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+               SUM(n) OVER (ORDER BY n DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(n) OVER () AS total,
+               COUNT(*) OVER () AS vocab
+        FROM counts
+    ),
+    ks AS (SELECT UNNEST([100, 500, 1000, 5000]) AS top_k)
+    SELECT ks.top_k,
+           CAST(r.rank AS BIGINT) AS k_effective,
+           CAST(r.vocab AS BIGINT) AS vocab,
+           CAST(r.total AS BIGINT) AS n_tokens,
+           CAST(r.cum AS DOUBLE) / CAST(r.total AS DOUBLE) AS coverage
+    FROM ks JOIN ranked r ON r.rank = LEAST(ks.top_k, r.vocab)
+    ORDER BY ks.top_k
+"""
+
+ORACLES["pq_code_balance"] = f"""
+    WITH assign AS ({ORACLES["embed_pq_codes"]})
+    SELECT subspace, code,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(FLOOR(qdist * 1e12) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e12 AS mean_distortion
+    FROM assign
+    GROUP BY subspace, code
+    ORDER BY subspace, code
+"""

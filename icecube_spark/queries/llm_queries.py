@@ -596,3 +596,15 @@ def label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 — coverage of corpus tokens by the top-k vocabulary at
+    several k (tokenizer/embedding-table sizing curve)."""
+    return text.vocab_coverage(_docs(spark, sf_dir), "text")
+
+
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 — PQ codebook health: member counts + mean distortion per
+    (subspace, code)."""
+    return similarity.pq_code_balance(_emb(spark, sf_dir), "vec_id", "embedding")

@@ -625,3 +625,19 @@ ORACLES["mix_drift"] = """
     GROUP BY day_num
     ORDER BY day_num
 """
+
+ORACLES["shard_checksums"] = f"""
+    WITH h AS (
+        SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+               {duck_hex2int("CAST(text AS VARCHAR)")} AS h,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(h) AS BIGINT) AS content_xor
+    FROM h
+    GROUP BY shard
+    ORDER BY shard
+"""

@@ -550,3 +550,10 @@ def mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_num")
     )
+
+
+def shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P38 — order-free per-shard content checksums (XOR of 60-bit
+    md5 content hashes) + row/byte counts."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.shard_checksums(docs, "doc_id", "text")

@@ -57,6 +57,8 @@ CASES = [
     ("media_chunk_windows", lq.media_chunk_windows),
     ("embed_bucket_stats", lq.embed_bucket_stats),
     ("label_agreement", lq.label_agreement),
+    ("vocab_coverage", lq.vocab_coverage),
+    ("pq_code_balance", lq.pq_code_balance),
 ]
 
 

@@ -30,6 +30,7 @@ P_CASES = [
     ("feature_binning", pq.feature_binning),
     ("quota_rebalance", pq.quota_rebalance),
     ("mix_drift", pq.mix_drift),
+    ("shard_checksums", pq.shard_checksums),
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
     ("curriculum_shards", pq.curriculum_shards),
