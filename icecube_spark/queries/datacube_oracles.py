@@ -511,3 +511,29 @@ ORACLES["cube_hist_equalize"] = """
     FROM ranked
     ORDER BY user_id, event_id
 """
+
+ORACLES["cube_band_index"] = """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,8)) END) AS sa,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+               SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(18,8)) END) AS sb,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(sa AS DOUBLE) / na AS band_a,
+           CAST(sb AS DOUBLE) / nb AS band_b,
+           CASE WHEN CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb <> 0
+                THEN (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                     / (CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb)
+                END AS nd_index
+    FROM daily
+    WHERE na > 0 AND nb > 0
+    ORDER BY user_id, day
+"""

@@ -928,3 +928,47 @@ def cube_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("equalized"),
     ).orderBy("user_id", "event_id")
+
+
+def cube_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — normalized-difference band index per (stack, day):
+    (A − B)/(A + B) between two bands' daily means — the NDVI/NDWI
+    family, THE derived-index op of raster analytics (for SAR:
+    normalized backscatter difference between polarizations). Bands
+    here are the 'click' and 'view' product types.
+
+    Exactness: band means are decimal folds; the index is one
+    fixed-shape double expression; A+B = 0 yields a NULL index (no
+    data), mirrored in the oracle.
+
+    Plan: one (stack, day) shuffle computes BOTH band means as
+    conditional aggregates in the same pass — never two scans or a
+    self-join; the index is pure projection.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).cast("timestamp")
+    dec = "decimal(18,8)"
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", day.alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value")).cast(dec)
+            ).alias("sa"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("na"),
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("value")).cast(dec)
+            ).alias("sb"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("nb"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    a = F.col("sa").cast("double") / F.col("na")
+    b = F.col("sb").cast("double") / F.col("nb")
+    return daily.select(
+        "user_id",
+        "day",
+        a.alias("band_a"),
+        b.alias("band_b"),
+        F.when(a + b != 0, (a - b) / (a + b)).alias("nd_index"),
+    ).orderBy("user_id", "day")

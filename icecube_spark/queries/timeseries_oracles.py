@@ -1114,3 +1114,41 @@ ORACLES["bollinger_bands"] = """
     FROM calc
     ORDER BY event_type, day_num
 """
+
+ORACLES["bounce_rate"] = """
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                   AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS start_ts
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(CAST(start_ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+    FROM per_session
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -701,3 +701,45 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.bollinger_bands(ev, "ts", "event_type", "value")
+
+
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63 — daily bounce rate: share of 30-minute-gap sessions that
+    contain exactly one event, per session-start day. The
+    engagement-quality KPI sessionize (C2) feeds.
+
+    Plan: the C2 session assignment (one user-key exchange), then a
+    (user, session) collapse on the SAME exchange, then one small
+    (day) aggregate. Rates are exact integer divisions.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    sess = timeseries.sessionize(
+        ev.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
+        "ts",
+        "user_id",
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+    )
+    return (
+        per_session.groupBy(
+            F.to_date("start_ts").cast("timestamp").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

@@ -33,6 +33,7 @@ CASES = [
     ("cube_gradient", dq.cube_gradient),
     ("cube_coregister", dq.cube_coregister),
     ("cube_hist_equalize", dq.cube_hist_equalize),
+    ("cube_band_index", dq.cube_band_index),
 ]
 
 

@@ -49,6 +49,7 @@ CASES = [
     ("peak_detection", tq.peak_detection),
     ("max_drawdown", tq.max_drawdown),
     ("bollinger_bands", tq.bollinger_bands),
+    ("bounce_rate", tq.bounce_rate),
 ]
 
 
