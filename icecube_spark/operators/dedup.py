@@ -11,7 +11,7 @@ buckets, never from an all-pairs join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from icecube_spark.functions import hashing
@@ -547,4 +547,53 @@ def near_dup_diff(
         F.size(F.array_except("ga", "gb")).cast("bigint").alias("n_only_a"),
         F.size(F.array_except("gb", "ga")).cast("bigint").alias("n_only_b"),
         "jaccard",
+    )
+
+
+def incremental_dedup(
+    df: DataFrame, id_col: str, text_col: str, base_pct: int = 80
+) -> DataFrame:
+    """D10 — incremental ingestion dedup: split the corpus into an
+    existing BASE (md5-bucket < base_pct) and an arriving DELTA, and
+    report, per source, how many delta docs are exact duplicates of
+    base content vs duplicates WITHIN the delta vs novel. This is the
+    path production dedup actually runs — new-vs-index, never
+    all-pairs over history — and the split is the same append-stable
+    hash convention as train_test_split, so re-runs are deterministic.
+
+    Plan: one content-hash projection; the base side collapses to
+    DISTINCT digests (digest-only shuffle, 32 B/row at any history
+    size — the "index"); delta joins it on the digest; within-delta
+    dups come from a digest window on the same exchange. Per-source
+    counts are a tiny aggregate.
+    """
+    from icecube_spark.operators.pipeline import _bucket
+
+    h = F.md5(F.expr(f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"))
+    tagged = df.select(
+        F.col(id_col),
+        F.col("source"),
+        h.alias("digest"),
+        (_bucket(id_col) < base_pct).alias("is_base"),
+    )
+    base_digests = (
+        tagged.where(F.col("is_base")).select("digest").distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    delta = tagged.where(~F.col("is_base"))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    marked = (
+        delta.join(base_digests, "digest", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("in_base").isNotNull(), F.lit("dup_of_base"))
+            .when(F.col("rn") > 1, F.lit("dup_in_delta"))
+            .otherwise(F.lit("novel")),
+        )
+    )
+    return (
+        marked.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "status")
     )

@@ -1294,3 +1294,33 @@ ORACLES["pq_code_balance"] = f"""
     GROUP BY subspace, code
     ORDER BY subspace, code
 """
+
+ORACLES["dedup_incremental"] = f"""
+    WITH tagged AS (
+        SELECT doc_id, source,
+               md5({_NORM}) AS digest,
+               ({_hashing.duck_hex2int("CAST(doc_id AS VARCHAR)")} % 100) < 80
+                   AS is_base
+        FROM documents
+    ),
+    base_digests AS (
+        SELECT DISTINCT digest FROM tagged WHERE is_base
+    ),
+    delta AS (
+        SELECT t.doc_id, t.source, t.digest,
+               b.digest IS NOT NULL AS in_base,
+               ROW_NUMBER() OVER (PARTITION BY t.digest
+                                  ORDER BY t.doc_id) AS rn
+        FROM tagged t
+        LEFT JOIN base_digests b ON b.digest = t.digest
+        WHERE NOT t.is_base
+    )
+    SELECT source,
+           CASE WHEN in_base THEN 'dup_of_base'
+                WHEN rn > 1 THEN 'dup_in_delta'
+                ELSE 'novel' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM delta
+    GROUP BY 1, 2
+    ORDER BY source, status
+"""

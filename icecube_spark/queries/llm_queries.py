@@ -608,3 +608,10 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E20 — PQ codebook health: member counts + mean distortion per
     (subspace, code)."""
     return similarity.pq_code_balance(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — incremental ingestion dedup: per-source novel /
+    dup-of-base / dup-in-delta counts for an arriving 20% batch
+    against the existing 80% corpus."""
+    return dedup.incremental_dedup(_docs(spark, sf_dir), "doc_id", "text")

@@ -59,6 +59,7 @@ CASES = [
     ("label_agreement", lq.label_agreement),
     ("vocab_coverage", lq.vocab_coverage),
     ("pq_code_balance", lq.pq_code_balance),
+    ("dedup_incremental", lq.dedup_incremental),
 ]
 
 
