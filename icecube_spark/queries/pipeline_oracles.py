@@ -641,3 +641,58 @@ ORACLES["shard_checksums"] = f"""
     GROUP BY shard
     ORDER BY shard
 """
+
+from icecube_spark.queries.llm_oracles import ORACLES as _LLM_ORACLES  # noqa: E402
+
+ORACLES["curation_waterfall"] = f"""
+    WITH raw AS (SELECT doc_id, text, n_chars FROM documents),
+    gated AS (
+        SELECT * FROM raw
+        WHERE n_chars >= 100
+          AND len(string_split({_NORM}, ' ')) >= 20
+    ),
+    flagged AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(list_filter(list_distinct(string_split({_NORM}, ' ')),
+                       x -> x IN ('merge', 'deadlock', 'rollback',
+                                  'panic', 'corrupt'))) AS nbl
+            FROM raw)
+        WHERE nbl >= 2
+    ),
+    blocked_ok AS (
+        SELECT g.* FROM gated g
+        WHERE g.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    canon AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY md5({_NORM})
+                                      ORDER BY doc_id) AS rn
+            FROM blocked_ok)
+        WHERE rn = 1
+    ),
+    pairs AS ({_LLM_ORACLES["dedup_minhash_lsh"]}),
+    losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    final AS (
+        SELECT c.doc_id FROM canon c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    stages AS (
+        SELECT 1 AS stage_no, 'raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs FROM raw
+        UNION ALL SELECT 2, 'length_gates', CAST(COUNT(*) AS BIGINT)
+        FROM gated
+        UNION ALL SELECT 3, 'blocklist', CAST(COUNT(*) AS BIGINT)
+        FROM blocked_ok
+        UNION ALL SELECT 4, 'exact_canonical', CAST(COUNT(*) AS BIGINT)
+        FROM canon
+        UNION ALL SELECT 5, 'near_dup_keepers', CAST(COUNT(*) AS BIGINT)
+        FROM final
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM raw)
+    SELECT CAST(stage_no AS INT) AS stage_no, stage, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_raw AS DOUBLE) AS share_of_raw
+    FROM stages, total
+    ORDER BY stage_no
+"""

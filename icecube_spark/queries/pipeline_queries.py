@@ -557,3 +557,78 @@ def shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 content hashes) + row/byte counts."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.shard_checksums(docs, "doc_id", "text")
+
+
+def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P39 — the curation funnel as ONE query: documents surviving
+    each stage — raw → length gates → blocklist → exact-dedup
+    canonicals → near-dup greedy keepers (drop any doc that is the
+    larger id of a verified MinHash pair) — with each stage's share
+    of raw. The composition sanity-check a pipeline owner reads
+    before shipping a corpus build; quality_gate_funnel covers rule
+    breakdowns, this covers stage attrition end to end.
+
+    Plan: every stage is a filter/anti-join over the previous one in
+    a single lazy graph; the LSH stage reuses the staged corpus
+    tables; the output is a 5-row aggregate.
+    """
+    from icecube_spark.operators import text as text_ops
+    from icecube_spark.queries.llm_queries import staged_corpus
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    norm = pipeline.normalized_expr("text")
+
+    gated = docs.where(
+        (F.col("n_chars") >= 100)
+        & (F.size(F.split(F.expr(norm), " ")) >= 20)
+    )
+    flagged = text_ops.blocklist_filter(docs, "doc_id", "text").where(
+        F.col("verdict") == "flag"
+    ).select("doc_id")
+    blocked_ok = gated.join(flagged, "doc_id", "left_anti")
+
+    digest = F.md5(F.expr(norm))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    canon = (
+        blocked_ok.select("doc_id", digest.alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+    from icecube_spark.operators import dedup as dedup_ops
+
+    grams, sigs = staged_corpus(spark, sf_dir)
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = canon.join(losers, "doc_id", "left_anti")
+
+    def stage(name, df_, order):
+        return df_.agg(
+            F.lit(order).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+
+    out = (
+        stage("raw", docs, 1)
+        .unionAll(stage("length_gates", gated, 2))
+        .unionAll(stage("blocklist", blocked_ok, 3))
+        .unionAll(stage("exact_canonical", canon, 4))
+        .unionAll(stage("near_dup_keepers", final, 5))
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            F.col("stage_no").cast("int").alias("stage_no"),
+            "stage",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("n_raw").cast("double")
+            ).alias("share_of_raw"),
+        )
+        .orderBy("stage_no")
+    )

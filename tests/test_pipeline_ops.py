@@ -31,6 +31,7 @@ P_CASES = [
     ("quota_rebalance", pq.quota_rebalance),
     ("mix_drift", pq.mix_drift),
     ("shard_checksums", pq.shard_checksums),
+    ("curation_waterfall", pq.curation_waterfall),
     ("user_features", pq.user_features),
     ("skew_report", pq.skew_report),
     ("curriculum_shards", pq.curriculum_shards),
