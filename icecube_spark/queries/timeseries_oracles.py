@@ -1152,3 +1152,49 @@ ORACLES["bounce_rate"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+ORACLES["series_lead_lag"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               COALESCE(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(FLOOR(value * 1e6) AS BIGINT) END), 0) AS qa,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 1e6) AS BIGINT) END), 0) AS qb
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(range(-7, 8)) AS lag),
+    j AS (
+        SELECT l.lag, a.qa, b.qb
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day_num = a.day_num + l.lag
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(qa AS DECIMAL(38,0))) AS sa,
+               SUM(CAST(qb AS DECIMAL(38,0))) AS sb,
+               SUM(CAST(qa AS DECIMAL(38,0)) * qa) AS saa,
+               SUM(CAST(qb AS DECIMAL(38,0)) * qb) AS sbb,
+               SUM(CAST(qa AS DECIMAL(38,0)) * qb) AS sab
+        FROM j GROUP BY 1
+    ),
+    scored AS (
+        SELECT lag, n,
+               CAST(CAST(FLOOR(
+                   (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                   * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS r
+        FROM m
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, lag) AS INT) AS rank,
+           lag, n AS n_overlap, r
+    FROM scored
+    ORDER BY rank
+"""

@@ -743,3 +743,82 @@ def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def series_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64 — lead-lag cross-correlation between two daily series
+    (click vs purchase): normalized cross-correlation at every lag in
+    [-7, +7], ranked — does one series SHIFT the other, and by how
+    many days? The time-domain twin of cube_coregister's spatial
+    scan, and the causal-screening step before any "X drives Y"
+    claim.
+
+    Exactness: daily values quantize to micro-units; per-lag products
+    and the normalizing moments are exact integer sums; the
+    normalized r at each lag is one fixed-shape double expression
+    (overlap-windowed means), quantized to a 1e-9 grid for the same
+    int128-cast reason as corr_matrix; ranking compares (r, lag).
+
+    Plan: two conditional daily aggregates in one pass (the A26
+    trick); series A explodes over the 15 candidate lags map-side
+    and equi-joins B on the shifted day — 15× fanout on DAYS, not
+    events; per-lag moments are a 15-row aggregate.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.floor(F.col("value") * F.lit(1e6)).cast("bigint"),
+                )
+            ).alias("qa"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(1e6)).cast("bigint"),
+                )
+            ).alias("qb"),
+        )
+        .na.fill({"qa": 0, "qb": 0})
+    )
+    lags = F.explode(F.expr("sequence(-7, 7)")).alias("lag")
+    a = daily.select("day_num", "qa", lags).select(
+        (F.col("day_num") + F.col("lag")).alias("b_day"), "lag", "qa"
+    )
+    b = daily.select(F.col("day_num").alias("b_day"), "qb")
+    j = a.join(b, "b_day")
+    dec = "decimal(38,0)"
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("qa").cast(dec)).alias("sa"),
+        F.sum(F.col("qb").cast(dec)).alias("sb"),
+        F.sum(F.col("qa").cast(dec) * F.col("qa")).alias("saa"),
+        F.sum(F.col("qb").cast(dec) * F.col("qb")).alias("sbb"),
+        F.sum(F.col("qa").cast(dec) * F.col("qb")).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb, sab = (
+        F.col("saa").cast("double"),
+        F.col("sbb").cast("double"),
+        F.col("sab").cast("double"),
+    )
+    raw = (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    )
+    r = F.floor(raw * F.lit(1e9)).cast("bigint").cast("double") / F.lit(1e9)
+    scored = m.select("lag", "n", r.alias("r"))
+    w = Window.partitionBy().orderBy(F.desc("r"), F.asc("lag"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "lag", F.col("n").alias("n_overlap"), "r")
+        .orderBy("rank")
+    )

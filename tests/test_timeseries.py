@@ -50,6 +50,7 @@ CASES = [
     ("max_drawdown", tq.max_drawdown),
     ("bollinger_bands", tq.bollinger_bands),
     ("bounce_rate", tq.bounce_rate),
+    ("series_lead_lag", tq.series_lead_lag),
 ]
 
 
