@@ -1224,7 +1224,10 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     node_stats = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) / 2").cast("bigint")).alias("n_wedges"),
+        # empty graph: SUM over zero rows is NULL, the census wants 0
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) / 2").cast("bigint")), F.lit(0)
+        ).cast("bigint").alias("n_wedges"),
     )
     edge_stats = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     ab = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))

@@ -603,8 +603,8 @@ ORACLES["part_triangles"] = """
     ),
     node_stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-               CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
-                   AS n_wedges
+               CAST(COALESCE(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)), 0)
+                    AS BIGINT) AS n_wedges
         FROM deg
     ),
     edge_stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),

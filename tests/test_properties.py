@@ -402,3 +402,88 @@ def test_kaplan_meier_structural_properties(spark, rows):
     assert out["t_days"].is_monotonic_increasing
     assert out["neg_log_survival"].is_monotonic_increasing
     assert out["n_at_risk"].is_monotonic_decreasing
+
+
+_li = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # order
+        st.integers(min_value=0, max_value=6),   # part
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_li)
+@_slow
+def test_triangle_census_matches_brute_force(spark, rows):
+    """B36: the oriented-join triangle count equals a brute-force
+    enumeration of the support-2 co-purchase graph on adversarial
+    order/part layouts (dense repeats, singleton orders)."""
+    from itertools import combinations
+
+    from icecube_spark.queries.analytics import part_triangles
+
+    pdf = pd.DataFrame(
+        [{"l_orderkey": o, "l_partkey": p} for o, p in rows]
+    )
+    # write a tiny parquet dir shaped like the catalog's lineitem
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(f"{d}/lineitem.parquet")
+        # part_triangles only reads lineitem; satisfy catalog.load
+        got = part_triangles(spark, d).collect()[0]
+
+    li = {(o, p) for o, p in rows}
+    from collections import Counter
+
+    pair_orders = Counter()
+    by_order: dict = {}
+    for o, p in li:
+        by_order.setdefault(o, set()).add(p)
+    for o, parts in by_order.items():
+        for a, b in combinations(sorted(parts), 2):
+            pair_orders[(a, b)] += 1
+    edges = {e for e, n in pair_orders.items() if n >= 2}
+    nodes = {x for e in edges for x in e}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(v * (v - 1) // 2 for v in deg.values())
+    tris = 0
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            tris += 1
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tris
+
+
+_docs_gen = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.sampled_from(["s1", "s2", "s3", "s4"]),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(rows=_docs_gen)
+@_slow
+def test_mutual_information_structure(spark, rows):
+    """F19: quantized MI contributions sum to >= -(cells * 1e-6)
+    (true MI is non-negative; floor quantization can only push each
+    cell down by < 1e-6 of its mass) and cell counts reproduce the
+    input exactly."""
+    from icecube_spark.operators.text import mutual_information
+
+    pdf = pd.DataFrame([{"lang": a, "source": b} for a, b in rows])
+    out = mutual_information(
+        spark.createDataFrame(pdf), "lang", "source"
+    ).toPandas()
+    assert int(out["n"].sum()) == len(rows)
+    assert out["mi_contrib"].sum() >= -len(out) * 1e-6
