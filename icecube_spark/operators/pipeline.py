@@ -1068,11 +1068,17 @@ def feature_binning(
         df.crossJoin(F.broadcast(stats))
         .select(
             F.lit("width").alias("method"),
-            F.least(
-                F.lit(n_bins - 1),
-                F.floor(
-                    (v - F.col("vmin")) * n_bins / (F.col("vmax") - F.col("vmin"))
-                ),
+            # constant column: vmax == vmin divides by zero — every
+            # row belongs in bin 0, not NaN
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (v - F.col("vmin")) * n_bins
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                )
             ).cast("int").alias("bin"),
             v.alias("v"),
         )

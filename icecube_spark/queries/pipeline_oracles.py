@@ -544,7 +544,9 @@ ORACLES["feature_binning"] = """
     cut_arr AS (SELECT array_agg(cut ORDER BY cut) AS cut_list FROM cuts),
     width AS (
         SELECT 'width' AS method,
-               CAST(LEAST(9, FLOOR((v - vmin) * 10 / (vmax - vmin)))
+               CAST(CASE WHEN vmax = vmin THEN 0
+                         ELSE LEAST(9, FLOOR((v - vmin) * 10
+                                             / (vmax - vmin))) END
                     AS INT) AS bin,
                v
         FROM vals, stats

@@ -487,3 +487,25 @@ def test_mutual_information_structure(spark, rows):
     ).toPandas()
     assert int(out["n"].sum()) == len(rows)
     assert out["mi_contrib"].sum() >= -len(out) * 1e-6
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([1.0, 1.0, 1.0, 2.5, 7.0]), min_size=1, max_size=20
+    )
+)
+@_slow
+def test_feature_binning_degenerate_inputs(spark, vals):
+    """P34: constant columns and heavy pileups must not produce NaN
+    or NULL bins — every row lands in a bin, totals reconcile, and a
+    constant column collapses to bin 0 for both methods."""
+    from icecube_spark.operators.pipeline import feature_binning
+
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    out = feature_binning(df, "v", n_bins=10).toPandas()
+    assert out["bin"].notna().all()
+    for method in ("width", "depth"):
+        sub = out[out["method"] == method]
+        assert int(sub["n"].sum()) == len(vals)
+    if len(set(vals)) == 1:
+        assert set(out["bin"]) == {0}
