@@ -1122,12 +1122,15 @@ ORACLES["minhash_eval_f1"] = f"""
     WITH acc AS ({ORACLES["minhash_accuracy"]}),
     c AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
-               CAST(SUM(CASE WHEN est_jaccard >= 0.8 AND jaccard >= 0.8
-                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-               CAST(SUM(CASE WHEN est_jaccard >= 0.8 AND jaccard < 0.8
-                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-               CAST(SUM(CASE WHEN est_jaccard < 0.8 AND jaccard >= 0.8
-                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+               CAST(COALESCE(SUM(CASE WHEN est_jaccard >= 0.8
+                                       AND jaccard >= 0.8
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN est_jaccard >= 0.8
+                                       AND jaccard < 0.8
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+               CAST(COALESCE(SUM(CASE WHEN est_jaccard < 0.8
+                                       AND jaccard >= 0.8
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
         FROM acc
     )
     SELECT n_candidates, tp, fp, fn,

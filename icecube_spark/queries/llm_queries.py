@@ -478,9 +478,13 @@ def minhash_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = F.col("jaccard") >= 0.8
     agg = acc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-        F.sum(F.when(pred & truth, 1).otherwise(0)).cast("bigint").alias("tp"),
-        F.sum(F.when(pred & ~truth, 1).otherwise(0)).cast("bigint").alias("fp"),
-        F.sum(F.when(~pred & truth, 1).otherwise(0)).cast("bigint").alias("fn"),
+        # empty candidate set: SUM over zero rows is NULL, report 0s
+        F.coalesce(F.sum(F.when(pred & truth, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("tp"),
+        F.coalesce(F.sum(F.when(pred & ~truth, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("fp"),
+        F.coalesce(F.sum(F.when(~pred & truth, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("fn"),
     )
     z = F.lit(0.0)
     return agg.select(
