@@ -28,6 +28,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # driver-confirmed green in round 1 close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest (never graded) lead the registration order ---
+    "js_divergence_langs": lq.js_divergence_langs,
     "series_lead_lag": tsq.series_lead_lag,
     "curation_waterfall": pq.curation_waterfall,
     "dedup_incremental": lq.dedup_incremental,

@@ -938,3 +938,73 @@ def vocab_coverage(
         )
         cut_rows = row if cut_rows is None else cut_rows.unionAll(row)
     return cut_rows.orderBy("top_k")
+
+
+def js_divergence_matrix(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """F27 — pairwise Jensen-Shannon divergence between the groups'
+    unigram distributions: the symmetric, bounded [0, ln2] distance
+    between language (or source) term distributions — entropy (F22)
+    says how diverse ONE feed is, JS says how far apart TWO are
+    (language separation, source-overlap detection, split-drift).
+
+    Exactness: each (pair, term) log-ratio ln(p/m) quantizes once to
+    micro-nats; the weighted sums are exact integers divided once per
+    side at the end.
+
+    Plan: one (group, term) count shuffle; the group-pair frame is a
+    |G|² broadcast crossJoin and each count row fans out to at most
+    |G|-1 pairs (bounded); the per-(pair, term) zero-fill falls out
+    of a conditional aggregate — no full-outer self-joins. Output is
+    |G|·(|G|-1)/2 rows.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.expr(_toks(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("n").alias("tot"))
+    groups = totals.select(F.col("g").alias("ga"), F.col("tot").alias("ta"))
+    pairs = groups.crossJoin(
+        F.broadcast(
+            totals.select(F.col("g").alias("gb"), F.col("tot").alias("tb"))
+        )
+    ).where(F.col("ga") < F.col("gb"))
+    j = pairs.join(
+        counts, (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb"))
+    )
+    cell = j.groupBy("ga", "gb", "ta", "tb", "tok").agg(
+        F.sum(F.when(F.col("g") == F.col("ga"), F.col("n")).otherwise(0))
+        .alias("na"),
+        F.sum(F.when(F.col("g") == F.col("gb"), F.col("n")).otherwise(0))
+        .alias("nb"),
+    )
+    pa = F.col("na").cast("double") / F.col("ta").cast("double")
+    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    qa = F.when(
+        F.col("na") > 0, F.floor(F.log(pa / m) * F.lit(1e6)).cast("bigint")
+    ).otherwise(F.lit(0))
+    qb = F.when(
+        F.col("nb") > 0, F.floor(F.log(pb / m) * F.lit(1e6)).cast("bigint")
+    ).otherwise(F.lit(0))
+    agg = cell.groupBy("ga", "gb", "ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("na") * qa).alias("sa"),
+        F.sum(F.col("nb") * qb).alias("sb"),
+    )
+    js = (
+        F.col("sa").cast("double") / F.col("ta").cast("double")
+        + F.col("sb").cast("double") / F.col("tb").cast("double")
+    ) / F.lit(2e6)
+    return agg.select(
+        F.col("ga"),
+        F.col("gb"),
+        "n_terms",
+        js.alias("js_divergence"),
+    ).orderBy("ga", "gb")

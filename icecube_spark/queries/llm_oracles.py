@@ -1327,3 +1327,47 @@ ORACLES["dedup_incremental"] = f"""
     GROUP BY 1, 2
     ORDER BY source, status
 """
+
+ORACLES["js_divergence_langs"] = f"""
+    WITH counts AS (
+        SELECT lang AS g, tok, COUNT(*) AS n FROM (
+            SELECT lang, UNNEST({_TOKS}) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2
+    ),
+    totals AS (SELECT g, SUM(n) AS tot FROM counts GROUP BY 1),
+    pairs AS (
+        SELECT a.g AS ga, a.tot AS ta, b.g AS gb, b.tot AS tb
+        FROM totals a CROSS JOIN totals b
+        WHERE a.g < b.g
+    ),
+    cell AS (
+        SELECT p.ga, p.gb, p.ta, p.tb, c.tok,
+               SUM(CASE WHEN c.g = p.ga THEN c.n ELSE 0 END) AS na,
+               SUM(CASE WHEN c.g = p.gb THEN c.n ELSE 0 END) AS nb
+        FROM pairs p
+        JOIN counts c ON c.g = p.ga OR c.g = p.gb
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    q AS (
+        SELECT ga, gb, ta, tb, na, nb,
+               CASE WHEN na > 0 THEN CAST(FLOOR(ln(
+                   (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                   / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+                       + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+                   * 1e6) AS BIGINT) ELSE 0 END AS qa,
+               CASE WHEN nb > 0 THEN CAST(FLOOR(ln(
+                   (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+                   / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+                       + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+                   * 1e6) AS BIGINT) ELSE 0 END AS qb
+        FROM cell
+    )
+    SELECT ga, gb,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           (CAST(SUM(na * qa) AS DOUBLE) / CAST(MAX(ta) AS DOUBLE)
+            + CAST(SUM(nb * qb) AS DOUBLE) / CAST(MAX(tb) AS DOUBLE))
+           / 2e6 AS js_divergence
+    FROM q
+    GROUP BY ga, gb
+    ORDER BY ga, gb
+"""

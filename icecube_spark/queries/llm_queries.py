@@ -619,3 +619,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-of-base / dup-in-delta counts for an arriving 20% batch
     against the existing 80% corpus."""
     return dedup.incremental_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27 — pairwise JS divergence between language unigram
+    distributions (language-separation matrix)."""
+    return text.js_divergence_matrix(_docs(spark, sf_dir), "lang", "text")

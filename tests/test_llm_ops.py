@@ -60,6 +60,7 @@ CASES = [
     ("vocab_coverage", lq.vocab_coverage),
     ("pq_code_balance", lq.pq_code_balance),
     ("dedup_incremental", lq.dedup_incremental),
+    ("js_divergence_langs", lq.js_divergence_langs),
 ]
 
 
