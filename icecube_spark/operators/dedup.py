@@ -135,6 +135,7 @@ def minhash_lsh_pairs(
     band_rows: int = 4,
     grams: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """D2 — MinHash+LSH near-dup pairs, verified by exact Jaccard.
 
@@ -147,6 +148,17 @@ def minhash_lsh_pairs(
     table so a session running several dedup reports computes the
     shingling and the 64 min-hash aggregates ONCE (the staging-table
     pattern; see queries/llm_queries.staged_corpus).
+
+    Degenerate-bucket guard (`collapse_exact`): real crawls carry
+    mass exact-duplicate templates; all N copies land in the SAME
+    band buckets, making the bucket self-join O(N²) in candidates.
+    Before banding we collapse exact-normalized-text groups to their
+    min-id representative, run LSH over representatives only, then
+    expand representative pairs back to member pairs. This is
+    OUTPUT-IDENTICAL: identical texts have identical signatures (so
+    collapse changes no bucket membership decision) and Jaccard
+    exactly 1.0 >= any threshold, while the band self-join sees each
+    distinct text once — candidate growth is linear in duplicates.
     """
     if grams is None:
         grams = with_grams(df.select(id_col, text_col), text_col).select(
@@ -154,6 +166,19 @@ def minhash_lsh_pairs(
         )
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+
+    members = None
+    if collapse_exact:
+        # one shuffle on the 128-bit content hash; reps = min id per group
+        hashed = df.select(
+            F.col(id_col), F.md5(normalized(text_col)).alias("_th")
+        )
+        reps = hashed.groupBy("_th").agg(F.min(id_col).alias("_rep"))
+        members = hashed.join(reps, "_th").select(id_col, "_rep")
+        rep_ids = reps.select(F.col("_rep").alias(id_col))
+        grams = grams.join(rep_ids, id_col, "left_semi")
+        sigs = sigs.join(rep_ids, id_col, "left_semi")
+
     bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
     exploded = sigs.select(
         id_col,
@@ -185,9 +210,44 @@ def minhash_lsh_pairs(
     )
     # filter_once: otherwise the threshold pushes into the join
     # condition and array_intersect runs twice per candidate pair
-    return filter_once(scored, F.col("jaccard") >= threshold).select(
+    rep_pairs = filter_once(scored, F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
+    if not collapse_exact:
+        return rep_pairs
+
+    # Expand representative pairs to member pairs. Intra-group pairs
+    # (identical text) get Jaccard via the SAME division shape
+    # (size/size -> exactly 1.0, NULL-safe on empty gram sets) so the
+    # emitted doubles are bit-identical to the uncollapsed plan.
+    ma = members.select(F.col(id_col).alias("_ida"), F.col("_rep").alias("doc_a"))
+    mb = members.select(F.col(id_col).alias("_idb"), F.col("_rep").alias("doc_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    gsz = grams.select(
+        F.col(id_col).alias("_rep"),
+        (F.size("grams") / F.size("grams")).alias("jaccard"),
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "_rep")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .join(gsz, "_rep")
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = filter_once(intra, F.col("jaccard") >= threshold)
+    return cross.unionByName(intra)
 
 
 def capped_gram_candidates(
@@ -237,7 +297,17 @@ def ngram_jaccard_pairs(
     capped index. Same candidate/verify shape as minhash_lsh_pairs,
     with deterministic (not probabilistic) candidate recall for any
     pair sharing >= 1 gram with df <= max_df.
+
+    NOTE: `max_df` only applies when `cands` is None — a caller
+    passing a pre-staged candidate table (staged_candidates) owns the
+    cap that table was built with, and this function will not
+    re-derive or re-check it.
     """
+    if cands is not None and max_df != 64:
+        raise ValueError(
+            "max_df is ignored when a pre-staged cands table is passed; "
+            "build the staged candidates with the desired max_df instead"
+        )
     if grams is None:
         grams = _materialized_grams(df, id_col, text_col)
     if cands is None:
@@ -551,15 +621,20 @@ def near_dup_diff(
 
 
 def incremental_dedup(
-    df: DataFrame, id_col: str, text_col: str, base_pct: int = 80
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_pct: int = 80,
+    group_col: str = "source",
 ) -> DataFrame:
     """D10 — incremental ingestion dedup: split the corpus into an
     existing BASE (md5-bucket < base_pct) and an arriving DELTA, and
-    report, per source, how many delta docs are exact duplicates of
-    base content vs duplicates WITHIN the delta vs novel. This is the
-    path production dedup actually runs — new-vs-index, never
-    all-pairs over history — and the split is the same append-stable
-    hash convention as train_test_split, so re-runs are deterministic.
+    report, per `group_col` (default "source"), how many delta docs
+    are exact duplicates of base content vs duplicates WITHIN the
+    delta vs novel. This is the path production dedup actually runs —
+    new-vs-index, never all-pairs over history — and the split is the
+    same append-stable hash convention as train_test_split, so
+    re-runs are deterministic.
 
     Plan: one content-hash projection; the base side collapses to
     DISTINCT digests (digest-only shuffle, 32 B/row at any history

@@ -923,21 +923,29 @@ def vocab_coverage(
             )
         ).alias("vocab"),
     )
-    cut_rows = None
-    for k in cuts:
-        row = (
-            ranked.where(F.col("rank") == F.least(F.lit(k), F.col("vocab")))
-            .select(
-                F.lit(k).alias("top_k"),
-                F.col("rank").cast("bigint").alias("k_effective"),
-                F.col("vocab").cast("bigint").alias("vocab"),
-                F.col("total").cast("bigint").alias("n_tokens"),
-                (F.col("cum").cast("double") / F.col("total").cast("double"))
-                .alias("coverage"),
-            )
+    # Single pass: the cuts are a broadcast |cuts|-row frame joined on
+    # rank == least(top_k, vocab) (mirroring the oracle's ks JOIN
+    # ranked), so the token-count shuffle and the global windows run
+    # ONCE — the per-cut filtered-branch unionAll re-evaluated them
+    # once per cut unless exchange reuse happened to kick in.
+    cuts_df = df.sparkSession.createDataFrame(
+        [(int(k),) for k in cuts], "top_k int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(cuts_df),
+            F.col("rank") == F.least(F.col("top_k"), F.col("vocab")),
         )
-        cut_rows = row if cut_rows is None else cut_rows.unionAll(row)
-    return cut_rows.orderBy("top_k")
+        .select(
+            "top_k",
+            F.col("rank").cast("bigint").alias("k_effective"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.col("total").cast("bigint").alias("n_tokens"),
+            (F.col("cum").cast("double") / F.col("total").cast("double"))
+            .alias("coverage"),
+        )
+        .orderBy("top_k")
+    )
 
 
 def js_divergence_matrix(

@@ -340,8 +340,9 @@ ORACLES["vocab_stats"] = f"""
     counts AS (
         SELECT source, term, COUNT(*) AS n FROM terms
         WHERE term != '' GROUP BY 1, 2)
-    SELECT source, SUM(n) AS n_tokens, COUNT(*) AS vocab_size,
-           count_if(n = 1) AS n_hapax,
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab_size,
+           CAST(count_if(n = 1) AS BIGINT) AS n_hapax,
            COUNT(*) / SUM(n) AS type_token_ratio
     FROM counts GROUP BY source ORDER BY source
 """

@@ -114,7 +114,8 @@ ORACLES.update({
         eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
         gram_docs AS (SELECT gram, COUNT(*) AS n_docs FROM eg GROUP BY gram)
         SELECT doc_id, COUNT(*) AS n_grams,
-               SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+               CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
                SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / COUNT(*) AS dup_fraction
         FROM eg JOIN gram_docs USING (gram)
         GROUP BY doc_id ORDER BY doc_id

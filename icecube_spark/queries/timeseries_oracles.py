@@ -806,9 +806,9 @@ ORACLES.update({
             FROM opened o FULL JOIN done d ON o.day = d.day
         )
         SELECT CAST(day AS TIMESTAMP) AS day, opened, completed,
-               SUM(opened - completed) OVER (
+               CAST(SUM(opened - completed) OVER (
                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND CURRENT ROW) AS backlog
+                   AND CURRENT ROW) AS BIGINT) AS backlog
         FROM daily
     """,
 })
@@ -963,9 +963,9 @@ ORACLES["survival_km"] = """
     n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
     risk AS (
         SELECT t, d,
-               n_total - COALESCE(SUM(d + c) OVER (
+               CAST(n_total - COALESCE(SUM(d + c) OVER (
                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND 1 PRECEDING), 0) AS n_at_risk
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
         FROM grp, n_tot),
     fac AS (
         SELECT t, d, n_at_risk,

@@ -37,6 +37,18 @@ def compare(got, want) -> tuple[bool, str]:
                 )
     got = got.sort_values(by=cols, ignore_index=True)
     want = want.sort_values(by=cols, ignore_index=True)
+    # Driver-hash canonicalization guard: the driver hashes rendered values,
+    # so a dtype-kind difference (e.g. DuckDB HUGEINT -> float64/object vs
+    # Spark BIGINT -> int64) hash-mismatches even when values are equal.
+    # Catch representation drift here, before the driver sees it.
+    for c in cols:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if gk != wk and not (len(got) == 0):
+            # int-vs-float or int-vs-object drift is exactly the r2
+            # survival_km/order_backlog failure signature.
+            if {gk, wk} <= {"i", "u"}:
+                continue  # signed/unsigned int width only; renders the same
+            return False, f"dtype drift in col {c}: {got[c].dtype} vs {want[c].dtype}"
     for c in cols:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if g.dtype.kind == "f" or w.dtype.kind == "f":
