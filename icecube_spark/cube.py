@@ -65,6 +65,31 @@ class Datacube:
             (F.col(self.key_col) == F.lit(key)) & (F.col(self.ts_col) == F.lit(ts))
         )
 
+    def get_layer_array(self, key, ts, height: int, width: int):
+        """Dense 2-D pixel array for ONE (key, ts) layer — the
+        reference's get_product_values xarray accessor
+        (icecube/bin/datacube.py), re-expressed as a bounded
+        driver-side materialization: the scan is pruned to a single
+        layer before anything leaves the executors, so the transfer
+        is one layer's pixels regardless of cube size. Returns a
+        float64 ndarray of shape (height, width); raises KeyError if
+        the layer does not exist and ValueError if the stored pixel
+        count does not match height*width."""
+        import numpy as np
+
+        rows = self.get_layer(key, ts).select("pixels").collect()
+        if not rows:
+            raise KeyError(f"no layer for ({key!r}, {ts!r})")
+        pix = rows[0]["pixels"]
+        if pix is None:
+            return np.full((height, width), np.nan)
+        arr = np.asarray(pix, dtype="f8")
+        if arr.size != height * width:
+            raise ValueError(
+                f"layer has {arr.size} pixels, expected {height}x{width}"
+            )
+        return arr.reshape(height, width)
+
     def merge(self, other: "Datacube") -> "Datacube":
         """Union two cubes; on (key, ts) conflict the left cube wins
         (reference merge_xrdatasets combine_attrs='drop_conflicts')."""
@@ -163,6 +188,43 @@ def create_cube_from_rasters(
         cube_df = layers
         ts_col = "acquisition_date"
     return Datacube(cube_df, "product_file", ts_col, ["pixels"])
+
+
+def create_cube_from_slc(
+    spark: SparkSession, slc_dir: str, config: CubeConfig | str | None
+) -> Datacube:
+    """SLC twin of create_cube_from_rasters — the reference's
+    SLCDatacube.create path (icecube/bin/sar_cube/slc_datacube.py:
+    102-162): crawl .h5 metadata + decode the s_i/s_q channels
+    (sources/hdf5.py, distributed Arrow maps; dependency-free for
+    contiguous files, h5py when present), then the same config
+    filters and temporal grid as the GRD path. Bands follow the
+    reference's naming: Real = s_i, Complex = s_q
+    (datacube_variables.py:16-17)."""
+    if not isinstance(config, CubeConfig):
+        config = CubeConfig.load(config)
+    from icecube_spark.sources.hdf5 import crawl_slc_metadata, decode_slc
+
+    bdf = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.h5"
+    ).load(slc_dir)
+    meta = crawl_slc_metadata(bdf)
+    layers = meta.join(
+        decode_slc(bdf).select(
+            "path",
+            F.col("s_i").alias("Real"),
+            F.col("s_q").alias("Complex"),
+        ),
+        "path",
+    )
+    return build_cube(
+        layers,
+        config,
+        key_col="product_file",
+        ts_col="acquisition_date",
+        angle_col="incidence_center",
+        band_cols=["Real", "Complex"],
+    )
 
 
 def build_cube(

@@ -196,15 +196,32 @@ def read_netcdf3(path: str):
     return dict(dims), variables, gattrs
 
 
-def cube_to_netcdf(dc, path: str, height: int, width: int) -> None:
+def cube_to_netcdf(
+    dc, path: str, height: int, width: int, max_layers: int = 4096
+) -> None:
     """Export a raster Datacube (one pixels-array layer per time
     slot, cube.create_cube_from_rasters shape) to a classic netCDF-3
     file the reference's read_cube/xarray can open: intensity
     (band, azimuth, range) + per-band product/date coordinate vars —
     the to_file parity surface (datacube.py:203). The collect is the
-    same single-file materialization the reference performs."""
+    same single-file materialization the reference performs.
+
+    Classic netCDF-3 is a single-node format, so this collects to
+    the driver by design — but only after a cheap count() guard:
+    exports above `max_layers` layers (or whose pixel payload would
+    exceed driver memory) must go through the parquet/partitioned
+    sinks instead of silently OOMing the driver."""
     import numpy as np
 
+    n_layers = dc.df.count()
+    approx_bytes = n_layers * height * width * 8
+    if n_layers > max_layers or approx_bytes > 4 << 30:
+        raise ValueError(
+            f"refusing single-file netCDF-3 export of {n_layers} layers "
+            f"(~{approx_bytes / 2**30:.1f} GiB dense): the classic format "
+            f"is driver-materialized; raise max_layers explicitly or use "
+            f"the distributed parquet sink for cubes this large"
+        )
     rows = dc.df.orderBy(dc.ts_col).collect()
     band = len(rows)
     pix = np.full((band, height, width), np.nan)

@@ -115,10 +115,23 @@ def decode_tiff_pixels(data: bytes):
     endian, tags = parsed
     compression = int(tags.get(TAG_COMPRESSION, [1])[0])
     if compression != 1:
-        raise NotImplementedError(
-            f"TIFF compression {compression} needs rasterio; only "
-            "uncompressed (1) decodes dependency-free"
-        )
+        # optional-dependency path: rasterio decodes any compression
+        # in-memory when importable; the pure-Python reader stays the
+        # dependency-free fallback for uncompressed files
+        try:
+            import rasterio
+            from rasterio.io import MemoryFile
+        except ImportError:
+            raise NotImplementedError(
+                f"TIFF compression {compression} needs rasterio; only "
+                "uncompressed (1) decodes dependency-free"
+            ) from None
+        with MemoryFile(data) as mf:  # pragma: no cover
+            with mf.open() as src:
+                arr = src.read()
+        if arr.shape[0] == 1:  # pragma: no cover
+            return arr[0]
+        return np.moveaxis(arr, 0, -1)  # pragma: no cover
     width = int(tags[TAG_WIDTH][0])
     height = int(tags[TAG_HEIGHT][0])
     bits = int(tags.get(TAG_BITS, [8])[0])

@@ -179,3 +179,38 @@ def test_netcdf3_cube_bridge(spark, tmp_path):
         for r in back.df.collect()
     }
     assert got == orig
+
+
+def test_netcdf3_export_size_guard(spark, tmp_path):
+    """cube_to_netcdf is driver-materialized by design; exports above
+    the layer/byte budget must refuse instead of collecting."""
+    from icecube_spark.sources.netcdf3 import cube_to_netcdf
+
+    dc = create_cube_from_rasters(spark, GRD, _cfg("_default"))
+    with pytest.raises(ValueError, match="refusing single-file"):
+        cube_to_netcdf(dc, str(tmp_path / "x.nc"), height=10, width=10,
+                       max_layers=2)
+    # a generous pixel budget still trips the byte guard
+    with pytest.raises(ValueError, match="refusing single-file"):
+        cube_to_netcdf(dc, str(tmp_path / "x.nc"),
+                       height=1 << 16, width=1 << 16, max_layers=10)
+
+
+def test_get_layer_array_roundtrip(spark):
+    """Dense-layer accessor parity (reference datacube.py
+    get_product_values): the 2-D array equals the decoded TIFF."""
+    import numpy as np
+
+    dc = create_cube_from_rasters(spark, GRD, _cfg("_default"))
+    row = dc.df.orderBy("acquisition_date").first()
+    arr = dc.get_layer_array(row.product_file, row.acquisition_date,
+                             height=10, width=10)
+    want = decode_tiff_pixels(
+        open(os.path.join(GRD, row.product_file), "rb").read()
+    ).astype("float64")
+    assert arr.shape == (10, 10)
+    assert (arr == want).all()
+    with pytest.raises(KeyError):
+        dc.get_layer_array("nope.tif", row.acquisition_date, 10, 10)
+    with pytest.raises(ValueError):
+        dc.get_layer_array(row.product_file, row.acquisition_date, 3, 3)
