@@ -35,3 +35,19 @@ def test_oracle_sql_is_nonempty_select():
     for k, sql in entry.oracle_sql().items():
         s = sql.strip().upper()
         assert s.startswith(("SELECT", "WITH")), k
+
+
+def test_plans_audit_covers_every_registered_key():
+    """PLANS.md (scripts/explain_audit.py output) must hold one plan
+    section per registered query — the every-key explain-audit
+    invariant (VERDICT r2 item 4)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    sections = set(re.findall(r"^## (\S+)", open(path).read(), re.M))
+    registered = set(entry.queries())
+    missing = registered - sections
+    stale = sections - registered
+    assert not missing, f"PLANS.md missing sections: {sorted(missing)}"
+    assert not stale, f"PLANS.md stale sections: {sorted(stale)}"

@@ -327,3 +327,45 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
         )
     )
     assert key(got) == key(want)
+
+
+# Keys whose plans rely on per-group rank pruning: Spark's
+# WindowGroupLimit pushes the rank<=k filter below the exchange so
+# each partition ships only its local top-k. A Spark-version or
+# refactor regression that drops the rule would silently reintroduce
+# a full global sort — pin the physical-plan invariant here
+# (VERDICT r2 item 9).
+WINDOW_GROUP_LIMIT_KEYS = [
+    "curation_waterfall", "mmr_diversify", "q2_min_cost_supplier",
+    "event_paths", "changepoint_cusum", "ann_recall_eval",
+    "downsample_lttb", "cdc_merge", "embed_cosine_topk",
+    "embed_knn_label", "embed_ann_lsh", "doc_top_tfidf",
+    "topk_terms_per_lang", "sample_per_group", "embed_ann_ivf",
+    "pq_code_balance", "label_agreement", "embed_pq_codes",
+    "top_parts_by_revenue", "cube_temporal_dedup", "cube_merge",
+]
+# Global top-k keys: TakeOrderedAndProject (per-partition heap + one
+# merge), never Sort + Limit over the full exchange.
+TAKE_ORDERED_KEYS = ["basket_pairs", "basket_lift", "bm25_topk"]
+
+
+@pytest.mark.parametrize("name", WINDOW_GROUP_LIMIT_KEYS)
+def test_rank_topk_has_window_group_limit(spark, sf_dir, name):
+    import __spark_entry__ as entry_mod
+
+    plan = (
+        entry_mod.queries()[name](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, f"{name} lost its rank-filter pruning"
+
+
+@pytest.mark.parametrize("name", TAKE_ORDERED_KEYS)
+def test_global_topk_is_take_ordered(spark, sf_dir, name):
+    import __spark_entry__ as entry_mod
+
+    plan = (
+        entry_mod.queries()[name](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrdered" in plan, f"{name} lost its top-k heap merge"
