@@ -28,6 +28,23 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # the D2 collapse-affected family) lead, then the 117 keys with no
 # driver evidence yet, then the 87 keys already driver-green in r1/r2.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new this round (F28-F31) ---
+    "bigram_logprob": lq.bigram_logprob,
+    "heaps_fit": lq.heaps_fit,
+    "code_detect": lq.code_detect,
+    "stopword_profile": lq.stopword_profile,
+    # --- new this round (E21-E23) ---
+    "pq_adc_topk": lq.pq_adc_topk,
+    "embed_drift": lq.embed_drift,
+    "cosine_adjacent_hist": lq.cosine_adjacent_hist,
+    # --- new this round (P40-P41) ---
+    "truncation_loss": pq.truncation_loss,
+    "shard_skew_report": pq.shard_skew_report,
+    # --- new this round (C65-C68) ---
+    "theil_sen_trend": tsq.theil_sen_trend,
+    "ks_drift": tsq.ks_drift,
+    "benford_deviation": tsq.benford_deviation,
+    "record_days": tsq.record_days,
     # --- repaired/affected this round: driver must re-grade ---
     "survival_km": tsq.survival_km,
     "order_backlog": tsq.order_backlog,

@@ -1197,3 +1197,101 @@ def shard_checksums(
         )
         .orderBy("shard")
     )
+
+
+def truncation_loss(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cuts: tuple = (512, 1024, 2048, 4096),
+) -> DataFrame:
+    """P40 — context-length planning: for each candidate cut L, how
+    many documents exceed L whitespace tokens, what fraction of all
+    corpus tokens truncation at L discards, and the share of docs
+    untouched. The curve that decides the training context length —
+    2k may lose 0.3% of tokens, 512 may lose a quarter.
+
+    Exactness: token counts and losses are exact integers; fractions
+    are single INT/INT divisions.
+
+    Plan: one map-only token-count projection, a broadcast join onto
+    the |cuts|-row frame (each doc row fans out |cuts| times — still
+    linear), and a |cuts|-row aggregate. No corpus shuffle at all
+    with map-side partial aggregation.
+    """
+    from icecube_spark.operators.text import _toks
+
+    n_tok = df.select(
+        F.col(id_col),
+        F.expr(f"size(filter({_toks(text_col)}, t -> t != ''))").alias("n"),
+    )
+    cuts_df = df.sparkSession.createDataFrame(
+        [(int(c),) for c in cuts], "cut_tokens int"
+    )
+    j = n_tok.crossJoin(F.broadcast(cuts_df))
+    return (
+        j.groupBy("cut_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n") > F.col("cut_tokens"), 1).otherwise(0))
+            .cast("bigint").alias("n_truncated"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.lit(0), F.col("n") - F.col("cut_tokens"))
+            ).cast("bigint").alias("tokens_lost"),
+        )
+        .select(
+            "cut_tokens",
+            "n_docs",
+            "n_truncated",
+            "total_tokens",
+            "tokens_lost",
+            (
+                F.col("tokens_lost").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("frac_tokens_lost"),
+            (
+                (F.col("n_docs") - F.col("n_truncated")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("frac_docs_intact"),
+        )
+        .orderBy("cut_tokens")
+    )
+
+
+def shard_skew_report(
+    df: DataFrame, id_col: str, size_col: str, n_shards: int = 16
+) -> DataFrame:
+    """P41 — shard balance audit: per shard (P28's hash assignment)
+    the byte/doc totals PLUS the skew statistics a writer checks
+    before emitting 100 TB of shards — share of bytes, deviation from
+    the ideal 1/n share, and the max/mean imbalance factor stamped on
+    every row. An imbalance factor of 1.4 means the slowest reader
+    does 40% more IO than the mean: fix the key before writing, not
+    after.
+
+    Exactness: integer totals; shares and factors are fixed-shape
+    IEEE over identical ints.
+
+    Plan: P28's n_shards-row aggregate, then window stats over the
+    n_shards-row frame (single tiny partition — not a scale concern).
+    """
+    base = shard_manifest(df, id_col, size_col, n_shards)
+    w = Window.partitionBy()
+    tot = F.sum("total_bytes").over(w)
+    mean_b = tot.cast("double") / F.lit(float(n_shards))
+    return (
+        base.select(
+            "shard",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_bytes").cast("bigint").alias("total_bytes"),
+            (F.col("total_bytes").cast("double") / tot.cast("double"))
+            .alias("byte_share"),
+            (F.col("total_bytes").cast("double") / mean_b)
+            .alias("balance_factor"),
+            (
+                F.max("total_bytes").over(w).cast("double") / mean_b
+            ).alias("max_balance_factor"),
+        )
+        .orderBy("shard")
+    )

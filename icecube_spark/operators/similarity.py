@@ -996,3 +996,187 @@ def pq_code_balance(
         )
         .orderBy("subspace", "code")
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 4,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """E21 — PQ asymmetric-distance search: approximate top-k via the
+    corpus's PQ codes (E17) and per-query distance tables — the
+    actual query path of IVF-PQ engines (Jégou et al., TPAMI 2011).
+    The corpus contributes ONLY its code bytes; each query
+    precomputes its distance to every (subspace, code) centroid once,
+    and a candidate's distance is a table-lookup sum — no corpus
+    vector is ever touched at query time, which is why a billion
+    vectors fit in RAM.
+
+    Exactness: distance-table entries are the E17 floor(d²·1e12)
+    BIGINTs; ADC totals are exact integer sums; ranking compares
+    integers with id tiebreak.
+
+    Plan: codes come from pq_assign's bounded plan; the distance
+    table is n_queries × n_sub × n_codes rows — broadcast; the join
+    fans each code row out to n_queries rows (linear), and the final
+    per-query rank is WindowGroupLimit-pruned. The corpus-sized
+    shuffles carry (query, id, bigint) triples only.
+    """
+    slices = F.array(
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+            for s in range(n_sub)
+        ]
+    )
+    seeds = df.where(F.col(id_col) < n_codes).select(
+        F.col(id_col).cast("int").alias("code"),
+        F.posexplode(slices).alias("subspace", "cv"),
+    )
+    queries = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(slices).alias("subspace", "qv"),
+    )
+    qd_terms = " + ".join(
+        f"cast(floor((cast(element_at(qv, {j}) as double)"
+        f" - cast(element_at(cv, {j}) as double))"
+        f" * (cast(element_at(qv, {j}) as double)"
+        f" - cast(element_at(cv, {j}) as double)) * 1e12) as bigint)"
+        for j in range(1, sub_dim + 1)
+    )
+    dist_table = queries.join(F.broadcast(seeds), "subspace").select(
+        "query_id", "subspace", "code", F.expr(qd_terms).alias("qd")
+    )
+    codes = pq_assign(df, id_col, vec_col, n_sub, sub_dim, n_codes).select(
+        F.col(id_col).alias("neighbor_id"), "subspace", "code"
+    )
+    adc = (
+        codes.join(F.broadcast(dist_table), ["subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_q", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_q").cast("double") / F.lit(1e12)).alias("adc_dist"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def mean_drift(
+    df: DataFrame, id_col: str, vec_col: str, dim: int = EMBED_DIM
+) -> DataFrame:
+    """E22 — per-dimension embedding drift between two deterministic
+    halves of the corpus (even vs odd ids — append-stable stand-ins
+    for "last week's batch vs this week's"): dimension means per half
+    and their absolute gap. The cheap canary for encoder or
+    upstream-distribution change — a handful of drifting dimensions
+    means re-embedding or re-centering before ANN recall quietly
+    rots.
+
+    Exactness: per-half means are DECIMAL(18,8) folds of identical
+    element doubles (embed_label_centroids scheme); the gap is one
+    IEEE subtraction.
+
+    Plan: one posexplode + (dim) conditional aggregate — map-side
+    combined, 64 output rows, no join.
+    """
+    from icecube_spark.functions.parity import dsum
+
+    e = df.select(
+        (F.col(id_col) % 2 == 0).alias("even"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("xd", F.col("x").cast("double"))
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("even"), 1).otherwise(0))
+            .cast("bigint").alias("n_a"),
+            F.sum(F.when(~F.col("even"), 1).otherwise(0))
+            .cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("even"), F.col("xd").cast("decimal(18,8)")))
+            .cast("double").alias("s_a"),
+            F.sum(F.when(~F.col("even"), F.col("xd").cast("decimal(18,8)")))
+            .cast("double").alias("s_b"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_a",
+            "n_b",
+            (F.col("s_a") / F.col("n_a").cast("double")).alias("mean_a"),
+            (F.col("s_b") / F.col("n_b").cast("double")).alias("mean_b"),
+            F.abs(
+                F.col("s_a") / F.col("n_a").cast("double")
+                - F.col("s_b") / F.col("n_b").cast("double")
+            ).alias("abs_drift"),
+        )
+        .orderBy("dim")
+    )
+
+
+def adjacent_cosine_hist(
+    df: DataFrame, id_col: str, vec_col: str, n_bins: int = 20
+) -> DataFrame:
+    """E23 — cosine-similarity histogram over the deterministic
+    adjacent-id pair sample (vec i vs i+1): the corpus isotropy
+    profile. A healthy embedding space piles mass near 0; mass near 1
+    means collapsed/duplicated embeddings and ANN recall will look
+    great while retrieval is useless. The adjacent-pair sample is
+    linear in corpus size (vs quadratic all-pairs) and append-stable.
+
+    Exactness: cosines come from the exact-quantized dot and
+    correctly-rounded sqrt norms (E1 scheme) — identical doubles both
+    engines; bin ids are floor arithmetic; per-bin means fold in
+    DECIMAL(18,8).
+
+    Plan: one self-join on id+1 (both sides sorted the same way —
+    with ids unique this is a 1:1 merge), one n_bins-row aggregate.
+    """
+    a = df.select(
+        F.col(id_col).alias("ida"),
+        F.col(vec_col).alias("va"),
+        norm_expr(vec_col).alias("na"),
+    )
+    b = df.select(
+        (F.col(id_col) - 1).alias("ida"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(vec_col).alias("nb"),
+    )
+    pairs = a.join(b, "ida").withColumn(
+        "cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb"))
+    )
+    half = n_bins // 2
+    binc = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("cosine") + 1) * half).cast("int"),
+        ),
+    )
+    return (
+        pairs.select(binc.alias("bin"), "cosine")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("cosine").cast("decimal(18,8)"))
+            .cast("double").alias("s"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / half - 1).alias("bin_lo"),
+            "n_pairs",
+            (F.col("s") / F.col("n_pairs").cast("double")).alias("mean_cos"),
+        )
+        .orderBy("bin")
+    )

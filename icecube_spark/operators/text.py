@@ -1016,3 +1016,234 @@ def js_divergence_matrix(
         "n_terms",
         js.alias("js_divergence"),
     ).orderBy("ga", "gb")
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F28 — bigram language-model fluency score: per-doc mean
+    conditional log-probability ln p(w2|w1) under the corpus's own
+    add-1-smoothed bigram LM. The unigram score (F16) ranks rare
+    WORDS; this ranks rare TRANSITIONS — shuffled or templated text
+    with plausible vocabulary but broken word order scores low here
+    and normal there, which is exactly the gap the CCNet/KenLM
+    perplexity filters exploit.
+
+    Cross-engine exactness: ln() quantizes once per DISTINCT bigram
+    in the LM table — floor(ln(p)*1e6) micro-nats — then every
+    reduction is exact integer math (same scheme as F16).
+
+    Plan: two explodes (bigram LM counts, then doc bigrams), the LM
+    joined back on the bigram key — a vocab²-bounded (Zipf-bounded in
+    practice) shuffle join, NOT a broadcast, because the bigram table
+    outgrows driver memory at corpus scale; the per-doc aggregate is
+    map-side when docs are unsplit rows.
+    """
+    bigrams_expr = f"""
+        element_at(transform(array({_toks(text_col)}),
+          t -> CASE WHEN size(t) < 2 THEN array()
+                    ELSE transform(sequence(1, size(t) - 1),
+                         i -> concat(element_at(t, i), ' ',
+                                     element_at(t, i + 1)))
+               END), 1)
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bgs = df.select(
+        F.col(id_col), F.explode(F.expr(bigrams_expr)).alias("bg")
+    ).where(~F.col("bg").rlike("^ | $|^$"))
+    bi = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    lm = (
+        bi.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("bigint").alias("qlp_micro"),
+        )
+    )
+    return (
+        bgs.join(lm, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum("qlp_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("mean_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def heaps_fit(
+    df: DataFrame, group_col: str, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """F29 — Heaps'-law fit per group: regress ln(per-doc vocab) on
+    ln(per-doc tokens) across documents, V ≈ k·N^β. The vocabulary-
+    growth exponent β is the tokenizer/dedup sizing companion to the
+    Zipf slope (F17): β near 1 means unbounded novel vocabulary
+    (noisy / OCR feed), β near 0.5 is normal prose.
+
+    Exactness: per-doc N and V are ints; ln quantizes per doc to
+    micro-nats; moment sums fold in DECIMAL(38,0) exact integers;
+    the final slope/intercept divisions are quantized to a 1e-9 grid
+    (the >2^53 int→double cast is not correctly rounded in DuckDB —
+    same guard as corr_matrix).
+
+    Plan: one doc-level aggregate (token explode, map-side combined),
+    one tiny per-group moment aggregate — vocabulary never leaves
+    executors.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col),
+        F.explode(F.expr(_toks(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy("g", id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tok").alias("v"),
+    ).where(F.col("n") >= 2)
+    q = per_doc.select(
+        "g",
+        F.floor(F.log(F.col("n").cast("double")) * F.lit(1e6))
+        .cast("bigint").alias("lx"),
+        F.floor(F.log(F.col("v").cast("double")) * F.lit(1e6))
+        .cast("bigint").alias("ly"),
+    )
+    dec = "decimal(38,0)"
+    m = q.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum((F.col("lx").cast(dec) * F.col("lx"))).alias("sxx"),
+        F.sum((F.col("lx").cast(dec) * F.col("ly"))).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    beta_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    beta = F.floor(beta_raw * F.lit(1e9)).cast("bigint").cast("double") / F.lit(
+        1e9
+    )
+    # intercept in micro-nats -> ln k, same 1e-9 quantization
+    lnk_raw = (sy - beta_raw * sx) / n / F.lit(1e6)
+    lnk = F.floor(lnk_raw * F.lit(1e9)).cast("bigint").cast("double") / F.lit(
+        1e9
+    )
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_docs"),
+        beta.alias("heaps_beta"),
+        lnk.alias("heaps_ln_k"),
+    ).orderBy(group_col)
+
+
+CODE_KEYWORDS = (
+    "def", "class", "return", "import", "function", "var", "const",
+    "void", "int", "public", "static", "endif", "lambda",
+)
+
+
+def code_detect(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F30 — code-vs-prose heuristic per document: symbol density,
+    semicolon/brace rates per 100 chars, programming-keyword hits,
+    and the combined is_code verdict. Training-data mixes need the
+    code fraction measured (and often routed separately); this is
+    the dependency-free screen that runs before any learned
+    classifier.
+
+    Exactness: counts are regexp_replace length differences (same
+    POSIX classes both engines); ratios are fixed-shape IEEE over
+    identical ints.
+
+    Plan: pure codegen projection — no shuffle, no UDF; the final
+    orderBy is presentation-only.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    def count_re(pat):
+        return n - F.length(F.regexp_replace(t, pat, ""))
+    symbols = F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", ""))
+    semis = count_re(";")
+    braces = F.length(t) - F.length(F.regexp_replace(t, "[{}()\\[\\]]", ""))
+    kw_list = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    kw_hits = F.expr(
+        f"size(filter({_toks(text_col)}, t -> t IN ({kw_list})))"
+    )
+    per100 = lambda c: c.cast("double") * F.lit(100.0) / n.cast("double")
+    sym_ratio = symbols.cast("double") / n.cast("double")
+    is_code = (
+        (per100(semis) + per100(braces) >= F.lit(3.0))
+        | (kw_hits >= F.lit(3))
+    ) & (sym_ratio >= F.lit(0.05))
+    return df.where(n > 0).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        sym_ratio.alias("symbol_ratio"),
+        per100(semis).alias("semis_per_100"),
+        per100(braces).alias("braces_per_100"),
+        kw_hits.cast("int").alias("kw_hits"),
+        is_code.alias("is_code"),
+    ).orderBy(id_col)
+
+
+def stopword_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """F31 — stopword usage profile per group: total tokens, stopword
+    share, distinct stopwords seen, and the dominant stopword.
+    Natural prose keeps a stable stopword share (~0.2-0.4 for
+    English); keyword-stuffed or machine-generated feeds crater it —
+    a one-scan complement to the per-doc Gopher gates (F7).
+
+    Exactness: integer counts and one int-ratio division; the top
+    stopword is rank-selected with lexicographic tiebreak.
+
+    Plan: one token explode + (group, tok) count, then two small
+    aggregates on the same exchange.
+    """
+    sw_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.expr(_toks(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("is_sw", F.expr(f"tok IN ({sw_list})"))
+    w = Window.partitionBy("g").orderBy(
+        F.desc(F.when(F.col("is_sw"), F.col("n")).otherwise(F.lit(None))),
+        F.asc("tok"),
+    )
+    ranked = counts.withColumn(
+        "sw_rank", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("g")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("is_sw"), F.col("n")).otherwise(0))
+            .cast("bigint").alias("n_stopword_tokens"),
+            F.sum(F.when(F.col("is_sw"), 1).otherwise(0))
+            .cast("bigint").alias("n_distinct_stopwords"),
+            F.max(F.when((F.col("sw_rank") == 1) & F.col("is_sw"), F.col("tok")))
+            .alias("top_stopword"),
+            (
+                F.sum(F.when(F.col("is_sw"), F.col("n")).otherwise(0))
+                .cast("double")
+                / F.sum("n").cast("double")
+            ).alias("stopword_ratio"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens", "n_stopword_tokens", "n_distinct_stopwords",
+            "top_stopword", "stopword_ratio",
+        )
+        .orderBy(group_col)
+    )

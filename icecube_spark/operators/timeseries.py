@@ -1928,3 +1928,253 @@ def bollinger_bands(
         .otherwise(F.lit("in"))
         .alias("breach"),
     ).orderBy(key_col, "day_num")
+
+
+def theil_sen_trend(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C65 — Theil–Sen robust trend per key: the MEDIAN of all
+    pairwise slopes of the daily value series. OLS slope (C15
+    trend_slope) has a 0% breakdown point — one bad day drags the
+    fit; the Theil–Sen estimator tolerates ~29% contamination, which
+    is what you want on dirty operational metrics.
+
+    Exactness: daily values are decimal-fold sums; each pairwise
+    slope is one IEEE division of identical doubles; the median is a
+    rank-selected actual slope (PERCENTILE_DISC convention, rank
+    ceil(n/2), ties broken by day pair) — no interpolation, no float
+    folds.
+
+    Plan: one (key, day) aggregate, then a per-key self-join of the
+    DAILY series — O(days²) per key, bounded by the calendar (~3.7 k
+    days for a decade), NEVER by corpus row count, so the pair frame
+    stays small at any scale; the rank pass reuses the key exchange.
+    """
+    from icecube_spark.functions.parity import dsum
+
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "d")
+        .agg(dsum(value_col).alias("v"))
+    )
+    a = daily.select(
+        key_col, F.col("d").alias("da"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        key_col, F.col("d").alias("db"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, key_col).where(F.col("da") < F.col("db")).select(
+        key_col,
+        "da",
+        "db",
+        (
+            (F.col("vb") - F.col("va"))
+            / (F.col("db") - F.col("da")).cast("double")
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy(key_col)
+    wo = wp.orderBy("slope", "da", "db")
+    return (
+        pairs.select(
+            key_col,
+            "slope",
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.max(F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("slope")))
+            .alias("sen_slope"),
+            F.max("n").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def ks_drift(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C66 — two-sample Kolmogorov–Smirnov drift statistic per key:
+    split each key's events at the midpoint of its day range and
+    report D = max |ECDF_early − ECDF_late| plus the sample-size-
+    scaled statistic D·sqrt(n1·n2/(n1+n2)). The nonparametric
+    "did the distribution move" gate — mean/std drift checks miss
+    shape changes; KS doesn't.
+
+    Exactness: the split day is integer arithmetic; ECDFs are
+    integer-count ratios of identical ints; sqrt is IEEE-correctly-
+    rounded in both engines (unlike ln/exp) so the scaled statistic
+    is safe unquantized.
+
+    Plan: one (key, value-point) conditional aggregate, a cumulative
+    window on the same key exchange, one final max — no self-joins,
+    linear in distinct values.
+    """
+    days = df.select(
+        F.col(key_col),
+        F.datediff(
+            F.to_date(F.col(ts_col).cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        F.col(value_col).alias("x"),
+    )
+    wp = Window.partitionBy(key_col)
+    split = days.withColumn(
+        "mid",
+        F.floor((F.min("d").over(wp) + F.max("d").over(wp)) / F.lit(2)),
+    ).withColumn("early", F.col("d") <= F.col("mid"))
+    pts = split.groupBy(key_col, "x").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    wo = wp.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        key_col,
+        F.sum("c1").over(wo).alias("f1"),
+        F.sum("c2").over(wo).alias("f2"),
+        F.sum("c1").over(wp.rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing)).alias("n1"),
+        F.sum("c2").over(wp.rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing)).alias("n2"),
+    )
+    d_stat = F.abs(
+        F.col("f1").cast("double") / F.col("n1").cast("double")
+        - F.col("f2").cast("double") / F.col("n2").cast("double")
+    )
+    return (
+        cum.select(key_col, "n1", "n2", d_stat.alias("dd"))
+        .groupBy(key_col)
+        .agg(
+            F.max("n1").cast("bigint").alias("n_early"),
+            F.max("n2").cast("bigint").alias("n_late"),
+            F.max("dd").alias("ks_stat"),
+            (
+                F.max("dd")
+                * F.sqrt(
+                    (F.max("n1") * F.max("n2")).cast("double")
+                    / (F.max("n1") + F.max("n2")).cast("double")
+                )
+            ).alias("ks_scaled"),
+        )
+        .orderBy(key_col)
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), hardcoded as the
+# SAME literal doubles on both engine sides — computing them via
+# log10() risks last-ulp transcendental drift between JVM and C libm.
+BENFORD_P = [
+    (1, 0.3010299956639812), (2, 0.17609125905568124),
+    (3, 0.12493873660829993), (4, 0.09691001300805642),
+    (5, 0.07918124604762482), (6, 0.06694678963061322),
+    (7, 0.05799194697768673), (8, 0.05115252244738129),
+    (9, 0.04575749056067514),
+]
+
+
+def benford_deviation(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """C67 — Benford first-significant-digit audit per key: observed
+    digit shares vs Benford's law with per-digit chi² contributions —
+    the classic fabricated-data / instrumentation-bug screen for
+    metric feeds.
+
+    Exactness: the first significant digit comes from a %.6f render
+    (printf rounding is identical in JVM and C), NOT from
+    floor(log10(x)) whose boundary behavior is libm-dependent; the
+    Benford expectations are shared literal doubles; shares and chi²
+    terms are fixed-shape IEEE over identical ints.
+
+    Plan: one regexp projection + (key, digit) count — a single
+    map-side-combined aggregate; the 9-row expectation table
+    broadcasts.
+    """
+    spark = df.sparkSession
+    bp = F.broadcast(
+        spark.createDataFrame(BENFORD_P, "digit int, p_benford double")
+    )
+    digits = df.where(F.col(value_col) > 0).select(
+        F.col(key_col),
+        F.regexp_extract(
+            F.format_string("%.6f", F.col(value_col)), "[1-9]", 0
+        ).cast("int").alias("digit"),
+    ).where(F.col("digit").isNotNull())
+    counts = digits.groupBy(key_col, "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    wp = Window.partitionBy(key_col)
+    shares = counts.withColumn(
+        "total", F.sum("n_obs").over(wp)
+    ).join(bp, "digit")
+    p_obs = F.col("n_obs").cast("double") / F.col("total").cast("double")
+    chi2 = (p_obs - F.col("p_benford")) * (p_obs - F.col("p_benford")) / F.col(
+        "p_benford"
+    )
+    return shares.select(
+        key_col,
+        "digit",
+        "n_obs",
+        p_obs.alias("p_obs"),
+        "p_benford",
+        chi2.alias("chi2_term"),
+    ).orderBy(key_col, "digit")
+
+
+def record_days(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C68 — record-breaking days per key: days whose daily total
+    strictly exceeds every previous day's total, with the running
+    record they beat and the day gap since the last record. Record
+    statistics are the streak/extreme primitive dashboards ask for
+    ("biggest day ever") and a drift telltale (iid series produce
+    ~ln(n) records; trending series produce many more).
+
+    Exactness: daily values are decimal-fold sums; the running max
+    of identical decimals-as-doubles is engine-exact; flags are
+    comparisons only.
+
+    Plan: one (key, day) aggregate, one ordered window on the same
+    exchange — no joins.
+    """
+    from icecube_spark.functions.parity import dsum
+
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(dsum(value_col).alias("v"))
+    )
+    w = Window.partitionBy(key_col).orderBy("day_num")
+    prev_max = F.max("v").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = daily.withColumn("prev_record", prev_max).where(
+        F.col("prev_record").isNull() | (F.col("v") > F.col("prev_record"))
+    )
+    return rec.select(
+        key_col,
+        "day_num",
+        F.col("v").alias("daily_value"),
+        "prev_record",
+        (
+            F.col("day_num")
+            - F.lag("day_num").over(
+                Window.partitionBy(key_col).orderBy("day_num")
+            )
+        ).cast("bigint").alias("days_since_last_record"),
+    ).orderBy(key_col, "day_num")

@@ -1372,3 +1372,206 @@ ORACLES["js_divergence_langs"] = f"""
     GROUP BY ga, gb
     ORDER BY ga, gb
 """
+
+ORACLES["bigram_logprob"] = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    nz AS (SELECT * FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM nz GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    tl AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bgs0 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM tl WHERE len(t) >= 2),
+    bgs AS (
+        SELECT * FROM bgs0
+        WHERE NOT regexp_matches(bg, '^ | $|^$')),
+    bi AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY 1),
+    lm AS (
+        SELECT bg,
+               CAST(FLOOR(LN(CAST(c2 + 1 AS DOUBLE)
+                             / CAST(c1 + v AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS qlp_micro
+        FROM bi JOIN uni ON string_split(bi.bg, ' ')[1] = uni.tok
+        CROSS JOIN vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(qlp_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS mean_logprob
+    FROM bgs JOIN lm USING (bg)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["heaps_fit"] = f"""
+    WITH toks AS (
+        SELECT source, doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    nz AS (SELECT * FROM toks WHERE tok <> ''),
+    per_doc AS (
+        SELECT source, doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS v
+        FROM nz GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    q AS (
+        SELECT source,
+               CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+               CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+        FROM per_doc),
+    m AS (
+        SELECT source, COUNT(*) AS n,
+               SUM(CAST(lx AS HUGEINT)) AS sx,
+               SUM(CAST(ly AS HUGEINT)) AS sy,
+               SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+               SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+        FROM q GROUP BY 1),
+    fit AS (
+        SELECT source, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_raw
+        FROM m)
+    SELECT f.source,
+           CAST(f.n AS BIGINT) AS n_docs,
+           CAST(FLOOR(f.beta_raw * 1e9) AS BIGINT) / 1e9 AS heaps_beta,
+           CAST(FLOOR((CAST(m.sy AS DOUBLE) - f.beta_raw * CAST(m.sx AS DOUBLE))
+                      / CAST(f.n AS DOUBLE) / 1000000.0 * 1e9) AS BIGINT)
+             / 1e9 AS heaps_ln_k
+    FROM fit f JOIN m USING (source)
+    ORDER BY f.source
+"""
+
+ORACLES["code_detect"] = f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS symbol_ratio,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, ';', '', 'g'))
+                AS DOUBLE) * 100.0 / CAST(LENGTH(text) AS DOUBLE)
+               AS semis_per_100,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[{{}}()\\[\\]]',
+                '', 'g')) AS DOUBLE) * 100.0 / CAST(LENGTH(text) AS DOUBLE)
+               AS braces_per_100,
+           CAST(len(list_filter({_TOKS}, t -> t IN ('def', 'class', 'return',
+                'import', 'function', 'var', 'const', 'void', 'int', 'public',
+                'static', 'endif', 'lambda'))) AS INT) AS kw_hits,
+           ((CAST(LENGTH(text) - LENGTH(regexp_replace(text, ';', '', 'g'))
+                  AS DOUBLE) * 100.0 / CAST(LENGTH(text) AS DOUBLE)
+             + CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                    '[{{}}()\\[\\]]', '', 'g')) AS DOUBLE) * 100.0
+               / CAST(LENGTH(text) AS DOUBLE) >= 3.0
+             OR len(list_filter({_TOKS}, t -> t IN ('def', 'class', 'return',
+                    'import', 'function', 'var', 'const', 'void', 'int',
+                    'public', 'static', 'endif', 'lambda'))) >= 3)
+            AND CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) >= 0.05)
+               AS is_code
+    FROM documents WHERE LENGTH(text) > 0
+    ORDER BY doc_id
+"""
+
+ORACLES["stopword_profile"] = f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+    nz AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (
+        SELECT source, tok, COUNT(*) AS n,
+               tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
+                       'is', 'it') AS is_sw
+        FROM nz GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY CASE WHEN is_sw THEN n END DESC NULLS LAST, tok ASC)
+            AS sw_rank
+        FROM counts)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN is_sw THEN n ELSE 0 END) AS BIGINT)
+               AS n_stopword_tokens,
+           CAST(SUM(CASE WHEN is_sw THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_distinct_stopwords,
+           MAX(CASE WHEN sw_rank = 1 AND is_sw THEN tok END) AS top_stopword,
+           CAST(SUM(CASE WHEN is_sw THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS stopword_ratio
+    FROM ranked GROUP BY source ORDER BY source
+"""
+
+ORACLES["pq_adc_topk"] = """
+    WITH assign0 AS (
+        SELECT v.vec_id, t.s AS subspace, c.vec_id AS code,
+               (CAST(FLOOR((CAST(v.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * 1e12) AS BIGINT)) AS qd
+        FROM embeddings v
+        CROSS JOIN range(8) t(s)
+        JOIN embeddings c ON c.vec_id < 4),
+    codes AS (
+        SELECT vec_id AS neighbor_id, subspace, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                ORDER BY qd, code) AS rn
+            FROM assign0)
+        WHERE rn = 1),
+    dist AS (
+        SELECT q.vec_id AS query_id, t.s AS subspace,
+               c.vec_id AS code, (CAST(FLOOR((CAST(q.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * 1e12) AS BIGINT)) AS qd
+        FROM embeddings q
+        CROSS JOIN range(8) t(s)
+        JOIN embeddings c ON c.vec_id < 4
+        WHERE q.vec_id < 5),
+    adc AS (
+        SELECT d.query_id, codes.neighbor_id,
+               CAST(SUM(d.qd) AS BIGINT) AS adc_q
+        FROM codes JOIN dist d USING (subspace, code)
+        WHERE codes.neighbor_id != d.query_id
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           CAST(adc_q AS DOUBLE) / 1e12 AS adc_dist, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_q, neighbor_id) AS INT) AS rank
+        FROM adc)
+    WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+ORACLES["embed_drift"] = """
+    WITH e AS (
+        SELECT vec_id % 2 = 0 AS even, gs - 1 AS dim,
+               CAST(embedding[CAST(gs AS INT)] AS DOUBLE) AS xd
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs))
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN even THEN CAST(xd AS DECIMAL(18,8)) END)
+                AS DOUBLE)
+             / CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS DOUBLE)
+               AS mean_a,
+           CAST(SUM(CASE WHEN NOT even THEN CAST(xd AS DECIMAL(18,8)) END)
+                AS DOUBLE)
+             / CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS DOUBLE)
+               AS mean_b,
+           ABS(CAST(SUM(CASE WHEN even THEN CAST(xd AS DECIMAL(18,8)) END)
+                    AS DOUBLE)
+               / CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN NOT even
+                          THEN CAST(xd AS DECIMAL(18,8)) END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS DOUBLE))
+               AS abs_drift
+    FROM e GROUP BY dim ORDER BY dim
+"""
+
+ORACLES["cosine_adjacent_hist"] = f"""
+    WITH {_VNORM},
+    pairs AS (
+        SELECT a.vec_id,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding',
+                                 na='a.nrm', nb='b.nrm')} AS cosine
+        FROM v a JOIN v b ON b.vec_id = a.vec_id + 1),
+    binned AS (
+        SELECT LEAST(19, GREATEST(0,
+                   CAST(FLOOR((cosine + 1) * 10) AS INT))) AS bin,
+               cosine
+        FROM pairs)
+    SELECT bin,
+           CAST(bin AS DOUBLE) / 10 - 1 AS bin_lo,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(cosine AS DECIMAL(18,8))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+    FROM binned GROUP BY bin ORDER BY bin
+"""

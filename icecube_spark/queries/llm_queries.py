@@ -625,3 +625,42 @@ def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F27 — pairwise JS divergence between language unigram
     distributions (language-separation matrix)."""
     return text.js_divergence_matrix(_docs(spark, sf_dir), "lang", "text")
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28 — per-doc mean bigram conditional log-probability under
+    the corpus's add-1-smoothed bigram LM (fluency score)."""
+    return text.bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F29 — Heaps'-law vocabulary-growth fit per source."""
+    return text.heaps_fit(_docs(spark, sf_dir), "source", "text")
+
+
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F30 — code-vs-prose heuristic signals per document."""
+    return text.code_detect(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31 — stopword usage profile per source."""
+    return text.stopword_profile(_docs(spark, sf_dir), "source", "text")
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 — PQ asymmetric-distance approximate top-k (codes-only
+    query path over the E17 codebook)."""
+    return similarity.pq_adc_topk(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 — per-dimension mean drift between even/odd id halves."""
+    return similarity.mean_drift(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def cosine_adjacent_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 — isotropy histogram of adjacent-id pair cosines."""
+    return similarity.adjacent_cosine_hist(
+        _emb(spark, sf_dir), "vec_id", "embedding"
+    )

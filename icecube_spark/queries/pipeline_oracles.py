@@ -699,3 +699,46 @@ ORACLES["curation_waterfall"] = f"""
     FROM stages, total
     ORDER BY stage_no
 """
+
+ORACLES["truncation_loss"] = f"""
+    WITH n_tok AS (
+        SELECT doc_id,
+               len(list_filter(string_split({_NORM}, ' '), t -> t != ''))
+                   AS n
+        FROM documents),
+    cuts AS (SELECT UNNEST([512, 1024, 2048, 4096]) AS cut_tokens)
+    SELECT CAST(cut_tokens AS INT) AS cut_tokens,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n > cut_tokens THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST(0, n - cut_tokens)) AS BIGINT) AS tokens_lost,
+           CAST(SUM(GREATEST(0, n - cut_tokens)) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS frac_tokens_lost,
+           CAST(COUNT(*) - SUM(CASE WHEN n > cut_tokens THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_docs_intact
+    FROM n_tok CROSS JOIN cuts
+    GROUP BY cut_tokens ORDER BY cut_tokens
+"""
+
+ORACLES["shard_skew_report"] = """
+    WITH base AS (
+        SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+        FROM documents GROUP BY 1),
+    w AS (
+        SELECT *,
+               CAST(SUM(total_bytes) OVER () AS BIGINT) AS tot,
+               CAST(MAX(total_bytes) OVER () AS BIGINT) AS mx
+        FROM base)
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           total_bytes,
+           CAST(total_bytes AS DOUBLE) / CAST(tot AS DOUBLE) AS byte_share,
+           CAST(total_bytes AS DOUBLE)
+             / (CAST(tot AS DOUBLE) / 16.0) AS balance_factor,
+           CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / 16.0)
+               AS max_balance_factor
+    FROM w ORDER BY shard
+"""

@@ -632,3 +632,15 @@ def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_no")
     )
+
+
+def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P40 — token loss vs candidate context lengths."""
+    return pipeline.truncation_loss(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P41 — shard balance audit over the P28 hash assignment."""
+    return pipeline.shard_skew_report(
+        _docs(spark, sf_dir), "doc_id", "n_chars"
+    )

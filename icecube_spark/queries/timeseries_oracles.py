@@ -1198,3 +1198,125 @@ ORACLES["series_lead_lag"] = """
     FROM scored
     ORDER BY rank
 """
+
+ORACLES["theil_sen_trend"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.event_type, a.d AS da, b.d AS db,
+               (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY slope, da, db) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs)
+    SELECT event_type,
+           MAX(CASE WHEN rn = CEIL(n / 2) THEN slope END) AS sen_slope,
+           CAST(MAX(n) AS BIGINT) AS n_pairs
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ks_drift"] = """
+    WITH pts0 AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               value AS x
+        FROM events),
+    sp AS (
+        SELECT event_type, x,
+               d <= CAST(FLOOR((MIN(d) OVER (PARTITION BY event_type)
+                    + MAX(d) OVER (PARTITION BY event_type)) / 2)
+                    AS BIGINT) AS early
+        FROM pts0),
+    pts AS (
+        SELECT event_type, x,
+               CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM sp GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type,
+               CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS f2,
+               CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM pts)
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_early,
+           CAST(MAX(n2) AS BIGINT) AS n_late,
+           MAX(ABS(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_stat,
+           MAX(ABS(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             * SQRT(CAST(MAX(n1) * MAX(n2) AS DOUBLE)
+                    / CAST(MAX(n1) + MAX(n2) AS DOUBLE)) AS ks_scaled
+    FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["benford_deviation"] = """
+    WITH bp AS (
+        -- VARCHAR->DOUBLE cast: DuckDB parses bare decimal literals
+        -- as DECIMAL first, losing the last ulp vs the JVM literal
+        SELECT * FROM (VALUES
+            (1, '0.3010299956639812'::DOUBLE),
+            (2, '0.17609125905568124'::DOUBLE),
+            (3, '0.12493873660829993'::DOUBLE),
+            (4, '0.09691001300805642'::DOUBLE),
+            (5, '0.07918124604762482'::DOUBLE),
+            (6, '0.06694678963061322'::DOUBLE),
+            (7, '0.05799194697768673'::DOUBLE),
+            (8, '0.05115252244738129'::DOUBLE),
+            (9, '0.04575749056067514'::DOUBLE)) AS t(digit, p_benford)),
+    digits AS (
+        SELECT event_type,
+               TRY_CAST(regexp_extract(printf('%.6f', value), '[1-9]')
+                   AS INT) AS digit
+        FROM events WHERE value > 0),
+    counts AS (
+        SELECT event_type, digit, COUNT(*) AS n_obs
+        FROM digits WHERE digit IS NOT NULL GROUP BY 1, 2),
+    shares AS (
+        SELECT event_type, digit, n_obs,
+               CAST(SUM(n_obs) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS total
+        FROM counts)
+    SELECT s.event_type, s.digit, s.n_obs,
+           CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS p_obs,
+           bp.p_benford,
+           (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) - bp.p_benford)
+             * (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) - bp.p_benford)
+             / bp.p_benford AS chi2_term
+    FROM shares s JOIN bp USING (digit)
+    ORDER BY event_type, digit
+"""
+
+ORACLES["record_days"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+    marked AS (
+        SELECT event_type, day_num, v,
+               MAX(v) OVER (PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_record
+        FROM daily),
+    rec AS (
+        SELECT * FROM marked
+        WHERE prev_record IS NULL OR v > prev_record)
+    SELECT event_type, day_num, v AS daily_value, prev_record,
+           CAST(day_num - LAG(day_num) OVER (PARTITION BY event_type
+               ORDER BY day_num) AS BIGINT) AS days_since_last_record
+    FROM rec ORDER BY event_type, day_num
+"""

@@ -822,3 +822,27 @@ def series_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "lag", F.col("n").alias("n_overlap"), "r")
         .orderBy("rank")
     )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65 — Theil–Sen robust daily-trend slope per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.theil_sen_trend(ev, "ts", "event_type", "value")
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66 — two-sample KS drift (early vs late half) per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.ks_drift(ev, "ts", "event_type", "value")
+
+
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67 — Benford first-digit audit of values per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.benford_deviation(ev, "event_type", "value")
+
+
+def record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68 — record-breaking daily totals per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.record_days(ev, "ts", "event_type", "value")

@@ -8,6 +8,13 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("bigram_logprob", lq.bigram_logprob),
+    ("heaps_fit", lq.heaps_fit),
+    ("code_detect", lq.code_detect),
+    ("stopword_profile", lq.stopword_profile),
+    ("pq_adc_topk", lq.pq_adc_topk),
+    ("embed_drift", lq.embed_drift),
+    ("cosine_adjacent_hist", lq.cosine_adjacent_hist),
     ("dedup_exact", lq.dedup_exact),
     ("dedup_minhash_lsh", lq.dedup_minhash_lsh),
     ("dedup_ngram_jaccard", lq.dedup_ngram_jaccard),

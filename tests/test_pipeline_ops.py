@@ -12,6 +12,8 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("truncation_loss", pq.truncation_loss),
+    ("shard_skew_report", pq.shard_skew_report),
     ("train_test_split", pq.train_test_split),
     ("stratified_sample", pq.stratified_sample),
     ("pii_redact", pq.pii_redact),

@@ -8,6 +8,10 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("theil_sen_trend", tq.theil_sen_trend),
+    ("ks_drift", tq.ks_drift),
+    ("benford_deviation", tq.benford_deviation),
+    ("record_days", tq.record_days),
     ("asof_join", tq.asof_join_orders),
     ("sessionize", tq.sessionize_events),
     ("window_tumbling", tq.window_tumbling),
