@@ -126,6 +126,27 @@ def _band_hashes(num_hashes: int, band_rows: int) -> list[str]:
     return out
 
 
+def exact_group_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _rep, _gsz) exact-duplicate group table: every doc mapped
+    to the min-id representative of its normalized-text group, plus
+    the group size. ONE shuffle on the content hash — rep id and size
+    come from the same window exchange (a groupBy+join would shuffle
+    twice). Persisted because the LSH collapse/expansion reads it
+    several times; at corpus scale this is a written staging table
+    shared across the whole dedup campaign (see
+    queries/llm_queries.staged_collapse)."""
+    from pyspark import StorageLevel
+
+    wth = Window.partitionBy("_th")
+    return (
+        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("_th"))
+        .withColumn("_rep", F.min(id_col).over(wth))
+        .withColumn("_gsz", F.count(F.lit(1)).over(wth))
+        .drop("_th")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -136,6 +157,7 @@ def minhash_lsh_pairs(
     grams: DataFrame | None = None,
     sigs: DataFrame | None = None,
     collapse_exact: bool = True,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """D2 — MinHash+LSH near-dup pairs, verified by exact Jaccard.
 
@@ -167,17 +189,13 @@ def minhash_lsh_pairs(
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes)
 
-    members = None
-    if collapse_exact:
-        # one shuffle on the 128-bit content hash; reps = min id per group
-        hashed = df.select(
-            F.col(id_col), F.md5(normalized(text_col)).alias("_th")
-        )
-        reps = hashed.groupBy("_th").agg(F.min(id_col).alias("_rep"))
-        members = hashed.join(reps, "_th").select(id_col, "_rep")
-        rep_ids = reps.select(F.col("_rep").alias(id_col))
+    if collapse_exact and members is None:
+        members = exact_group_members(df, id_col, text_col)
+        rep_ids = members.where(F.col(id_col) == F.col("_rep")).select(id_col)
         grams = grams.join(rep_ids, id_col, "left_semi")
         sigs = sigs.join(rep_ids, id_col, "left_semi")
+    # when `members` is passed (staged-collapse path), the caller
+    # guarantees grams/sigs are already representative-filtered
 
     bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
     exploded = sigs.select(
@@ -231,22 +249,24 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    gsz = grams.select(
-        F.col(id_col).alias("_rep"),
-        (F.size("grams") / F.size("grams")).alias("jaccard"),
-    )
+    # only dup groups (_gsz > 1) produce intra pairs — the self-join
+    # never touches the singleton bulk of the corpus. Identical texts
+    # have identical non-empty gram sets (GRAMS emits >= 1 gram even
+    # for empty text), so their Jaccard is exactly 1.0 — emitted as a
+    # literal, no gram join needed.
+    multi = members.where(F.col("_gsz") > 1)
     intra = (
-        members.alias("x")
-        .join(members.alias("y"), "_rep")
+        multi.alias("x")
+        .join(multi.alias("y"), "_rep")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .join(gsz, "_rep")
         .select(
             F.col(f"x.{id_col}").alias("doc_a"),
             F.col(f"y.{id_col}").alias("doc_b"),
-            "jaccard",
+            F.lit(1.0).alias("jaccard"),
         )
     )
-    intra = filter_once(intra, F.col("jaccard") >= threshold)
+    if threshold > 1.0:
+        intra = intra.where(F.lit(False))
     return cross.unionByName(intra)
 
 

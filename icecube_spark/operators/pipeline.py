@@ -219,7 +219,12 @@ def connected_components(
     )
     # the pair-mining pipeline above is the expensive part — persist it
     # so nodes/edges/labels below all read the cache, not three
-    # recomputations of the mining joins
+    # recomputations of the mining joins. Repartition first: the edge
+    # list is tiny relative to the mining plan, but the union lineage
+    # carries the mining plan's partition count (100s of partitions) —
+    # every CC round would pay that task count otherwise. Size the
+    # cached graph to the data, not to the plan that produced it.
+    sym = sym.repartition(32, "src")
     sym.persist()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # self-loops make each round a single join + single aggregate: the

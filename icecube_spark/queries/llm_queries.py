@@ -44,6 +44,37 @@ def staged_corpus(spark, sf_dir):
     return _STAGED[sf_dir]
 
 
+_STAGED_COLLAPSE: dict[str, object] = {}
+
+
+def staged_collapse(spark, sf_dir):
+    """Exact-dup collapse staging for the LSH family: the member→rep
+    table plus representative-filtered gram/signature tables,
+    persisted once per sf_dir. Five query keys mine MinHash pairs
+    (D2, P6, P23, P32, P39); without staging each re-runs the content
+    hash window and two semi-joins. Results identical either way —
+    the collapse is output-invariant by construction."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _STAGED_COLLAPSE:
+        grams, sigs = staged_corpus(spark, sf_dir)
+        members = dedup.exact_group_members(
+            _docs(spark, sf_dir), "doc_id", "text"
+        )
+        rep_ids = members.where(F.col("doc_id") == F.col("_rep")).select(
+            "doc_id"
+        )
+        rep_grams = grams.join(rep_ids, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        rep_sigs = sigs.join(rep_ids, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _STAGED_COLLAPSE[sf_dir] = (members, rep_grams, rep_sigs)
+    return _STAGED_COLLAPSE[sf_dir]
+
+
 _STAGED_CANDS: dict[str, object] = {}
 
 
@@ -71,10 +102,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — MinHash+LSH candidates, exact-Jaccard-verified >= 0.8."""
-    grams, sigs = staged_corpus(spark, sf_dir)
+    members, grams, sigs = staged_collapse(spark, sf_dir)
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
-        grams=grams, sigs=sigs,
+        grams=grams, sigs=sigs, members=members,
     )
 
 

@@ -77,12 +77,12 @@ def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — connected components over the MinHash near-dup pairs:
     every near-dup doc labeled with its component's min doc id."""
-    from icecube_spark.queries.llm_queries import staged_corpus
+    from icecube_spark.queries.llm_queries import staged_collapse
 
-    grams, sigs = staged_corpus(spark, sf_dir)
+    members, grams, sigs = staged_collapse(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
-        grams=grams, sigs=sigs,
+        grams=grams, sigs=sigs, members=members,
     )
     return pipeline.connected_components(pairs, "doc_a", "doc_b")
 
@@ -243,12 +243,13 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins attach sources; the final aggregate is on a
     handful of cells. Mean Jaccard folds as floor(j·1e12) BIGINTs so
     the matrix is bit-identical to the oracle."""
-    from icecube_spark.queries.llm_queries import staged_corpus
+    from icecube_spark.queries.llm_queries import staged_collapse
 
     docs = _docs(spark, sf_dir)
-    grams, sigs = staged_corpus(spark, sf_dir)
+    members, grams, sigs = staged_collapse(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
+        members=members,
     )
     src = docs.select("doc_id", "source")
     sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
@@ -406,12 +407,13 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from icecube_spark.queries.llm_queries import staged_corpus
+    from icecube_spark.queries.llm_queries import staged_collapse
 
     docs = _docs(spark, sf_dir)
-    grams, sigs = staged_corpus(spark, sf_dir)
+    members, grams, sigs = staged_collapse(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
+        members=members,
     )
     src = docs.select("doc_id", "source")
     labeled = (
@@ -573,7 +575,7 @@ def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; the output is a 5-row aggregate.
     """
     from icecube_spark.operators import text as text_ops
-    from icecube_spark.queries.llm_queries import staged_corpus
+    from icecube_spark.queries.llm_queries import staged_collapse, staged_corpus
 
     docs = catalog.load(spark, sf_dir, "documents")
     norm = pipeline.normalized_expr("text")
@@ -598,9 +600,10 @@ def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from icecube_spark.operators import dedup as dedup_ops
 
-    grams, sigs = staged_corpus(spark, sf_dir)
+    members, grams, sigs = staged_collapse(spark, sf_dir)
     pairs = dedup_ops.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
+        members=members,
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = canon.join(losers, "doc_id", "left_anti")
