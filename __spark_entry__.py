@@ -40,6 +40,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (P40-P41) ---
     "truncation_loss": pq.truncation_loss,
     "shard_skew_report": pq.shard_skew_report,
+    # --- new this round (C69-C70, F32, P43) ---
+    "mean_shift_split": tsq.mean_shift_split,
+    "dow_anova": tsq.dow_anova,
+    "tokenizer_fertility": lq.tokenizer_fertility,
+    "epoch_plan": pq.epoch_plan,
+    # --- new this round (G7, E24, P45-P46) ---
+    "media_frame_dedup": lq.media_frame_dedup,
+    "pq_recall_eval": lq.pq_recall_eval,
+    "quality_length_corr": pq.quality_length_corr,
+    "split_leakage_check": pq.split_leakage_check,
     # --- new this round (C65-C68) ---
     "theil_sen_trend": tsq.theil_sen_trend,
     "ks_drift": tsq.ks_drift,

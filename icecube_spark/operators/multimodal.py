@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 META_SCHEMA = (
@@ -257,3 +257,91 @@ def chunk_windows(
         )
         .orderBy("doc_id", "window_id")
     )
+
+
+FRAME_SIG_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames long, frame_hash string"
+)
+
+
+def frame_signatures(df: DataFrame) -> DataFrame:
+    """Per-frame CONTENT signatures: each payload splits into its
+    n_frames equal byte slices (the G2 frame grid) and every slice
+    gets an md5 of its bytes — the perceptual-hash stand-in a video
+    dedup pipeline computes per frame (a real build swaps md5-of-
+    bytes for a pHash without touching the plan).
+
+    Plan: map-only Arrow batches, fanout bounded by max n_frames = 7;
+    payload bytes never shuffle — only (doc, idx, 32-char hash) rows
+    leave the worker.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                    "frame_hash": []}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                n = len(b) % 7 + 1
+                flen = len(b) // n
+                for i in range(n):
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(n)
+                    rows["frame_hash"].append(
+                        hashlib.md5(b[i * flen:(i + 1) * flen]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SIG_SCHEMA)
+
+
+def media_frame_dedup(
+    df: DataFrame, max_df: int = 64, min_shared: int = 2
+) -> DataFrame:
+    """G7 — cross-media near-duplicate detection by shared frames:
+    media pairs whose frame signature sets overlap in >= min_shared
+    frames, with the overlap fraction of the smaller medium. The
+    video-dedup shape: re-encoded/trimmed copies share most frame
+    signatures while sharing no container bytes (so D1-style
+    whole-file hashing misses them).
+
+    Plan: frame table → distinct (doc, hash) → inverted-index
+    self-join keyed on the hash with a df <= max_df stop-frame cap
+    (the D3 guard: an intro/outro frame shared by thousands of videos
+    would otherwise go quadratic) → per-pair count. Only hashes and
+    ids shuffle.
+    """
+    sigs = frame_signatures(df)
+    doc_frames = sigs.select("doc_id", "n_frames", "frame_hash").distinct()
+    w = Window.partitionBy("frame_hash")
+    capped = doc_frames.withColumn(
+        "df", F.count(F.lit(1)).over(w)
+    ).where(F.col("df") <= max_df)
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_frames").alias("nf_a"),
+        "frame_hash",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_frames").alias("nf_b"),
+        "frame_hash",
+    )
+    pairs = (
+        a.join(b, "frame_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nf_a", "nf_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
+        .where(F.col("n_shared_frames") >= min_shared)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_frames",
+        (
+            F.col("n_shared_frames").cast("double")
+            / F.least("nf_a", "nf_b").cast("double")
+        ).alias("overlap_frac"),
+    ).orderBy("doc_a", "doc_b")

@@ -1300,3 +1300,116 @@ def shard_skew_report(
         )
         .orderBy("shard")
     )
+
+
+# target sampling weights for the epoch plan — a static mix spec like
+# the ones DoReMi/Pile-style recipes pin per source
+EPOCH_PLAN_WEIGHTS = (
+    ("src0", 0.10), ("src1", 0.30), ("src2", 0.25), ("src3", 0.05),
+    ("src4", 0.30),
+)
+
+
+def epoch_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    weights: tuple = EPOCH_PLAN_WEIGHTS,
+) -> DataFrame:
+    """P43 — training-mix epoch plan: given target sampling weights
+    per source and the measured token counts, the tokens each source
+    must contribute to one pass of the mixed corpus and the epoch
+    (repeat) factor that implies. Epochs >> 1 flag sources the recipe
+    will memorize; epochs << 1 flag wasted data. This is the planning
+    table a mix owner reads before launching a run.
+
+    Exactness: token counts are exact ints; target tokens and epochs
+    are fixed-shape IEEE over identical ints and literal weights.
+
+    Plan: one map-only token count + one ≤|sources|-row aggregate,
+    broadcast-joined to the literal weight table.
+    """
+    from icecube_spark.operators.text import _toks
+
+    counts = (
+        df.select(
+            F.col(source_col).alias("g"),
+            F.expr(f"size(filter({_toks(text_col)}, t -> t != ''))")
+            .alias("n"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = df.sparkSession.createDataFrame(
+        list(weights), "g string, weight double"
+    )
+    tot = Window.partitionBy()
+    j = counts.join(F.broadcast(w), "g", "left").withColumn(
+        "total_tokens", F.sum("n_tokens").over(tot)
+    )
+    target = F.col("total_tokens").cast("double") * F.coalesce(
+        F.col("weight"), F.lit(0.0)
+    )
+    return j.select(
+        F.col("g").alias(source_col),
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("weight"), F.lit(0.0)).alias("weight"),
+        target.alias("target_tokens"),
+        (target / F.col("n_tokens").cast("double")).alias("epochs"),
+    ).orderBy(source_col)
+
+
+def quality_length_corr(
+    df: DataFrame, source_col: str, id_col: str, text_col: str
+) -> DataFrame:
+    """P45 — metric-validation check: Pearson correlation between doc
+    length and the F2 composite quality score, per source. A quality
+    signal that correlates ~1 with raw length adds nothing over a
+    length gate — this is the audit run before trusting any scored
+    curation sweep.
+
+    Exactness: quality doubles are the (oracle-green) F2 values;
+    both variables quantize to integers; moments fold in
+    DECIMAL(38,0); r lands on a 1e-9 grid (the >2^53 cast guard).
+
+    Plan: the F2 map-only scan joined back on the id (one shuffle),
+    then a per-source moment aggregate.
+    """
+    from icecube_spark.operators.text import quality_score
+
+    q = quality_score(df, id_col, text_col).select(id_col, "quality")
+    j = df.select(F.col(id_col), F.col(source_col).alias("g"),
+                  F.col("n_chars")).join(q, id_col)
+    dec = "decimal(38,0)"
+    m = j.select(
+        "g",
+        F.col("n_chars").cast("bigint").alias("qx"),
+        F.floor(F.col("quality") * F.lit(1e6)).cast("bigint").alias("qy"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qx").cast(dec)).alias("sx"),
+        F.sum(F.col("qy").cast(dec)).alias("sy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qx")).alias("sxx"),
+        F.sum(F.col("qy").cast(dec) * F.col("qy")).alias("syy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qy")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    raw = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    r = F.floor(raw * F.lit(1e9)).cast("bigint").cast("double") / F.lit(1e9)
+    return m.select(
+        F.col("g").alias(source_col),
+        F.col("n").cast("bigint").alias("n_docs"),
+        r.alias("length_quality_r"),
+    ).orderBy(source_col)

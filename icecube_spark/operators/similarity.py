@@ -1180,3 +1180,48 @@ def adjacent_cosine_hist(
         )
         .orderBy("bin")
     )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """E24 — PQ search quality gate: recall@k of the asymmetric-
+    distance top-k (E21) against the exact cosine top-k, per query.
+    The sign-off that says how much the 8-byte code compression costs
+    in retrieval quality — the PQ twin of ann_recall_eval (E11).
+
+    Exactness: both rankings are already oracle-exact; the overlap
+    count is an integer; recall is one INT division.
+
+    Plan: both top-k plans are WindowGroupLimit-pruned; the overlap
+    is a k·n_queries-row semi-join. Nothing corpus-scale shuffles
+    beyond what E21/E1 already do.
+    """
+    adc = pq_adc_topk(df, id_col, vec_col, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(
+        df, id_col, vec_col, F.col(id_col) < n_queries, k=k
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    allq = exact.select("query_id").distinct()
+    return (
+        allq.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -1247,3 +1247,56 @@ def stopword_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """F32 — tokenizer fertility per group: subword-per-word ratio
+    and chars-per-subword under the BPE-ish regex tokenizer (F3's
+    re_tokens), next to the whitespace-word baseline. Fertility is
+    THE tokenizer-fit metric: 1.2 subwords/word is a well-fitted
+    vocabulary, 2+ means the tokenizer shreds this group's text
+    (wrong language/domain) and its effective context halves.
+
+    Exactness: all counts are exact integers; ratios are single
+    INT/INT IEEE divisions.
+
+    Plan: one map-only projection of three counters, one tiny
+    per-group aggregate — scan-speed, no shuffle beyond the ≤|G|-row
+    exchange.
+    """
+    norm = NORM.format(col=text_col)
+    toks = _toks(text_col)
+    per_doc = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"size(filter({toks}, t -> t != ''))").alias("n_words"),
+        F.expr(
+            f"size(regexp_extract_all({norm}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+        ).alias("n_subwords"),
+        F.expr(f"length(replace({norm}, ' ', ''))").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_subwords").cast("double")
+            ).alias("chars_per_subword"),
+        )
+        .orderBy(group_col)
+    )

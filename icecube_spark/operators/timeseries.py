@@ -2178,3 +2178,141 @@ def record_days(
             )
         ).cast("bigint").alias("days_since_last_record"),
     ).orderBy(key_col, "day_num")
+
+
+def mean_shift_split(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C69 — binary-segmentation changepoint per key: the single day
+    split that maximizes |mean(before) − mean(after)| on the daily
+    series, with both segment means and the gap. CUSUM (C34) flags
+    WHEN drift accumulates; this names the best single break and its
+    magnitude — the first step of recursive binary segmentation.
+
+    Exactness: daily values and the cumulative/total sums fold in
+    DECIMAL(18,8) (order-free); segment means are IEEE divisions of
+    identical doubles; the argmax is a rank window with day tiebreak.
+
+    Plan: one (key, day) aggregate, one cumulative window and one
+    rank window on the SAME key exchange — no joins, calendar-bounded
+    row counts.
+    """
+    from icecube_spark.functions.parity import dsum
+
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(dsum(value_col).alias("v"))
+    )
+    wp = Window.partitionBy(key_col)
+    wcum = wp.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("v").cast("decimal(18,8)")
+    cum = daily.select(
+        key_col,
+        "day_num",
+        F.sum(dec).over(wcum).cast("double").alias("lsum"),
+        F.count(F.lit(1)).over(wcum).alias("lcnt"),
+        F.sum(dec).over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("double").alias("tsum"),
+        F.count(F.lit(1)).over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("tcnt"),
+    ).where(F.col("lcnt") < F.col("tcnt"))
+    lmean = F.col("lsum") / F.col("lcnt").cast("double")
+    rmean = (F.col("tsum") - F.col("lsum")) / (
+        (F.col("tcnt") - F.col("lcnt")).cast("double")
+    )
+    scored = cum.select(
+        key_col,
+        "day_num",
+        lmean.alias("mean_before"),
+        rmean.alias("mean_after"),
+        F.abs(lmean - rmean).alias("abs_shift"),
+    )
+    w = wp.orderBy(F.desc("abs_shift"), F.asc("day_num"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            key_col,
+            F.col("day_num").alias("split_day"),
+            "mean_before",
+            "mean_after",
+            "abs_shift",
+        )
+        .orderBy(key_col)
+    )
+
+
+def dow_anova(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C70 — one-way ANOVA of values across day-of-week groups per
+    key: F-statistic and effect size η². The statistical answer to
+    "is the weekday pattern real" that the seasonal_dow profile (C36)
+    only eyeballs.
+
+    Exactness: values quantize once to micro-units; all moments
+    (Σq, Σq²) fold in DECIMAL(38,0) exact integers; F and η²
+    quantize to a 1e-9 grid at the end (the corr_matrix guard for
+    >2^53 int→double casts).
+
+    Plan: one (key, dow) aggregate (map-side combined, ≤7 rows per
+    key), then a per-key fold — no shuffles beyond the first.
+    """
+    dec = "decimal(38,0)"
+    q = df.select(
+        F.col(key_col),
+        F.dayofweek(F.col(ts_col).cast("timestamp")).alias("dow"),
+        F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("qv"),
+    )
+    g = q.groupBy(key_col, "dow").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("qv").cast(dec)).alias("s_g"),
+        F.sum(F.col("qv").cast(dec) * F.col("qv")).alias("ss_g"),
+    )
+    per_key = g.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        # Σ s_g²/n_g term of SSB, folded as doubles from exact ints —
+        # identical operand sequence both engines (dow-ordered agg
+        # input would not be deterministic; use a decimal-exact
+        # formulation instead: collect the per-group term quantized)
+        F.sum(
+            F.floor(
+                (F.col("s_g").cast("double") * F.col("s_g").cast("double"))
+                / F.col("n_g").cast("double")
+            ).cast(dec)
+        ).alias("sb_q"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    sst = F.col("ss").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    ) / n
+    ssb = F.col("sb_q").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    ) / n
+    ssw = sst - ssb
+    f_raw = (ssb / (k - 1)) / (ssw / (n - k))
+    eta_raw = ssb / sst
+    grid = lambda c: F.floor(c * F.lit(1e9)).cast("bigint").cast(
+        "double"
+    ) / F.lit(1e9)
+    return per_key.select(
+        key_col,
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        grid(f_raw).alias("f_stat"),
+        grid(eta_raw).alias("eta_sq"),
+    ).orderBy(key_col)

@@ -1575,3 +1575,121 @@ ORACLES["cosine_adjacent_hist"] = f"""
              / CAST(COUNT(*) AS DOUBLE) AS mean_cos
     FROM binned GROUP BY bin ORDER BY bin
 """
+
+ORACLES["tokenizer_fertility"] = f"""
+    WITH per_doc AS (
+        SELECT source,
+               len(list_filter(string_split({_NORM}, ' '), t -> t != ''))
+                   AS n_words,
+               len(regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                   AS n_subwords,
+               LENGTH(replace({_NORM}, ' ', '')) AS n_chars
+        FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+           CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+               AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_subwords) AS DOUBLE)
+               AS chars_per_subword
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+ORACLES["media_frame_dedup"] = """
+    WITH meta AS (
+        SELECT doc_id, text, strlen(text) % 7 + 1 AS n,
+               strlen(text) // (strlen(text) % 7 + 1) AS flen
+        FROM documents),
+    frames AS (
+        SELECT doc_id, n AS n_frames,
+               md5(substr(text, f * flen + 1, flen)) AS frame_hash
+        FROM meta CROSS JOIN range(0, 7) t(f)
+        WHERE f < n),
+    doc_frames AS (
+        SELECT DISTINCT doc_id, n_frames, frame_hash FROM frames),
+    capped AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY frame_hash) AS df
+        FROM doc_frames),
+    kept AS (SELECT * FROM capped WHERE df <= 64),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_frames AS nf_a, b.n_frames AS nf_b,
+               COUNT(*) AS n_shared_frames
+        FROM kept a JOIN kept b
+          ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) >= 2)
+    SELECT doc_a, doc_b,
+           CAST(n_shared_frames AS BIGINT) AS n_shared_frames,
+           CAST(n_shared_frames AS DOUBLE)
+             / CAST(LEAST(nf_a, nf_b) AS DOUBLE) AS overlap_frac
+    FROM pairs ORDER BY doc_a, doc_b
+"""
+
+ORACLES["pq_recall_eval"] = """
+    WITH adc AS (SELECT query_id, neighbor_id FROM (
+    WITH assign0 AS (
+        SELECT v.vec_id, t.s AS subspace, c.vec_id AS code,
+               (CAST(FLOOR((CAST(v.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(v.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * (CAST(v.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * 1e12) AS BIGINT)) AS qd
+        FROM embeddings v
+        CROSS JOIN range(8) t(s)
+        JOIN embeddings c ON c.vec_id < 4),
+    codes AS (
+        SELECT vec_id AS neighbor_id, subspace, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                ORDER BY qd, code) AS rn
+            FROM assign0)
+        WHERE rn = 1),
+    dist AS (
+        SELECT q.vec_id AS query_id, t.s AS subspace,
+               c.vec_id AS code, (CAST(FLOOR((CAST(q.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 1] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 1] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 2] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 2] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 3] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 3] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 4] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 4] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 5] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 5] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 6] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 6] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 7] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 7] AS DOUBLE)) * 1e12) AS BIGINT) + CAST(FLOOR((CAST(q.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * (CAST(q.embedding[t.s * 8 + 8] AS DOUBLE) - CAST(c.embedding[t.s * 8 + 8] AS DOUBLE)) * 1e12) AS BIGINT)) AS qd
+        FROM embeddings q
+        CROSS JOIN range(8) t(s)
+        JOIN embeddings c ON c.vec_id < 4
+        WHERE q.vec_id < 5),
+    adc AS (
+        SELECT d.query_id, codes.neighbor_id,
+               CAST(SUM(d.qd) AS BIGINT) AS adc_q
+        FROM codes JOIN dist d USING (subspace, code)
+        WHERE codes.neighbor_id != d.query_id
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           CAST(adc_q AS DOUBLE) / 1e12 AS adc_dist, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_q, neighbor_id) AS INT) AS rank
+        FROM adc)
+    WHERE rank <= 5 ORDER BY query_id, rank
+)),
+    v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(CAST(list_sum(
+                       [CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR x IN embedding]) AS DOUBLE) / 1e12) AS nrm
+            FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+          FROM v WHERE vec_id < 5),
+    cpairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               
+            (CAST(list_sum(
+                [CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT)
+                 FOR x IN list_zip(q.qv, c.embedding)]) AS DOUBLE) / 1e12) / (q.qn * c.nrm)
+ AS cosine
+        FROM q JOIN v c ON c.vec_id != q.query_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM cpairs)
+        WHERE rank <= 5),
+    hits AS (
+        SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+        FROM exact e LEFT JOIN adc a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY 1)
+    SELECT query_id, CAST(n_hits AS INT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_k
+    FROM hits ORDER BY query_id
+"""

@@ -695,3 +695,19 @@ def cosine_adjacent_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.adjacent_cosine_hist(
         _emb(spark, sf_dir), "vec_id", "embedding"
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F32 — subword-per-word fertility + chars/subword per source."""
+    return text.tokenizer_fertility(_docs(spark, sf_dir), "source", "text")
+
+
+def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — cross-media near-dups by shared frame signatures."""
+    payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.media_frame_dedup(payload)
+
+
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 — recall@5 of PQ asymmetric-distance search vs exact."""
+    return similarity.pq_recall_eval(_emb(spark, sf_dir), "vec_id", "embedding")

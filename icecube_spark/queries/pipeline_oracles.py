@@ -742,3 +742,69 @@ ORACLES["shard_skew_report"] = """
                AS max_balance_factor
     FROM w ORDER BY shard
 """
+
+ORACLES["epoch_plan"] = f"""
+    WITH counts AS (
+        SELECT source AS g, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split({_NORM}, ' '),
+                   t -> t != ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+    w AS (SELECT * FROM (VALUES
+        ('src0', '0.10'::DOUBLE), ('src1', '0.30'::DOUBLE),
+        ('src2', '0.25'::DOUBLE), ('src3', '0.05'::DOUBLE),
+        ('src4', '0.30'::DOUBLE)) AS t(g, weight)),
+    j AS (
+        SELECT c.g, c.n_docs, c.n_tokens,
+               COALESCE(w.weight, 0.0) AS weight,
+               CAST(SUM(c.n_tokens) OVER () AS BIGINT) AS total_tokens
+        FROM counts c LEFT JOIN w USING (g))
+    SELECT g AS source, n_docs, n_tokens, weight,
+           CAST(total_tokens AS DOUBLE) * weight AS target_tokens,
+           CAST(total_tokens AS DOUBLE) * weight
+             / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM j ORDER BY source
+"""
+
+ORACLES["quality_length_corr"] = f"""
+    WITH base AS ({_LLM_ORACLES["quality_score"]}),
+    q AS (
+        SELECT d.source AS g,
+               CAST(d.n_chars AS BIGINT) AS qx,
+               CAST(FLOOR(b.quality * 1000000.0) AS BIGINT) AS qy
+        FROM documents d JOIN base b USING (doc_id)),
+    m AS (
+        SELECT g, COUNT(*) AS n,
+               SUM(CAST(qx AS HUGEINT)) AS sx,
+               SUM(CAST(qy AS HUGEINT)) AS sy,
+               SUM(CAST(qx AS HUGEINT) * qx) AS sxx,
+               SUM(CAST(qy AS HUGEINT) * qy) AS syy,
+               SUM(CAST(qx AS HUGEINT) * qy) AS sxy
+        FROM q GROUP BY 1)
+    SELECT g AS source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+               * 1e9) AS BIGINT) / 1e9 AS length_quality_r
+    FROM m ORDER BY source
+"""
+
+ORACLES["split_leakage_check"] = f"""
+    WITH pairs AS ({_LLM_ORACLES["dedup_minhash_lsh"]}),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN {_BUCKET} < 90 THEN 'train'
+                    WHEN {_BUCKET} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN split sa ON sa.doc_id = p.doc_a
+    JOIN split sb ON sb.doc_id = p.doc_b
+    WHERE sa.split != sb.split
+    ORDER BY p.doc_a, p.doc_b
+"""

@@ -647,3 +647,51 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.shard_skew_report(
         _docs(spark, sf_dir), "doc_id", "n_chars"
     )
+
+
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P43 — per-source epoch/repeat plan for the target mix weights."""
+    return pipeline.epoch_plan(_docs(spark, sf_dir), "source", "text")
+
+
+def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P45 — Pearson(length, quality score) per source (metric audit)."""
+    return pipeline.quality_length_corr(
+        _docs(spark, sf_dir), "source", "doc_id", "text"
+    )
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P46 — near-dup pairs that cross the P1 train/val/test split:
+    every such pair leaks training text into evaluation. Reuses the
+    staged-collapse LSH pairs and the append-stable hash split, so
+    the check is deterministic and incremental-build-safe."""
+    from pyspark.sql import functions as F
+
+    from icecube_spark.queries.llm_queries import staged_collapse
+
+    members, grams, sigs = staged_collapse(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
+        members=members,
+    )
+    b = pipeline._bucket("doc_id")
+    split = docs.select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+    sa = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1320,3 +1320,77 @@ ORACLES["record_days"] = """
                ORDER BY day_num) AS BIGINT) AS days_since_last_record
     FROM rec ORDER BY event_type, day_num
 """
+
+ORACLES["mean_shift_split"] = """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, day_num,
+               CAST(SUM(CAST(v AS DECIMAL(18,8))) OVER (
+                   PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS lsum,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS lcnt,
+               CAST(SUM(CAST(v AS DECIMAL(18,8))) OVER (
+                   PARTITION BY event_type) AS DOUBLE) AS tsum,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tcnt
+        FROM daily),
+    scored AS (
+        SELECT event_type, day_num,
+               lsum / CAST(lcnt AS DOUBLE) AS mean_before,
+               (tsum - lsum) / CAST(tcnt - lcnt AS DOUBLE) AS mean_after,
+               ABS(lsum / CAST(lcnt AS DOUBLE)
+                   - (tsum - lsum) / CAST(tcnt - lcnt AS DOUBLE))
+                   AS abs_shift
+        FROM cum WHERE lcnt < tcnt)
+    SELECT event_type, day_num AS split_day, mean_before, mean_after,
+           abs_shift
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY abs_shift DESC, day_num ASC) AS rn
+        FROM scored)
+    WHERE rn = 1 ORDER BY event_type
+"""
+
+ORACLES["dow_anova"] = """
+    WITH q AS (
+        SELECT event_type,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qv
+        FROM events),
+    g AS (
+        SELECT event_type, dow, COUNT(*) AS n_g,
+               SUM(CAST(qv AS HUGEINT)) AS s_g,
+               SUM(CAST(qv AS HUGEINT) * qv) AS ss_g
+        FROM q GROUP BY 1, 2),
+    pk AS (
+        SELECT event_type,
+               COUNT(*) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS DOUBLE) AS s,
+               CAST(SUM(ss_g) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                   / CAST(n_g AS DOUBLE)) AS HUGEINT)) AS DOUBLE) AS sb_q
+        FROM g GROUP BY 1),
+    st AS (
+        SELECT event_type, k, n,
+               (ss - s * s / CAST(n AS DOUBLE)) AS sst,
+               (sb_q - s * s / CAST(n AS DOUBLE)) AS ssb
+        FROM pk)
+    SELECT event_type,
+           CAST(k AS INT) AS k_groups,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST(FLOOR(((ssb / (CAST(k AS DOUBLE) - 1))
+               / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+               * 1e9) AS BIGINT) / 1e9 AS f_stat,
+           CAST(FLOOR((ssb / sst) * 1e9) AS BIGINT) / 1e9 AS eta_sq
+    FROM st ORDER BY event_type
+"""

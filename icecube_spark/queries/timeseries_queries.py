@@ -846,3 +846,15 @@ def record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C68 — record-breaking daily totals per event_type."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.record_days(ev, "ts", "event_type", "value")
+
+
+def mean_shift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C69 — best single mean-shift split day per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.mean_shift_split(ev, "ts", "event_type", "value")
+
+
+def dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C70 — one-way ANOVA of values across day-of-week groups."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.dow_anova(ev, "ts", "event_type", "value")

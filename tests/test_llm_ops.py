@@ -8,6 +8,9 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("media_frame_dedup", lq.media_frame_dedup),
+    ("pq_recall_eval", lq.pq_recall_eval),
+    ("tokenizer_fertility", lq.tokenizer_fertility),
     ("bigram_logprob", lq.bigram_logprob),
     ("heaps_fit", lq.heaps_fit),
     ("code_detect", lq.code_detect),
@@ -311,3 +314,23 @@ def test_lsh_collapse_parity_and_degenerate_bucket(spark):
     assert (out["jaccard"] == 1.0).all()
     assert (out["doc_a"] < out["doc_b"]).all()
     assert len(out.drop_duplicates(["doc_a", "doc_b"])) == len(out)
+
+
+def test_media_frame_dedup_finds_planted_copies(spark):
+    """G7: byte-identical payloads share every frame signature; a
+    trimmed copy (same prefix, shorter tail) still shares the leading
+    frames when the frame grid coincides. Corpus data is all-distinct
+    (0 pairs, oracle-checked); this pins the positive path."""
+    from icecube_spark.operators import multimodal
+
+    base = "frame dedup payload " * 40
+    rows = [(1, base), (2, base), (3, "completely different content " * 30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    payload = multimodal.attach_binary(df, "doc_id", "text")
+    out = multimodal.media_frame_dedup(payload).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.overlap_frac == 1.0
+    n = len(base.encode()) % 7 + 1
+    assert r.n_shared_frames == n

@@ -12,6 +12,9 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("quality_length_corr", pq.quality_length_corr),
+    ("split_leakage_check", pq.split_leakage_check),
+    ("epoch_plan", pq.epoch_plan),
     ("truncation_loss", pq.truncation_loss),
     ("shard_skew_report", pq.shard_skew_report),
     ("train_test_split", pq.train_test_split),

@@ -8,6 +8,8 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("mean_shift_split", tq.mean_shift_split),
+    ("dow_anova", tq.dow_anova),
     ("theil_sen_trend", tq.theil_sen_trend),
     ("ks_drift", tq.ks_drift),
     ("benford_deviation", tq.benford_deviation),
