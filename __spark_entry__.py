@@ -50,6 +50,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recall_eval": lq.pq_recall_eval,
     "quality_length_corr": pq.quality_length_corr,
     "split_leakage_check": pq.split_leakage_check,
+    # --- new this round (B37, C71, F33, A27) ---
+    "order_gap_stats": analytics.order_gap_stats,
+    "active_streaks": tsq.active_streaks,
+    "perplexity_buckets": lq.perplexity_buckets,
+    "cube_coherence": dq.cube_coherence,
     # --- new this round (C65-C68) ---
     "theil_sen_trend": tsq.theil_sen_trend,
     "ks_drift": tsq.ks_drift,

@@ -2316,3 +2316,58 @@ def dow_anova(
         grid(f_raw).alias("f_stat"),
         grid(eta_raw).alias("eta_sq"),
     ).orderBy(key_col)
+
+
+def active_streaks(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
+    """C71 — gaps-and-islands activity streaks per key: the longest
+    run of consecutive active days, the number of distinct streaks,
+    and the current streak length at the observation end. The
+    engagement statistic every retention dashboard carries, and the
+    canonical islands pattern (day_num − dense_rank is constant
+    within an island).
+
+    Exactness: everything is integer arithmetic on day numbers.
+
+    Plan: one (key, day) distinct, one key-partitioned rank window,
+    one aggregate per island, one per key — all on the SAME key
+    exchange, no joins.
+    """
+    days = df.select(
+        F.col(key_col),
+        F.datediff(
+            F.to_date(F.col(ts_col).cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("d")
+    islands = days.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    )
+    per_island = islands.groupBy(key_col, "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_d"),
+        F.max("d").alias("end_d"),
+    )
+    wk = Window.partitionBy(key_col)
+    marked = per_island.select(
+        key_col,
+        "len",
+        "start_d",
+        "end_d",
+        F.max("end_d").over(wk).alias("max_end"),
+        F.max("len").over(wk).alias("max_len"),
+    )
+    return (
+        marked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak_days"),
+            F.max(
+                F.when(F.col("end_d") == F.col("max_end"), F.col("len"))
+            ).cast("bigint").alias("current_streak_days"),
+            F.min(
+                F.when(F.col("len") == F.col("max_len"), F.col("start_d"))
+            ).cast("bigint").alias("longest_streak_start_day"),
+        )
+        .orderBy(key_col)
+    )

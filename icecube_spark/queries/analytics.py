@@ -1407,3 +1407,63 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_from", "q_to")
     )
+
+
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 — inter-order gap profile per market segment: how many
+    days pass between a customer's consecutive orders, summarized as
+    exact rank-selected median/p90 plus the mean. The repurchase-
+    cadence statistic behind churn models and inventory planning.
+
+    Exactness: gaps are integer day differences; quantiles are
+    rank-selected actual values (PERCENTILE_DISC convention); the
+    mean is one exact integer division.
+
+    Plan: one shuffle on the customer for the lag window, one on the
+    segment for the rank windows — both map-side-combinable
+    aggregates; no joins beyond the broadcast customer dim.
+    """
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn(
+            "gap",
+            F.datediff(
+                F.to_date(F.col("o_orderdate").cast("timestamp")),
+                F.to_date(
+                    F.lag("o_orderdate").over(w).cast("timestamp")
+                ),
+            ),
+        )
+        .where(F.col("gap").isNotNull())
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", F.col("gap").cast("bigint").alias("gap"))
+    )
+    ws = Window.partitionBy("c_mktsegment")
+    wo = ws.orderBy("gap")
+    ranked = gaps.select(
+        "c_mktsegment",
+        "gap",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("gap"))
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            (F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("mean_gap_days"),
+            at(F.lit(0.5)).alias("p50_gap_days"),
+            at(F.lit(0.9)).alias("p90_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )

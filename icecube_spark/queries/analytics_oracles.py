@@ -720,3 +720,32 @@ ORACLES["segment_migration"] = """
     GROUP BY q_from, q_to
     ORDER BY q_from, q_to
 """
+
+ORACLES["order_gap_stats"] = """
+    WITH gaps0 AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders),
+    gaps AS (
+        SELECT c.c_mktsegment, CAST(g.gap AS BIGINT) AS gap
+        FROM gaps0 g JOIN customer c ON g.o_custkey = c.c_custkey
+        WHERE g.gap IS NOT NULL),
+    ranked AS (
+        SELECT c_mktsegment, gap,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY gap)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM gaps)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_gap_days,
+           MAX(CASE WHEN rn = CEIL(0.5 * n) THEN gap END) AS p50_gap_days,
+           MAX(CASE WHEN rn = CEIL(0.9 * n) THEN gap END) AS p90_gap_days,
+           MAX(gap) AS max_gap_days
+    FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -537,3 +537,40 @@ ORACLES["cube_band_index"] = """
     WHERE na > 0 AND nb > 0
     ORDER BY user_id, day
 """
+
+ORACLES["cube_coherence"] = """
+    WITH daily AS (
+        SELECT user_id AS px,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8)))
+                   AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    j AS (
+        SELECT a.px, a.d AS day_a, a.q AS qa, b.q AS qb
+        FROM daily a JOIN daily b
+          ON a.px = b.px AND b.d = a.d + 1),
+    m AS (
+        SELECT day_a, COUNT(*) AS n,
+               SUM(CAST(qa AS HUGEINT)) AS sa,
+               SUM(CAST(qb AS HUGEINT)) AS sb,
+               SUM(CAST(qa AS HUGEINT) * qa) AS saa,
+               SUM(CAST(qb AS HUGEINT) * qb) AS sbb,
+               SUM(CAST(qa AS HUGEINT) * qb) AS sab
+        FROM j GROUP BY 1),
+    s AS (
+        SELECT day_a, n,
+               CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS va,
+               CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vb,
+               CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov
+        FROM m)
+    SELECT CAST(day_a AS BIGINT) AS day_a,
+           CAST(day_a + 1 AS BIGINT) AS day_b,
+           CAST(n AS BIGINT) AS n_shared_pixels,
+           CAST(FLOOR((cov / (SQRT(va) * SQRT(vb))) * 1e9) AS BIGINT)
+             / 1e9 AS coherence
+    FROM s WHERE va > 0 AND vb > 0 AND n >= 2
+    ORDER BY day_a
+"""

@@ -972,3 +972,79 @@ def cube_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("band_b"),
         F.when(a + b != 0, (a - b) / (a + b)).alias("nd_index"),
     ).orderBy("user_id", "day")
+
+
+def cube_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 — temporal coherence matrix of the tabular cube: Pearson
+    correlation between consecutive daily layers over their shared
+    pixels (user ids as pixel index, days as acquisitions). The
+    SAR interferometric-coherence analog — the reference's SLC stack
+    exists to support exactly this kind of acquisition-pair quality
+    measure — expressed on the tabular cube so it scales by
+    shuffling (pixel, layer) keys, never dense arrays.
+
+    Exactness: daily pixel values quantize to micro-units once; all
+    moments fold in DECIMAL(38,0) exact integers; r lands on a 1e-9
+    grid (the >2^53 cast guard).
+
+    Plan: one (pixel, day) aggregate, a self-join on (pixel, day+1)
+    — 1:1 per pixel, co-partitioned — then a per-day-pair moment
+    aggregate. Calendar-bounded output rows.
+    """
+    from pyspark.sql import functions as F
+
+    from icecube_spark.functions.parity import dsum
+
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("user_id").alias("px"),
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            "value",
+        )
+        .groupBy("px", "d")
+        .agg(
+            F.floor(dsum("value") * F.lit(1e6)).cast("bigint").alias("q")
+        )
+    )
+    a = daily.select("px", F.col("d").alias("day_a"), F.col("q").alias("qa"))
+    b = daily.select(
+        "px", (F.col("d") - 1).alias("day_a"), F.col("q").alias("qb")
+    )
+    dec = "decimal(38,0)"
+    m = (
+        a.join(b, ["px", "day_a"])
+        .groupBy("day_a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qa").cast(dec)).alias("sa"),
+            F.sum(F.col("qb").cast(dec)).alias("sb"),
+            F.sum(F.col("qa").cast(dec) * F.col("qa")).alias("saa"),
+            F.sum(F.col("qb").cast(dec) * F.col("qb")).alias("sbb"),
+            F.sum(F.col("qa").cast(dec) * F.col("qb")).alias("sab"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb, sab = (
+        F.col("saa").cast("double"),
+        F.col("sbb").cast("double"),
+        F.col("sab").cast("double"),
+    )
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    raw = (n * sab - sa * sb) / (F.sqrt(va) * F.sqrt(vb))
+    r = F.floor(raw * F.lit(1e9)).cast("bigint").cast("double") / F.lit(1e9)
+    return (
+        m.where((va > 0) & (vb > 0) & (F.col("n") >= 2))
+        .select(
+            F.col("day_a").cast("bigint").alias("day_a"),
+            (F.col("day_a") + 1).cast("bigint").alias("day_b"),
+            F.col("n").cast("bigint").alias("n_shared_pixels"),
+            r.alias("coherence"),
+        )
+        .orderBy("day_a")
+    )

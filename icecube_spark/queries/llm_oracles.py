@@ -1693,3 +1693,47 @@ ORACLES["pq_recall_eval"] = """
            CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_k
     FROM hits ORDER BY query_id
 """
+
+ORACLES["perplexity_buckets"] = """
+    WITH scored AS (SELECT * FROM (
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok FROM documents),
+    nz AS (SELECT * FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM nz GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    tl AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t FROM documents),
+    bgs0 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM tl WHERE len(t) >= 2),
+    bgs AS (
+        SELECT * FROM bgs0
+        WHERE NOT regexp_matches(bg, '^ | $|^$')),
+    bi AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY 1),
+    lm AS (
+        SELECT bg,
+               CAST(FLOOR(LN(CAST(c2 + 1 AS DOUBLE)
+                             / CAST(c1 + v AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS qlp_micro
+        FROM bi JOIN uni ON string_split(bi.bg, ' ')[1] = uni.tok
+        CROSS JOIN vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(qlp_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS mean_logprob
+    FROM bgs JOIN lm USING (bg)
+    GROUP BY doc_id ORDER BY doc_id
+)),
+    b AS (
+        SELECT s.doc_id, s.n_bigrams, s.mean_logprob, d.n_chars,
+               NTILE(10) OVER (ORDER BY s.mean_logprob, s.doc_id) AS decile
+        FROM scored s JOIN documents d USING (doc_id))
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_docs,
+           MIN(mean_logprob) AS min_logprob,
+           MAX(mean_logprob) AS max_logprob,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_chars
+    FROM b GROUP BY decile ORDER BY decile
+"""

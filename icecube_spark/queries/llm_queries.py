@@ -711,3 +711,38 @@ def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E24 — recall@5 of PQ asymmetric-distance search vs exact."""
     return similarity.pq_recall_eval(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F33 — fluency-decile profile: docs bucketed into deciles of
+    the F28 bigram-LM score, with per-decile count, score range and
+    mean length. The triage view a curation owner reads to pick the
+    perplexity cut — the bottom decile is symbol soup, the top is
+    boilerplate; both get different treatment than the middle.
+
+    Plan: the F28 plan + one NTILE window over its (doc, score)
+    output + a 10-row aggregate; length joins from the base table on
+    the doc id."""
+    from pyspark.sql import Window
+
+    scored = text.bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+    w = Window.partitionBy().orderBy("mean_logprob", "doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    b = scored.withColumn("decile", F.ntile(10).over(w)).join(docs, "doc_id")
+    return (
+        b.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("mean_logprob").alias("min_logprob"),
+            F.max("mean_logprob").alias("max_logprob"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_chars"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs", "min_logprob", "max_logprob", "mean_chars",
+        )
+        .orderBy("decile")
+    )

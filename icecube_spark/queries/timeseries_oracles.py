@@ -1394,3 +1394,32 @@ ORACLES["dow_anova"] = """
            CAST(FLOOR((ssb / sst) * 1e9) AS BIGINT) / 1e9 AS eta_sq
     FROM st ORDER BY event_type
 """
+
+ORACLES["active_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events),
+    islands AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM days),
+    per_island AS (
+        SELECT user_id, grp, COUNT(*) AS len,
+               MIN(d) AS start_d, MAX(d) AS end_d
+        FROM islands GROUP BY 1, 2),
+    marked AS (
+        SELECT *,
+               MAX(end_d) OVER (PARTITION BY user_id) AS max_end,
+               MAX(len) OVER (PARTITION BY user_id) AS max_len
+        FROM per_island)
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(MAX(CASE WHEN end_d = max_end THEN len END) AS BIGINT)
+               AS current_streak_days,
+           CAST(MIN(CASE WHEN len = max_len THEN start_d END) AS BIGINT)
+               AS longest_streak_start_day
+    FROM marked GROUP BY user_id ORDER BY user_id
+"""

@@ -858,3 +858,9 @@ def dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C70 — one-way ANOVA of values across day-of-week groups."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.dow_anova(ev, "ts", "event_type", "value")
+
+
+def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71 — consecutive-active-day streaks per user (gaps & islands)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.active_streaks(ev, "ts", "user_id")

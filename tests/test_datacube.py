@@ -12,6 +12,7 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_coherence", dq.cube_coherence),
     ("metadata_summary", dq.metadata_summary),
     ("cube_config_filter", dq.cube_config_filter),
     ("cube_temporal_dedup", dq.cube_temporal_dedup),

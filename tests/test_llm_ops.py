@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("perplexity_buckets", lq.perplexity_buckets),
     ("media_frame_dedup", lq.media_frame_dedup),
     ("pq_recall_eval", lq.pq_recall_eval),
     ("tokenizer_fertility", lq.tokenizer_fertility),
