@@ -23,10 +23,11 @@ from icecube_spark.queries.datacube_oracles import ORACLES as DATACUBE_ORACLES
 from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACLES
 
 # Registration ORDER matters: the driver grades a ~50-key sample from
-# the head. Round-3 order: keys repaired this round (survival_km /
-# order_backlog hash fixes, the two latent HUGEINT-drift oracles, and
-# the D2 collapse-affected family) lead, then the 117 keys with no
-# driver evidence yet, then the 87 keys already driver-green in r1/r2.
+# the head. Round-3 order: the keys ADDED this round lead (newest
+# first), then the keys repaired this round (survival_km /
+# order_backlog hash fixes, the two latent HUGEINT-drift oracles, the
+# D2 collapse-affected family), then the keys with no driver evidence
+# yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (F28-F31) ---
     "bigram_logprob": lq.bigram_logprob,
@@ -55,6 +56,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_streaks": tsq.active_streaks,
     "perplexity_buckets": lq.perplexity_buckets,
     "cube_coherence": dq.cube_coherence,
+    # --- new this round (D11, B39, F34) ---
+    "lsh_bucket_profile": lq.lsh_bucket_profile,
+    "discount_uplift": analytics.discount_uplift,
+    "blocklist_fuzzy": lq.blocklist_fuzzy,
     # --- new this round (C65-C68) ---
     "theil_sen_trend": tsq.theil_sen_trend,
     "ks_drift": tsq.ks_drift,

@@ -692,3 +692,51 @@ def incremental_dedup(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("source", "status")
     )
+
+
+def lsh_bucket_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    band_rows: int = 4,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """D11 — LSH band-bucket health profile: the bucket-size
+    histogram of the banding stage, per band. The dedup-campaign
+    dashboard number: candidate-pair cost is Σ size·(size−1)/2 over
+    buckets, so one row here saying "size-10000 buckets exist" means
+    the collapse guard (or a re-banding) must run BEFORE the pair
+    join, not after it blows up. Profiling buckets costs one
+    aggregate; discovering the blowup in the self-join costs the
+    blowup.
+
+    Exactness: integer counts only.
+
+    Plan: the E17-style banding explode + two aggregates — bucket
+    sizes, then a (band, size) histogram with the implied pair cost.
+    No self-join anywhere.
+    """
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
+    exploded = sigs.select(
+        id_col,
+        F.posexplode(F.expr(f"array({bands_arr})")).alias("band_id", "band_hash"),
+    )
+    buckets = exploded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        buckets.groupBy("band_id", "size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+        .select(
+            F.col("band_id").cast("int").alias("band_id"),
+            F.col("size").cast("bigint").alias("bucket_size"),
+            "n_buckets",
+            (
+                F.col("n_buckets") * F.col("size") * (F.col("size") - 1) / 2
+            ).cast("bigint").alias("implied_pairs"),
+        )
+        .orderBy("band_id", "bucket_size")
+    )

@@ -1300,3 +1300,50 @@ def tokenizer_fertility(
         )
         .orderBy(group_col)
     )
+
+
+# leet/symbol substitutions the fuzzy gate normalizes away before
+# matching: each obfuscated char folds to its letter
+LEET_FROM = "013457$@!"
+LEET_TO = "oleastsai"
+
+
+def blocklist_fuzzy(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple = BLOCKLIST
+) -> DataFrame:
+    """F34 — obfuscation-resistant blocklist gate: tokens fold leet
+    substitutions (0→o, 1→l, 3→e, 4→a, 5→s, 7→t, $→s, @→a, !→i)
+    before matching, so 'm3rge'/'p@nic' variants hit the same terms
+    the exact gate (F24) matches. Real crawls evade token filters
+    exactly this way; every production safety gate carries a
+    normalization layer like this one.
+
+    Exactness: translate() is a deterministic char map in both
+    engines; counts are integers.
+
+    Plan: pure codegen projection (translate + filter over the token
+    array) — scan-speed, no shuffle; rides the same plan shape as
+    F24 so both gates run in one curation pass.
+    """
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    folded = (
+        f"transform({_toks(text_col)}, "
+        f"t -> translate(t, '{LEET_FROM}', '{LEET_TO}'))"
+    )
+    n_hits = F.expr(f"size(filter({folded}, t -> t IN ({in_list})))")
+    distinct_hits = F.expr(
+        f"size(array_intersect(array_distinct({folded}), array({in_list})))"
+    )
+    matched = F.expr(
+        f"array_join(array_sort(array_intersect("
+        f"array_distinct({folded}), array({in_list}))), ',')"
+    )
+    return df.select(
+        F.col(id_col),
+        n_hits.cast("int").alias("n_hits"),
+        distinct_hits.cast("int").alias("n_distinct_terms"),
+        matched.alias("matched"),
+        F.when(distinct_hits >= 2, F.lit("flag"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    ).orderBy(id_col)

@@ -1467,3 +1467,50 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 — discount-band effectiveness: per discount band (percent
+    points), order-line volume, quantity and revenue, plus the
+    average-quantity uplift ratio against the zero-discount baseline
+    — the promo-effectiveness readout behind every pricing review.
+
+    Exactness: quantities/revenue fold through the DECIMAL/quantized
+    schemes; the baseline rides every row via a window over the
+    ≤12-row aggregate, so the ratio divides identical doubles.
+
+    Plan: one map-side-combined aggregate to ≤12 band rows; the
+    baseline is a window over those rows (single tiny partition).
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    bands = (
+        li.select(
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("int").alias("band"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+        )
+    )
+    w = Window.partitionBy()
+    base_avg = F.max(
+        F.when(
+            F.col("band") == 0,
+            F.col("sum_qty") / F.col("n_lines").cast("double"),
+        )
+    ).over(w)
+    avg_qty = F.col("sum_qty") / F.col("n_lines").cast("double")
+    return bands.select(
+        "band",
+        "n_lines",
+        "sum_qty",
+        "revenue",
+        avg_qty.alias("avg_qty"),
+        (avg_qty / base_avg).alias("qty_uplift_vs_no_discount"),
+    ).orderBy("band")

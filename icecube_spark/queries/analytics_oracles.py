@@ -749,3 +749,26 @@ ORACLES["order_gap_stats"] = """
            MAX(gap) AS max_gap_days
     FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+ORACLES["discount_uplift"] = """
+    WITH bands AS (
+        SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS band,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                   * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+                   AS revenue
+        FROM lineitem GROUP BY 1),
+    b AS (
+        SELECT *,
+               MAX(CASE WHEN band = 0
+                        THEN sum_qty / CAST(n_lines AS DOUBLE) END)
+                   OVER () AS base_avg
+        FROM bands)
+    SELECT band, CAST(n_lines AS BIGINT) AS n_lines, sum_qty, revenue,
+           sum_qty / CAST(n_lines AS DOUBLE) AS avg_qty,
+           (sum_qty / CAST(n_lines AS DOUBLE)) / base_avg
+               AS qty_uplift_vs_no_discount
+    FROM b ORDER BY band
+"""

@@ -1737,3 +1737,53 @@ ORACLES["perplexity_buckets"] = """
                AS mean_chars
     FROM b GROUP BY decile ORDER BY decile
 """
+
+ORACLES["lsh_bucket_profile"] = """
+    WITH reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM (
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS th FROM documents)
+        GROUP BY th),
+    toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN range(1, len(t) - 1)]
+                     END) AS g
+            FROM toks),
+    eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams
+           WHERE doc_id IN (SELECT doc_id FROM reps)),
+    based AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                         & 1073741823 AS base
+              FROM eg),
+    sigs AS (SELECT doc_id, MIN((447121421 * base + 974816483) % 2147483647) AS s0, MIN((323201579 * base + 388788901) % 2147483647) AS s1, MIN((348323079 * base + 96601181) % 2147483647) AS s2, MIN((66316721 * base + 942707150) % 2147483647) AS s3, MIN((21541691 * base + 272281883) % 2147483647) AS s4, MIN((421530471 * base + 416361249) % 2147483647) AS s5, MIN((267128709 * base + 669989454) % 2147483647) AS s6, MIN((59608083 * base + 966911930) % 2147483647) AS s7, MIN((210473981 * base + 167961276) % 2147483647) AS s8, MIN((417764043 * base + 724915722) % 2147483647) AS s9, MIN((145319191 * base + 755229607) % 2147483647) AS s10, MIN((535742095 * base + 633862163) % 2147483647) AS s11, MIN((490802381 * base + 585478717) % 2147483647) AS s12, MIN((343672219 * base + 186972157) % 2147483647) AS s13, MIN((84861729 * base + 663948346) % 2147483647) AS s14, MIN((123197035 * base + 647949796) % 2147483647) AS s15, MIN((171724455 * base + 123785554) % 2147483647) AS s16, MIN((244161973 * base + 456537181) % 2147483647) AS s17, MIN((515860521 * base + 938130766) % 2147483647) AS s18, MIN((361002549 * base + 295092109) % 2147483647) AS s19, MIN((430008159 * base + 346576250) % 2147483647) AS s20, MIN((114954831 * base + 932445567) % 2147483647) AS s21, MIN((442795683 * base + 201113130) % 2147483647) AS s22, MIN((303893345 * base + 718724034) % 2147483647) AS s23, MIN((433124519 * base + 684093647) % 2147483647) AS s24, MIN((70098209 * base + 7898817) % 2147483647) AS s25, MIN((121939201 * base + 403028775) % 2147483647) AS s26, MIN((83484807 * base + 1025004221) % 2147483647) AS s27, MIN((417316483 * base + 804156477) % 2147483647) AS s28, MIN((82553783 * base + 144294222) % 2147483647) AS s29, MIN((404754421 * base + 314693933) % 2147483647) AS s30, MIN((462202577 * base + 59382772) % 2147483647) AS s31, MIN((47043421 * base + 642311233) % 2147483647) AS s32, MIN((17764429 * base + 1073579887) % 2147483647) AS s33, MIN((523261757 * base + 643426390) % 2147483647) AS s34, MIN((206665169 * base + 616336013) % 2147483647) AS s35, MIN((504457557 * base + 518564970) % 2147483647) AS s36, MIN((117867983 * base + 631184287) % 2147483647) AS s37, MIN((512351947 * base + 150068630) % 2147483647) AS s38, MIN((499846933 * base + 469114654) % 2147483647) AS s39, MIN((64287797 * base + 439379439) % 2147483647) AS s40, MIN((405729093 * base + 116782553) % 2147483647) AS s41, MIN((8874745 * base + 598099247) % 2147483647) AS s42, MIN((427366077 * base + 892374428) % 2147483647) AS s43, MIN((463807295 * base + 432138428) % 2147483647) AS s44, MIN((73253795 * base + 371436377) % 2147483647) AS s45, MIN((229968171 * base + 244259081) % 2147483647) AS s46, MIN((522570415 * base + 647285460) % 2147483647) AS s47, MIN((326026269 * base + 670173281) % 2147483647) AS s48, MIN((397695277 * base + 485490576) % 2147483647) AS s49, MIN((391623667 * base + 140651355) % 2147483647) AS s50, MIN((223610083 * base + 400032902) % 2147483647) AS s51, MIN((326615807 * base + 710355945) % 2147483647) AS s52, MIN((279941059 * base + 409211962) % 2147483647) AS s53, MIN((52928455 * base + 1004403146) % 2147483647) AS s54, MIN((125993857 * base + 321116597) % 2147483647) AS s55, MIN((476091119 * base + 925853882) % 2147483647) AS s56, MIN((445490841 * base + 97947120) % 2147483647) AS s57, MIN((31190019 * base + 28732103) % 2147483647) AS s58, MIN((394735505 * base + 768664970) % 2147483647) AS s59, MIN((175504925 * base + 135107090) % 2147483647) AS s60, MIN((219131201 * base + 541757647) % 2147483647) AS s61, MIN((11305639 * base + 536152003) % 2147483647) AS s62, MIN((170871135 * base + 1008100581) % 2147483647) AS s63 FROM based GROUP BY doc_id),
+    banded AS (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3), md5('1' || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7), md5('2' || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11), md5('3' || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('4' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19), md5('5' || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23), md5('6' || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27), md5('7' || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('8' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35), md5('9' || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39), md5('10' || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43), md5('11' || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('12' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51), md5('13' || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55), md5('14' || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59), md5('15' || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands FROM sigs),
+    expl AS (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+             FROM banded, range(16) t(i)),
+    buckets AS (
+        SELECT band_id, band_hash, COUNT(*) AS size
+        FROM expl GROUP BY 1, 2)
+    SELECT CAST(band_id AS INT) AS band_id,
+           CAST(size AS BIGINT) AS bucket_size,
+           COUNT(*) AS n_buckets,
+           CAST(COUNT(*) * size * (size - 1) // 2 AS BIGINT)
+               AS implied_pairs
+    FROM buckets GROUP BY band_id, size
+    ORDER BY band_id, bucket_size
+"""
+
+ORACLES["blocklist_fuzzy"] = """
+    SELECT doc_id,
+           CAST(len(list_filter(list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> translate(t, '013457$@!', 'oleastsai')), t -> t IN ('merge', 'deadlock', 'rollback', 'panic', 'corrupt'))) AS INT)
+               AS n_hits,
+           CAST(len(list_intersect(list_distinct(list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> translate(t, '013457$@!', 'oleastsai'))), ['merge', 'deadlock', 'rollback', 'panic', 'corrupt']))
+               AS INT) AS n_distinct_terms,
+           COALESCE(array_to_string(list_sort(list_intersect(
+               list_distinct(list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> translate(t, '013457$@!', 'oleastsai'))), ['merge', 'deadlock', 'rollback', 'panic', 'corrupt'])), ','), '') AS matched,
+           CASE WHEN len(list_intersect(list_distinct(list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> translate(t, '013457$@!', 'oleastsai'))), ['merge', 'deadlock', 'rollback', 'panic', 'corrupt']))
+                     >= 2
+                THEN 'flag' ELSE 'keep' END AS verdict
+    FROM documents ORDER BY doc_id
+"""

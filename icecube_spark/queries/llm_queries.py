@@ -746,3 +746,18 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 — LSH band-bucket size histogram + implied pair cost
+    (dedup-campaign health dashboard)."""
+    _, _, sigs = staged_collapse(spark, sf_dir)
+    return dedup.lsh_bucket_profile(
+        _docs(spark, sf_dir), "doc_id", "text", sigs=sigs
+    )
+
+
+def blocklist_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F34 — leet-normalized blocklist gate (catches obfuscated
+    variants the exact F24 gate misses)."""
+    return text.blocklist_fuzzy(_docs(spark, sf_dir), "doc_id", "text")

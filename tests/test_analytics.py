@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("discount_uplift", analytics.discount_uplift),
     ("order_gap_stats", analytics.order_gap_stats),
     ("q1_pricing_summary", analytics.q1_pricing_summary),
     ("q3_shipping_priority", analytics.q3_shipping_priority),

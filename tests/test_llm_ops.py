@@ -8,6 +8,8 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("lsh_bucket_profile", lq.lsh_bucket_profile),
+    ("blocklist_fuzzy", lq.blocklist_fuzzy),
     ("perplexity_buckets", lq.perplexity_buckets),
     ("media_frame_dedup", lq.media_frame_dedup),
     ("pq_recall_eval", lq.pq_recall_eval),
