@@ -29,6 +29,16 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 8 (B40-B41, P47-P48, C75, E25, A30-A32) ---
+    "customer_churn": analytics.customer_churn,
+    "price_elasticity": analytics.price_elasticity,
+    "mann_whitney": pq.mann_whitney,
+    "dsir_weights": pq.dsir_weights,
+    "psi_drift": tsq.psi_drift,
+    "hard_negatives": lq.hard_negatives,
+    "cube_lee_filter": dq.cube_lee_filter,
+    "cube_otsu_threshold": dq.cube_otsu_threshold,
+    "cube_morph_open": dq.cube_morph_open,
     # --- new this round (F28-F31) ---
     "bigram_logprob": lq.bigram_logprob,
     "heaps_fit": lq.heaps_fit,

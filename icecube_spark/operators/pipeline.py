@@ -1413,3 +1413,82 @@ def quality_length_corr(
         F.col("n").cast("bigint").alias("n_docs"),
         r.alias("length_quality_r"),
     ).orderBy(source_col)
+
+
+def mann_whitney_pairs(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """P47 — pairwise Mann–Whitney U between groups: for every group
+    pair (a < b), the (doubled, exact-integer) U statistic, the
+    tie-corrected z-score, and the rank-biserial effect size. The
+    nonparametric "are these two sources drawn from the same length/
+    quality distribution" test — the distribution-free complement to
+    dow_anova's parametric F.
+
+    Exactness: U folds from per-distinct-value counts as 2U (so tied
+    half-ranks stay integer); z and the effect size are shape-
+    mirrored double math over exact BIGINTs, quantized to a 1e-9
+    grid. Degenerate pairs (zero rank variance) emit NULL z.
+
+    Plan: one (group, value) count aggregate (vocab-sized), a
+    broadcast nested-loop against the tiny group-pair list, a
+    per-pair cumulative window over distinct values, one final
+    aggregate to |pairs| rows. Linear in distinct values — the
+    classic O(n log n) rank formulation, never the O(n²) pair walk.
+    Group count is assumed catalog-small (pairs grow O(S²)).
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    groups = counts.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(groups.select(F.col("g").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    e = counts.join(
+        F.broadcast(pairs),
+        (F.col(group_col) == F.col("ga")) | (F.col(group_col) == F.col("gb")),
+    )
+    grid = e.groupBy("ga", "gb", value_col).agg(
+        F.sum(F.when(F.col(group_col) == F.col("ga"), F.col("c")).otherwise(0))
+        .alias("ca"),
+        F.sum(F.when(F.col(group_col) == F.col("gb"), F.col("c")).otherwise(0))
+        .alias("cb"),
+    )
+    w = (
+        Window.partitionBy("ga", "gb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.withColumn(
+        "cumb", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    )
+    t = F.col("ca") + F.col("cb")
+    agg = cum.groupBy("ga", "gb").agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb")))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tsum"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    td = F.col("tsum").cast("double")
+    u2d = F.col("u2").cast("double")
+    sigma2 = nad * nbd / F.lit(12.0) * (
+        (nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))
+    )
+    z = (u2d - nad * nbd) / F.lit(2.0) / F.sqrt(sigma2)
+    effect = (u2d - nad * nbd) / (nad * nbd)
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n_a",
+        "n_b",
+        "u2",
+        F.when(sigma2 > 0, F.floor(z * F.lit(1e9)) / F.lit(1e9)).alias("z"),
+        (F.floor(effect * F.lit(1e9)) / F.lit(1e9)).alias("rank_biserial"),
+    ).orderBy("group_a", "group_b")

@@ -1225,3 +1225,52 @@ def pq_recall_eval(
         )
         .orderBy("query_id")
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_filter,
+    k: int = 3,
+) -> DataFrame:
+    """E25 — hard-negative mining: for each query vector, the top-k
+    most-similar vectors with a DIFFERENT label — the contrastive-
+    training staple (the near-duplicates of your anchor that the
+    model must learn to push apart).
+
+    Exactness: the quantized-dot cosine scheme of cosine_topk;
+    ranking ties break on neighbor id.
+
+    Plan: identical shape to E1 — broadcast the bounded query set,
+    scan the corpus once (label inequality rides the broadcast join
+    condition so same-label pairs never materialize), rank on the
+    query_id shuffle. Corpus-side never shuffles at any scale.
+    """
+    queries = vectors.where(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+    )
+    cands = vectors.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+    )
+    scored = (
+        cands.join(
+            F.broadcast(queries),
+            F.col("query_label") != F.col("neg_label"),
+        )
+        .withColumn("cosine", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .select("query_id", "query_label", "neg_id", "neg_label", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

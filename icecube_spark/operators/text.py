@@ -1347,3 +1347,80 @@ def blocklist_fuzzy(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     ).orderBy(id_col)
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """P48 — DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hash
+    every token into a fixed feature bucket, fit add-1-smoothed
+    bucket distributions for the TARGET slice (here: one language)
+    and the full corpus, and score each document by its summed
+    log-likelihood ratio Σ ln(p_target(b)/p_corpus(b)). High-weight
+    docs "look like" the target domain — the principled alternative
+    to hand-written quality filters when curating a domain mix.
+
+    Exactness: bucket ids are md5-derived (cross-engine); each
+    bucket's log-ratio quantizes once to micro-nats (256 lns total),
+    so per-doc sums are exact integer math.
+
+    Plan: one token explode feeding both bucket tables (the target
+    table is a filtered re-aggregation of the same shuffle), the
+    256-row weight table broadcasts back onto the explode, one
+    doc-key aggregate. Two corpus scans, zero corpus-sized shuffles
+    beyond the map-side-combined bucket counts.
+    """
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(F.expr(_toks(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucketed = toks.withColumn(
+        "b", F.expr(spark_hex2int("tok")) % F.lit(n_buckets)
+    )
+    grid = (
+        bucketed.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cs"),
+            F.sum(F.when(F.col(lang_col) == target_lang, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
+        )
+    )
+    wall = Window.partitionBy()
+    bd = float(n_buckets)
+    lw = grid.select(
+        "b",
+        F.floor(
+            F.log(
+                (
+                    (F.col("ct").cast("double") + F.lit(1.0))
+                    * (F.sum("cs").over(wall).cast("double") + F.lit(bd))
+                )
+                / (
+                    (F.col("cs").cast("double") + F.lit(1.0))
+                    * (F.sum("ct").over(wall).cast("double") + F.lit(bd))
+                )
+            )
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("lwm"),
+    )
+    return (
+        bucketed.join(F.broadcast(lw), "b")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.sum("lwm").cast("double") / F.lit(1e6)).alias("log_weight"),
+        )
+        .orderBy(id_col)
+    )

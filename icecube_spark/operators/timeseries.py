@@ -2371,3 +2371,119 @@ def active_streaks(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
         )
         .orderBy(key_col)
     )
+
+
+def psi_drift(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C75 — Population Stability Index per key: decile-bin the
+    early-half values (the model-monitoring convention: bins come
+    from the baseline), count both halves into those bins, and fold
+    PSI = Σ (p−q)·ln(p/q) with add-½ smoothing. The industry-standard
+    drift gate that complements ks_drift (C66): KS flags the largest
+    single deviation, PSI totals the whole reshape.
+
+    Exactness: the mid-day split and decile edges are pure integer
+    arithmetic over micro-quantized values (discrete percentiles, no
+    interpolation); each bin's ln(p/q) quantizes to micro-nats and
+    the (p−q)·ln term to a 1e-12 integer grid, so the 10-term sum is
+    exact regardless of reduction order.
+
+    Plan: one (key, distinct-value) conditional count, a cumulative
+    window on that vocab-sized frame to place the 9 edges, a
+    broadcast edge join to bin both halves, and a ≤10-row-per-key
+    fold. Linear in distinct values at any corpus size.
+    """
+    days = df.select(
+        F.col(key_col),
+        F.datediff(
+            F.to_date(F.col(ts_col).cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("x"),
+    )
+    wp = Window.partitionBy(key_col)
+    split = days.withColumn(
+        "mid",
+        F.floor((F.min("d").over(wp) + F.max("d").over(wp)) / F.lit(2)),
+    ).withColumn("early", F.col("d") <= F.col("mid"))
+    pts = split.groupBy(key_col, "x").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    wo = wp.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        key_col,
+        "x",
+        "c1",
+        "c2",
+        F.sum("c1").over(wo).alias("cum1"),
+        F.sum("c1").over(wp).alias("n1"),
+        F.sum("c2").over(wp).alias("n2"),
+    )
+    ii = F.explode(F.array([F.lit(i) for i in range(1, 10)])).alias("i")
+    edges = (
+        cum.select(key_col, "x", "cum1", "n1", ii)
+        .where(
+            F.col("cum1")
+            >= F.floor((F.col("i") * F.col("n1") + 9) / F.lit(10))
+        )
+        .groupBy(key_col, "i")
+        .agg(F.min("x").alias("edge"))
+    )
+    binned = (
+        cum.select(key_col, "x", "c1", "c2", "n1", "n2")
+        .join(edges.select(key_col, "edge"), key_col, "left")
+        .groupBy(key_col, "x", "c1", "c2", "n1", "n2")
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("edge"), 1).otherwise(0))
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy(key_col, "bin")
+        .agg(
+            F.sum("c1").cast("bigint").alias("c1_b"),
+            F.sum("c2").cast("bigint").alias("c2_b"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    keys = df.select(key_col).distinct()
+    allbins = keys.crossJoin(
+        F.broadcast(
+            binned.sparkSession.range(10).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    full = (
+        allbins.join(binned.select(key_col, "bin", "c1_b", "c2_b"), [key_col, "bin"], "left")
+        .join(
+            binned.groupBy(key_col).agg(F.max("n1").alias("n1"), F.max("n2").alias("n2")),
+            key_col,
+        )
+        .select(
+            key_col,
+            "bin",
+            F.coalesce(F.col("c1_b"), F.lit(0)).alias("c1_b"),
+            F.coalesce(F.col("c2_b"), F.lit(0)).alias("c2_b"),
+            "n1",
+            "n2",
+        )
+    )
+    p = (F.col("c1_b").cast("double") + F.lit(0.5)) / (
+        F.col("n1").cast("double") + F.lit(5.0)
+    )
+    q = (F.col("c2_b").cast("double") + F.lit(0.5)) / (
+        F.col("n2").cast("double") + F.lit(5.0)
+    )
+    lq = F.floor(F.log(p / q) * F.lit(1e6)) / F.lit(1e6)
+    term_q = F.floor((p - q) * lq * F.lit(1e12)).cast("bigint")
+    return (
+        full.withColumn("tq", term_q)
+        .groupBy(key_col)
+        .agg(
+            F.max("n1").alias("n_early"),
+            F.max("n2").alias("n_late"),
+            (F.sum("tq").cast("double") / F.lit(1e12)).alias("psi"),
+        )
+        .orderBy(key_col)
+    )

@@ -1514,3 +1514,102 @@ def discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_qty.alias("avg_qty"),
         (avg_qty / base_avg).alias("qty_uplift_vs_no_discount"),
     ).orderBy("band")
+
+
+def customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40 — year-over-year customer churn: per order-year, the
+    active customer count, how many of them ordered again the next
+    year, and the churn rate. The standard subscription-health
+    readout; the reference's catalog has no per-user notion, so this
+    lands on the orders fact the way rfm_segments (B24) does.
+
+    Exactness: all counts are exact BIGINTs; churn_rate divides two
+    identical ints — bit-stable in both engines.
+
+    Plan: one distinct (year, custkey) aggregate (map-side
+    combined), then a self-join keyed on (year+1, custkey) — both
+    sides share the same shuffle partitioning, and the year-level
+    rollup is a ≤10-row aggregate. No window, no broadcast needed;
+    at 100 TB the distinct collapse is the only corpus-sized
+    shuffle.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    active = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("cust")
+        )
+        .distinct()
+    )
+    nxt = active.select((F.col("yr") - 1).alias("yr"), F.col("cust"))
+    joined = active.join(nxt.withColumn("ret", F.lit(1)), ["yr", "cust"], "left")
+    per_year = joined.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.coalesce(F.col("ret"), F.lit(0))).cast("bigint").alias("n_retained"),
+    )
+    has_next = active.select("yr").distinct().select((F.col("yr") - 1).alias("yr"))
+    return (
+        per_year.join(has_next, "yr")
+        .select(
+            "yr",
+            "n_active",
+            "n_retained",
+            (
+                F.lit(1.0)
+                - F.col("n_retained").cast("double")
+                / F.col("n_active").cast("double")
+            ).alias("churn_rate"),
+        )
+        .orderBy("yr")
+    )
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41 — per-brand demand elasticity: the OLS slope of order-line
+    quantity on discount percent. discount_uplift (B39) reads the
+    global bands; this fits the per-brand line — the pricing team's
+    "which brands actually move on promo" table.
+
+    Exactness: x = discount in integer percent points, y = quantity
+    in integer centi-units; all OLS moments (Σx, Σy, Σxy, Σx²) fold
+    in DECIMAL(38,0) exact integers, and the closing slope/intercept
+    divide identical doubles. Zero-variance brands emit NULL slope.
+
+    Plan: lineitem joins the broadcast part dimension, then one
+    map-side-combined aggregate to ≤25 brand rows; the slope
+    arithmetic runs on that tiny frame. Single corpus shuffle at any
+    scale.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+    q = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    g = q.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    n = F.col("n_lines").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        denom != 0.0, (n * sxy - sx * sy) / denom / F.lit(100.0)
+    )
+    return g.select(
+        "p_brand",
+        "n_lines",
+        (sy / n / F.lit(100.0)).alias("avg_qty"),
+        (sx / n).alias("avg_discount_pct"),
+        slope.alias("qty_slope_per_discount_pct"),
+    ).orderBy("p_brand")

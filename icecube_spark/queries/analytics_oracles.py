@@ -772,3 +772,51 @@ ORACLES["discount_uplift"] = """
                AS qty_uplift_vs_no_discount
     FROM b ORDER BY band
 """
+
+ORACLES["customer_churn"] = """
+    WITH active AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+               o_custkey AS cust
+        FROM orders),
+    per AS (
+        SELECT a.yr, COUNT(*) AS n_active,
+               SUM(CASE WHEN b.cust IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_retained
+        FROM active a LEFT JOIN active b
+          ON b.yr = a.yr + 1 AND b.cust = a.cust
+        GROUP BY a.yr),
+    hn AS (SELECT DISTINCT yr - 1 AS yr FROM active)
+    SELECT p.yr, CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           1.0 - CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE)
+               AS churn_rate
+    FROM per p JOIN hn ON p.yr = hn.yr ORDER BY p.yr
+"""
+
+ORACLES["price_elasticity"] = """
+    WITH q AS (
+        SELECT p.p_brand,
+               CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (
+        SELECT p_brand, COUNT(*) AS n_lines,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        FROM q GROUP BY 1)
+    SELECT p_brand, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(sy AS DOUBLE) / CAST(n_lines AS DOUBLE) / 100.0 AS avg_qty,
+           CAST(sx AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS avg_discount_pct,
+           CASE WHEN CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+                THEN (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / 100.0
+           END AS qty_slope_per_discount_pct
+    FROM g ORDER BY p_brand
+"""

@@ -574,3 +574,120 @@ ORACLES["cube_coherence"] = """
     FROM s WHERE va > 0 AND vb > 0 AND n >= 2
     ORDER BY day_a
 """
+
+_QCELLS = """
+    cells AS (
+        SELECT event_id % 1000 AS x,
+               CAST(FLOOR(event_id / 1000) AS BIGINT) % 1000 AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(CAST(value AS DECIMAL(18,8))) AS cell_sum
+        FROM events GROUP BY 1, 2
+    ),
+    qcells AS (
+        SELECT x, y, n_obs,
+               CAST(FLOOR((CAST(cell_sum AS DOUBLE)
+                           / CAST(n_obs AS DOUBLE)) * 1e6) AS BIGINT) AS qv
+        FROM cells
+    ),
+    offs AS (SELECT UNNEST([-1, 0, 1]) AS dx),
+    offs2 AS (SELECT UNNEST([-1, 0, 1]) AS dy)
+"""
+
+ORACLES["cube_lee_filter"] = f"""
+    WITH {_QCELLS},
+    contrib AS (
+        SELECT x + dx AS tx, y + dy AS ty, qv
+        FROM qcells, offs, offs2
+        WHERE x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000
+    ),
+    focal AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(qv) AS BIGINT) AS s,
+               CAST(SUM(qv * qv) AS BIGINT) AS ss
+        FROM contrib GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT f.tx, f.ty, f.n_cells, c.n_obs,
+               CAST(f.n_cells AS DOUBLE) AS nd,
+               CAST(f.s AS DOUBLE) AS sd,
+               CAST(f.ss AS DOUBLE) AS ssd,
+               CAST(c.qv AS DOUBLE) / 1e6 AS center
+        FROM focal f JOIN qcells c ON c.x = f.tx AND c.y = f.ty
+    )
+    SELECT tx AS x, ty AS y, n_cells, n_obs,
+           FLOOR((sd / nd / 1e6
+                  + ((ssd - sd * sd / nd) / nd / 1e12)
+                    / ((ssd - sd * sd / nd) / nd / 1e12 + 2500.0)
+                    * (center - sd / nd / 1e6)) * 1e9) / 1e9 AS lee_value
+    FROM j ORDER BY x, y
+"""
+
+ORACLES["cube_otsu_threshold"] = """
+    WITH binned AS (
+        SELECT event_type AS layer,
+               LEAST(63, CAST(FLOOR(value / 8) AS INT)) AS bin,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS qv
+        FROM events),
+    hist AS (
+        SELECT layer, bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(qv) AS BIGINT) AS s_b
+        FROM binned GROUP BY 1, 2),
+    cum AS (
+        SELECT layer, bin,
+               CAST(SUM(n_b) OVER (PARTITION BY layer ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n0,
+               CAST(SUM(s_b) OVER (PARTITION BY layer ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s0,
+               CAST(SUM(n_b) OVER (PARTITION BY layer) AS BIGINT) AS nt,
+               CAST(SUM(s_b) OVER (PARTITION BY layer) AS BIGINT) AS st
+        FROM hist),
+    scored AS (
+        SELECT layer, bin, n0 AS n_below, nt - n0 AS n_above,
+               FLOOR((CAST(n0 AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * ((CAST(nt AS DOUBLE) - CAST(n0 AS DOUBLE))
+                        / CAST(nt AS DOUBLE))
+                     * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6
+                        - (CAST(st AS DOUBLE) - CAST(s0 AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) - CAST(n0 AS DOUBLE)) / 1e6)
+                     * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6
+                        - (CAST(st AS DOUBLE) - CAST(s0 AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) - CAST(n0 AS DOUBLE)) / 1e6)
+                     * 1e9) / 1e9 AS sigma_b
+        FROM cum WHERE n0 < nt)
+    SELECT layer, bin AS threshold_bin,
+           (bin + 1) * 8.0 AS threshold_value, n_below, n_above, sigma_b
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY layer ORDER BY sigma_b DESC, bin) AS r
+          FROM scored)
+    WHERE r = 1 ORDER BY layer
+"""
+
+ORACLES["cube_morph_open"] = f"""
+    WITH {_QCELLS},
+    mask AS (SELECT x, y FROM qcells WHERE qv >= 50000000),
+    ncnt AS (
+        SELECT x + dx AS tx, y + dy AS ty, COUNT(*) AS n
+        FROM mask, offs, offs2
+        WHERE x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000
+        GROUP BY 1, 2),
+    eroded AS (
+        SELECT m.x, m.y FROM mask m
+        JOIN ncnt n ON n.tx = m.x AND n.ty = m.y
+        WHERE n.n = 9),
+    opened AS (
+        SELECT DISTINCT x + dx AS x, y + dy AS y
+        FROM eroded, offs, offs2
+        WHERE x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000)
+    SELECT m.x, m.y,
+           CAST(CASE WHEN e.x IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS eroded,
+           CAST(CASE WHEN o.x IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS opened
+    FROM mask m
+    LEFT JOIN eroded e ON e.x = m.x AND e.y = m.y
+    LEFT JOIN opened o ON o.x = m.x AND o.y = m.y
+    ORDER BY m.x, m.y
+"""

@@ -1048,3 +1048,238 @@ def cube_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_a")
     )
+
+
+def _pixel_cells(ev: DataFrame) -> DataFrame:
+    """Distinct sparse-grid cells with exact micro-quantized mean.
+
+    x/y derive from independent event_id digit groups (the focal_mean
+    lattice); the cell mean folds through DECIMAL(18,8) then
+    quantizes to integer micro-units so every downstream moment is
+    exact integer math.
+    """
+    return (
+        ev.select(
+            (F.col("event_id") % 1000).alias("x"),
+            ((F.col("event_id") / 1000).cast("bigint") % 1000).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum(F.col("value").cast("decimal(18,8)")).alias("cell_sum"),
+        )
+        .withColumn(
+            "qv",
+            F.floor(
+                (F.col("cell_sum").cast("double") / F.col("n_obs").cast("double"))
+                * F.lit(1e6)
+            ).cast("bigint"),
+        )
+    )
+
+
+def cube_lee_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 — Lee adaptive speckle filter over the sparse pixel grid:
+    per pixel, the 3×3 focal mean/variance pick the weight
+    w = σ²/(σ² + σ_n²), and the filtered value is mean + w·(center −
+    mean). THE standard SAR despeckle (additive-noise Lee 1980 form);
+    reference SAR cubes apply it per GRD band before band math.
+
+    Exactness: cell means quantize to micro-units once, focal moments
+    (Σq, Σq²) fold in exact BIGINTs; the weight/filter arithmetic is
+    shape-mirrored double math, and the output quantizes to a 1e-9
+    grid (corr_matrix guard).
+
+    Plan: identical stencil shape to focal_mean (A22): cells collapse
+    first, each CELL explodes to its 9 targets, one target aggregate,
+    center semi-join. Shuffle volume = 9 × distinct cells at any
+    corpus size — never 9 × raw events.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = _pixel_cells(ev)
+    contrib = (
+        cells.select(
+            "x", "y", "qv",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+        )
+        .select(
+            "x", "y", "qv", "dx",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"),
+            (F.col("y") + F.col("dy")).alias("ty"),
+            "qv",
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < 1000)
+            & (F.col("ty") >= 0) & (F.col("ty") < 1000)
+        )
+    )
+    focal = contrib.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+    )
+    j = focal.join(
+        cells.select(
+            F.col("x").alias("tx"), F.col("y").alias("ty"), "qv", "n_obs"
+        ),
+        ["tx", "ty"],
+    )
+    nd = F.col("n_cells").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean_f = sd / nd / F.lit(1e6)
+    var_f = (ssd - sd * sd / nd) / nd / F.lit(1e12)
+    center = F.col("qv").cast("double") / F.lit(1e6)
+    w = var_f / (var_f + F.lit(2500.0))
+    lee = mean_f + w * (center - mean_f)
+    return j.select(
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        "n_cells",
+        "n_obs",
+        (F.floor(lee * F.lit(1e9)) / F.lit(1e9)).alias("lee_value"),
+    ).orderBy("x", "y")
+
+
+def cube_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 — per-layer Otsu threshold: 64-bin histogram of pixel
+    values per product type, threshold at the argmax of between-class
+    variance w0·w1·(μ0−μ1)². The classical automatic land/water
+    segmentation cut for SAR backscatter (flood mapping's first
+    step).
+
+    Exactness: histogram counts and micro-quantized bin sums are
+    exact integers; σ_b² folds from those ints in shape-mirrored
+    double math and quantizes to a 1e-9 grid before the argmax; ties
+    break to the lowest bin.
+
+    Plan: one (layer, bin) aggregate — 64 rows per layer — then
+    cumulative windows and the argmax run on that tiny frame. A
+    single corpus-sized shuffle at any scale.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    binned = ev.select(
+        F.col("event_type").alias("layer"),
+        F.least(F.lit(63), F.floor(F.col("value") / 8).cast("int")).alias("bin"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("qv"),
+    )
+    hist = binned.groupBy("layer", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("qv").alias("s_b"),
+    )
+    wcum = (
+        Window.partitionBy("layer")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("layer")
+    cum = hist.select(
+        "layer",
+        "bin",
+        F.sum("n_b").over(wcum).alias("n0"),
+        F.sum("s_b").over(wcum).alias("s0"),
+        F.sum("n_b").over(wall).alias("nt"),
+        F.sum("s_b").over(wall).alias("st"),
+    ).where(F.col("n0") < F.col("nt"))
+    n0 = F.col("n0").cast("double")
+    s0 = F.col("s0").cast("double")
+    nt = F.col("nt").cast("double")
+    st = F.col("st").cast("double")
+    mu0 = s0 / n0 / F.lit(1e6)
+    mu1 = (st - s0) / (nt - n0) / F.lit(1e6)
+    sb = (n0 / nt) * ((nt - n0) / nt) * (mu0 - mu1) * (mu0 - mu1)
+    scored = cum.select(
+        "layer",
+        "bin",
+        F.col("n0").alias("n_below"),
+        (F.col("nt") - F.col("n0")).alias("n_above"),
+        (F.floor(sb * F.lit(1e9)) / F.lit(1e9)).alias("sigma_b"),
+    )
+    wr = Window.partitionBy("layer").orderBy(
+        F.col("sigma_b").desc(), F.col("bin")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") == 1)
+        .select(
+            "layer",
+            F.col("bin").alias("threshold_bin"),
+            ((F.col("bin") + 1) * F.lit(8.0)).alias("threshold_value"),
+            "n_below",
+            "n_above",
+            "sigma_b",
+        )
+        .orderBy("layer")
+    )
+
+
+def cube_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 — binary morphological opening (erode → dilate, 3×3
+    structuring element) of the thresholded pixel mask: the despeckle
+    step that removes isolated false positives from a flood/change
+    mask while preserving connected regions. Opening ⊆ mask, so the
+    output reports each mask pixel with its eroded/opened flags.
+
+    Exactness: pure integer set logic — no floats anywhere.
+
+    Plan: two stencil passes, each shuffling 9 × mask cells
+    (cell-collapsed first); the dilate pass runs over the (much
+    smaller) eroded set only. Sparse-raster semantics: out-of-mask
+    neighbors are simply absent.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    mask = _pixel_cells(ev).where(F.col("qv") >= 50_000_000).select("x", "y")
+
+    def stencil(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "x", "y",
+                F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+            )
+            .select(
+                "x", "y", "dx",
+                F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+            )
+            .select(
+                (F.col("x") + F.col("dx")).alias("tx"),
+                (F.col("y") + F.col("dy")).alias("ty"),
+            )
+            .where(
+                (F.col("tx") >= 0) & (F.col("tx") < 1000)
+                & (F.col("ty") >= 0) & (F.col("ty") < 1000)
+            )
+        )
+
+    neigh = stencil(mask).groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neigh")
+    )
+    eroded = (
+        mask.join(
+            neigh.select(F.col("tx").alias("x"), F.col("ty").alias("y"), "n_neigh"),
+            ["x", "y"],
+        )
+        .where(F.col("n_neigh") == 9)
+        .select("x", "y")
+    )
+    opened = (
+        stencil(eroded)
+        .select(F.col("tx").alias("x"), F.col("ty").alias("y"))
+        .distinct()
+        .withColumn("op", F.lit(1))
+    )
+    er = eroded.withColumn("er", F.lit(1))
+    return (
+        mask.join(er, ["x", "y"], "left")
+        .join(opened, ["x", "y"], "left")
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.col("er"), F.lit(0)).cast("int").alias("eroded"),
+            F.coalesce(F.col("op"), F.lit(0)).cast("int").alias("opened"),
+        )
+        .orderBy("x", "y")
+    )

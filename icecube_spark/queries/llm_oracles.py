@@ -1787,3 +1787,21 @@ ORACLES["blocklist_fuzzy"] = """
                 THEN 'flag' ELSE 'keep' END AS verdict
     FROM documents ORDER BY doc_id
 """
+
+ORACLES["hard_negatives"] = f"""
+    WITH {_VNORM},
+    q AS (SELECT vec_id AS query_id, label AS query_label,
+                 embedding AS qv, nrm AS qn
+          FROM v WHERE vec_id < 20),
+    pairs AS (
+        SELECT q.query_id, q.query_label, c.vec_id AS neg_id,
+               c.label AS neg_label,
+               {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} AS cosine
+        FROM q JOIN v c ON q.query_label != c.label)
+    SELECT query_id, query_label, neg_id, neg_label, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neg_id
+        ) AS INT) AS rank
+        FROM pairs)
+    WHERE rank <= 3 ORDER BY query_id, rank
+"""

@@ -761,3 +761,12 @@ def blocklist_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F34 — leet-normalized blocklist gate (catches obfuscated
     variants the exact F24 gate misses)."""
     return text.blocklist_fuzzy(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 — contrastive hard-negative mining: per query vector, the
+    top-3 nearest neighbors with a different label."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, "vec_id", "embedding", "label", F.col("vec_id") < 20, k=3
+    )

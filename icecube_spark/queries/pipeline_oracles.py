@@ -808,3 +808,89 @@ ORACLES["split_leakage_check"] = f"""
     WHERE sa.split != sb.split
     ORDER BY p.doc_a, p.doc_b
 """
+
+ORACLES["mann_whitney"] = """
+    WITH counts AS (
+        SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM (SELECT DISTINCT g FROM counts) a,
+             (SELECT DISTINCT g FROM counts) b
+        WHERE a.g < b.g),
+    grid AS (
+        SELECT p.ga, p.gb, c.v,
+               CAST(SUM(CASE WHEN c.g = p.ga THEN c.c ELSE 0 END)
+                   AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN c.g = p.gb THEN c.c ELSE 0 END)
+                   AS BIGINT) AS cb
+        FROM counts c JOIN pairs p ON c.g = p.ga OR c.g = p.gb
+        GROUP BY 1, 2, 3),
+    cum AS (
+        SELECT *, COALESCE(CAST(SUM(cb) OVER (PARTITION BY ga, gb
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+        FROM grid),
+    agg AS (
+        SELECT ga, gb,
+               CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b,
+               CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+               CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                   AS BIGINT) AS tsum
+        FROM cum GROUP BY 1, 2)
+    SELECT ga AS group_a, gb AS group_b, n_a, n_b, u2,
+           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                     * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                        - CAST(tsum AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0
+                THEN FLOOR((CAST(u2 AS DOUBLE)
+                            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                           / 2.0
+                           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                  / 12.0
+                                  * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                                     - CAST(tsum AS DOUBLE)
+                                       / (CAST(n_a + n_b AS DOUBLE)
+                                          * (CAST(n_a + n_b AS DOUBLE)
+                                             - 1.0))))
+                           * 1e9) / 1e9
+           END AS z,
+           FLOOR((CAST(u2 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e9) / 1e9
+               AS rank_biserial
+    FROM agg ORDER BY group_a, group_b
+"""
+
+ORACLES["dsir_weights"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST(string_split({_NORM}, ' ')) AS tok
+        FROM documents),
+    bucketed AS (
+        SELECT doc_id, lang, {duck_hex2int('tok')} % 256 AS b
+        FROM toks WHERE tok != ''),
+    grid AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cs,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ct
+        FROM bucketed GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(cs) AS BIGINT) AS tcs,
+               CAST(SUM(ct) AS BIGINT) AS tct
+        FROM grid),
+    lw AS (
+        SELECT b,
+               CAST(FLOOR(ln(((CAST(ct AS DOUBLE) + 1.0)
+                              * (CAST(tcs AS DOUBLE) + 256.0))
+                             / ((CAST(cs AS DOUBLE) + 1.0)
+                                * (CAST(tct AS DOUBLE) + 256.0)))
+                          * 1e6) AS BIGINT) AS lwm
+        FROM grid, tot)
+    SELECT t.doc_id, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(l.lwm) AS BIGINT) AS DOUBLE) / 1e6 AS log_weight
+    FROM bucketed t JOIN lw l ON t.b = l.b
+    GROUP BY 1, 2 ORDER BY t.doc_id
+"""

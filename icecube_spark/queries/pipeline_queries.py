@@ -695,3 +695,19 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P47 — pairwise Mann–Whitney U on document length between
+    sources: the nonparametric same-distribution gate."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.mann_whitney_pairs(docs, "source", "n_chars")
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P48 — DSIR hashed-ngram importance weights toward the 'en'
+    slice (Xie et al. 2023)."""
+    from icecube_spark.operators import text as text_ops
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    return text_ops.dsir_weights(docs, "doc_id", "text", "lang", "en", 256)

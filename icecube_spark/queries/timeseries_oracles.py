@@ -1423,3 +1423,71 @@ ORACLES["active_streaks"] = """
                AS longest_streak_start_day
     FROM marked GROUP BY user_id ORDER BY user_id
 """
+
+ORACLES["psi_drift"] = """
+    WITH days AS (
+        SELECT event_type AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS x
+        FROM events),
+    sp AS (
+        SELECT k, x,
+               d <= CAST(FLOOR((MIN(d) OVER (PARTITION BY k)
+                    + MAX(d) OVER (PARTITION BY k)) / 2) AS BIGINT) AS early
+        FROM days),
+    pts AS (
+        SELECT k, x,
+               CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM sp GROUP BY 1, 2),
+    cum AS (
+        SELECT k, x, c1, c2,
+               CAST(SUM(c1) OVER (PARTITION BY k ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+               CAST(SUM(c1) OVER (PARTITION BY k) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY k) AS BIGINT) AS n2
+        FROM pts),
+    edges AS (
+        SELECT k, i, MIN(x) AS edge
+        FROM cum, range(1, 10) t(i)
+        WHERE cum1 >= CAST(FLOOR((i * n1 + 9) / 10) AS BIGINT)
+        GROUP BY 1, 2),
+    binned0 AS (
+        SELECT c.k, c.x, c.c1, c.c2, c.n1, c.n2,
+               CAST(SUM(CASE WHEN c.x > e.edge THEN 1 ELSE 0 END) AS INT)
+                   AS bin
+        FROM cum c LEFT JOIN edges e ON e.k = c.k
+        GROUP BY c.k, c.x, c.c1, c.c2, c.n1, c.n2),
+    binned AS (
+        SELECT k, bin, CAST(SUM(c1) AS BIGINT) AS c1_b,
+               CAST(SUM(c2) AS BIGINT) AS c2_b,
+               MAX(n1) AS n1, MAX(n2) AS n2
+        FROM binned0 GROUP BY 1, 2),
+    allbins AS (
+        SELECT ks.k, CAST(t.i AS INT) AS bin
+        FROM (SELECT DISTINCT event_type AS k FROM events) ks,
+             range(10) t(i)),
+    filled AS (
+        SELECT a.k, a.bin, COALESCE(b.c1_b, 0) AS c1_b,
+               COALESCE(b.c2_b, 0) AS c2_b, g.n1, g.n2
+        FROM allbins a
+        LEFT JOIN binned b ON b.k = a.k AND b.bin = a.bin
+        JOIN (SELECT k, MAX(n1) AS n1, MAX(n2) AS n2
+              FROM binned GROUP BY 1) g ON g.k = a.k),
+    terms AS (
+        SELECT k, n1, n2,
+               CAST(FLOOR(((CAST(c1_b AS DOUBLE) + 0.5)
+                           / (CAST(n1 AS DOUBLE) + 5.0)
+                           - (CAST(c2_b AS DOUBLE) + 0.5)
+                             / (CAST(n2 AS DOUBLE) + 5.0))
+                          * (FLOOR(ln(((CAST(c1_b AS DOUBLE) + 0.5)
+                                       / (CAST(n1 AS DOUBLE) + 5.0))
+                                      / ((CAST(c2_b AS DOUBLE) + 0.5)
+                                         / (CAST(n2 AS DOUBLE) + 5.0)))
+                                   * 1e6) / 1e6)
+                          * 1e12) AS BIGINT) AS tq
+        FROM filled)
+    SELECT k AS event_type, MAX(n1) AS n_early, MAX(n2) AS n_late,
+           CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e12 AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+"""

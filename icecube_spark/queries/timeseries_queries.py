@@ -864,3 +864,10 @@ def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C71 — consecutive-active-day streaks per user (gaps & islands)."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.active_streaks(ev, "ts", "user_id")
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C75 — Population Stability Index (early-half baseline deciles)
+    per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.psi_drift(ev, "ts", "event_type", "value")

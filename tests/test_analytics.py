@@ -8,6 +8,8 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("customer_churn", analytics.customer_churn),
+    ("price_elasticity", analytics.price_elasticity),
     ("discount_uplift", analytics.discount_uplift),
     ("order_gap_stats", analytics.order_gap_stats),
     ("q1_pricing_summary", analytics.q1_pricing_summary),

@@ -12,6 +12,9 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_lee_filter", dq.cube_lee_filter),
+    ("cube_otsu_threshold", dq.cube_otsu_threshold),
+    ("cube_morph_open", dq.cube_morph_open),
     ("cube_coherence", dq.cube_coherence),
     ("metadata_summary", dq.metadata_summary),
     ("cube_config_filter", dq.cube_config_filter),

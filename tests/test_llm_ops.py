@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("hard_negatives", lq.hard_negatives),
     ("lsh_bucket_profile", lq.lsh_bucket_profile),
     ("blocklist_fuzzy", lq.blocklist_fuzzy),
     ("perplexity_buckets", lq.perplexity_buckets),

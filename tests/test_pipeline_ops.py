@@ -12,6 +12,8 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("mann_whitney", pq.mann_whitney),
+    ("dsir_weights", pq.dsir_weights),
     ("quality_length_corr", pq.quality_length_corr),
     ("split_leakage_check", pq.split_leakage_check),
     ("epoch_plan", pq.epoch_plan),
