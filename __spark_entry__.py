@@ -29,6 +29,15 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 9 (B42, C76, D12-D13, E26, F35, A33, P49) ---
+    "supplier_scorecard": analytics.supplier_scorecard,
+    "window_funnel_strict": tsq.window_funnel_strict,
+    "tfidf_cosine_pairs": lq.tfidf_cosine_pairs,
+    "repeated_substrings": lq.repeated_substrings,
+    "label_noise_knn": lq.label_noise_knn,
+    "bpe_merge_candidates": lq.bpe_merge_candidates,
+    "cube_local_moran": dq.cube_local_moran,
+    "zorder_plan": pq.zorder_plan,
     # --- wave 8 (B40-B41, P47-P48, C75, E25, A30-A32) ---
     "customer_churn": analytics.customer_churn,
     "price_elasticity": analytics.price_elasticity,

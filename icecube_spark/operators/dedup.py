@@ -740,3 +740,124 @@ def lsh_bucket_profile(
         )
         .orderBy("band_id", "bucket_size")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.4,
+    max_df: int = 64,
+) -> DataFrame:
+    """D12 — TF-IDF cosine near-dup pairs: weight tokens by
+    tf·ln(N/df), find candidate pairs through a df-capped inverted
+    index, score full sparse-vector cosine, keep pairs ≥ threshold.
+    Complements D3's Jaccard (set overlap) with the weighted-bag
+    similarity that tolerates token-count skew — boilerplate-heavy
+    near-dups share rare terms at different multiplicities.
+
+    Exactness: idf quantizes once per DISTINCT term to milli-nats, so
+    weights (tf·idf_q) and dot products are exact BIGINT folds;
+    norms take IEEE sqrt of exact integers; the cosine divides
+    identical doubles.
+
+    Plan: candidate pairs come ONLY from terms with df ≤ max_df (the
+    Zipf head never self-joins); scoring joins the two doc-term lists
+    pair-locally on the term key. At 100 TB the index cap bounds
+    candidate fanout at df²·vocab, never corpus².
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(f"split({NORM.format(col=text_col)}, ' ')")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    nd = df.agg(F.countDistinct(F.col(id_col)).cast("double").alias("nd"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "idf_q",
+            F.floor(
+                F.log(F.col("nd") / F.col("df").cast("double")) * F.lit(1e3)
+            ).cast("bigint"),
+        )
+        .drop("nd")
+    )
+    w = tf.join(F.broadcast(idf), "tok").select(
+        "doc", "tok", "df", (F.col("tf") * F.col("idf_q")).alias("w")
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    rare = w.where(F.col("df") <= max_df).select("doc", "tok")
+    cands = (
+        rare.alias("a")
+        .join(rare.alias("b"), "tok")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("doc").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        cands.join(wa, "doc_a")
+        .join(wb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold).orderBy("doc_a", "doc_b")
+
+
+def repeated_substrings(
+    df: DataFrame, id_col: str, text_col: str,
+    gram_chars: int = 32, stride: int = 16, top_k: int = 100,
+) -> DataFrame:
+    """D13 — cross-document repeated substring profile: hash strided
+    fixed-width character windows and report the substrings shared by
+    the most documents. The suffix-array-lite signal behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al. 2022): exact long substrings recurring across documents
+    are memorization fuel that word-level MinHash misses.
+
+    Exactness: md5 window hashes are cross-engine byte-identical;
+    counts are exact ints; the top-k rank breaks ties on the hash.
+
+    Plan: strided windows keep the explode at n_chars/stride per doc
+    (2× the text volume at stride=16, vs 32× for dense windows — a
+    repeat ≥ gram+stride chars still always aligns on some stride
+    window in both copies); one gram-key count shuffle; TakeOrdered
+    prunes the top-k without a global sort.
+    """
+    norm = NORM.format(col=text_col)
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length({norm}) - {gram_chars - 1}), {stride}),"
+                f" i -> substring({norm}, i, {gram_chars}))"
+            )
+        ).alias("win"),
+    ).where(F.length("win") >= gram_chars)
+    grams = wins.select("doc", F.md5("win").alias("h"))
+    counts = grams.groupBy("h").agg(
+        F.countDistinct("doc").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    ).where(F.col("n_docs") >= 2)
+    return (
+        counts.orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h")
+        .limit(top_k)
+        .select("h", "n_docs", "n_occurrences")
+    )

@@ -1492,3 +1492,59 @@ def mann_whitney_pairs(
         F.when(sigma2 > 0, F.floor(z * F.lit(1e9)) / F.lit(1e9)).alias("z"),
         (F.floor(effect * F.lit(1e9)) / F.lit(1e9)).alias("rank_biserial"),
     ).orderBy("group_a", "group_b")
+
+
+def zorder_plan(
+    df: DataFrame, key_a: str, key_b: str,
+    bits: int = 8, file_buckets_shift: int = 8,
+    probe_lo: int = 100, probe_hi: int = 140,
+) -> DataFrame:
+    """P49 — Z-order (Morton curve) layout planner: interleave the low
+    `bits` of two join/filter keys, bucket rows into files by the
+    curve position, and report per-file min/max zone maps plus
+    whether a sample range predicate on key_a could PRUNE the file.
+    The lakehouse data-layout primitive (Delta/Iceberg OPTIMIZE
+    ZORDER): multi-column locality so zone maps prune on either key.
+
+    Exactness: pure integer bit arithmetic (flat codegen expression,
+    engine-portable); counts/extents are exact.
+
+    Plan: one map-side projection computes the curve position, one
+    bucket-key aggregate (≤2^`file_buckets_shift` rows). At 100 TB
+    this IS the repartitionByRange write plan — the report is its
+    zone-map dry run.
+    """
+    terms_a = " + ".join(
+        f"(((CAST({key_a} AS BIGINT) >> {b}) & 1) << {2 * b})"
+        for b in range(bits)
+    )
+    terms_b = " + ".join(
+        f"(((CAST({key_b} AS BIGINT) >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    z = F.expr(f"({terms_a}) + ({terms_b})")
+    bucketed = df.select(
+        F.shiftright(z, file_buckets_shift).cast("bigint").alias("bucket"),
+        F.col(key_a).cast("bigint").alias("ka"),
+        F.col(key_b).cast("bigint").alias("kb"),
+    )
+    g = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ka").alias("min_a"),
+        F.max("ka").alias("max_a"),
+        F.min("kb").alias("min_b"),
+        F.max("kb").alias("max_b"),
+    )
+    prunable = F.when(
+        (F.col("max_a") < F.lit(probe_lo)) | (F.col("min_a") > F.lit(probe_hi)),
+        1,
+    ).otherwise(0)
+    return g.select(
+        "bucket",
+        "n_rows",
+        "min_a",
+        "max_a",
+        "min_b",
+        "max_b",
+        prunable.cast("int").alias("prunable_for_probe"),
+    ).orderBy("bucket")

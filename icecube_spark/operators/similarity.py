@@ -1274,3 +1274,64 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def label_noise_knn(
+    vectors: DataFrame, id_col: str, vec_col: str, label_col: str, k: int = 5
+) -> DataFrame:
+    """E26 — confident-learning-lite label-noise audit: per label
+    class, the fraction of k-NN votes (within the E2 LSH bucket) that
+    DISAGREE with the anchor's label. Classes whose members sit in
+    other classes' neighborhoods are mislabeled or ill-defined — the
+    triage table before trusting labels for eval or distillation.
+
+    Exactness: bucket codes and cosines follow the E2 quantized
+    scheme; the per-class rate divides exact vote counts.
+
+    Plan: one code shuffle, within-bucket pairs only, per-anchor
+    WindowGroupLimit top-k, then a |labels|-row aggregate. Candidate
+    fanout is bucket-bounded exactly like E2 — never corpus².
+    """
+    coded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_code(vec_col).alias("code"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    a = coded.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"),
+        F.col(label_col).alias("la"), "code", F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"),
+        F.col(label_col).alias("lb"), "code", F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "code")
+        .where(F.col("vec_id_a") != F.col("vec_id_b"))
+        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
+    topk = pairs.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    return (
+        topk.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.countDistinct("vec_id_a").cast("bigint").alias("n_anchors"),
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+            F.sum(F.when(F.col("lb") != F.col("la"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_disagree"),
+        )
+        .select(
+            "label",
+            "n_anchors",
+            "n_votes",
+            "n_disagree",
+            (
+                F.col("n_disagree").cast("double")
+                / F.col("n_votes").cast("double")
+            ).alias("noise_rate"),
+        )
+        .orderBy("label")
+    )

@@ -1424,3 +1424,42 @@ def dsir_weights(
         )
         .orderBy(id_col)
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """F35 — the first BPE merge-table step: corpus-weighted adjacent
+    character-pair frequencies within words. The pair ranking a
+    byte-pair-encoding tokenizer trainer would merge first —
+    tokenizer_fertility (F32) scores an existing vocab, this is the
+    statistic vocab TRAINING consumes.
+
+    Exactness: pure integer counts; ties break lexicographically.
+
+    Plan: word-vocab aggregate first (Zipf collapse: pair explosion
+    runs over DISTINCT words × their corpus counts, not raw tokens),
+    then a pair-key aggregate and a TakeOrdered top-k. At 100 TB the
+    pair stage is vocab-scale, not corpus-scale.
+    """
+    words = (
+        df.select(F.explode(F.expr(_toks(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(word) - 1)),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    ).where(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_k)
+    )

@@ -2487,3 +2487,62 @@ def psi_drift(
         )
         .orderBy(key_col)
     )
+
+
+def window_funnel_strict(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: list[str],
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """C76 — time-capped ordered funnel (ClickHouse windowFunnel
+    semantics): every later step must land within `window_us` of the
+    user's FIRST step-1 event, in order. funnel_conversion (C17) is
+    the uncapped variant — this one answers "converted within 7
+    days", the number product teams actually quote.
+
+    Exactness: pure integer microsecond comparisons; rates divide
+    exact counts.
+
+    Plan: same chained partition-only windows over ONE user exchange
+    as C17 — the deadline is just one more predicate in each min();
+    |steps| summary rows leave the final aggregate.
+    """
+    w = Window.partitionBy("user")
+    cur = df.select(
+        F.col(user_col).alias("user"),
+        _us(ts_col).alias("tus"),
+        F.col(type_col),
+    )
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = (
+                cond
+                & (F.col("tus") > F.col(prev))
+                & (F.col("tus") <= F.col("t1") + F.lit(window_us))
+            )
+        cur = cur.withColumn(f"t{i}", F.min(F.when(cond, F.col("tus"))).over(w))
+        prev = f"t{i}"
+    step_cols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    per_user = cur.groupBy("user", *step_cols).agg(F.lit(1))
+    counts = per_user.agg(
+        *[F.count(c).cast("bigint").alias(f"n_step{i}") for i, c in enumerate(step_cols, 1)]
+    )
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        r = counts.select(
+            F.lit(i).alias("step"),
+            F.lit(step).alias("step_name"),
+            F.col(f"n_step{i}").alias("n_users"),
+            F.when(
+                F.col("n_step1") > 0,
+                F.col(f"n_step{i}").cast("double")
+                / F.col("n_step1").cast("double"),
+            ).alias("conversion_from_first"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("step")

@@ -1613,3 +1613,59 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("avg_discount_pct"),
         slope.alias("qty_slope_per_discount_pct"),
     ).orderBy("p_brand")
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42 — per-supplier performance scorecard: line volume, net
+    revenue and revenue share, return rate, and mean order→ship
+    latency. The procurement review table that q15 (top supplier)
+    and q21 (waiting suppliers) each show one column of.
+
+    Exactness: revenue quantizes per line to micro-units and sums in
+    BIGINT, so the share divides exact integers; the return rate and
+    mean delay divide exact counts.
+
+    Plan: lineitem⋈orders co-partition on orderkey (the q12 shape),
+    supplier dimension broadcasts, one map-side-combined aggregate to
+    |suppliers| rows; the share window runs over that dimension-
+    bounded frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    sup = catalog.load(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
+              li.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+            ).cast("bigint").alias("qrev"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay"),
+        )
+    )
+    g = j.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qrev").alias("qrev_sum"),
+        F.sum("ret").cast("bigint").alias("n_returned"),
+        F.sum("delay").cast("bigint").alias("delay_sum"),
+    )
+    total = F.sum("qrev_sum").over(Window.partitionBy())
+    return g.select(
+        "s_suppkey",
+        "s_name",
+        "n_lines",
+        (F.col("qrev_sum").cast("double") / F.lit(1e6)).alias("revenue"),
+        (F.col("qrev_sum").cast("double") / total.cast("double")).alias(
+            "revenue_share"
+        ),
+        (
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+        ).alias("return_rate"),
+        (
+            F.col("delay_sum").cast("double") / F.col("n_lines").cast("double")
+        ).alias("avg_ship_delay_days"),
+    ).orderBy("s_suppkey")

@@ -820,3 +820,32 @@ ORACLES["price_elasticity"] = """
            END AS qty_slope_per_discount_pct
     FROM g ORDER BY p_brand
 """
+
+ORACLES["supplier_scorecard"] = """
+    WITH j AS (
+        SELECT s.s_suppkey, s.s_name,
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+                   AS BIGINT) AS qrev,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    g AS (
+        SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(qrev) AS BIGINT) AS qrev_sum,
+               CAST(SUM(ret) AS BIGINT) AS n_returned,
+               CAST(SUM(delay) AS BIGINT) AS delay_sum
+        FROM j GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, n_lines,
+           CAST(qrev_sum AS DOUBLE) / 1e6 AS revenue,
+           CAST(qrev_sum AS DOUBLE)
+               / CAST(CAST(SUM(qrev_sum) OVER () AS BIGINT) AS DOUBLE)
+               AS revenue_share,
+           CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS return_rate,
+           CAST(delay_sum AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS avg_ship_delay_days
+    FROM g ORDER BY s_suppkey
+"""

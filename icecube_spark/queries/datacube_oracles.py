@@ -691,3 +691,43 @@ ORACLES["cube_morph_open"] = f"""
     LEFT JOIN opened o ON o.x = m.x AND o.y = m.y
     ORDER BY m.x, m.y
 """
+
+ORACLES["cube_local_moran"] = f"""
+    WITH {_QCELLS},
+    dev AS (
+        SELECT x, y,
+               CAST(qv * CAST(COUNT(*) OVER () AS BIGINT)
+                    - CAST(SUM(qv) OVER () AS BIGINT) AS BIGINT) AS devq,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nt
+        FROM qcells),
+    m2 AS (
+        SELECT SUM(CAST(devq AS DECIMAL(19,0))
+                   * CAST(devq AS DECIMAL(19,0))) AS m2q,
+               MAX(nt) AS nt
+        FROM dev),
+    contrib AS (
+        SELECT x + dx AS tx, y + dy AS ty, devq
+        FROM dev, offs, offs2
+        WHERE NOT (dx = 0 AND dy = 0)
+          AND x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000),
+    nsum AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_neigh,
+               CAST(SUM(devq) AS BIGINT) AS ndevq
+        FROM contrib GROUP BY 1, 2),
+    j AS (
+        SELECT d.x AS tx, d.y AS ty, d.devq, n.n_neigh, n.ndevq,
+               m2.m2q, m2.nt
+        FROM dev d
+        JOIN nsum n ON n.tx = d.x AND n.ty = d.y, m2)
+    SELECT tx AS x, ty AS y, n_neigh,
+           FLOOR(((CAST(devq AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e6))
+                  * (CAST(ndevq AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e6)
+                     / CAST(n_neigh AS DOUBLE))
+                  / (CAST(m2q AS DOUBLE)
+                     / ((CAST(nt AS DOUBLE) * 1e6)
+                        * (CAST(nt AS DOUBLE) * 1e6))
+                     / CAST(nt AS DOUBLE)))
+                 * 1e9) / 1e9 AS local_moran
+    FROM j ORDER BY x, y
+"""

@@ -1283,3 +1283,84 @@ def cube_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+def cube_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 — local Moran's I (Anselin LISA) hot-spot statistic per
+    pixel: I_i = (x_i − μ)·mean_neighbors(x_j − μ)/σ², computed over
+    the 8-neighbor stencil. Positive I with positive deviation =
+    backscatter hot spot; the spatial-autocorrelation complement to
+    the purely local focal/gradient ops.
+
+    Exactness: deviations stay in exact integers scaled by N
+    (devq = qv·N − S avoids the mean division), the global second
+    moment folds in DECIMAL(38,0), and the final statistic —
+    shape-mirrored double math — quantizes to a 1e-9 grid
+    (corr_matrix guard for wide-int casts).
+
+    Plan: cell collapse, one tiny global-moment window, the
+    focal_mean 9-target stencil for the neighbor sum, one center
+    join. Shuffle volume = 9 × distinct cells at any scale.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = _pixel_cells(ev)
+    wall = Window.partitionBy()
+    dev = cells.select(
+        "x",
+        "y",
+        (
+            F.col("qv") * F.count(F.lit(1)).over(wall)
+            - F.sum("qv").over(wall)
+        ).alias("devq"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_cells_total"),
+    )
+    m2 = dev.groupBy().agg(
+        F.sum(
+            F.col("devq").cast("decimal(19,0)")
+            * F.col("devq").cast("decimal(19,0)")
+        ).alias("m2q"),
+        F.max("n_cells_total").alias("nt"),
+    )
+    contrib = (
+        dev.select(
+            "x", "y", "devq",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+        )
+        .select(
+            "x", "y", "devq", "dx",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"),
+            (F.col("y") + F.col("dy")).alias("ty"),
+            "devq",
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < 1000)
+            & (F.col("ty") >= 0) & (F.col("ty") < 1000)
+        )
+    )
+    nsum = contrib.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neigh"),
+        F.sum("devq").alias("ndevq"),
+    )
+    j = (
+        dev.select(
+            F.col("x").alias("tx"), F.col("y").alias("ty"), "devq"
+        )
+        .join(nsum, ["tx", "ty"])
+        .crossJoin(F.broadcast(m2))
+    )
+    ntd = F.col("nt").cast("double")
+    scale = ntd * F.lit(1e6)
+    devd = F.col("devq").cast("double") / scale
+    nbar = F.col("ndevq").cast("double") / scale / F.col("n_neigh").cast("double")
+    var = F.col("m2q").cast("double") / (scale * scale) / ntd
+    moran = devd * nbar / var
+    return j.select(
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        "n_neigh",
+        (F.floor(moran * F.lit(1e9)) / F.lit(1e9)).alias("local_moran"),
+    ).orderBy("x", "y")

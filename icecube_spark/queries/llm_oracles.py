@@ -1805,3 +1805,110 @@ ORACLES["hard_negatives"] = f"""
         FROM pairs)
     WHERE rank <= 3 ORDER BY query_id, rank
 """
+
+ORACLES["tfidf_cosine_pairs"] = f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, UNNEST({_TOKS}) AS tok FROM documents),
+    tf AS (
+        SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok != '' GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+    idf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(FLOOR(ln(nd.n / CAST(COUNT(*) AS DOUBLE)) * 1e3)
+                   AS BIGINT) AS idf_q
+        FROM tf, nd GROUP BY tok, nd.n),
+    w AS (
+        SELECT tf.doc, tf.tok, i.df, tf.tf * i.idf_q AS w
+        FROM tf JOIN idf i ON tf.tok = i.tok),
+    norms AS (
+        SELECT doc, sqrt(CAST(CAST(SUM(w * w) AS BIGINT) AS DOUBLE)) AS nrm
+        FROM w GROUP BY 1),
+    rare AS (SELECT doc, tok FROM w WHERE df <= 64),
+    cands AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc < b.doc),
+    dots AS (
+        SELECT c.doc_a, c.doc_b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot
+        FROM cands c
+        JOIN w wa ON wa.doc = c.doc_a
+        JOIN w wb ON wb.doc = c.doc_b AND wb.tok = wa.tok
+        GROUP BY 1, 2)
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc = d.doc_a
+    JOIN norms nb ON nb.doc = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= '0.4'::DOUBLE
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLES["repeated_substrings"] = f"""
+    WITH d AS (SELECT doc_id AS doc, {_NORM} AS n FROM documents),
+    wins AS (
+        SELECT doc,
+               UNNEST([substr(n, CAST(i AS INT), 32)
+                       FOR i IN range(1, greatest(2, length(n) - 30), 16)])
+                   AS win
+        FROM d),
+    grams AS (SELECT doc, md5(win) AS h FROM wins WHERE length(win) >= 32),
+    counts AS (
+        SELECT h, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM grams GROUP BY 1)
+    SELECT h, n_docs, n_occurrences FROM counts WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT 100
+"""
+
+ORACLES["label_noise_knn"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id, label, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v),
+    pairs AS (
+        SELECT a.vec_id AS vec_id_a, a.label AS la, b.label AS lb,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine,
+               b.vec_id AS vec_id_b
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND a.vec_id != b.vec_id),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id_a ORDER BY cosine DESC, vec_id_b
+            ) AS r FROM pairs)
+        WHERE r <= 5)
+    SELECT la AS label,
+           CAST(COUNT(DISTINCT vec_id_a) AS BIGINT) AS n_anchors,
+           CAST(COUNT(*) AS BIGINT) AS n_votes,
+           CAST(SUM(CASE WHEN lb != la THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree,
+           CAST(CAST(SUM(CASE WHEN lb != la THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+               AS noise_rate
+    FROM topk GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["bpe_merge_candidates"] = f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
+        WHERE word != '' GROUP BY 1),
+    pairs AS (
+        SELECT wc,
+               UNNEST([substr(word, CAST(i AS INT), 2)
+                       FOR i IN range(1, greatest(2, length(word)))])
+                   AS pair
+        FROM words),
+    g AS (
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+        FROM pairs WHERE length(pair) = 2 GROUP BY 1)
+    SELECT pair, n_occurrences FROM g
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+"""

@@ -770,3 +770,28 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         emb, "vec_id", "embedding", "label", F.col("vec_id") < 20, k=3
     )
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 — TF-IDF cosine near-dup pairs via the df-capped inverted
+    index."""
+    return dedup.tfidf_cosine_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 — cross-doc repeated substring profile (strided 32-char
+    window hashes; Lee et al. 2022 signal)."""
+    return dedup.repeated_substrings(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 — per-class k-NN label-disagreement audit (confident-
+    learning-lite) within E2 LSH buckets."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.label_noise_knn(emb, "vec_id", "embedding", "label", k=5)
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F35 — corpus-weighted adjacent char-pair counts (the first BPE
+    merge step)."""
+    return text.bpe_merge_candidates(_docs(spark, sf_dir), "text", top_k=50)

@@ -894,3 +894,22 @@ ORACLES["dsir_weights"] = f"""
     FROM bucketed t JOIN lw l ON t.b = l.b
     GROUP BY 1, 2 ORDER BY t.doc_id
 """
+
+
+ORACLES["zorder_plan"] = """
+    WITH b AS (
+        SELECT (((((CAST(l_partkey AS BIGINT) >> 0) & 1) << 0) + (((CAST(l_partkey AS BIGINT) >> 1) & 1) << 2) + (((CAST(l_partkey AS BIGINT) >> 2) & 1) << 4) + (((CAST(l_partkey AS BIGINT) >> 3) & 1) << 6) + (((CAST(l_partkey AS BIGINT) >> 4) & 1) << 8) + (((CAST(l_partkey AS BIGINT) >> 5) & 1) << 10) + (((CAST(l_partkey AS BIGINT) >> 6) & 1) << 12) + (((CAST(l_partkey AS BIGINT) >> 7) & 1) << 14)) + ((((CAST(l_suppkey AS BIGINT) >> 0) & 1) << 1) + (((CAST(l_suppkey AS BIGINT) >> 1) & 1) << 3) + (((CAST(l_suppkey AS BIGINT) >> 2) & 1) << 5) + (((CAST(l_suppkey AS BIGINT) >> 3) & 1) << 7) + (((CAST(l_suppkey AS BIGINT) >> 4) & 1) << 9) + (((CAST(l_suppkey AS BIGINT) >> 5) & 1) << 11) + (((CAST(l_suppkey AS BIGINT) >> 6) & 1) << 13) + (((CAST(l_suppkey AS BIGINT) >> 7) & 1) << 15))) AS z,
+               CAST(l_partkey AS BIGINT) AS ka,
+               CAST(l_suppkey AS BIGINT) AS kb
+        FROM lineitem),
+    g AS (
+        SELECT CAST(z >> 8 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(ka) AS min_a, MAX(ka) AS max_a,
+               MIN(kb) AS min_b, MAX(kb) AS max_b
+        FROM b GROUP BY 1)
+    SELECT bucket, n_rows, min_a, max_a, min_b, max_b,
+           CAST(CASE WHEN max_a < 100 OR min_a > 140 THEN 1 ELSE 0 END
+               AS INT) AS prunable_for_probe
+    FROM g ORDER BY bucket
+"""

@@ -711,3 +711,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.load(spark, sf_dir, "documents")
     return text_ops.dsir_weights(docs, "doc_id", "text", "lang", "en", 256)
+
+
+def zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P49 — Z-order layout planner with zone-map pruning dry run on
+    (l_partkey, l_suppkey)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return pipeline.zorder_plan(li, "l_partkey", "l_suppkey")

@@ -1491,3 +1491,47 @@ ORACLES["psi_drift"] = """
            CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e12 AS psi
     FROM terms GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["window_funnel_strict"] = """
+    WITH base AS (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               event_type AS et
+        FROM events),
+    s1 AS (
+        SELECT *, MIN(CASE WHEN et = 'signup' THEN tus END)
+                      OVER (PARTITION BY u) AS t1
+        FROM base),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN et = 'view' AND tus > t1
+                            AND tus <= t1 + 604800000000 THEN tus END)
+                      OVER (PARTITION BY u) AS t2
+        FROM s1),
+    s3 AS (
+        SELECT *, MIN(CASE WHEN et = 'purchase' AND tus > t2
+                            AND tus <= t1 + 604800000000 THEN tus END)
+                      OVER (PARTITION BY u) AS t3
+        FROM s2),
+    per_user AS (SELECT DISTINCT u, t1, t2, t3 FROM s3),
+    counts AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+               CAST(COUNT(t2) AS BIGINT) AS n2,
+               CAST(COUNT(t3) AS BIGINT) AS n3
+        FROM per_user)
+    SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users,
+               CASE WHEN n1 > 0
+                    THEN CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+                   AS conversion_from_first
+        FROM counts
+        UNION ALL
+        SELECT 2, 'view', n2,
+               CASE WHEN n1 > 0
+                    THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+        FROM counts
+        UNION ALL
+        SELECT 3, 'purchase', n3,
+               CASE WHEN n1 > 0
+                    THEN CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+        FROM counts)
+    ORDER BY step
+"""

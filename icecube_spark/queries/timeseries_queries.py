@@ -871,3 +871,12 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.psi_drift(ev, "ts", "event_type", "value")
+
+
+def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76 — 7-day time-capped ordered funnel (ClickHouse
+    windowFunnel semantics)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.window_funnel_strict(
+        ev, "ts", "user_id", "event_type", ["signup", "view", "purchase"]
+    )

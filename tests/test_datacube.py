@@ -12,6 +12,7 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_local_moran", dq.cube_local_moran),
     ("cube_lee_filter", dq.cube_lee_filter),
     ("cube_otsu_threshold", dq.cube_otsu_threshold),
     ("cube_morph_open", dq.cube_morph_open),

@@ -8,6 +8,10 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("tfidf_cosine_pairs", lq.tfidf_cosine_pairs),
+    ("repeated_substrings", lq.repeated_substrings),
+    ("label_noise_knn", lq.label_noise_knn),
+    ("bpe_merge_candidates", lq.bpe_merge_candidates),
     ("hard_negatives", lq.hard_negatives),
     ("lsh_bucket_profile", lq.lsh_bucket_profile),
     ("blocklist_fuzzy", lq.blocklist_fuzzy),

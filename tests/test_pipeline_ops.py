@@ -12,6 +12,7 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("zorder_plan", pq.zorder_plan),
     ("mann_whitney", pq.mann_whitney),
     ("dsir_weights", pq.dsir_weights),
     ("quality_length_corr", pq.quality_length_corr),
