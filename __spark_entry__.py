@@ -29,6 +29,14 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 10 (B43, C77, F36, P50-P51, A34-A35) ---
+    "nation_affinity": analytics.nation_affinity,
+    "sax_symbols": tsq.sax_symbols,
+    "stupid_backoff_logprob": lq.stupid_backoff_logprob,
+    "bloom_filter_eval": pq.bloom_filter_eval,
+    "quantile_normalize": pq.quantile_normalize,
+    "cube_hillshade": dq.cube_hillshade,
+    "cube_mask_components": dq.cube_mask_components,
     # --- wave 9 (B42, C76, D12-D13, E26, F35, A33, P49) ---
     "supplier_scorecard": analytics.supplier_scorecard,
     "window_funnel_strict": tsq.window_funnel_strict,

@@ -1548,3 +1548,242 @@ def zorder_plan(
         "max_b",
         prunable.cast("int").alias("prunable_for_probe"),
     ).orderBy("bucket")
+
+
+def bloom_filter_eval(
+    df: DataFrame, id_col: str, text_col: str,
+    m_bits: int = 262_144, k_hashes: int = 4,
+) -> DataFrame:
+    """P50 — Bloom-filter membership dry run for incremental dedup:
+    build an m-bit / k-hash Bloom set from the base half of the
+    corpus (hash-split), probe the delta half, and report the
+    measured false-positive rate against exact digest membership.
+    The sizing report you run BEFORE wiring a Bloom pre-filter in
+    front of the D10 incremental-dedup index — it tells you whether
+    m/k hold the FPR at your delta rate.
+
+    Exactness: bit positions are md5-derived integers (cross-engine);
+    membership and truth are exact set joins; FPR divides exact
+    counts.
+
+    Plan: the bit set is relational (one row per DISTINCT set bit —
+    ≤ m rows, vocab-scale, broadcastable); probes explode to k
+    position rows and semi-join the bit set; truth is one digest
+    join. No bitmap ever materializes on one node.
+    """
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    norm = "regexp_replace(lower(trim({c})), '\\\\s+', ' ')".format(c=text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), F.md5(F.expr(norm)).alias("digest")
+    ).withColumn("is_base", F.expr(f"{spark_hex2int('cast(id as string)')} % 2 = 0"))
+    pos_arr = F.array(
+        *[
+            F.expr(spark_hex2int(f"concat(digest, '|', {i})"))
+            % F.lit(m_bits)
+            for i in range(k_hashes)
+        ]
+    )
+    bits = (
+        base.where("is_base")
+        .select(F.explode(pos_arr).alias("bit"))
+        .distinct()
+    )
+    base_digests = base.where("is_base").select("digest").distinct()
+    probes = base.where(~F.col("is_base")).select(
+        "id", "digest", F.posexplode(pos_arr).alias("k", "bit")
+    )
+    hits = (
+        probes.join(bits.withColumn("hit", F.lit(1)), "bit", "left")
+        .groupBy("id", "digest")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+        .withColumn("bloom_pos", (F.col("n_hit") == k_hashes).cast("int"))
+    )
+    truth = hits.join(
+        base_digests.withColumn("true_dup", F.lit(1)), "digest", "left"
+    ).select(
+        "id",
+        "bloom_pos",
+        F.coalesce(F.col("true_dup"), F.lit(0)).alias("true_dup"),
+    )
+    n_bits = bits.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    agg = truth.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        F.sum("true_dup").cast("bigint").alias("n_true_dup"),
+        F.sum(
+            F.when((F.col("bloom_pos") == 1) & (F.col("true_dup") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_false_positive"),
+    )
+    return agg.crossJoin(F.broadcast(n_bits)).select(
+        "n_probes",
+        "n_bloom_positive",
+        "n_true_dup",
+        "n_false_positive",
+        "n_set_bits",
+        (F.col("n_set_bits").cast("double") / F.lit(float(m_bits))).alias(
+            "fill_ratio"
+        ),
+        F.when(
+            (F.col("n_probes") - F.col("n_true_dup")) > 0,
+            F.col("n_false_positive").cast("double")
+            / (F.col("n_probes") - F.col("n_true_dup")).cast("double"),
+        ).alias("fpr"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame, id_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """P51 — quantile normalization across groups: map every value
+    onto the POOLED empirical distribution at the same within-group
+    quantile, so each source's length/quality profile becomes
+    comparable (the batch-effect correction step before cross-source
+    thresholding — a per-source p90 means the same thing afterward).
+
+    Exactness: within-group ranks and the pooled inverse-CDF lookup
+    are pure integer arithmetic (integer-division rank scaling, no
+    interpolation).
+
+    Plan: per-group ranks ride group-partitioned windows; the pooled
+    CDF is DISTINCT-VALUE-sized (vocab scale), broadcast for the
+    between lookup — the corpus itself never globally sorts.
+    """
+    vals = df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col).alias("v")
+    )
+    wg = Window.partitionBy(group_col).orderBy("v", id_col)
+    ranked = vals.select(
+        id_col,
+        group_col,
+        "v",
+        F.row_number().over(wg).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("ns"),
+    )
+    pooled = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "v",
+            F.sum("c")
+            .over(Window.partitionBy().orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("n_total"),
+        )
+        .select(
+            F.col("v").alias("pv"),
+            F.col("cum").alias("cum_hi"),
+            F.coalesce(
+                F.lag("cum").over(Window.partitionBy().orderBy("v")), F.lit(0)
+            ).alias("cum_lo"),
+        )
+    )
+    totals = vals.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    target = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "rk_pool",
+        F.expr("(r * n_total + ns - 1) div ns"),
+    )
+    joined = target.join(
+        F.broadcast(pooled),
+        (F.col("rk_pool") > F.col("cum_lo")) & (F.col("rk_pool") <= F.col("cum_hi")),
+    )
+    return joined.select(
+        id_col,
+        group_col,
+        F.col("v").alias("value"),
+        F.col("pv").alias("qnorm_value"),
+    ).orderBy(id_col)
+
+
+def connected_components_fast(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    edge rewiring (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — provably O(log² n) rounds, ~8 in
+    practice on grid masks. The plain P6 min-label propagation is
+    right for near-dup clusters (diameter 2-3) but needs O(diameter)
+    rounds on spatially contiguous blobs (A35 masks run hundreds of
+    cells across), and naive pointer-jumping hybrids plateau.
+    Each round ends in a reliable checkpoint (lineage truncated; the
+    iterative-plan buildup otherwise exhausts the driver) and costs
+    two node-key aggregates plus two distinct passes over the
+    edge-bounded frame. Convergence is an edge-set fixpoint checked
+    with a left-anti limit-1 count — nothing collects but scalars.
+
+    large-star: every neighbor v > u rewires to u's neighborhood min;
+    small-star: every neighbor v ≤ u (and u) rewires to the min of
+    u's small neighborhood. Fixpoint = disjoint stars centered at
+    component minima; the label is least(min neighbor, self).
+    """
+    spark = pairs.sparkSession
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="icecube_spark_cc_")
+        )
+
+    def sym(ed):
+        return ed.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def large_star(ed):
+        s = sym(ed)
+        m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            s.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(ed):
+        s = sym(ed).where(F.col("v") < F.col("u"))
+        m = s.groupBy("u").agg(F.min("v").alias("m"))
+        sm = s.join(m, "u")
+        return (
+            sm.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(sm.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .checkpoint()
+    )
+    nodes = sym(edges).select(F.col("u").alias("node")).distinct().checkpoint()
+    for _ in range(max_iter):
+        new = small_star(large_star(edges)).checkpoint()
+        changed = (
+            new.join(
+                edges, (new.a == edges.a) & (new.b == edges.b), "left_anti"
+            )
+            .limit(1)
+            .count()
+        )
+        edges = new
+        if changed == 0:
+            break
+    centers = sym(edges).groupBy("u").agg(F.min("v").alias("mn"))
+    labels = (
+        nodes.join(centers.select(F.col("u").alias("node"), "mn"), "node", "left")
+        .select(
+            "node",
+            F.least(F.coalesce(F.col("mn"), F.col("node")), F.col("node")).alias(
+                "label"
+            ),
+        )
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -1463,3 +1463,94 @@ def bpe_merge_candidates(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(top_k)
     )
+
+
+def stupid_backoff_logprob(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.4
+) -> DataFrame:
+    """F36 — stupid-backoff bigram LM scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation"): each adjacent
+    token pair scores ln(c(w1w2)/c(w1)) when the bigram is attested,
+    else ln(α·c(w2)/T). The web-scale LM smoothing that needs no
+    discount estimation — F28's closed-vocab bigram logprob breaks on
+    unseen pairs; this is what you actually run on a new crawl.
+
+    Exactness: both score tables quantize ln once per DISTINCT
+    bigram/unigram (micro-nats); per-doc reductions are exact
+    integer sums.
+
+    Plan: one pair explode feeds the bigram counts; the unigram table
+    is vocab-scale; both broadcast back onto a second pair explode;
+    one doc-key aggregate. Zero corpus-sized shuffles beyond the
+    map-combined count aggregates.
+    """
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"""filter(
+                    transform(array(split({NORM.format(col=text_col)}, ' ')),
+                      t -> transform(sequence(1, greatest(1, size(t) - 1)),
+                               i -> struct(element_at(t, i) as w1,
+                                           try_element_at(t, i + 1) as w2)))[0],
+                    p -> p.w1 != '' AND p.w2 IS NOT NULL AND p.w2 != '')"""
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(F.expr(_toks(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    wall = Window.partitionBy()
+    uni_scored = uni.select(
+        "w",
+        "cu",
+        F.floor(
+            F.log(
+                F.lit(alpha)
+                * F.col("cu").cast("double")
+                / F.sum("cu").over(wall).cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("uq"),
+    )
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    bi_scored = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"), "cu")), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(F.col("cb").cast("double") / F.col("cu").cast("double"))
+                * F.lit(1e6)
+            ).cast("bigint").alias("bq"),
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(bi_scored), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni_scored.select(F.col("w").alias("w2"), "uq")), "w2"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("bq"), F.col("uq")).alias("sq"),
+            F.when(F.col("bq").isNull(), 1).otherwise(0).alias("backoff"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("backoff").cast("bigint").alias("n_backoff"),
+            (
+                F.sum("sq").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("mean_logprob"),
+        )
+        .orderBy(id_col)
+    )

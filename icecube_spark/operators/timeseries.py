@@ -2546,3 +2546,80 @@ def window_funnel_strict(
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows.orderBy("step")
+
+
+def sax_symbols(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str,
+    seg_days: int = 7,
+) -> DataFrame:
+    """C77 — SAX symbolization (Lin et al.): daily totals → PAA
+    segment means → z-normalize against the series' own moments →
+    4-symbol alphabet at the Gaussian quartile breakpoints. The
+    motif/novelty-mining representation: two weeks with the same
+    SAX word are "the same shape" at massive discount vs raw DTW.
+
+    Exactness: daily totals quantize to micro-units and every moment
+    folds in exact integers; z is shape-mirrored double math over
+    identical ints (sqrt is IEEE-exact); breakpoints are exact
+    literals, and a tie on a breakpoint would need z to equal ±0.6745
+    to the last bit (measure-zero on quantized inputs).
+
+    Plan: one (key, day) aggregate, a per-key moment window on the
+    day-count-bounded frame, one segment aggregate — all reusing the
+    key exchange.
+    """
+    days = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("qv"),
+        )
+        .groupBy(key_col, "d")
+        .agg(F.sum("qv").alias("dq"))
+    )
+    wp = Window.partitionBy(key_col)
+    wd = wp.orderBy("d")
+    dec = "decimal(38,0)"
+    with_m = days.select(
+        key_col,
+        "d",
+        "dq",
+        ((F.row_number().over(wd) - 1) / F.lit(seg_days))
+        .cast("int")
+        .alias("seg"),
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+        F.sum(F.col("dq").cast(dec)).over(wp).alias("s"),
+        F.sum(F.col("dq").cast(dec) * F.col("dq")).over(wp).alias("ss"),
+    )
+    seg = with_m.groupBy(key_col, "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+        F.sum("dq").alias("sq_seg"),
+        F.max("n_days").alias("n_days"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mu = sd / nd / F.lit(1e6)
+    sigma = F.sqrt((ssd - sd * sd / nd) / nd) / F.lit(1e6)
+    paa = F.col("sq_seg").cast("double") / F.col("n_seg").cast("double") / F.lit(1e6)
+    z = (paa - mu) / sigma
+    bp = 0.6745
+    sym = (
+        F.when(z < F.lit(-bp), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(bp), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return seg.select(
+        key_col,
+        "seg",
+        "n_seg",
+        paa.alias("paa"),
+        (F.floor(z * F.lit(1e9)) / F.lit(1e9)).alias("z"),
+        sym.alias("symbol"),
+    ).orderBy(key_col, "seg")

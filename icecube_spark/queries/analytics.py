@@ -1669,3 +1669,66 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delay_sum").cast("double") / F.col("n_lines").cast("double")
         ).alias("avg_ship_delay_days"),
     ).orderBy("s_suppkey")
+
+
+def nation_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 — customer-nation × supplier-nation trade affinity: per
+    nation pair, the line count and the pointwise mutual information
+    ln(c_ab·T/(c_a·c_b)) against independence. q7 reports the volume
+    between two fixed nations; this scores EVERY pair's over/under-
+    trading — the matrix the trade-flow review actually wants.
+
+    Exactness: counts are exact; the PMI quantizes to micro-nats per
+    pair cell (≤625 lns), so the output is grid-exact.
+
+    Plan: lineitem⋈orders co-partitioned on orderkey; customer,
+    supplier, nation dims broadcast; one (nation, nation) aggregate
+    to ≤625 rows; marginals via windows over that tiny frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    sup = catalog.load(spark, sf_dir, "supplier")
+    nation = catalog.load(spark, sf_dir, "nation")
+    cn = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    sn = sup.join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+    )
+    g = j.groupBy("cust_nation", "supp_nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    wall = Window.partitionBy()
+    wc = Window.partitionBy("cust_nation")
+    ws = Window.partitionBy("supp_nation")
+    withm = g.select(
+        "cust_nation",
+        "supp_nation",
+        "n_lines",
+        F.sum("n_lines").over(wc).alias("c_a"),
+        F.sum("n_lines").over(ws).alias("c_b"),
+        F.sum("n_lines").over(wall).alias("t"),
+    )
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("n_lines").cast("double")
+                * F.col("t").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            )
+            * F.lit(1e6)
+        )
+        / F.lit(1e6)
+    )
+    return withm.select(
+        "cust_nation",
+        "supp_nation",
+        "n_lines",
+        pmi.alias("pmi"),
+    ).orderBy("cust_nation", "supp_nation")

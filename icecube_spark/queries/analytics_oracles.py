@@ -849,3 +849,30 @@ ORACLES["supplier_scorecard"] = """
                AS avg_ship_delay_days
     FROM g ORDER BY s_suppkey
 """
+
+ORACLES["nation_affinity"] = """
+    WITH j AS (
+        SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey),
+    g AS (
+        SELECT cust_nation, supp_nation, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM j GROUP BY 1, 2),
+    m AS (
+        SELECT *,
+               CAST(SUM(n_lines) OVER (PARTITION BY cust_nation) AS BIGINT)
+                   AS c_a,
+               CAST(SUM(n_lines) OVER (PARTITION BY supp_nation) AS BIGINT)
+                   AS c_b,
+               CAST(SUM(n_lines) OVER () AS BIGINT) AS t
+        FROM g)
+    SELECT cust_nation, supp_nation, n_lines,
+           FLOOR(ln(CAST(n_lines AS DOUBLE) * CAST(t AS DOUBLE)
+                    / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6)
+               / 1e6 AS pmi
+    FROM m ORDER BY cust_nation, supp_nation
+"""

@@ -731,3 +731,57 @@ ORACLES["cube_local_moran"] = f"""
                  * 1e9) / 1e9 AS local_moran
     FROM j ORDER BY x, y
 """
+
+ORACLES["cube_hillshade"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.x, c.y,
+           (e.v - w.v) / 2.0 AS gx,
+           (n.v - s.v) / 2.0 AS gy,
+           (-((e.v - w.v) / 2.0) * 0.5 - ((n.v - s.v) / 2.0) * 0.5
+            + '0.707'::DOUBLE)
+           / sqrt(((e.v - w.v) / 2.0) * ((e.v - w.v) / 2.0)
+                  + ((n.v - s.v) / 2.0) * ((n.v - s.v) / 2.0) + 1.0)
+               AS hillshade
+    FROM cells c
+    JOIN cells w ON w.x = c.x - 1 AND w.y = c.y
+    JOIN cells e ON e.x = c.x + 1 AND e.y = c.y
+    JOIN cells s ON s.x = c.x AND s.y = c.y - 1
+    JOIN cells n ON n.x = c.x AND n.y = c.y + 1
+    ORDER BY c.x, c.y
+"""
+
+ORACLES["cube_mask_components"] = f"""
+    WITH RECURSIVE {_QCELLS},
+    mask AS (SELECT x, y, x * 1000 + y AS node
+             FROM qcells WHERE qv >= 50000000),
+    edges0 AS (
+        SELECT m.node AS a,
+               (m.x + dx) * 1000 + m.y + dy AS b
+        FROM mask m, offs, offs2
+        WHERE NOT (dx = 0 AND dy = 0)
+          AND m.x + dx >= 0 AND m.x + dx < 1000
+          AND m.y + dy >= 0 AND m.y + dy < 1000),
+    edges AS (
+        SELECT e.a, e.b FROM edges0 e JOIN mask t ON t.node = e.b
+        UNION ALL
+        SELECT e.b, e.a FROM edges0 e JOIN mask t ON t.node = e.b),
+    reach(node, lbl) AS (
+        SELECT node, node FROM mask
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+    labels AS (
+        SELECT node, CAST(MIN(lbl) AS BIGINT) AS component_id
+        FROM reach GROUP BY 1)
+    SELECT l.component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MIN(m.x) AS min_x, MAX(m.x) AS max_x,
+           MIN(m.y) AS min_y, MAX(m.y) AS max_y
+    FROM labels l JOIN mask m ON m.node = l.node
+    GROUP BY 1 ORDER BY 1
+"""

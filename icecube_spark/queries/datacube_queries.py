@@ -1364,3 +1364,146 @@ def cube_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neigh",
         (F.floor(moran * F.lit(1e9)) / F.lit(1e9)).alias("local_moran"),
     ).orderBy("x", "y")
+
+
+def cube_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 — analytical hillshade from the central-difference
+    gradient: illumination = (−gx·lx − gy·ly + lz)/√(gx²+gy²+1) for a
+    fixed light vector — the terrain-visualization companion of
+    cube_gradient (A23), formulated WITHOUT trig (cos/sin/atan2 are
+    not identically rounded across engines; the dot-product form
+    needs only IEEE mul/add/sqrt/div, which are).
+
+    Plan: identical 4-role stencil to A23 (cell collapse → 4 directed
+    contributions → one role pivot → center join); shuffle = 4 ×
+    distinct cells at any scale.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(davg("value").alias("v"))
+    )
+    roles = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("west").alias("role")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("east").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                 F.lit("south").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy"),
+                 F.lit("north").alias("role")),
+    )
+    contrib = (
+        cells.select("x", "y", "v", F.explode(roles).alias("r"))
+        .select(
+            (F.col("x") + F.col("r.dx")).alias("tx"),
+            (F.col("y") + F.col("r.dy")).alias("ty"),
+            F.col("r.role").alias("role"),
+            "v",
+        )
+    )
+    nb = contrib.groupBy("tx", "ty").agg(
+        F.max(F.when(F.col("role") == "west", F.col("v"))).alias("w"),
+        F.max(F.when(F.col("role") == "east", F.col("v"))).alias("e"),
+        F.max(F.when(F.col("role") == "south", F.col("v"))).alias("s"),
+        F.max(F.when(F.col("role") == "north", F.col("v"))).alias("n"),
+    )
+    gx = (F.col("e") - F.col("w")) / F.lit(2.0)
+    gy = (F.col("n") - F.col("s")) / F.lit(2.0)
+    lx, ly, lz = F.lit(0.5), F.lit(0.5), F.lit(0.707)
+    illum = (-gx * lx - gy * ly + lz) / F.sqrt(gx * gx + gy * gy + F.lit(1.0))
+    return (
+        cells.join(
+            nb,
+            (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")),
+        )
+        .where(
+            F.col("w").isNotNull() & F.col("e").isNotNull()
+            & F.col("s").isNotNull() & F.col("n").isNotNull()
+        )
+        .select(
+            "x", "y",
+            gx.alias("gx"),
+            gy.alias("gy"),
+            illum.alias("hillshade"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+def cube_mask_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 — connected components of the thresholded pixel mask
+    (8-connectivity): per flood/change blob, its size and bounding
+    box, labeled by the min cell key. The region-labeling step every
+    SAR flood-extent product runs after thresholding (A31/A32).
+
+    Exactness: pure integer set/graph logic; the component label is
+    the min node key (deterministic).
+
+    Plan: adjacency edges come from the 9-target stencil on the mask
+    (sparse: edge count ≤ 8 × mask cells), then pointer-jumping
+    min-label CC (connected_components_fast: O(log diameter) rounds,
+    lineage localCheckpoint-truncated each round — grid masks form
+    contiguous blobs whose diameter would sink the plain P6
+    propagation). The summary is a |components|-row aggregate. The
+    oracle replays the same fixpoint with a recursive CTE.
+    """
+    from icecube_spark.operators import pipeline as pipeline_ops
+
+    ev = catalog.load(spark, sf_dir, "events")
+    mask = _pixel_cells(ev).where(F.col("qv") >= 50_000_000).select("x", "y")
+    nodes = mask.select((F.col("x") * 1000 + F.col("y")).alias("node"), "x", "y")
+    stencil = (
+        mask.select(
+            "x", "y",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+        )
+        .select(
+            "x", "y", "dx",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("x") * 1000 + F.col("y")).alias("a"),
+            ((F.col("x") + F.col("dx")) * 1000 + F.col("y") + F.col("dy")).alias("b"),
+            (F.col("x") + F.col("dx")).alias("nx"),
+            (F.col("y") + F.col("dy")).alias("ny"),
+        )
+        .where(
+            (F.col("nx") >= 0) & (F.col("nx") < 1000)
+            & (F.col("ny") >= 0) & (F.col("ny") < 1000)
+        )
+    )
+    edges = (
+        stencil.join(
+            nodes.select(F.col("node").alias("b")), "b"
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    labels = pipeline_ops.connected_components_fast(edges, "a", "b")
+    labeled = nodes.join(
+        labels.select(
+            F.col("doc_id").alias("node"), F.col("cluster_id").alias("comp")
+        ),
+        "node",
+        "left",
+    ).select(
+        "x", "y", F.coalesce(F.col("comp"), F.col("node")).alias("component_id")
+    )
+    return (
+        labeled.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("component_id")
+    )

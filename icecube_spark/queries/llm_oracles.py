@@ -1912,3 +1912,46 @@ ORACLES["bpe_merge_candidates"] = f"""
     SELECT pair, n_occurrences FROM g
     ORDER BY n_occurrences DESC, pair LIMIT 50
 """
+
+
+ORACLES["stupid_backoff_logprob"] = f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                FROM documents),
+    p0 AS (
+        SELECT doc_id,
+               UNNEST([{{'w1': t[CAST(i AS INT)],
+                        'w2': t[CAST(i AS INT) + 1]}}
+                       FOR i IN range(1, greatest(1, len(t)))]) AS p
+        FROM tk),
+    p2 AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM p0
+        WHERE p.w1 != '' AND p.w2 IS NOT NULL AND p.w2 != ''),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT UNNEST(string_split({_NORM}, ' ')) AS w
+              FROM documents)
+        WHERE w != '' GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM uni),
+    unis AS (
+        SELECT w, CAST(FLOOR(ln('0.4'::DOUBLE * CAST(cu AS DOUBLE)
+                                / CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS uq
+        FROM uni, tot),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM p2 GROUP BY 1, 2),
+    bis AS (
+        SELECT b.w1, b.w2,
+               CAST(FLOOR(ln(CAST(b.cb AS DOUBLE) / CAST(u.cu AS DOUBLE))
+                          * 1e6) AS BIGINT) AS bq
+        FROM bi b JOIN uni u ON u.w = b.w1),
+    scored AS (
+        SELECT p.doc_id, COALESCE(b.bq, u.uq) AS sq,
+               CASE WHEN b.bq IS NULL THEN 1 ELSE 0 END AS backoff
+        FROM p2 p
+        LEFT JOIN bis b ON b.w1 = p.w1 AND b.w2 = p.w2
+        JOIN unis u ON u.w = p.w2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_logprob
+    FROM scored GROUP BY 1 ORDER BY 1
+"""

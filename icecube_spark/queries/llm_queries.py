@@ -795,3 +795,9 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F35 — corpus-weighted adjacent char-pair counts (the first BPE
     merge step)."""
     return text.bpe_merge_candidates(_docs(spark, sf_dir), "text", top_k=50)
+
+
+def stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F36 — stupid-backoff bigram LM doc scores (Brants et al.
+    2007)."""
+    return text.stupid_backoff_logprob(_docs(spark, sf_dir), "doc_id", "text")

@@ -913,3 +913,72 @@ ORACLES["zorder_plan"] = """
                AS INT) AS prunable_for_probe
     FROM g ORDER BY bucket
 """
+
+
+ORACLES["bloom_filter_eval"] = f"""
+    WITH base AS (
+        SELECT doc_id AS id, md5({_NORM}) AS digest,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 AS is_base
+        FROM documents),
+    bits AS (
+        SELECT DISTINCT UNNEST([CAST(concat('0x', substr(md5(concat(digest, '|', 0)), 1, 15)) AS BIGINT) % 262144, CAST(concat('0x', substr(md5(concat(digest, '|', 1)), 1, 15)) AS BIGINT) % 262144,
+                                CAST(concat('0x', substr(md5(concat(digest, '|', 2)), 1, 15)) AS BIGINT) % 262144, CAST(concat('0x', substr(md5(concat(digest, '|', 3)), 1, 15)) AS BIGINT) % 262144]) AS bit
+        FROM base WHERE is_base),
+    base_digests AS (SELECT DISTINCT digest FROM base WHERE is_base),
+    probes AS (
+        SELECT id, digest,
+               UNNEST([CAST(concat('0x', substr(md5(concat(digest, '|', 0)), 1, 15)) AS BIGINT) % 262144, CAST(concat('0x', substr(md5(concat(digest, '|', 1)), 1, 15)) AS BIGINT) % 262144,
+                       CAST(concat('0x', substr(md5(concat(digest, '|', 2)), 1, 15)) AS BIGINT) % 262144, CAST(concat('0x', substr(md5(concat(digest, '|', 3)), 1, 15)) AS BIGINT) % 262144]) AS bit
+        FROM base WHERE NOT is_base),
+    hits AS (
+        SELECT p.id, p.digest,
+               SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM probes p LEFT JOIN bits b ON b.bit = p.bit GROUP BY 1, 2),
+    truth AS (
+        SELECT h.id,
+               CAST(CASE WHEN n_hit = 4 THEN 1 ELSE 0 END AS INT)
+                   AS bloom_pos,
+               CASE WHEN d.digest IS NOT NULL THEN 1 ELSE 0 END AS true_dup
+        FROM hits h LEFT JOIN base_digests d ON d.digest = h.digest),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set_bits FROM bits),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_positive,
+               CAST(SUM(true_dup) AS BIGINT) AS n_true_dup,
+               CAST(SUM(CASE WHEN bloom_pos = 1 AND true_dup = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+        FROM truth)
+    SELECT n_probes, n_bloom_positive, n_true_dup, n_false_positive,
+           n_set_bits,
+           CAST(n_set_bits AS DOUBLE) / 262144.0 AS fill_ratio,
+           CASE WHEN (n_probes - n_true_dup) > 0
+                THEN CAST(n_false_positive AS DOUBLE)
+                     / CAST(n_probes - n_true_dup AS DOUBLE) END AS fpr
+    FROM agg, nb
+"""
+
+ORACLES["quantile_normalize"] = """
+    WITH vals AS (SELECT doc_id, source, n_chars AS v FROM documents),
+    ranked AS (
+        SELECT doc_id, source, v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY v, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM vals),
+    pooled AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+    cums AS (
+        SELECT v AS pv,
+               CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_hi,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_lo
+        FROM pooled),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM vals)
+    SELECT r.doc_id, r.source, r.v AS value, c.pv AS qnorm_value
+    FROM (SELECT rr.*, t.n_total FROM ranked rr, tot t) r
+    JOIN cums c
+      ON ((r.r * r.n_total + r.ns - 1) // r.ns) > c.cum_lo
+     AND ((r.r * r.n_total + r.ns - 1) // r.ns) <= c.cum_hi
+    ORDER BY r.doc_id
+"""

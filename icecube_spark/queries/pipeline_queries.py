@@ -718,3 +718,17 @@ def zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_partkey, l_suppkey)."""
     li = catalog.load(spark, sf_dir, "lineitem")
     return pipeline.zorder_plan(li, "l_partkey", "l_suppkey")
+
+
+def bloom_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50 — Bloom-filter sizing dry run (base/delta hash split,
+    measured FPR vs exact digests)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.bloom_filter_eval(docs, "doc_id", "text")
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P51 — quantile-normalize doc length across sources onto the
+    pooled distribution."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.quantile_normalize(docs, "doc_id", "source", "n_chars")

@@ -1535,3 +1535,41 @@ ORACLES["window_funnel_strict"] = """
         FROM counts)
     ORDER BY step
 """
+
+ORACLES["sax_symbols"] = """
+    WITH days AS (
+        SELECT event_type AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS dq
+        FROM events GROUP BY 1, 2),
+    wm AS (
+        SELECT k, d, dq,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY k ORDER BY d)
+                           - 1) / 7) AS INT) AS seg,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_days,
+               SUM(CAST(dq AS HUGEINT)) OVER (PARTITION BY k) AS s,
+               SUM(CAST(dq AS HUGEINT) * dq) OVER (PARTITION BY k) AS ss
+        FROM days),
+    seg AS (
+        SELECT k, seg, CAST(COUNT(*) AS BIGINT) AS n_seg,
+               CAST(SUM(dq) AS BIGINT) AS sq_seg,
+               MAX(n_days) AS n_days, MAX(s) AS s, MAX(ss) AS ss
+        FROM wm GROUP BY 1, 2),
+    z AS (
+        SELECT k, seg, n_seg,
+               CAST(sq_seg AS DOUBLE) / CAST(n_seg AS DOUBLE) / 1e6 AS paa,
+               (CAST(sq_seg AS DOUBLE) / CAST(n_seg AS DOUBLE) / 1e6
+                - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6)
+               / (sqrt((CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n_days AS DOUBLE))
+                       / CAST(n_days AS DOUBLE)) / 1e6) AS zv
+        FROM seg)
+    SELECT k AS event_type, seg, n_seg, paa,
+           FLOOR(zv * 1e9) / 1e9 AS z,
+           CASE WHEN zv < '-0.6745'::DOUBLE THEN 'a'
+                WHEN zv < 0.0 THEN 'b'
+                WHEN zv < '0.6745'::DOUBLE THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY event_type, seg
+"""

@@ -880,3 +880,10 @@ def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.window_funnel_strict(
         ev, "ts", "user_id", "event_type", ["signup", "view", "purchase"]
     )
+
+
+def sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C77 — SAX symbolization of daily totals per event_type (weekly
+    PAA, 4-symbol Gaussian-breakpoint alphabet)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.sax_symbols(ev, "ts", "event_type", "value")

@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("nation_affinity", analytics.nation_affinity),
     ("supplier_scorecard", analytics.supplier_scorecard),
     ("customer_churn", analytics.customer_churn),
     ("price_elasticity", analytics.price_elasticity),

@@ -12,6 +12,8 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_hillshade", dq.cube_hillshade),
+    ("cube_mask_components", dq.cube_mask_components),
     ("cube_local_moran", dq.cube_local_moran),
     ("cube_lee_filter", dq.cube_lee_filter),
     ("cube_otsu_threshold", dq.cube_otsu_threshold),

@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("stupid_backoff_logprob", lq.stupid_backoff_logprob),
     ("tfidf_cosine_pairs", lq.tfidf_cosine_pairs),
     ("repeated_substrings", lq.repeated_substrings),
     ("label_noise_knn", lq.label_noise_knn),

@@ -12,6 +12,8 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("bloom_filter_eval", pq.bloom_filter_eval),
+    ("quantile_normalize", pq.quantile_normalize),
     ("zorder_plan", pq.zorder_plan),
     ("mann_whitney", pq.mann_whitney),
     ("dsir_weights", pq.dsir_weights),
