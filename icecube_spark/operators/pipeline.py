@@ -1787,3 +1787,124 @@ def connected_components_fast(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def table_diff(
+    v1: DataFrame, v2: DataFrame, key_col: str, cols: list[str]
+) -> DataFrame:
+    """P52 — table version diff ("data-diff"): full-outer compare of
+    two snapshots on a key, reporting added/removed/changed/unchanged
+    row counts plus per-column change counts. The regression gate for
+    any pipeline rewrite: "same output, except these N rows, and the
+    drift is all in column X".
+
+    Exactness: pure null-safe comparisons and exact counts.
+
+    Plan: one full-outer co-partitioned join on the key; one global
+    aggregate. Column comparisons are codegen projections.
+    """
+    a = v1.select(
+        F.col(key_col).alias("k"), *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    b = v2.select(
+        F.col(key_col).alias("k"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    j = a.join(b, "k", "full_outer")
+    col_changed = [
+        (~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))).cast("int").alias(f"chg_{c}")
+        for c in cols
+    ]
+    flags = j.select("k", *col_changed)
+    # presence can't be read off data columns (an all-null row would look
+    # absent); synthesize presence markers from a key-only outer join
+    a2 = v1.select(F.col(key_col).alias("k")).withColumn("in_a", F.lit(1))
+    b2 = v2.select(F.col(key_col).alias("k")).withColumn("in_b", F.lit(1))
+    pres = a2.join(b2, "k", "full_outer").select(
+        "k",
+        F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+        F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+    )
+    f2 = flags.join(pres, "k")
+    any_chg = sum(
+        [F.col(f"chg_{c}") for c in cols], F.lit(0)
+    )
+    status = (
+        F.when(F.col("in_a") == 0, F.lit("added"))
+        .when(F.col("in_b") == 0, F.lit("removed"))
+        .when(any_chg > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    both = (F.col("in_a") == 1) & (F.col("in_b") == 1)
+    return f2.select(status.alias("status"), both.alias("both"), *[
+        F.col(f"chg_{c}") for c in cols
+    ]).groupBy().agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+        .cast("bigint").alias("n_added"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+        .cast("bigint").alias("n_removed"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+        .cast("bigint").alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+        .cast("bigint").alias("n_unchanged"),
+        *[
+            F.sum(F.when(F.col("both"), F.col(f"chg_{c}")).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_changed_{c}")
+            for c in cols
+        ],
+    )
+
+
+def stratified_kfold(
+    df: DataFrame, id_col: str, strata_col: str, k: int = 5
+) -> DataFrame:
+    """P53 — deterministic stratified k-fold audit: hash-assign every
+    row to a fold, then report each fold's size and its χ² balance
+    statistic against the global strata distribution. The CV-split
+    sanity check — a fold whose language mix drifts from the corpus
+    silently biases every metric computed on it.
+
+    Exactness: md5 fold assignment is cross-engine; χ² folds from
+    exact counts in shape-mirrored double math on a 1e-9 grid.
+
+    Plan: one (fold, strata) count aggregate (≤ k·|strata| rows);
+    everything else runs on that tiny frame.
+    """
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    assigned = df.select(
+        F.expr(
+            f"{spark_hex2int(f'cast({id_col} as string)')} % {k}"
+        ).alias("fold"),
+        F.col(strata_col).alias("s"),
+    )
+    g = assigned.groupBy("fold", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wall = Window.partitionBy()
+    wf = Window.partitionBy("fold")
+    ws = Window.partitionBy("s")
+    m = g.select(
+        "fold",
+        "s",
+        "c",
+        F.sum("c").over(wf).alias("n_fold"),
+        F.sum("c").over(ws).alias("n_s"),
+        F.sum("c").over(wall).alias("n_total"),
+    )
+    exp = (
+        F.col("n_fold").cast("double")
+        * F.col("n_s").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    term = (F.col("c").cast("double") - exp) * (F.col("c").cast("double") - exp) / exp
+    return (
+        m.withColumn("tq", F.floor(term * F.lit(1e9)).cast("bigint"))
+        .groupBy("fold")
+        .agg(
+            F.max("n_fold").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+            (F.sum("tq").cast("double") / F.lit(1e9)).alias("chi2"),
+        )
+        .orderBy("fold")
+    )

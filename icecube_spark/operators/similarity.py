@@ -1335,3 +1335,69 @@ def label_noise_knn(
         )
         .orderBy("label")
     )
+
+
+def matryoshka_recall(
+    vectors: DataFrame, id_col: str, vec_col: str,
+    prefix_dim: int = 16, k: int = 5, n_queries: int = 10,
+) -> DataFrame:
+    """E27 — Matryoshka truncation eval (Kusupati et al. 2022): for
+    each query, recall@k of the top-k retrieved with only the first
+    `prefix_dim` dims against the full-dim top-k. The sizing table
+    for MRL-style embedding truncation — what recall a 4× smaller
+    index costs.
+
+    Exactness: both rankings use the quantized-dot scheme; recall
+    divides exact overlap counts.
+
+    Plan: two E1-shaped broadcast top-k plans (corpus never
+    shuffles) and one k·n_queries-row semi-join — the pq_recall_eval
+    (E24) harness shape with a dimension slice instead of codes.
+    """
+    full = cosine_topk(
+        vectors, id_col, vec_col, F.col(id_col) < n_queries, k
+    ).select("query_id", "neighbor_id")
+    queries = vectors.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, prefix_dim).alias("qn"),
+    )
+    cands = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, prefix_dim).alias("cn"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_expr("qv", "cv", prefix_dim) / (F.col("qn") * F.col("cn")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    pref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = full.join(
+        pref.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double") / F.col("k").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -1554,3 +1554,39 @@ def stupid_backoff_logprob(
         )
         .orderBy(id_col)
     )
+
+
+def mojibake_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F37 — encoding-artifact audit: per doc, counts of UTF-8
+    mojibake markers (the Ã/Â/â ledes of double-decoded Latin-1),
+    the U+FFFD replacement char, and C0 control bytes, plus an
+    artifacts-per-char rate. The data-cleaning gate that catches
+    broken decoders BEFORE quality filters mistake mojibake for rare
+    vocabulary.
+
+    Exactness: pure length/regexp integer arithmetic; the rate
+    divides exact ints.
+
+    Plan: single codegen scan, no shuffle (doc-keyed projection).
+    """
+    t = F.col(text_col)
+
+    def count_re(pat: str) -> F.Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("bigint")
+
+    moji = count_re("[ÃÂâ]")
+    repl = count_re("�")
+    ctrl = count_re("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        moji.alias("n_mojibake"),
+        repl.alias("n_replacement"),
+        ctrl.alias("n_control"),
+        F.when(
+            F.length(t) > 0,
+            (moji + repl + ctrl).cast("double") / F.length(t).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("artifact_rate"),
+    ).orderBy(id_col)

@@ -2623,3 +2623,87 @@ def sax_symbols(
         (F.floor(z * F.lit(1e9)) / F.lit(1e9)).alias("z"),
         sym.alias("symbol"),
     ).orderBy(key_col, "seg")
+
+
+def period_detect(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str,
+    max_lag: int = 14,
+) -> DataFrame:
+    """C78 — dominant-periodicity detection per key: the
+    autocorrelation argmax over lags 2..max_lag of the daily-total
+    series. acf_daily_value (C40) prints the whole correlogram; this
+    answers the question analysts actually ask — "is there a weekly
+    cycle, and how strong".
+
+    Exactness: deviations are N-scaled exact integers (the A33
+    scheme), lag products fold in DECIMAL(38,0), and the ACF
+    quantizes to a 1e-9 grid before the argmax (ties break to the
+    smaller lag).
+
+    Plan: one (key, day) aggregate, per-key moment windows on the
+    day-bounded frame, a lag-explode self-join co-partitioned on the
+    key, and a ≤max_lag-row-per-key argmax.
+    """
+    days = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("qv"),
+        )
+        .groupBy(key_col, "d")
+        .agg(F.sum("qv").alias("dq"))
+    )
+    wp = Window.partitionBy(key_col)
+    dev = days.select(
+        key_col,
+        "d",
+        (F.col("dq") * F.count(F.lit(1)).over(wp) - F.sum("dq").over(wp)).alias(
+            "devq"
+        ),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_days"),
+    )
+    dec19 = "decimal(19,0)"
+    den = dev.groupBy(key_col).agg(
+        F.sum(F.col("devq").cast(dec19) * F.col("devq").cast(dec19)).alias("den"),
+        F.max("n_days").alias("n_days"),
+    )
+    lags = dev.select(
+        key_col, "d", "devq",
+        F.explode(F.array([F.lit(i) for i in range(2, max_lag + 1)])).alias("lag"),
+    ).select(key_col, (F.col("d") + F.col("lag")).alias("d2"), "devq", "lag")
+    prods = lags.join(
+        dev.select(key_col, F.col("d").alias("d2"), F.col("devq").alias("devq2")),
+        [key_col, "d2"],
+    ).groupBy(key_col, "lag").agg(
+        F.sum(F.col("devq").cast(dec19) * F.col("devq2").cast(dec19)).alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    scored = prods.join(den, key_col).select(
+        key_col,
+        "lag",
+        "n_pairs",
+        "n_days",
+        (
+            F.floor(
+                (F.col("num").cast("double") / F.col("den").cast("double"))
+                * F.lit(1e9)
+            )
+            / F.lit(1e9)
+        ).alias("acf"),
+    )
+    wr = Window.partitionBy(key_col).orderBy(F.col("acf").desc(), F.col("lag"))
+    return (
+        scored.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") == 1)
+        .select(
+            key_col,
+            F.col("lag").alias("best_lag"),
+            "acf",
+            "n_pairs",
+            "n_days",
+        )
+        .orderBy(key_col)
+    )

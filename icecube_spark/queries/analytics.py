@@ -1732,3 +1732,81 @@ def nation_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         pmi.alias("pmi"),
     ).orderBy("cust_nation", "supp_nation")
+
+
+def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 — monthly Laspeyres price index: fix the first month's
+    basket (per-part quantities), reprice it at each later month's
+    unit prices, and report Σp_t·q_0 / Σp_0·q_0 over the parts
+    traded in both periods. The canonical inflation-style price
+    readout that a raw revenue trend confounds with volume.
+
+    Exactness: unit prices divide micro-int revenue by exact decimal
+    quantities (identical doubles both engines); each basket term
+    quantizes to a 1e-6 integer before summing, so the index divides
+    two exact BIGINTs.
+
+    Plan: one (month, part) aggregate; the base-month slice joins
+    back on the part key (dimension-bounded, broadcastable); ≤ n
+    months output.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    mp = (
+        li.select(
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * F.lit(1e6))
+            .cast("bigint")
+            .alias("qrev"),
+            F.col("l_quantity").cast("decimal(18,8)").alias("qty"),
+        )
+        .groupBy("month", "l_partkey")
+        .agg(
+            F.sum("qrev").alias("rev"),
+            F.sum("qty").alias("qty"),
+        )
+        .select(
+            "month",
+            "l_partkey",
+            (
+                F.col("rev").cast("double")
+                / F.lit(1e6)
+                / F.col("qty").cast("double")
+            ).alias("price"),
+            F.col("qty").cast("double").alias("qty_d"),
+        )
+    )
+    base_month = mp.agg(F.min("month").alias("bm"))
+    base = (
+        mp.join(F.broadcast(base_month), mp.month == F.col("bm"))
+        .select(
+            "l_partkey",
+            F.col("price").alias("p0"),
+            F.col("qty_d").alias("q0"),
+        )
+    )
+    joined = mp.join(base, "l_partkey").select(
+        "month",
+        F.floor(F.col("price") * F.col("q0") * F.lit(1e6))
+        .cast("bigint")
+        .alias("t_num"),
+        F.floor(F.col("p0") * F.col("q0") * F.lit(1e6))
+        .cast("bigint")
+        .alias("t_den"),
+    )
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("t_num").alias("num"),
+            F.sum("t_den").alias("den"),
+        )
+        .select(
+            "month",
+            "n_parts",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "laspeyres_index"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -876,3 +876,31 @@ ORACLES["nation_affinity"] = """
                / 1e6 AS pmi
     FROM m ORDER BY cust_nation, supp_nation
 """
+
+ORACLES["price_index"] = """
+    WITH mp AS (
+        SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT))
+                   AS BIGINT) AS rev,
+               SUM(CAST(l_quantity AS DECIMAL(18,8))) AS qty
+        FROM lineitem GROUP BY 1, 2),
+    mp2 AS (
+        SELECT month, l_partkey,
+               CAST(rev AS DOUBLE) / 1e6 / CAST(qty AS DOUBLE) AS price,
+               CAST(qty AS DOUBLE) AS qty_d
+        FROM mp),
+    bm AS (SELECT MIN(month) AS bm FROM mp2),
+    base AS (
+        SELECT l_partkey, price AS p0, qty_d AS q0
+        FROM mp2, bm WHERE month = bm),
+    joined AS (
+        SELECT m.month,
+               CAST(FLOOR(m.price * b.q0 * 1e6) AS BIGINT) AS t_num,
+               CAST(FLOOR(b.p0 * b.q0 * 1e6) AS BIGINT) AS t_den
+        FROM mp2 m JOIN base b ON m.l_partkey = b.l_partkey)
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(t_num) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(t_den) AS BIGINT) AS DOUBLE)
+               AS laspeyres_index
+    FROM joined GROUP BY 1 ORDER BY 1
+"""

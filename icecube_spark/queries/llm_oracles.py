@@ -1955,3 +1955,104 @@ ORACLES["stupid_backoff_logprob"] = f"""
                / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_logprob
     FROM scored GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["translation_pairs"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND a.vec_id < b.vec_id)
+    SELECT p.vec_a, p.vec_b, da.lang AS lang_a, db.lang AS lang_b, p.cosine
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+    WHERE da.lang != db.lang AND p.cosine >= '0.3'::DOUBLE
+    ORDER BY vec_a, vec_b
+"""
+
+ORACLES["mojibake_score"] = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(regexp_replace(text, '[ÃÂâ]', '', 'g'))
+               AS BIGINT) AS n_mojibake,
+           CAST(length(text)
+                - length(regexp_replace(text, '�', '', 'g'))
+               AS BIGINT) AS n_replacement,
+           CAST(length(text)
+                - length(regexp_replace(text,
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+               AS BIGINT) AS n_control,
+           CASE WHEN length(text) > 0
+                THEN CAST((length(text)
+                           - length(regexp_replace(text, '[ÃÂâ]', '', 'g')))
+                          + (length(text)
+                             - length(regexp_replace(text, '�', '', 'g')))
+                          + (length(text)
+                             - length(regexp_replace(text,
+                                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '',
+                                 'g'))) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS artifact_rate
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLES["matryoshka_recall"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(list_sum(
+                   [CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12)
+                        AS BIGINT) FOR x IN embedding]) AS DOUBLE) / 1e12)
+                   AS nrm,
+               sqrt(CAST(list_sum(
+                   [CAST(floor(CAST(embedding[j] AS DOUBLE)
+                               * CAST(embedding[j] AS DOUBLE) * 1e12)
+                        AS BIGINT) FOR j IN range(1, 17)]) AS DOUBLE) / 1e12)
+                   AS nrm16
+        FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    fullp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_PAIR_COS.format(a='q.embedding', b='c.embedding', na='q.nrm', nb='c.nrm')} AS cosine
+        FROM q JOIN v c ON c.vec_id != q.vec_id),
+    fullk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS r FROM fullp)
+        WHERE r <= 5),
+    prefp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               (CAST(list_sum(
+                   [CAST(floor(CAST(q.embedding[j] AS DOUBLE)
+                               * CAST(c.embedding[j] AS DOUBLE) * 1e12)
+                        AS BIGINT) FOR j IN range(1, 17)]) AS DOUBLE) / 1e12)
+               / (q.nrm16 * c.nrm16) AS cosine
+        FROM q JOIN v c ON c.vec_id != q.vec_id),
+    prefk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS r FROM prefp)
+        WHERE r <= 5)
+    SELECT f.query_id,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM fullk f
+    LEFT JOIN prefk p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY 1 ORDER BY 1
+"""

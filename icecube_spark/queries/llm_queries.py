@@ -801,3 +801,64 @@ def stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F36 — stupid-backoff bigram LM doc scores (Brants et al.
     2007)."""
     return text.stupid_backoff_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def translation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 — cross-lingual near-duplicate detection: embedding pairs
+    above cosine threshold whose DOCUMENTS carry different languages
+    — the translated-duplicate sweep (parallel corpora inflate token
+    counts and leak eval translations; same-language dedup never
+    sees them).
+
+    Plan: the D5 LSH-bucketed pair mine (one code shuffle, never
+    all-pairs) plus two broadcast doc-lang joins on the vec ids.
+    """
+    from icecube_spark.operators.similarity import dot_expr, lsh_code, norm_expr
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang")
+    )
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_code("embedding").alias("code"),
+        norm_expr("embedding").alias("nrm"),
+    )
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        "code", F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        "code", F.col("nrm").alias("nb"),
+    )
+    la = docs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    scored = (
+        a.join(b, "code")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+        .select("vec_a", "vec_b", "cosine")
+        .join(F.broadcast(la), "vec_a")
+        .join(F.broadcast(lb), "vec_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+    )
+    return (
+        scored.where(F.col("cosine") >= 0.3)
+        .select("vec_a", "vec_b", "lang_a", "lang_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F37 — encoding-artifact (mojibake/control-byte) audit per
+    doc."""
+    return text.mojibake_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 — recall@5 of 16-dim-prefix retrieval vs full 64-dim
+    (Matryoshka truncation eval)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_recall(emb, "vec_id", "embedding")

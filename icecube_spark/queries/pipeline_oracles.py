@@ -982,3 +982,91 @@ ORACLES["quantile_normalize"] = """
      AND ((r.r * r.n_total + r.ns - 1) // r.ns) <= c.cum_hi
     ORDER BY r.doc_id
 """
+
+
+ORACLES["table_diff"] = """
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders),
+    v2 AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 13 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 97 != 0),
+    pres AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM (SELECT k FROM v1) a
+        FULL OUTER JOIN (SELECT k FROM v2) b ON a.k = b.k),
+    j AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN NOT (a.o_custkey IS NOT DISTINCT FROM b.o_custkey)
+                    THEN 1 ELSE 0 END AS chg_o_custkey,
+               CASE WHEN NOT (a.o_orderstatus
+                              IS NOT DISTINCT FROM b.o_orderstatus)
+                    THEN 1 ELSE 0 END AS chg_o_orderstatus,
+               CASE WHEN NOT (a.o_totalprice
+                              IS NOT DISTINCT FROM b.o_totalprice)
+                    THEN 1 ELSE 0 END AS chg_o_totalprice,
+               CASE WHEN NOT (a.o_orderpriority
+                              IS NOT DISTINCT FROM b.o_orderpriority)
+                    THEN 1 ELSE 0 END AS chg_o_orderpriority
+        FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k),
+    f AS (SELECT j.*, p.in_a, p.in_b FROM j JOIN pres p ON p.k = j.k)
+    SELECT
+        CAST(SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_added,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                       AND chg_o_custkey + chg_o_orderstatus
+                           + chg_o_totalprice + chg_o_orderpriority > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                       AND chg_o_custkey + chg_o_orderstatus
+                           + chg_o_totalprice + chg_o_orderpriority = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN chg_o_custkey
+                      ELSE 0 END) AS BIGINT) AS n_changed_o_custkey,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN chg_o_orderstatus
+                      ELSE 0 END) AS BIGINT) AS n_changed_o_orderstatus,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN chg_o_totalprice
+                      ELSE 0 END) AS BIGINT) AS n_changed_o_totalprice,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN chg_o_orderpriority
+                      ELSE 0 END) AS BIGINT) AS n_changed_o_orderpriority
+    FROM f
+"""
+
+ORACLES["stratified_kfold"] = """
+    WITH a AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold, lang AS s FROM documents),
+    g AS (SELECT fold, s, CAST(COUNT(*) AS BIGINT) AS c
+          FROM a GROUP BY 1, 2),
+    m AS (
+        SELECT *,
+               CAST(SUM(c) OVER (PARTITION BY fold) AS BIGINT) AS n_fold,
+               CAST(SUM(c) OVER (PARTITION BY s) AS BIGINT) AS n_s,
+               CAST(SUM(c) OVER () AS BIGINT) AS n_total
+        FROM g),
+    t AS (
+        SELECT fold, n_fold,
+               CAST(FLOOR((CAST(c AS DOUBLE)
+                           - CAST(n_fold AS DOUBLE) * CAST(n_s AS DOUBLE)
+                             / CAST(n_total AS DOUBLE))
+                          * (CAST(c AS DOUBLE)
+                             - CAST(n_fold AS DOUBLE) * CAST(n_s AS DOUBLE)
+                               / CAST(n_total AS DOUBLE))
+                          / (CAST(n_fold AS DOUBLE) * CAST(n_s AS DOUBLE)
+                             / CAST(n_total AS DOUBLE))
+                          * 1e9) AS BIGINT) AS tq
+        FROM m)
+    SELECT fold, MAX(n_fold) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
+    FROM t GROUP BY 1 ORDER BY 1
+"""

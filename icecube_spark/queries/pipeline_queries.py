@@ -732,3 +732,33 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled distribution."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.quantile_normalize(docs, "doc_id", "source", "n_chars")
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P52 — data-diff of two order snapshots: v2 deterministically
+    drops ~1% of rows and reprices ~7% (hash-derived), so the diff
+    report is exactly reproducible."""
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    h = F.expr(spark_hex2int("cast(o_orderkey as string)"))
+    v2 = (
+        orders.where(h % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                h % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return pipeline.table_diff(
+        orders, v2, "o_orderkey",
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P53 — stratified 5-fold assignment audit (fold sizes + chi^2
+    language balance)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.stratified_kfold(docs, "doc_id", "lang", k=5)

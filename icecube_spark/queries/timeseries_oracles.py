@@ -1573,3 +1573,43 @@ ORACLES["sax_symbols"] = """
                 ELSE 'd' END AS symbol
     FROM z ORDER BY event_type, seg
 """
+
+ORACLES["period_detect"] = """
+    WITH days AS (
+        SELECT event_type AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS dq
+        FROM events GROUP BY 1, 2),
+    dev AS (
+        SELECT k, d,
+               CAST(dq * CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT)
+                    - CAST(SUM(dq) OVER (PARTITION BY k) AS BIGINT)
+                   AS BIGINT) AS devq,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_days
+        FROM days),
+    den AS (
+        SELECT k, SUM(CAST(devq AS DECIMAL(19,0))
+                      * CAST(devq AS DECIMAL(19,0))) AS den,
+               MAX(n_days) AS n_days
+        FROM dev GROUP BY 1),
+    prods AS (
+        SELECT l.k, l.lg,
+               SUM(CAST(l.devq AS DECIMAL(19,0))
+                   * CAST(r.devq AS DECIMAL(19,0))) AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM (SELECT k, d + lg AS d2, devq, lg
+              FROM dev, range(2, 15) t(lg)) l
+        JOIN dev r ON r.k = l.k AND r.d = l.d2
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT p.k, p.lg, p.n_pairs, d.n_days,
+               FLOOR((CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE)) * 1e9)
+                   / 1e9 AS acf
+        FROM prods p JOIN den d ON d.k = p.k)
+    SELECT k AS event_type, CAST(lg AS INT) AS best_lag, acf, n_pairs,
+           n_days
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY k ORDER BY acf DESC, lg) AS r
+          FROM scored)
+    WHERE r = 1 ORDER BY event_type
+"""

@@ -887,3 +887,10 @@ def sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAA, 4-symbol Gaussian-breakpoint alphabet)."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.sax_symbols(ev, "ts", "event_type", "value")
+
+
+def period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C78 — dominant periodicity (ACF argmax over lags 2..14) per
+    event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.period_detect(ev, "ts", "event_type", "value")

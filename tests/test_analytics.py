@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("price_index", analytics.price_index),
     ("nation_affinity", analytics.nation_affinity),
     ("supplier_scorecard", analytics.supplier_scorecard),
     ("customer_churn", analytics.customer_churn),

@@ -8,6 +8,9 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("matryoshka_recall", lq.matryoshka_recall),
+    ("translation_pairs", lq.translation_pairs),
+    ("mojibake_score", lq.mojibake_score),
     ("stupid_backoff_logprob", lq.stupid_backoff_logprob),
     ("tfidf_cosine_pairs", lq.tfidf_cosine_pairs),
     ("repeated_substrings", lq.repeated_substrings),

@@ -12,6 +12,8 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("table_diff", pq.table_diff),
+    ("stratified_kfold", pq.stratified_kfold),
     ("bloom_filter_eval", pq.bloom_filter_eval),
     ("quantile_normalize", pq.quantile_normalize),
     ("zorder_plan", pq.zorder_plan),
