@@ -1908,3 +1908,38 @@ def stratified_kfold(
         )
         .orderBy("fold")
     )
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str]) -> DataFrame:
+    """P54 — k-anonymity audit over a quasi-identifier tuple: the
+    distribution of equivalence-class sizes and the share of rows
+    re-identifiable below k=5. The privacy gate run BEFORE releasing
+    any "anonymized" extract — unique (lang, source, length) tuples
+    are fingerprints.
+
+    Exactness: pure integer counts; the share divides exact ints.
+
+    Plan: one QI-tuple aggregate (map-side combined), one ≤4-row
+    bucket rollup; the corpus shuffles once on the QI key.
+    """
+    g = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, F.lit("1"))
+        .when(F.col("k") <= 4, F.lit("2-4"))
+        .when(F.col("k") <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    wall = Window.partitionBy()
+    b = g.select(bucket.alias("k_bucket"), "k").groupBy("k_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    return b.select(
+        "k_bucket",
+        "n_classes",
+        "n_rows",
+        (
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(wall).cast("double")
+        ).alias("row_share"),
+    ).orderBy("k_bucket")

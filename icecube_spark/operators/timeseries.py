@@ -2707,3 +2707,68 @@ def period_detect(
         )
         .orderBy(key_col)
     )
+
+
+def diff_in_diff(
+    df: DataFrame, ts_col: str, type_col: str, value_col: str,
+    treat: str, control: str,
+) -> DataFrame:
+    """C79 — difference-in-differences estimate: split the range at
+    the global mid-day, compare the treated series' pre→post mean
+    shift against the control's. The causal-inference workhorse for
+    "did the launch move the metric beyond the ambient trend".
+
+    Exactness: the split is integer arithmetic; the four cell means
+    fold through DECIMAL(18,8); the estimate subtracts identical
+    doubles.
+
+    Plan: one conditional aggregate to 4 cells (map-side combined) —
+    the split day rides a 1-row broadcast.
+    """
+    days = df.where(F.col(type_col).isin([treat, control])).select(
+        F.col(type_col).alias("grp"),
+        F.datediff(
+            F.to_date(F.col(ts_col).cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        F.col(value_col).alias("x"),
+    )
+    mid = days.agg(
+        F.floor((F.min("d") + F.max("d")) / F.lit(2)).alias("mid")
+    )
+    cells = (
+        days.crossJoin(F.broadcast(mid))
+        .select(
+            "grp",
+            F.when(F.col("d") <= F.col("mid"), F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            "x",
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.col("x").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_x"),
+        )
+    )
+    pick = lambda g, p: F.max(  # noqa: E731
+        F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_x"))
+    )
+    return cells.groupBy().agg(
+        pick(treat, "pre").alias("treat_pre"),
+        pick(treat, "post").alias("treat_post"),
+        pick(control, "pre").alias("control_pre"),
+        pick(control, "post").alias("control_post"),
+    ).select(
+        "treat_pre",
+        "treat_post",
+        "control_pre",
+        "control_post",
+        (
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("control_post") - F.col("control_pre"))
+        ).alias("did_estimate"),
+    )

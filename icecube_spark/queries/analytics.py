@@ -1810,3 +1810,132 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45 — ABC/XYZ inventory classification matrix: parts classed
+    by cumulative revenue share (A ≤80%, B ≤95%, C rest) × monthly
+    demand variability (X: CV≤0.5, Y: CV≤1, Z rest), reported as the
+    9-cell planning matrix. The stock-policy segmentation every
+    supply-chain review starts from.
+
+    Exactness: the ABC cut compares exact integer cumulative revenue
+    (10·cum vs 8·total — no float shares); the XYZ cut compares
+    exact integer moments (4·n·Σq² vs 5·(Σq)² for CV≤0.5); only the
+    reported percentages divide at the end.
+
+    Plan: one (month, part) aggregate, a part rollup, one
+    revenue-ordered window over the dimension-bounded part frame,
+    and a 9-row matrix aggregate.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    mp = (
+        li.select(
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+            ).cast("bigint").alias("qrev"),
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("qq"),
+        )
+        .groupBy("month", "l_partkey")
+        .agg(F.sum("qrev").alias("rev_m"), F.sum("qq").alias("qty_m"))
+    )
+    dec = "decimal(38,0)"
+    per_part = mp.groupBy("l_partkey").agg(
+        F.sum("rev_m").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.col("qty_m").cast(dec)).alias("s"),
+        F.sum(F.col("qty_m").cast(dec) * F.col("qty_m")).alias("ss"),
+    )
+    wcum = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        "n_months",
+        "s",
+        "ss",
+        F.sum("rev").over(wcum).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total_rev"),
+    )
+    abc = (
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, F.lit("A"))
+        .when(F.col("cum_rev") * 20 <= F.col("total_rev") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    n = F.col("n_months")
+    s = F.col("s")
+    ss = F.col("ss")
+    xyz = (
+        F.when(n * ss * 4 <= s * s * 5, F.lit("X"))
+        .when(n * ss <= s * s * 2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    classed = ranked.select(
+        "l_partkey", "rev", abc.alias("class_abc"), xyz.alias("class_xyz")
+    )
+    return (
+        classed.groupBy("class_abc", "class_xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").alias("rev_q"),
+        )
+        .select(
+            "class_abc",
+            "class_xyz",
+            "n_parts",
+            (F.col("rev_q").cast("double") / F.lit(1e6)).alias("revenue"),
+        )
+        .orderBy("class_abc", "class_xyz")
+    )
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46 — supply-concentration audit: per supplier nation, the
+    Herfindahl–Hirschman index of supplier revenue shares plus the
+    top share. The procurement-risk metric — an HHI above 0.25 means
+    the nation's supply hangs on a couple of vendors.
+
+    Exactness: shares divide exact micro-int revenues; each share²
+    term quantizes to a 1e-12 integer before the order-free sum.
+
+    Plan: lineitem aggregates once on the supplier key, the supplier
+    and nation dims broadcast, and the HHI folds over the
+    dimension-bounded supplier frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    sup = catalog.load(spark, sf_dir, "supplier")
+    nation = catalog.load(spark, sf_dir, "nation")
+    per_sup = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+            ).cast("bigint")
+        ).alias("rev")
+    )
+    sn = sup.join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("nation"))
+    j = per_sup.join(F.broadcast(sn), per_sup.l_suppkey == sn.s_suppkey)
+    wn = Window.partitionBy("nation")
+    shares = j.select(
+        "nation",
+        "rev",
+        (F.col("rev").cast("double") / F.sum("rev").over(wn).cast("double")).alias(
+            "share"
+        ),
+    )
+    term = F.floor(F.col("share") * F.col("share") * F.lit(1e12)).cast("bigint")
+    return (
+        shares.withColumn("tq", term)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            (F.sum("tq").cast("double") / F.lit(1e12)).alias("hhi"),
+            F.max("share").alias("top_share"),
+        )
+        .orderBy("nation")
+    )

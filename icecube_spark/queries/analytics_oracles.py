@@ -904,3 +904,62 @@ ORACLES["price_index"] = """
                AS laspeyres_index
     FROM joined GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["abc_xyz_classes"] = """
+    WITH mp AS (
+        SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                   * 1e6) AS BIGINT)) AS BIGINT) AS rev_m,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS qty_m
+        FROM lineitem GROUP BY 1, 2),
+    pp AS (
+        SELECT l_partkey, CAST(SUM(rev_m) AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               SUM(CAST(qty_m AS HUGEINT)) AS s,
+               SUM(CAST(qty_m AS HUGEINT) * qty_m) AS ss
+        FROM mp GROUP BY 1),
+    rk AS (
+        SELECT *,
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev,
+               CAST(SUM(rev) OVER () AS BIGINT) AS total_rev
+        FROM pp),
+    cl AS (
+        SELECT l_partkey, rev,
+               CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                    WHEN cum_rev * 20 <= total_rev * 19 THEN 'B'
+                    ELSE 'C' END AS class_abc,
+               CASE WHEN n_months * ss * 4 <= s * s * 5 THEN 'X'
+                    WHEN n_months * ss <= s * s * 2 THEN 'Y'
+                    ELSE 'Z' END AS class_xyz
+        FROM rk)
+    SELECT class_abc, class_xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) / 1e6 AS revenue
+    FROM cl GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["supplier_hhi"] = """
+    WITH ps AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                   * 1e6) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+    sn AS (
+        SELECT s.s_suppkey, n.n_name AS nation
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+    sh AS (
+        SELECT sn.nation, ps.rev,
+               CAST(ps.rev AS DOUBLE)
+                   / CAST(CAST(SUM(ps.rev) OVER (PARTITION BY sn.nation)
+                       AS BIGINT) AS DOUBLE) AS share
+        FROM ps JOIN sn ON ps.l_suppkey = sn.s_suppkey),
+    t AS (
+        SELECT nation, share,
+               CAST(FLOOR(share * share * 1e12) AS BIGINT) AS tq
+        FROM sh)
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e12 AS hhi,
+           MAX(share) AS top_share
+    FROM t GROUP BY 1 ORDER BY 1
+"""

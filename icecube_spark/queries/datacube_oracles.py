@@ -785,3 +785,29 @@ ORACLES["cube_mask_components"] = f"""
     FROM labels l JOIN mask m ON m.node = l.node
     GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["cube_baseline_pairs"] = """
+    WITH acq AS (
+        SELECT user_id, event_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               value
+        FROM events),
+    a AS (
+        SELECT user_id, event_id AS event_a, d AS da, value AS va,
+               UNNEST([CAST(FLOOR(d / 12) AS BIGINT),
+                       CAST(FLOOR(d / 12) AS BIGINT) + 1]) AS bkt
+        FROM acq),
+    b AS (
+        SELECT user_id, event_id AS event_b, d AS db, value AS vb,
+               CAST(FLOOR(d / 12) AS BIGINT) AS bkt
+        FROM acq)
+    SELECT DISTINCT a.user_id AS user_id, a.event_a, b.event_b,
+           CAST(b.db - a.da AS BIGINT) AS temporal_baseline_days,
+           abs(b.vb - a.va) AS angle_diff
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.bkt = b.bkt
+    WHERE (b.db > a.da OR (b.db = a.da AND b.event_b > a.event_a))
+      AND b.db - a.da <= 12
+      AND abs(b.vb - a.va) <= 5.0
+    ORDER BY user_id, event_a, event_b
+"""

@@ -1507,3 +1507,69 @@ def cube_mask_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+def cube_baseline_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 — InSAR pair selection: per stack, acquisition pairs whose
+    temporal baseline is ≤ 12 days and incidence-angle difference is
+    ≤ 5° — the interferogram candidate graph every InSAR processor
+    builds before coregistration (reference stacks pair SLCs exactly
+    this way).
+
+    Exactness: day baselines are integer date arithmetic; the angle
+    difference subtracts identical doubles (deterministic IEEE).
+
+    Plan: day-bucketed self-join — the earlier side emits its own
+    12-day bucket and the next, so the equality join sees each true
+    pair exactly once and candidate fanout is bucket-bounded (never
+    a per-stack cross join). Co-partitioned on (stack, bucket).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    acq = ev.select(
+        "user_id",
+        "event_id",
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        "value",
+    )
+    a = acq.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_a"),
+        F.col("d").alias("da"),
+        F.col("value").alias("va"),
+        F.explode(
+            F.array(
+                F.floor(F.col("d") / 12),
+                F.floor(F.col("d") / 12) + 1,
+            )
+        ).alias("bkt"),
+    )
+    b = acq.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_b"),
+        F.col("d").alias("db"),
+        F.col("value").alias("vb"),
+        F.floor(F.col("d") / 12).alias("bkt"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "bkt"])
+        .where(
+            (
+                (F.col("db") > F.col("da"))
+                | ((F.col("db") == F.col("da")) & (F.col("event_b") > F.col("event_a")))
+            )
+            & (F.col("db") - F.col("da") <= 12)
+            & (F.abs(F.col("vb") - F.col("va")) <= 5.0)
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.col("db") - F.col("da")).cast("bigint").alias("temporal_baseline_days"),
+            F.abs(F.col("vb") - F.col("va")).alias("angle_diff"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("user_id", "event_a", "event_b")

@@ -1070,3 +1070,22 @@ ORACLES["stratified_kfold"] = """
            CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
     FROM t GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["k_anonymity"] = """
+    WITH g AS (
+        SELECT lang, source, n_chars, CAST(COUNT(*) AS BIGINT) AS k
+        FROM documents GROUP BY 1, 2, 3),
+    b AS (
+        SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+                    WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_bucket, k
+        FROM g),
+    r AS (
+        SELECT k_bucket, CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(k) AS BIGINT) AS n_rows
+        FROM b GROUP BY 1)
+    SELECT k_bucket, n_classes, n_rows,
+           CAST(n_rows AS DOUBLE)
+               / CAST(CAST(SUM(n_rows) OVER () AS BIGINT) AS DOUBLE)
+               AS row_share
+    FROM r ORDER BY k_bucket
+"""

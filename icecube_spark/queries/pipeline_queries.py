@@ -762,3 +762,10 @@ def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     language balance)."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.stratified_kfold(docs, "doc_id", "lang", k=5)
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P54 — k-anonymity audit on the (lang, source, n_chars)
+    quasi-identifier tuple."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.k_anonymity(docs, ["lang", "source", "n_chars"])

@@ -1613,3 +1613,35 @@ ORACLES["period_detect"] = """
           FROM scored)
     WHERE r = 1 ORDER BY event_type
 """
+
+ORACLES["diff_in_diff"] = """
+    WITH days AS (
+        SELECT event_type AS grp,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               value AS x
+        FROM events WHERE event_type IN ('purchase', 'view')),
+    mid AS (
+        SELECT CAST(FLOOR((MIN(d) + MAX(d)) / 2) AS BIGINT) AS mid
+        FROM days),
+    cells AS (
+        SELECT grp,
+               CASE WHEN d <= mid THEN 'pre' ELSE 'post' END AS period,
+               CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_x
+        FROM days, mid GROUP BY 1, 2),
+    w AS (
+        SELECT
+            MAX(CASE WHEN grp = 'purchase' AND period = 'pre'
+                     THEN mean_x END) AS treat_pre,
+            MAX(CASE WHEN grp = 'purchase' AND period = 'post'
+                     THEN mean_x END) AS treat_post,
+            MAX(CASE WHEN grp = 'view' AND period = 'pre'
+                     THEN mean_x END) AS control_pre,
+            MAX(CASE WHEN grp = 'view' AND period = 'post'
+                     THEN mean_x END) AS control_post
+        FROM cells)
+    SELECT treat_pre, treat_post, control_pre, control_post,
+           (treat_post - treat_pre) - (control_post - control_pre)
+               AS did_estimate
+    FROM w
+"""

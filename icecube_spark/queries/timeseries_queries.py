@@ -894,3 +894,10 @@ def period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.period_detect(ev, "ts", "event_type", "value")
+
+
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79 — difference-in-differences of purchase vs view values
+    across the mid-range split."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.diff_in_diff(ev, "ts", "event_type", "value", "purchase", "view")

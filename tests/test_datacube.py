@@ -12,6 +12,7 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_baseline_pairs", dq.cube_baseline_pairs),
     ("cube_hillshade", dq.cube_hillshade),
     ("cube_mask_components", dq.cube_mask_components),
     ("cube_local_moran", dq.cube_local_moran),

@@ -12,6 +12,7 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("k_anonymity", pq.k_anonymity),
     ("table_diff", pq.table_diff),
     ("stratified_kfold", pq.stratified_kfold),
     ("bloom_filter_eval", pq.bloom_filter_eval),

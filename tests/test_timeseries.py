@@ -8,6 +8,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("diff_in_diff", tq.diff_in_diff),
     ("period_detect", tq.period_detect),
     ("sax_symbols", tq.sax_symbols),
     ("window_funnel_strict", tq.window_funnel_strict),
