@@ -1401,3 +1401,88 @@ def matryoshka_recall(
         )
         .orderBy("query_id")
     )
+
+
+def hamming_recall(
+    vectors: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, n_queries: int = 10, dim: int = EMBED_DIM,
+) -> DataFrame:
+    """E29 — binary-quantization eval: sign-bit sketch (1 bit/dim →
+    64-bit code), top-k by Hamming distance, recall against the
+    full-precision cosine top-k. The sizing table for binary
+    embedding indexes (32× smaller, XOR-popcount scans) — the rage
+    in 2024-era vector stores.
+
+    Exactness: sign bits and popcounts are exact integers (a
+    component exactly 0.0 maps to bit 0 in both engines); Hamming
+    ties break on neighbor id; recall divides exact counts.
+
+    Plan: the sketch is one flat codegen expression; the probe is an
+    E1-shaped broadcast scan (integer XOR/popcount per pair — no
+    dot products); one k-row semi-join closes the eval.
+    """
+    half = dim // 2
+    lo = " + ".join(
+        f"(CASE WHEN element_at({vec_col}, {j}) > 0"
+        f" THEN CAST({1 << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(1, half + 1)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN element_at({vec_col}, {j}) > 0"
+        f" THEN CAST({1 << (j - half - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(half + 1, dim + 1)
+    )
+    sk = vectors.select(
+        F.col(id_col),
+        F.expr(f"({lo})").alias("sk_lo"),
+        F.expr(f"({hi})").alias("sk_hi"),
+    )
+    full = cosine_topk(
+        vectors, id_col, vec_col, F.col(id_col) < n_queries, k
+    ).select("query_id", "neighbor_id")
+    q = sk.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sk_lo").alias("q_lo"),
+        F.col("sk_hi").alias("q_hi"),
+    )
+    c = sk.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("sk_lo").alias("c_lo"),
+        F.col("sk_hi").alias("c_hi"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)")
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", F.asc("neighbor_id"))
+    ham = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = full.join(
+        ham.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kk"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double") / F.col("kk").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

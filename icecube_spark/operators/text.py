@@ -1590,3 +1590,47 @@ def mojibake_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (moji + repl + ctrl).cast("double") / F.length(t).cast("double"),
         ).otherwise(F.lit(0.0)).alias("artifact_rate"),
     ).orderBy(id_col)
+
+
+def boilerplate_prefixes(
+    df: DataFrame, id_col: str, text_col: str, group_col: str,
+    prefix_chars: int = 32, top_k: int = 3,
+) -> DataFrame:
+    """F38 — per-source boilerplate detection: the most-shared
+    document PREFIXES (first `prefix_chars` normalized chars) within
+    each source and the share of the source's docs carrying them.
+    Crawl sources wrap every page in the same banner/disclaimer —
+    CCNet-style cleaning strips these BEFORE dedup, or MinHash
+    drowns in template matches.
+
+    Exactness: md5 prefixes and counts are exact; the share divides
+    exact ints; top-k ties break on the hash.
+
+    Plan: one (source, prefix-hash) aggregate, a per-source
+    WindowGroupLimit top-k — the corpus shuffles once on the
+    composite key.
+    """
+    norm = NORM.format(col=text_col)
+    h = F.md5(F.substring(F.expr(norm), 1, prefix_chars))
+    g = (
+        df.select(F.col(group_col).alias("src"), h.alias("ph"))
+        .groupBy("src", "ph")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    wsrc = Window.partitionBy("src")
+    wr = Window.partitionBy("src").orderBy(F.col("n_docs").desc(), "ph")
+    return (
+        g.withColumn("n_src", F.sum("n_docs").over(wsrc))
+        .withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") <= top_k)
+        .select(
+            F.col("src").alias("source"),
+            F.col("r").alias("rank"),
+            F.col("ph").alias("prefix_hash"),
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("n_src").cast("double")
+            ).alias("doc_share"),
+        )
+        .orderBy("source", "rank")
+    )

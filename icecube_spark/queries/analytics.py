@@ -1939,3 +1939,133 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47 — quantity-weighted median and p90 unit price per brand:
+    the volume-representative price point (the unweighted median
+    over-counts one-off small orders). Weighted quantiles are the
+    missing half of most SQL dialects' percentile support.
+
+    Exactness: weights are integer centi-quantities; the selection
+    rank is pure integer arithmetic over cumulative weights
+    (discrete inverse-CDF, no interpolation).
+
+    Plan: one (brand, price-point) aggregate (distinct unit prices —
+    vocab-scale), a per-brand cumulative window, two rank-selection
+    aggregates. The fact table shuffles once.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    pts = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.floor(
+                F.col("l_extendedprice")
+                / F.col("l_quantity")
+                * F.lit(100)
+            ).cast("bigint").alias("price_c"),
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("wq"),
+        )
+        .groupBy("p_brand", "price_c")
+        .agg(F.sum("wq").alias("w"))
+    )
+    wb = Window.partitionBy("p_brand")
+    wc = wb.orderBy("price_c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "p_brand",
+        "price_c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wb).alias("tw"),
+    )
+    med = F.min(
+        F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price_c"))
+    ).alias("median_c")
+    p90 = F.min(
+        F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("price_c"))
+    ).alias("p90_c")
+    return (
+        cum.groupBy("p_brand")
+        .agg(F.max("tw").alias("tw"), med, p90)
+        .select(
+            "p_brand",
+            (F.col("tw").cast("double") / F.lit(100.0)).alias("total_qty"),
+            (F.col("median_c").cast("double") / F.lit(100.0)).alias(
+                "weighted_median_price"
+            ),
+            (F.col("p90_c").cast("double") / F.lit(100.0)).alias(
+                "weighted_p90_price"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48 — Croston's method for intermittent demand, per brand:
+    exponential smoothing of nonzero monthly demand SIZES and of
+    INTER-DEMAND intervals separately; forecast = size/interval. The
+    standard spare-parts forecaster — plain EWMA on a mostly-zero
+    series collapses toward zero and under-stocks.
+
+    Exactness: the C31 power-of-two EWMA scheme (α=½, span 8): both
+    smoothers are exact integer weighted sums over lag chains; the
+    closing division is one IEEE double op.
+
+    Plan: one (brand, month) aggregate, demand-point lag chains on
+    the brand exchange, one final per-brand slice (latest demand
+    point). Dimension-bounded throughout.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    span = 8
+    bm = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m"),
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("qq"),
+        )
+        .groupBy("p_brand", "m")
+        .agg(F.sum("qq").alias("demand"))
+        .where(F.col("demand") > 0)
+    )
+    w = Window.partitionBy("p_brand").orderBy("m")
+    with_iv = bm.withColumn(
+        "interval", F.col("m") - F.lag("m", 1).over(w)
+    )
+    znum = F.lit(0).cast("bigint")
+    zden = F.lit(0).cast("bigint")
+    pnum = F.lit(0).cast("bigint")
+    pden = F.lit(0).cast("bigint")
+    for k in range(span):
+        wt = 1 << (span - 1 - k)
+        zl = F.lag("demand", k).over(w)
+        pl = F.lag("interval", k).over(w)
+        znum = znum + F.coalesce(zl * wt, F.lit(0))
+        zden = zden + F.when(zl.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        pnum = pnum + F.coalesce(pl * wt, F.lit(0))
+        pden = pden + F.when(pl.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    smoothed = with_iv.select(
+        "p_brand",
+        "m",
+        znum.alias("zn"),
+        zden.alias("zd"),
+        pnum.alias("pn"),
+        pden.alias("pd"),
+        F.row_number().over(Window.partitionBy("p_brand").orderBy(F.col("m").desc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_brand")).alias("n_demands"),
+    ).where(F.col("rn") == 1)
+    z = F.col("zn").cast("double") / F.col("zd").cast("double") / F.lit(100.0)
+    p = F.col("pn").cast("double") / F.col("pd").cast("double")
+    return smoothed.select(
+        "p_brand",
+        F.col("n_demands").cast("bigint").alias("n_demand_months"),
+        z.alias("size_ewma"),
+        F.when(F.col("pd") > 0, p).alias("interval_ewma"),
+        F.when(F.col("pd") > 0, z / p).alias("croston_forecast"),
+    ).orderBy("p_brand")

@@ -963,3 +963,66 @@ ORACLES["supplier_hhi"] = """
            MAX(share) AS top_share
     FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["weighted_median_price"] = """
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(FLOOR(l.l_extendedprice / l.l_quantity * 100)
+                   AS BIGINT) AS price_c,
+               CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT p_brand, price_c,
+               CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY price_c
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+        FROM pts)
+    SELECT p_brand,
+           CAST(MAX(tw) AS DOUBLE) / 100.0 AS total_qty,
+           CAST(MIN(CASE WHEN cw * 2 >= tw THEN price_c END) AS DOUBLE)
+               / 100.0 AS weighted_median_price,
+           CAST(MIN(CASE WHEN cw * 10 >= tw * 9 THEN price_c END)
+               AS DOUBLE) / 100.0 AS weighted_p90_price
+    FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["croston_forecast"] = """
+    WITH bm AS (
+        SELECT p.p_brand,
+               year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS m,
+               CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS demand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+        HAVING CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) > 0),
+    iv AS (
+        SELECT *, m - lag(m, 1) OVER (PARTITION BY p_brand ORDER BY m)
+                   AS iv_m
+        FROM bm),
+    sm AS (
+        SELECT p_brand,
+               COALESCE(lag(demand, 0) OVER wlag * 128, 0) + COALESCE(lag(demand, 1) OVER wlag * 64, 0) + COALESCE(lag(demand, 2) OVER wlag * 32, 0) + COALESCE(lag(demand, 3) OVER wlag * 16, 0) + COALESCE(lag(demand, 4) OVER wlag * 8, 0) + COALESCE(lag(demand, 5) OVER wlag * 4, 0) + COALESCE(lag(demand, 6) OVER wlag * 2, 0) + COALESCE(lag(demand, 7) OVER wlag * 1, 0) AS zn,
+               CASE WHEN lag(demand, 0) OVER wlag IS NOT NULL THEN 128 ELSE 0 END + CASE WHEN lag(demand, 1) OVER wlag IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(demand, 2) OVER wlag IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(demand, 3) OVER wlag IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(demand, 4) OVER wlag IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(demand, 5) OVER wlag IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(demand, 6) OVER wlag IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(demand, 7) OVER wlag IS NOT NULL THEN 1 ELSE 0 END AS zd,
+               COALESCE(lag(iv_m, 0) OVER wlag * 128, 0) + COALESCE(lag(iv_m, 1) OVER wlag * 64, 0) + COALESCE(lag(iv_m, 2) OVER wlag * 32, 0) + COALESCE(lag(iv_m, 3) OVER wlag * 16, 0) + COALESCE(lag(iv_m, 4) OVER wlag * 8, 0) + COALESCE(lag(iv_m, 5) OVER wlag * 4, 0) + COALESCE(lag(iv_m, 6) OVER wlag * 2, 0) + COALESCE(lag(iv_m, 7) OVER wlag * 1, 0) AS pn,
+               CASE WHEN lag(iv_m, 0) OVER wlag IS NOT NULL THEN 128 ELSE 0 END + CASE WHEN lag(iv_m, 1) OVER wlag IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(iv_m, 2) OVER wlag IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(iv_m, 3) OVER wlag IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(iv_m, 4) OVER wlag IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(iv_m, 5) OVER wlag IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(iv_m, 6) OVER wlag IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(iv_m, 7) OVER wlag IS NOT NULL THEN 1 ELSE 0 END AS pd,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY m DESC)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT)
+                   AS n_demands
+        FROM iv
+        WINDOW wlag AS (PARTITION BY p_brand ORDER BY m))
+    SELECT p_brand, n_demands AS n_demand_months,
+           CAST(zn AS DOUBLE) / CAST(zd AS DOUBLE) / 100.0 AS size_ewma,
+           CASE WHEN pd > 0
+                THEN CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) END
+               AS interval_ewma,
+           CASE WHEN pd > 0
+                THEN CAST(zn AS DOUBLE) / CAST(zd AS DOUBLE) / 100.0
+                     / (CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE)) END
+               AS croston_forecast
+    FROM sm WHERE rn = 1 ORDER BY p_brand
+"""

@@ -2056,3 +2056,68 @@ ORACLES["matryoshka_recall"] = f"""
       ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
     GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["boilerplate_prefixes"] = f"""
+    WITH g AS (
+        SELECT source AS src, md5(substr({_NORM}, 1, 32)) AS ph,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2),
+    w AS (
+        SELECT *,
+               CAST(SUM(n_docs) OVER (PARTITION BY src) AS BIGINT) AS n_src,
+               ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY n_docs DESC, ph) AS r
+        FROM g)
+    SELECT src AS source, CAST(r AS INT) AS rank, ph AS prefix_hash,
+           n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS doc_share
+    FROM w WHERE r <= 3 ORDER BY source, rank
+"""
+
+ORACLES["hamming_recall"] = f"""
+    WITH {_VNORM},
+    sk AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN embedding[j] > 0
+                    THEN CAST(1 AS BIGINT) << (j - 1)
+                    ELSE CAST(0 AS BIGINT) END
+                    FOR j IN range(1, 33)]) AS BIGINT) AS sk_lo,
+               CAST(list_sum([CASE WHEN embedding[j] > 0
+                    THEN CAST(1 AS BIGINT) << (j - 33)
+                    ELSE CAST(0 AS BIGINT) END
+                    FOR j IN range(33, 65)]) AS BIGINT) AS sk_hi
+        FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    fullp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_PAIR_COS.format(a='q.embedding', b='c.embedding', na='q.nrm', nb='c.nrm')} AS cosine
+        FROM q JOIN v c ON c.vec_id != q.vec_id),
+    fullk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS r FROM fullp)
+        WHERE r <= 5),
+    hamp AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(bit_count(xor(a.sk_lo, b.sk_lo))
+                    + bit_count(xor(a.sk_hi, b.sk_hi)) AS INT) AS hamming
+        FROM sk a JOIN sk b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10),
+    hamk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY hamming, neighbor_id
+            ) AS r FROM hamp)
+        WHERE r <= 5)
+    SELECT f.query_id,
+           CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM fullk f
+    LEFT JOIN hamk h
+      ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+    GROUP BY 1 ORDER BY 1
+"""

@@ -862,3 +862,18 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Matryoshka truncation eval)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.matryoshka_recall(emb, "vec_id", "embedding")
+
+
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38 — per-source shared-prefix boilerplate detection (top-3
+    32-char prefixes + doc share)."""
+    return text.boilerplate_prefixes(
+        _docs(spark, sf_dir), "doc_id", "text", "source"
+    )
+
+
+def hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 — recall@5 of 64-bit sign-sketch Hamming retrieval vs
+    exact cosine (binary-quantization eval)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.hamming_recall(emb, "vec_id", "embedding")

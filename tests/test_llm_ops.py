@@ -8,6 +8,8 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("hamming_recall", lq.hamming_recall),
+    ("boilerplate_prefixes", lq.boilerplate_prefixes),
     ("matryoshka_recall", lq.matryoshka_recall),
     ("translation_pairs", lq.translation_pairs),
     ("mojibake_score", lq.mojibake_score),
