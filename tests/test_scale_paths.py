@@ -343,10 +343,14 @@ WINDOW_GROUP_LIMIT_KEYS = [
     "topk_terms_per_lang", "sample_per_group", "embed_ann_ivf",
     "pq_code_balance", "label_agreement", "embed_pq_codes",
     "top_parts_by_revenue", "cube_temporal_dedup", "cube_merge",
+    "hard_negatives", "label_noise_knn", "boilerplate_prefixes",
+    "matryoshka_recall", "hamming_recall", "cube_otsu_threshold",
+    "period_detect",
 ]
 # Global top-k keys: TakeOrderedAndProject (per-partition heap + one
 # merge), never Sort + Limit over the full exchange.
-TAKE_ORDERED_KEYS = ["basket_pairs", "basket_lift", "bm25_topk"]
+TAKE_ORDERED_KEYS = ["basket_pairs", "basket_lift", "bm25_topk",
+                     "repeated_substrings", "bpe_merge_candidates"]
 
 
 @pytest.mark.parametrize("name", WINDOW_GROUP_LIMIT_KEYS)
@@ -369,3 +373,29 @@ def test_global_topk_is_take_ordered(spark, sf_dir, name):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrdered" in plan, f"{name} lost its top-k heap merge"
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, sf_dir):
+    """C80s: watermarked dropDuplicates over a replayed stream keeps
+    exactly the distinct event set — the exactly-once ingest edge,
+    with state bounded by the watermark horizon."""
+    from icecube_spark.streaming.dedup import (
+        batch_ingest_dedup,
+        streaming_ingest_dedup,
+    )
+    from icecube_spark.streaming.events import read_events_stream
+
+    q = (
+        streaming_ingest_dedup(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("stream_ingest_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_ingest_dedup").toPandas()
+    want = batch_ingest_dedup(catalog.load(spark, sf_dir, "events")).toPandas()
+    assert len(got) == len(want) > 0
+    assert set(got["event_id"]) == set(want["event_id"])
+    assert got["event_id"].is_unique
