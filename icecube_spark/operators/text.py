@@ -1634,3 +1634,53 @@ def boilerplate_prefixes(
         )
         .orderBy("source", "rank")
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F39 — Flesch reading-ease per doc from exact integer counts:
+    words, sentences, and vowel-group syllables (the standard
+    heuristic syllable proxy). Readability is a stock quality-filter
+    feature (curricula bucket by it; OCR soup scores absurdly).
+
+    Exactness: all three counts are regexp/length integer arithmetic;
+    the Flesch constants enter as exact-parsed double literals and
+    the score is shape-mirrored double math (no quantization needed —
+    inputs are identical ints).
+
+    Plan: single codegen scan, no shuffle.
+    """
+    norm = NORM.format(col=text_col)
+    words = F.expr(f"size(filter(split({norm}, ' '), w -> w != ''))").cast(
+        "bigint"
+    )
+    sents = F.expr(
+        f"greatest(1, size(filter(split({text_col}, '[.!?]'), s -> length(trim(s)) > 0)))"
+    ).cast("bigint")
+    syl_src = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    syls = (
+        F.length(F.regexp_replace(syl_src, "[aeiouy]+", "#"))
+        - F.length(F.regexp_replace(syl_src, "[aeiouy]+", ""))
+    ).cast("bigint")
+    wd = F.col("n_words").cast("double")
+    sd = F.col("n_sentences").cast("double")
+    yd = F.col("n_syllables").cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("n_words"),
+            sents.alias("n_sentences"),
+            syls.alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            id_col,
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            flesch.alias("flesch_score"),
+        )
+        .orderBy(id_col)
+    )

@@ -2772,3 +2772,225 @@ def diff_in_diff(
             - (F.col("control_post") - F.col("control_pre"))
         ).alias("did_estimate"),
     )
+
+
+def multitouch_attribution(
+    df: DataFrame, ts_col: str, user_col: str, type_col: str,
+    conversion: str = "purchase", touch_types: tuple = ("view", "click"),
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """C81 — linear multi-touch attribution: each conversion splits
+    one unit of credit equally across the user's touch events in the
+    preceding window; per touch type, the credited total. The
+    marketing-mix complement to C30's last-touch attribution — last
+    touch systematically starves upper-funnel channels.
+
+    Exactness: per-touch credit quantizes to floor(1e12/n) integer
+    picocredits, so sums are exact and the per-conversion remainder
+    (< n·1e-12) is deterministic too.
+
+    Plan: conversions join touches on the user key (co-partitioned,
+    one exchange) with the window predicate; a per-conversion count
+    window on the same exchange; one |touch types|-row aggregate.
+    """
+    base = df.select(
+        F.col(user_col).alias("user"),
+        _us(ts_col).alias("tus"),
+        F.col(type_col).alias("et"),
+        F.col("event_id"),
+    )
+    conv = base.where(F.col("et") == conversion).select(
+        "user",
+        F.col("tus").alias("conv_t"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = base.where(F.col("et").isin(list(touch_types))).select(
+        "user",
+        F.col("tus").alias("touch_t"),
+        F.col("et").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    j = conv.join(touch, "user").where(
+        (F.col("touch_t") < F.col("conv_t"))
+        & (F.col("touch_t") >= F.col("conv_t") - F.lit(window_us))
+    )
+    wc = Window.partitionBy("conv_id")
+    credited = j.withColumn(
+        "credit_pico",
+        F.floor(F.lit(1e12) / F.count(F.lit(1)).over(wc)).cast("bigint"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            (F.sum("credit_pico").cast("double") / F.lit(1e12)).alias(
+                "credited_conversions"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def markov_accuracy(
+    df: DataFrame, ts_col: str, user_col: str, type_col: str
+) -> DataFrame:
+    """C82 — next-event prediction accuracy of the first-order Markov
+    model: transition counts fit on the early half (by global
+    mid-day), argmax prediction evaluated on late-half transitions.
+    The honesty check on C21's transition matrix — a pretty heatmap
+    that predicts at chance level is decoration.
+
+    Exactness: the argmax breaks count ties lexicographically; all
+    counts and the split are exact integers; accuracy divides them.
+
+    Plan: two conditional passes over ONE user-key exchange (lead
+    window), a ≤|types|²-row model aggregate broadcast back, one
+    ≤|types|-row score aggregate.
+    """
+    days = df.select(
+        F.col(user_col).alias("user"),
+        _us(ts_col).alias("tus"),
+        F.datediff(
+            F.to_date(F.col(ts_col).cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        F.col(type_col).alias("et"),
+        F.col("event_id"),
+    )
+    wall = Window.partitionBy()
+    wu = Window.partitionBy("user").orderBy("tus", "event_id")
+    seq = days.withColumn(
+        "mid", F.floor((F.min("d").over(wall) + F.max("d").over(wall)) / F.lit(2))
+    ).withColumn("nxt", F.lead("et", 1).over(wu)).withColumn(
+        "nxt_d", F.lead("d", 1).over(wu)
+    ).where(F.col("nxt").isNotNull())
+    train = (
+        seq.where(F.col("nxt_d") <= F.col("mid"))
+        .groupBy(F.col("et").alias("cur"), F.col("nxt").alias("to"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wr = Window.partitionBy("cur").orderBy(F.col("c").desc(), F.col("to"))
+    model = (
+        train.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") == 1)
+        .select("cur", F.col("to").alias("pred"))
+    )
+    test = seq.where(F.col("nxt_d") > F.col("mid")).select(
+        F.col("et").alias("cur"), F.col("nxt")
+    )
+    scored = test.join(F.broadcast(model), "cur", "left")
+    return (
+        scored.groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.max("pred").alias("predicted_next"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            F.col("cur").alias("event_type"),
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_transitions").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def haar_energy(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str,
+    n_days: int = 32,
+) -> DataFrame:
+    """C83 — Haar wavelet energy decomposition per key: the first 32
+    days' totals run through 3 Haar detail levels (pairwise
+    differences of successive approximations — pure integer
+    adds/subs, no trig), reporting each level's share of total detail
+    energy. Level-1-heavy = day-to-day noise; level-3-heavy =
+    week-scale swings. The multi-resolution complement to C36/C42's
+    fixed-period seasonality.
+
+    Exactness: Haar on micro-int daily totals stays integer at every
+    level (unnormalized transform); energies fold in DECIMAL(38,0)
+    and shares quantize to a 1e-9 grid.
+
+    Plan: one (key, day) aggregate, a day-rank window, one
+    pair-index aggregate per level stacked on the same key exchange,
+    and a 3-row-per-key share projection.
+    """
+    days = (
+        df.select(
+            F.col(key_col),
+            F.datediff(
+                F.to_date(F.col(ts_col).cast("timestamp")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            # centi (not micro) quantization keeps level-3 squared
+            # coefficients inside exact BIGINT range — int64->double
+            # casts are correctly rounded in both engines, the
+            # decimal/int128 path is not
+            F.floor(F.col(value_col) * F.lit(100.0)).cast("bigint").alias("qv"),
+        )
+        .groupBy(key_col, "d")
+        .agg(F.sum("qv").alias("x"))
+    )
+    wd = Window.partitionBy(key_col).orderBy("d")
+    cur = days.select(
+        key_col,
+        (F.row_number().over(wd) - 1).alias("i"),
+        "x",
+    ).where(F.col("i") < n_days)
+    energies = []
+    for level in range(1, 4):
+        paired = (
+            cur.select(
+                key_col,
+                F.floor(F.col("i") / 2).cast("bigint").alias("pi"),
+                (F.col("i") % 2).alias("par"),
+                "x",
+            )
+            .groupBy(key_col, "pi")
+            .agg(
+                F.sum(F.when(F.col("par") == 0, F.col("x")).otherwise(0))
+                .alias("x0"),
+                F.sum(F.when(F.col("par") == 1, F.col("x")).otherwise(0))
+                .alias("x1"),
+                F.count(F.lit(1)).alias("n_in_pair"),
+            )
+            .where(F.col("n_in_pair") == 2)
+            .withColumnRenamed("pi", "i")
+        )
+        detail = paired.select(
+            key_col, "i", (F.col("x0") - F.col("x1")).alias("dcoef")
+        )
+        energies.append(
+            detail.groupBy(key_col).agg(
+                F.sum(F.col("dcoef") * F.col("dcoef"))
+                .cast("bigint")
+                .alias("e"),
+                F.lit(level).alias("level"),
+            ).select(key_col, "level", "e")
+        )
+        cur = paired.select(
+            key_col, "i", (F.col("x0") + F.col("x1")).alias("x")
+        )
+    lv = energies[0].unionAll(energies[1]).unionAll(energies[2])
+    wk = Window.partitionBy(key_col)
+    tot = lv.withColumn("te", F.sum("e").over(wk))
+    return tot.select(
+        key_col,
+        "level",
+        (F.col("e").cast("double") / F.lit(1e4)).alias("energy"),
+        (
+            F.floor(
+                (F.col("e").cast("double") / F.col("te").cast("double"))
+                * F.lit(1e9)
+            )
+            / F.lit(1e9)
+        ).alias("energy_share"),
+    ).orderBy(key_col, "level")

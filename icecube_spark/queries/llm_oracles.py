@@ -2121,3 +2121,28 @@ ORACLES["hamming_recall"] = f"""
       ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
     GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["readability_scores"] = f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split({_NORM}, ' '),
+                    w -> w != '')) AS BIGINT) AS n_words,
+               CAST(greatest(1, len(list_filter(
+                    regexp_split_to_array(text, '[.!?]'),
+                    s -> length(trim(s)) > 0))) AS BIGINT) AS n_sentences,
+               CAST(length(regexp_replace(
+                        regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                        '[aeiouy]+', '#', 'g'))
+                    - length(regexp_replace(
+                        regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                        '[aeiouy]+', '', 'g')) AS BIGINT) AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           '206.835'::DOUBLE
+           - '1.015'::DOUBLE
+             * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - '84.6'::DOUBLE
+             * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               AS flesch_score
+    FROM c WHERE n_words > 0 ORDER BY doc_id
+"""

@@ -877,3 +877,9 @@ def hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine (binary-quantization eval)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.hamming_recall(emb, "vec_id", "embedding")
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F39 — Flesch reading-ease per doc (exact integer word/
+    sentence/syllable counts)."""
+    return text.readability_scores(_docs(spark, sf_dir), "doc_id", "text")

@@ -1645,3 +1645,129 @@ ORACLES["diff_in_diff"] = """
                AS did_estimate
     FROM w
 """
+
+ORACLES["multitouch_attribution"] = """
+    WITH base AS (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               event_type AS et, event_id
+        FROM events),
+    conv AS (SELECT u, tus AS conv_t, event_id AS conv_id
+             FROM base WHERE et = 'purchase'),
+    touch AS (SELECT u, tus AS touch_t, et AS touch_type
+              FROM base WHERE et IN ('view', 'click')),
+    j AS (
+        SELECT c.conv_id, t.touch_type
+        FROM conv c JOIN touch t ON t.u = c.u
+        WHERE t.touch_t < c.conv_t
+          AND t.touch_t >= c.conv_t - 604800000000),
+    cr AS (
+        SELECT conv_id, touch_type,
+               CAST(FLOOR(1e12 / CAST(COUNT(*) OVER (PARTITION BY conv_id)
+                   AS BIGINT)) AS BIGINT) AS credit_pico
+        FROM j)
+    SELECT touch_type,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(CAST(SUM(credit_pico) AS BIGINT) AS DOUBLE) / 1e12
+               AS credited_conversions
+    FROM cr GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["markov_accuracy"] = """
+    WITH days AS (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               event_type AS et, event_id
+        FROM events),
+    sq AS (
+        SELECT *,
+               CAST(FLOOR((MIN(d) OVER () + MAX(d) OVER ()) / 2)
+                   AS BIGINT) AS mid,
+               lead(et, 1) OVER wu AS nxt,
+               lead(d, 1) OVER wu AS nxt_d
+        FROM days
+        WINDOW wu AS (PARTITION BY u ORDER BY tus, event_id)),
+    sq2 AS (SELECT * FROM sq WHERE nxt IS NOT NULL),
+    train AS (
+        SELECT et AS cur, nxt AS nx, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sq2 WHERE nxt_d <= mid GROUP BY 1, 2),
+    model AS (
+        SELECT cur, nx AS pred FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cur ORDER BY c DESC, nx) AS r
+            FROM train)
+        WHERE r = 1),
+    test AS (SELECT et AS cur, nxt FROM sq2 WHERE nxt_d > mid),
+    sc AS (
+        SELECT t.cur, t.nxt, m.pred
+        FROM test t LEFT JOIN model m ON m.cur = t.cur)
+    SELECT cur AS event_type, MAX(pred) AS predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS accuracy
+    FROM sc GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["haar_energy"] = """
+    WITH days AS (
+        SELECT event_type AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1, 2),
+    c0 AS (
+        SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) - 1 AS i,
+               x
+        FROM days),
+    c0f AS (SELECT * FROM c0 WHERE i < 32),
+    p1s AS (SELECT k, CAST(FLOOR(i / 2) AS BIGINT) AS pi, i % 2 AS par, x
+            FROM c0f),
+    p1 AS (
+        SELECT k, pi AS i,
+               CAST(SUM(CASE WHEN par = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS x0,
+               CAST(SUM(CASE WHEN par = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS x1
+        FROM p1s GROUP BY 1, 2 HAVING COUNT(*) = 2),
+    d1 AS (SELECT k, 1 AS level,
+                  CAST(SUM((x0 - x1) * (x0 - x1)) AS BIGINT) AS e
+           FROM p1 GROUP BY 1),
+    a1 AS (SELECT k, i, x0 + x1 AS x FROM p1),
+    p2s AS (SELECT k, CAST(FLOOR(i / 2) AS BIGINT) AS pi, i % 2 AS par, x
+            FROM a1),
+    p2 AS (
+        SELECT k, pi AS i,
+               CAST(SUM(CASE WHEN par = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS x0,
+               CAST(SUM(CASE WHEN par = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS x1
+        FROM p2s GROUP BY 1, 2 HAVING COUNT(*) = 2),
+    d2 AS (SELECT k, 2 AS level,
+                  CAST(SUM((x0 - x1) * (x0 - x1)) AS BIGINT) AS e
+           FROM p2 GROUP BY 1),
+    a2 AS (SELECT k, i, x0 + x1 AS x FROM p2),
+    p3s AS (SELECT k, CAST(FLOOR(i / 2) AS BIGINT) AS pi, i % 2 AS par, x
+            FROM a2),
+    p3 AS (
+        SELECT k, pi AS i,
+               CAST(SUM(CASE WHEN par = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS x0,
+               CAST(SUM(CASE WHEN par = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS x1
+        FROM p3s GROUP BY 1, 2 HAVING COUNT(*) = 2),
+    d3 AS (SELECT k, 3 AS level,
+                  CAST(SUM((x0 - x1) * (x0 - x1)) AS BIGINT) AS e
+           FROM p3 GROUP BY 1),
+    lv AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+           UNION ALL SELECT * FROM d3),
+    tot AS (SELECT *, CAST(SUM(e) OVER (PARTITION BY k) AS BIGINT) AS te
+            FROM lv)
+    SELECT k AS event_type, CAST(level AS INT) AS level,
+           CAST(e AS DOUBLE) / 1e4 AS energy,
+           FLOOR((CAST(e AS DOUBLE) / CAST(te AS DOUBLE)) * 1e9) / 1e9
+               AS energy_share
+    FROM tot ORDER BY event_type, level
+"""

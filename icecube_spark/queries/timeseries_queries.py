@@ -901,3 +901,24 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the mid-range split."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.diff_in_diff(ev, "ts", "event_type", "value", "purchase", "view")
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C81 — linear multi-touch credit split across view/click
+    touches in the 7 days before each purchase."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.multitouch_attribution(ev, "ts", "user_id", "event_type")
+
+
+def markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C82 — next-event prediction accuracy of the early-half-trained
+    Markov model on late-half transitions."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.markov_accuracy(ev, "ts", "user_id", "event_type")
+
+
+def haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83 — 3-level Haar wavelet detail-energy shares of the daily
+    series per event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.haar_energy(ev, "ts", "event_type", "value")

@@ -8,6 +8,9 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("multitouch_attribution", tq.multitouch_attribution),
+    ("markov_accuracy", tq.markov_accuracy),
+    ("haar_energy", tq.haar_energy),
     ("diff_in_diff", tq.diff_in_diff),
     ("period_detect", tq.period_detect),
     ("sax_symbols", tq.sax_symbols),
