@@ -1684,3 +1684,69 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .orderBy(id_col)
     )
+
+
+def rake_keywords(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """F40 — RAKE keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free word runs; each word scores
+    degree/frequency (degree = summed length of phrases containing
+    it); a phrase scores the sum of its words' scores. The corpus's
+    top phrases — the unsupervised topic inventory tf-idf's
+    single-token view can't produce.
+
+    Exactness: degree and frequency are exact integers; per-word
+    scores quantize to a 1e-9 grid once, so phrase scores are exact
+    integer sums; top-k ties break on the phrase string.
+
+    Plan: one phrase explode (regexp split on stopword boundaries),
+    one word explode for the degree/frequency table (vocab-scale,
+    broadcast back), one phrase-key aggregate, TakeOrdered top-k.
+    """
+    stop_pat = "|".join(STOPWORDS)
+    norm = NORM.format(col=text_col)
+    phrase_expr = (
+        f"filter(split(regexp_replace({norm}, '\\\\b({stop_pat})\\\\b', '|'), "
+        f"'\\\\|'), p -> length(trim(p)) > 0)"
+    )
+    phrases = (
+        df.select(F.explode(F.expr(phrase_expr)).alias("p0"))
+        .select(F.trim(F.col("p0")).alias("phrase"))
+        .where(F.length("phrase") > 0)
+    )
+    pw = phrases.select(
+        "phrase",
+        F.expr("filter(split(phrase, ' '), w -> w != '')").alias("ws"),
+    ).select("phrase", F.size("ws").alias("plen"), F.explode("ws").alias("w"))
+    word_stats = pw.groupBy("w").agg(
+        F.sum("plen").cast("bigint").alias("deg"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    )
+    wq = word_stats.select(
+        "w",
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq").cast("double")
+            * F.lit(1e9)
+        ).cast("bigint").alias("score_nano"),
+    )
+    distinct_p = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    dw = distinct_p.select(
+        "phrase",
+        F.explode(F.expr("filter(split(phrase, ' '), w -> w != '')")).alias(
+            "w"
+        ),
+    ).join(F.broadcast(wq), "w")
+    scores = dw.groupBy("phrase").agg(F.sum("score_nano").alias("sn"))
+    return (
+        distinct_p.join(scores, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("sn").cast("double") / F.lit(1e9)).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(top_k)
+    )

@@ -811,3 +811,69 @@ ORACLES["cube_baseline_pairs"] = """
       AND abs(b.vb - a.va) <= 5.0
     ORDER BY user_id, event_a, event_b
 """
+
+ORACLES["cube_rgb_composite"] = """
+    WITH g AS (
+        SELECT user_id AS stack_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+           OR CAST(ts AS DATE) = DATE '2024-01-15'
+           OR CAST(ts AS DATE) = DATE '2024-01-25'
+        GROUP BY 1, 2),
+    piv AS (
+        SELECT stack_id,
+               MAX(CASE WHEN d = DATE '2024-01-05' THEN v END) AS r_raw,
+               MAX(CASE WHEN d = DATE '2024-01-15' THEN v END) AS g_raw,
+               MAX(CASE WHEN d = DATE '2024-01-25' THEN v END) AS b_raw
+        FROM g GROUP BY 1),
+    f AS (SELECT * FROM piv WHERE r_raw IS NOT NULL
+              AND g_raw IS NOT NULL AND b_raw IS NOT NULL)
+    SELECT stack_id,
+           CASE WHEN MAX(r_raw) OVER () > MIN(r_raw) OVER ()
+                THEN CAST(FLOOR((r_raw - MIN(r_raw) OVER ()) * 255.0
+                     / (MAX(r_raw) OVER () - MIN(r_raw) OVER ())) AS INT)
+                ELSE 0 END AS r,
+           CASE WHEN MAX(g_raw) OVER () > MIN(g_raw) OVER ()
+                THEN CAST(FLOOR((g_raw - MIN(g_raw) OVER ()) * 255.0
+                     / (MAX(g_raw) OVER () - MIN(g_raw) OVER ())) AS INT)
+                ELSE 0 END AS g,
+           CASE WHEN MAX(b_raw) OVER () > MIN(b_raw) OVER ()
+                THEN CAST(FLOOR((b_raw - MIN(b_raw) OVER ()) * 255.0
+                     / (MAX(b_raw) OVER () - MIN(b_raw) OVER ())) AS INT)
+                ELSE 0 END AS b
+    FROM f ORDER BY stack_id
+"""
+
+ORACLES["cube_hist_match"] = """
+    WITH src AS (
+        SELECT event_id, CAST(FLOOR(value * 1e6) AS BIGINT) AS qv
+        FROM events WHERE event_type = 'view'),
+    ref AS (
+        SELECT CAST(FLOOR(value * 1e6) AS BIGINT) AS qv
+        FROM events WHERE event_type = 'click'),
+    ranked AS (
+        SELECT event_id, qv,
+               CAST(ROW_NUMBER() OVER (ORDER BY qv, event_id) AS BIGINT)
+                   AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS ns
+        FROM src),
+    cdf0 AS (SELECT qv AS ref_qv, CAST(COUNT(*) AS BIGINT) AS c
+             FROM ref GROUP BY 1),
+    cdf AS (
+        SELECT ref_qv,
+               CAST(SUM(c) OVER (ORDER BY ref_qv ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_hi,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY ref_qv ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_lo
+        FROM cdf0),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ref)
+    SELECT t.event_id, CAST(t.qv AS DOUBLE) / 1e6 AS value,
+           CAST(c.ref_qv AS DOUBLE) / 1e6 AS matched_value
+    FROM (SELECT rr.*, n.nr, (rr.r * n.nr + rr.ns - 1) // rr.ns AS rk
+          FROM ranked rr, nr n) t
+    JOIN cdf c ON t.rk > c.cum_lo AND t.rk <= c.cum_hi
+    ORDER BY t.event_id
+"""

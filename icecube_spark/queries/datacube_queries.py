@@ -1573,3 +1573,120 @@ def cube_baseline_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.orderBy("user_id", "event_a", "event_b")
+
+
+def cube_rgb_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 — multi-temporal RGB composite: three acquisition dates
+    become the R/G/B channels per stack, each channel min-max
+    stretched to 0-255 across its own date (the standard
+    change-visualization product: colored pixels = change between
+    dates, gray = stable).
+
+    Exactness: channel means fold through decimals; the stretch is
+    floor((v − min)·255/(max − min)) over identical doubles —
+    shape-mirrored, integer output.
+
+    Plan: one (stack, date) aggregate pivoted over THREE enumerated
+    dates (no discovery pass), global per-date extrema via windows
+    over the stack-bounded frame.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    dates = ["2024-01-05", "2024-01-15", "2024-01-25"]
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    g = (
+        ev.where(day.isin(dates))
+        .groupBy(F.col("user_id").alias("stack_id"), day.alias("d"))
+        .agg(davg("value").alias("v"))
+        .groupBy("stack_id")
+        .pivot("d", dates)
+        .agg(F.first("v"))
+        .withColumnRenamed(dates[0], "r_raw")
+        .withColumnRenamed(dates[1], "g_raw")
+        .withColumnRenamed(dates[2], "b_raw")
+        .where(
+            F.col("r_raw").isNotNull()
+            & F.col("g_raw").isNotNull()
+            & F.col("b_raw").isNotNull()
+        )
+    )
+    wall = Window.partitionBy()
+
+    def stretch(c: str) -> F.Column:
+        mn = F.min(c).over(wall)
+        mx = F.max(c).over(wall)
+        return F.when(
+            mx > mn,
+            F.floor((F.col(c) - mn) * F.lit(255.0) / (mx - mn)).cast("int"),
+        ).otherwise(F.lit(0))
+
+    return g.select(
+        "stack_id",
+        stretch("r_raw").alias("r"),
+        stretch("g_raw").alias("g"),
+        stretch("b_raw").alias("b"),
+    ).orderBy("stack_id")
+
+
+def cube_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 — histogram matching: remap the 'view' band's values onto
+    the 'click' band's empirical distribution at the same quantile —
+    the radiometric normalization step that makes two acquisitions
+    comparable before change detection (A25 equalizes one layer
+    against itself; this matches one layer TO another).
+
+    Exactness: ranks and the pooled inverse-CDF lookup are integer
+    arithmetic over micro-quantized values (discrete, no
+    interpolation).
+
+    Plan: per-layer rank windows; the reference layer's CDF is
+    DISTINCT-value-sized and broadcasts for the between-join — the
+    P51 quantile-normalization shape applied to pixels.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    src = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("qv"),
+    )
+    ref = ev.where(F.col("event_type") == "click").select(
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("qv")
+    )
+    ws = Window.orderBy("qv", "event_id")
+    ranked = src.select(
+        "event_id",
+        "qv",
+        F.row_number().over(ws).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("ns"),
+    )
+    cdf = (
+        ref.groupBy("qv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.col("qv").alias("ref_qv"),
+            F.sum("c")
+            .over(
+                Window.partitionBy().orderBy("qv")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum_hi"),
+            F.coalesce(
+                F.lag(F.sum("c").over(
+                    Window.partitionBy().orderBy("qv")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ), 1).over(Window.partitionBy().orderBy("qv")),
+                F.lit(0),
+            ).alias("cum_lo"),
+        )
+    )
+    nref = ref.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    target = ranked.crossJoin(F.broadcast(nref)).withColumn(
+        "rk", F.expr("(r * nr + ns - 1) div ns")
+    )
+    out = target.join(
+        F.broadcast(cdf),
+        (F.col("rk") > F.col("cum_lo")) & (F.col("rk") <= F.col("cum_hi")),
+    )
+    return out.select(
+        "event_id",
+        (F.col("qv").cast("double") / F.lit(1e6)).alias("value"),
+        (F.col("ref_qv").cast("double") / F.lit(1e6)).alias("matched_value"),
+    ).orderBy("event_id")

@@ -2146,3 +2146,43 @@ ORACLES["readability_scores"] = f"""
                AS flesch_score
     FROM c WHERE n_words > 0 ORDER BY doc_id
 """
+
+ORACLES["rake_keywords"] = f"""
+    WITH phr0 AS (
+        SELECT UNNEST(list_filter(
+            string_split(regexp_replace({_NORM},
+                '\\b(the|a|an|and|or|of|to|in|is|it)\\b', '|', 'g'), '|'),
+            p -> length(trim(p)) > 0)) AS p0
+        FROM documents),
+    phrases AS (
+        SELECT trim(p0) AS phrase FROM phr0 WHERE length(trim(p0)) > 0),
+    pw AS (
+        SELECT phrase,
+               CAST(len(list_filter(string_split(phrase, ' '),
+                    w -> w != '')) AS BIGINT) AS plen,
+               UNNEST(list_filter(string_split(phrase, ' '),
+                    w -> w != '')) AS w
+        FROM phrases),
+    ws AS (
+        SELECT w, CAST(SUM(plen) AS BIGINT) AS deg,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM pw GROUP BY 1),
+    wq AS (
+        SELECT w, CAST(FLOOR(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                   * 1e9) AS BIGINT) AS score_nano
+        FROM ws),
+    dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM phrases GROUP BY 1),
+    dw AS (
+        SELECT d.phrase,
+               UNNEST(list_filter(string_split(d.phrase, ' '),
+                    w -> w != '')) AS w
+        FROM dp d),
+    sc AS (
+        SELECT dw.phrase, CAST(SUM(q.score_nano) AS BIGINT) AS sn
+        FROM dw JOIN wq q ON q.w = dw.w GROUP BY 1)
+    SELECT d.phrase, d.n_occurrences,
+           CAST(sc.sn AS DOUBLE) / 1e9 AS rake_score
+    FROM dp d JOIN sc ON sc.phrase = d.phrase
+    ORDER BY rake_score DESC, d.phrase LIMIT 20
+"""

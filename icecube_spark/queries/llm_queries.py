@@ -883,3 +883,9 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F39 — Flesch reading-ease per doc (exact integer word/
     sentence/syllable counts)."""
     return text.readability_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F40 — RAKE top-20 corpus keyphrases (degree/frequency word
+    scores over stopword-delimited phrase runs)."""
+    return text.rake_keywords(_docs(spark, sf_dir), "doc_id", "text")

@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("rake_keywords", lq.rake_keywords),
     ("readability_scores", lq.readability_scores),
     ("hamming_recall", lq.hamming_recall),
     ("boilerplate_prefixes", lq.boilerplate_prefixes),
