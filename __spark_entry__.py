@@ -29,6 +29,10 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 16 (D14, E30, F41) ---
+    "bbit_minhash_eval": lq.bbit_minhash_eval,
+    "label_silhouette": lq.label_silhouette,
+    "license_notice_rate": lq.license_notice_rate,
     # --- wave 15 (A37-A38, F40) ---
     "cube_rgb_composite": dq.cube_rgb_composite,
     "cube_hist_match": dq.cube_hist_match,

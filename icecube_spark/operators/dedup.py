@@ -861,3 +861,81 @@ def repeated_substrings(
         .limit(top_k)
         .select("h", "n_docs", "n_occurrences")
     )
+
+
+def bbit_minhash_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    band_rows: int = 4,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """D14 — b-bit MinHash compression eval (Li & König 2010): for
+    every LSH candidate pair, the full-signature Jaccard estimate
+    next to the 1-bit-per-component estimate 2·f − 1 (f = matching
+    low bits / k). One bit per component cuts sketch storage 32× —
+    this table is the sign-off that the collision-corrected
+    estimator stays close enough at your thresholds.
+
+    Exactness: both estimates divide exact integers by k=64 (a power
+    of two — exactly representable), so no quantization is needed.
+
+    Plan: the F18 band-bucket candidate shape; two k-column signature
+    joins; both match counts are codegen sums of equality flags.
+    """
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands_arr = ", ".join(_band_hashes(num_hashes, band_rows))
+    exploded = sigs.select(
+        id_col,
+        F.posexplode(F.expr(f"array({bands_arr})")).alias("band_id", "band_hash"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    j = cands.join(sa, "doc_a").join(sb, "doc_b")
+    n_full = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+        F.lit(0),
+    )
+    n_bit = sum(
+        [
+            F.when(F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2, 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+        F.lit(0),
+    )
+    kd = float(num_hashes)
+    est_full = n_full.cast("double") / F.lit(kd)
+    f1 = n_bit.cast("double") / F.lit(kd)
+    est_1bit = F.greatest(F.lit(0.0), F.lit(2.0) * f1 - F.lit(1.0))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        est_full.alias("est_full"),
+        est_1bit.alias("est_1bit"),
+        F.abs(est_full - est_1bit).alias("abs_gap"),
+    ).orderBy("doc_a", "doc_b")

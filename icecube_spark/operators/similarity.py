@@ -1486,3 +1486,67 @@ def hamming_recall(
         )
         .orderBy("query_id")
     )
+
+
+def label_silhouette(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """E30 — centroid-silhouette per label class: for every vector,
+    a = cosine to its OWN label centroid, b = best cosine to any
+    OTHER centroid; the class reports mean (a − b) and the fraction
+    of members closer to a foreign centroid. The cluster-quality
+    readout on labeled embeddings — label_noise_knn (E26) audits
+    neighbors, this audits geometry.
+
+    Exactness: centroids fold per-dimension in decimals (E5); all
+    cosines use the quantized-dot scheme; the silhouette margin
+    quantizes to a 1e-9 grid before the exact-count aggregate.
+
+    Plan: the |labels|×|dims| centroid table pivots to vectors and
+    broadcasts; one corpus scan scores all |labels| centroids per
+    row in codegen; one |labels|-row aggregate.
+    """
+    cents = label_centroids(df, label_col, vec_col)
+    cvecs = cents.groupBy(label_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+        ).alias("pairs")
+    ).select(
+        F.col(label_col).alias("clabel"),
+        F.expr("transform(pairs, p -> p.centroid)").alias("cvec"),
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(label_col), F.col(vec_col))
+        .join(F.broadcast(cvecs))
+        .withColumn(
+            "cosine",
+            dot_expr(vec_col, "cvec", dim)
+            / (norm_expr(vec_col, dim) * norm_expr("cvec", dim)),
+        )
+    )
+    per_vec = scored.groupBy(id_col, label_col).agg(
+        F.max(
+            F.when(F.col(label_col) == F.col("clabel"), F.col("cosine"))
+        ).alias("a"),
+        F.max(
+            F.when(F.col(label_col) != F.col("clabel"), F.col("cosine"))
+        ).alias("b"),
+    )
+    margin_q = F.floor((F.col("a") - F.col("b")) * F.lit(1e9)).cast("bigint")
+    return (
+        per_vec.withColumn("mq", margin_q)
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum("mq").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("mean_margin"),
+            F.sum(F.when(F.col("b") > F.col("a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_misplaced"),
+        )
+        .orderBy("label")
+    )

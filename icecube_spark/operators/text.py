@@ -1750,3 +1750,49 @@ def rake_keywords(
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(top_k)
     )
+
+
+def license_notice_rate(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """F41 — license/copyright notice scan per source: the share of
+    documents carrying copyright or license markers. The corpus-
+    governance report run before any release — sources saturated
+    with all-rights-reserved notices need review, not silent
+    ingestion.
+
+    Exactness: marker hits are regexp booleans; rates divide exact
+    counts.
+
+    Plan: single codegen scan + one small (source) aggregate.
+    """
+    low = F.lower(F.col(text_col))
+    has_copyright = (
+        low.contains("copyright") | low.contains("(c)")
+        | low.contains("all rights reserved")
+    ).cast("int")
+    has_license = (
+        low.contains("licensed under") | low.contains("license")
+        | low.contains("creative commons")
+    ).cast("int")
+    g = df.select(
+        F.col(group_col).alias("source"),
+        has_copyright.alias("hc"),
+        has_license.alias("hl"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("hc").cast("bigint").alias("n_copyright"),
+        F.sum("hl").cast("bigint").alias("n_license"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_copyright",
+        "n_license",
+        (
+            F.col("n_copyright").cast("double") / F.col("n_docs").cast("double")
+        ).alias("copyright_rate"),
+        (
+            F.col("n_license").cast("double") / F.col("n_docs").cast("double")
+        ).alias("license_rate"),
+    ).orderBy("source")

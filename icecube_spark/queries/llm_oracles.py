@@ -2186,3 +2186,113 @@ ORACLES["rake_keywords"] = f"""
     FROM dp d JOIN sc ON sc.phrase = d.phrase
     ORDER BY rake_score DESC, d.phrase LIMIT 20
 """
+
+_match_full_d14 = " + ".join(
+    f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(64)
+)
+_match_bit_d14 = " + ".join(
+    f"CASE WHEN sa.s{i} % 2 = sb.s{i} % 2 THEN 1 ELSE 0 END" for i in range(64)
+)
+ORACLES["bbit_minhash_eval"] = f"""
+    WITH {{grams_ctes}},
+    eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+    based AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                         & {{base_mask}} AS base
+              FROM eg),
+    sigs AS (SELECT doc_id, {{sig_cols}} FROM based GROUP BY doc_id),
+    banded AS (SELECT doc_id, [{{band_list}}] AS bands FROM sigs),
+    expl AS (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+             FROM banded, range(16) t(i)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM expl a JOIN expl b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    matched AS (
+        SELECT c.doc_a, c.doc_b,
+               ({_match_full_d14}) AS nf,
+               ({_match_bit_d14}) AS nb
+        FROM cands c
+        JOIN sigs sa ON c.doc_a = sa.doc_id
+        JOIN sigs sb ON c.doc_b = sb.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(nf AS DOUBLE) / 64.0 AS est_full,
+           GREATEST(0.0, 2.0 * (CAST(nb AS DOUBLE) / 64.0) - 1.0)
+               AS est_1bit,
+           ABS(CAST(nf AS DOUBLE) / 64.0
+               - GREATEST(0.0, 2.0 * (CAST(nb AS DOUBLE) / 64.0) - 1.0))
+               AS abs_gap
+    FROM matched ORDER BY doc_a, doc_b
+"""
+ORACLES["bbit_minhash_eval"] = ORACLES["bbit_minhash_eval"].format(
+    grams_ctes=_GRAMS_CTES,
+    base_mask=_hashing.BASE_MASK,
+    sig_cols=_sig_cols,
+    band_list=_band_list,
+)
+
+ORACLES["label_silhouette"] = f"""
+    WITH {_VNORM},
+    cents AS (
+        SELECT label AS clabel, j AS dim,
+               CAST(SUM(CAST(CAST(embedding[j] AS DOUBLE)
+                   AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS centroid
+        FROM embeddings, range(1, 65) t(j)
+        GROUP BY 1, 2),
+    cvecs AS (
+        SELECT clabel, list(centroid ORDER BY dim) AS cvec
+        FROM cents GROUP BY 1),
+    scored AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               (CAST(list_sum(
+                   [CAST(floor(CAST(e.embedding[j] AS DOUBLE)
+                               * c.cvec[j] * 1e12) AS BIGINT)
+                    FOR j IN range(1, 65)]) AS DOUBLE) / 1e12)
+               / (e.nrm
+                  * sqrt(CAST(list_sum(
+                      [CAST(floor(c.cvec[j] * c.cvec[j] * 1e12) AS BIGINT)
+                       FOR j IN range(1, 65)]) AS DOUBLE) / 1e12))
+                   AS cosine
+        FROM v e, cvecs c),
+    per_vec AS (
+        SELECT vec_id, label,
+               MAX(CASE WHEN label = clabel THEN cosine END) AS a,
+               MAX(CASE WHEN label != clabel THEN cosine END) AS b
+        FROM scored GROUP BY 1, 2),
+    q AS (
+        SELECT label,
+               CAST(FLOOR((a - b) * 1e9) AS BIGINT) AS mq,
+               CASE WHEN b > a THEN 1 ELSE 0 END AS mis
+        FROM per_vec)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(CAST(SUM(mq) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_margin,
+           CAST(SUM(mis) AS BIGINT) AS n_misplaced
+    FROM q GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["license_notice_rate"] = """
+    WITH g AS (
+        SELECT source,
+               CASE WHEN contains(lower(text), 'copyright')
+                     OR contains(lower(text), '(c)')
+                     OR contains(lower(text), 'all rights reserved')
+                    THEN 1 ELSE 0 END AS hc,
+               CASE WHEN contains(lower(text), 'licensed under')
+                     OR contains(lower(text), 'license')
+                     OR contains(lower(text), 'creative commons')
+                    THEN 1 ELSE 0 END AS hl
+        FROM documents),
+    r AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(hc) AS BIGINT) AS n_copyright,
+               CAST(SUM(hl) AS BIGINT) AS n_license
+        FROM g GROUP BY 1)
+    SELECT source, n_docs, n_copyright, n_license,
+           CAST(n_copyright AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS copyright_rate,
+           CAST(n_license AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS license_rate
+    FROM r ORDER BY source
+"""

@@ -889,3 +889,27 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F40 — RAKE top-20 corpus keyphrases (degree/frequency word
     scores over stopword-delimited phrase runs)."""
     return text.rake_keywords(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 — 1-bit MinHash estimator vs the full 64-component sketch
+    per LSH candidate pair (Li & König 2010 compression sign-off)."""
+    _, sigs = staged_corpus(spark, sf_dir)
+    return dedup.bbit_minhash_eval(
+        _docs(spark, sf_dir), "doc_id", "text", sigs=sigs
+    )
+
+
+def label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30 — centroid-silhouette margin per label class (mean own-vs-
+    best-foreign centroid cosine + misplaced count)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.label_silhouette(emb, "vec_id", "embedding", "label")
+
+
+def license_notice_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F41 — copyright/license notice rates per source
+    (corpus-governance scan)."""
+    return text.license_notice_rate(
+        _docs(spark, sf_dir), "doc_id", "text", "source"
+    )

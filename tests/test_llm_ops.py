@@ -8,6 +8,9 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("bbit_minhash_eval", lq.bbit_minhash_eval),
+    ("label_silhouette", lq.label_silhouette),
+    ("license_notice_rate", lq.license_notice_rate),
     ("rake_keywords", lq.rake_keywords),
     ("readability_scores", lq.readability_scores),
     ("hamming_recall", lq.hamming_recall),
