@@ -29,6 +29,10 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 17 (P55-P56, E31) ---
+    "packing_curve": pq.packing_curve,
+    "erasure_impact": pq.erasure_impact,
+    "uncertainty_sampling": lq.uncertainty_sampling,
     # --- wave 16 (D14, E30, F41) ---
     "bbit_minhash_eval": lq.bbit_minhash_eval,
     "label_silhouette": lq.label_silhouette,

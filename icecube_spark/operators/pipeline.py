@@ -1943,3 +1943,121 @@ def k_anonymity(df: DataFrame, qi_cols: list[str]) -> DataFrame:
             / F.sum("n_rows").over(wall).cast("double")
         ).alias("row_share"),
     ).orderBy("k_bucket")
+
+
+def packing_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    sizes: tuple = (256, 512, 1024, 2048),
+) -> DataFrame:
+    """P56 — sequence-packing efficiency curve: for each candidate
+    context length, the bin count, mean fill, and padding-waste share
+    of the P24 contiguous layout. The table that picks the training
+    context length — doubling it halves the bin count only if the
+    docs actually fill it.
+
+    Exactness: offsets/bins are INT64 arithmetic; fill ratios divide
+    exact token counts.
+
+    Plan: token counts and the per-group offset window compute ONCE;
+    each candidate size is one more tiny (group, bin) aggregate over
+    the same exchange, rolled up to |sizes| rows.
+    """
+    toks = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col),
+        F.size(F.split(F.expr(normalized_expr(text_col)), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = toks.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    outs = []
+    for size in sizes:
+        per_bin = (
+            off.select(
+                "source",
+                F.floor(F.col("offset") / size).cast("bigint").alias("bin"),
+                "n_tokens",
+            )
+            .groupBy("source", "bin")
+            .agg(F.sum("n_tokens").alias("bin_tokens"))
+        )
+        outs.append(
+            per_bin.groupBy().agg(
+                F.lit(size).cast("int").alias("context_len"),
+                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+                F.sum(F.least(F.col("bin_tokens"), F.lit(size)))
+                .cast("bigint")
+                .alias("filled_capacity"),
+            )
+        )
+    cur = outs[0]
+    for o in outs[1:]:
+        cur = cur.unionAll(o)
+    return cur.select(
+        "context_len",
+        "n_bins",
+        "total_tokens",
+        (
+            F.col("filled_capacity").cast("double")
+            / (F.col("n_bins").cast("double") * F.col("context_len").cast("double"))
+        ).alias("fill_ratio"),
+    ).orderBy("context_len")
+
+
+def erasure_impact(
+    events: DataFrame, orders: DataFrame, user_ids: DataFrame
+) -> DataFrame:
+    """P55 — right-to-erasure impact report: given a deletion request
+    list of user ids, the affected row counts and share per table.
+    The GDPR/CCPA dry run every data platform executes before the
+    actual delete — it sizes the rewrite and flags tables where the
+    request touches a material share.
+
+    Exactness: exact counts; shares divide them.
+
+    Plan: the request list is request-sized — broadcast semi-joins
+    against each fact table, one counting aggregate per table,
+    unioned to |tables| rows. No fact table shuffles.
+    """
+    ev_hit = events.join(
+        F.broadcast(user_ids), events.user_id == user_ids.uid, "left_semi"
+    )
+    ord_hit = orders.join(
+        F.broadcast(user_ids), orders.o_custkey == user_ids.uid, "left_semi"
+    )
+    ev_row = ev_hit.groupBy().agg(
+        F.lit("events").alias("table_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_affected"),
+    ).crossJoin(
+        events.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    ord_row = ord_hit.groupBy().agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_affected"),
+    ).crossJoin(
+        orders.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    return (
+        ev_row.unionAll(ord_row)
+        .select(
+            "table_name",
+            "n_affected",
+            "n_total",
+            (
+                F.col("n_affected").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("affected_share"),
+        )
+        .orderBy("table_name")
+    )

@@ -1550,3 +1550,63 @@ def label_silhouette(
         )
         .orderBy("label")
     )
+
+
+def uncertainty_sampling(
+    vectors: DataFrame, id_col: str, vec_col: str, label_col: str,
+    k: int = 5, top_n: int = 20,
+) -> DataFrame:
+    """E31 — active-learning priority queue: the vectors whose
+    in-bucket k-NN vote is least decisive (lowest top-vote share).
+    Labeling budget goes to the boundary cases, not the easy wins —
+    the standard margin/uncertainty sampling loop.
+
+    Exactness: vote counts are exact; the share divides them; the
+    top-n ties break on vector id.
+
+    Plan: the E26 bucket-bounded k-NN pairs, a per-anchor vote
+    aggregate, and a TakeOrdered top-n — never all-pairs.
+    """
+    coded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_code(vec_col).alias("code"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    a = coded.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"),
+        F.col(label_col).alias("la"), "code", F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"),
+        F.col(label_col).alias("lb"), "code", F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "code")
+        .where(F.col("vec_id_a") != F.col("vec_id_b"))
+        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
+    topk = pairs.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    votes = topk.groupBy("vec_id_a", "la", "lb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    per_anchor = votes.groupBy(
+        F.col("vec_id_a").alias("vec_id"), F.col("la").alias("label")
+    ).agg(
+        F.sum("v").cast("bigint").alias("n_votes"),
+        F.max("v").cast("bigint").alias("top_votes"),
+    )
+    share = F.col("top_votes").cast("double") / F.col("n_votes").cast("double")
+    return (
+        per_anchor.select(
+            "vec_id",
+            "label",
+            "n_votes",
+            "top_votes",
+            (F.lit(1.0) - share).alias("uncertainty"),
+        )
+        .orderBy(F.col("uncertainty").desc(), "vec_id")
+        .limit(top_n)
+    )

@@ -2296,3 +2296,43 @@ ORACLES["license_notice_rate"] = """
                AS license_rate
     FROM r ORDER BY source
 """
+
+
+ORACLES["uncertainty_sampling"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id, label, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v),
+    pairs AS (
+        SELECT a.vec_id AS vec_id_a, a.label AS la, b.label AS lb,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine,
+               b.vec_id AS vec_id_b
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND a.vec_id != b.vec_id),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id_a ORDER BY cosine DESC, vec_id_b
+            ) AS r FROM pairs)
+        WHERE r <= 5),
+    votes AS (
+        SELECT vec_id_a, la, lb, CAST(COUNT(*) AS BIGINT) AS v
+        FROM topk GROUP BY 1, 2, 3),
+    pa AS (
+        SELECT vec_id_a AS vec_id, la AS label,
+               CAST(SUM(v) AS BIGINT) AS n_votes,
+               CAST(MAX(v) AS BIGINT) AS top_votes
+        FROM votes GROUP BY 1, 2)
+    SELECT vec_id, label, n_votes, top_votes,
+           1.0 - CAST(top_votes AS DOUBLE) / CAST(n_votes AS DOUBLE)
+               AS uncertainty
+    FROM pa
+    ORDER BY uncertainty DESC, vec_id LIMIT 20
+"""

@@ -913,3 +913,10 @@ def license_notice_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.license_notice_rate(
         _docs(spark, sf_dir), "doc_id", "text", "source"
     )
+
+
+def uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E31 — top-20 least-decisive k-NN vote anchors (active-learning
+    labeling queue)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.uncertainty_sampling(emb, "vec_id", "embedding", "label")

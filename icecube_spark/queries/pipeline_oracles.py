@@ -1089,3 +1089,78 @@ ORACLES["k_anonymity"] = """
                AS row_share
     FROM r ORDER BY k_bucket
 """
+
+
+ORACLES["packing_curve"] = f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    off AS (
+        SELECT *, COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS off FROM toks),
+    curve AS (
+    SELECT CAST(256 AS INT) AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEAST(bin_tokens, 256)) AS BIGINT) AS filled_capacity
+    FROM (SELECT source, CAST(FLOOR(off / 256) AS BIGINT) AS bin,
+                 CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+          FROM off GROUP BY 1, 2)
+    UNION ALL
+    SELECT CAST(512 AS INT) AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEAST(bin_tokens, 512)) AS BIGINT) AS filled_capacity
+    FROM (SELECT source, CAST(FLOOR(off / 512) AS BIGINT) AS bin,
+                 CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+          FROM off GROUP BY 1, 2)
+    UNION ALL
+    SELECT CAST(1024 AS INT) AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEAST(bin_tokens, 1024)) AS BIGINT) AS filled_capacity
+    FROM (SELECT source, CAST(FLOOR(off / 1024) AS BIGINT) AS bin,
+                 CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+          FROM off GROUP BY 1, 2)
+    UNION ALL
+    SELECT CAST(2048 AS INT) AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEAST(bin_tokens, 2048)) AS BIGINT) AS filled_capacity
+    FROM (SELECT source, CAST(FLOOR(off / 2048) AS BIGINT) AS bin,
+                 CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+          FROM off GROUP BY 1, 2))
+    SELECT context_len, n_bins, total_tokens,
+           CAST(filled_capacity AS DOUBLE)
+               / (CAST(n_bins AS DOUBLE) * CAST(context_len AS DOUBLE))
+               AS fill_ratio
+    FROM curve ORDER BY context_len
+"""
+
+ORACLES["erasure_impact"] = """
+    WITH uids AS (
+        SELECT uid FROM (SELECT DISTINCT user_id AS uid FROM events)
+        WHERE CAST(concat('0x', substr(md5(CAST(uid AS VARCHAR)), 1, 15)) AS BIGINT) % 50 = 0),
+    ev AS (
+        SELECT 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_affected
+        FROM events e WHERE EXISTS (SELECT 1 FROM uids u
+                                    WHERE u.uid = e.user_id)),
+    evt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+    orr AS (
+        SELECT 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_affected
+        FROM orders o WHERE EXISTS (SELECT 1 FROM uids u
+                                    WHERE u.uid = o.o_custkey)),
+    ort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders)
+    SELECT table_name, n_affected, n_total,
+           CAST(n_affected AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS affected_share
+    FROM (SELECT ev.table_name, ev.n_affected, evt.n_total FROM ev, evt
+          UNION ALL
+          SELECT orr.table_name, orr.n_affected, ort.n_total FROM orr, ort)
+    ORDER BY table_name
+"""

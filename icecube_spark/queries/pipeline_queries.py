@@ -769,3 +769,25 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quasi-identifier tuple."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.k_anonymity(docs, ["lang", "source", "n_chars"])
+
+
+def packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P56 — packing-efficiency curve across candidate context
+    lengths (256/512/1024/2048)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.packing_curve(docs, "doc_id", "text", "source")
+
+
+def erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P55 — right-to-erasure dry run: affected rows per table for a
+    deterministic 2% request list."""
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    ev = catalog.load(spark, sf_dir, "events")
+    orders = catalog.load(spark, sf_dir, "orders")
+    uids = (
+        ev.select(F.col("user_id").alias("uid"))
+        .distinct()
+        .where(F.expr(f"{spark_hex2int('cast(uid as string)')} % 50 = 0"))
+    )
+    return pipeline.erasure_impact(ev, orders, uids)

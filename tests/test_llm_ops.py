@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("uncertainty_sampling", lq.uncertainty_sampling),
     ("bbit_minhash_eval", lq.bbit_minhash_eval),
     ("label_silhouette", lq.label_silhouette),
     ("license_notice_rate", lq.license_notice_rate),

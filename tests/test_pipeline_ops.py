@@ -12,6 +12,8 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("packing_curve", pq.packing_curve),
+    ("erasure_impact", pq.erasure_impact),
     ("k_anonymity", pq.k_anonymity),
     ("table_diff", pq.table_diff),
     ("stratified_kfold", pq.stratified_kfold),
