@@ -29,6 +29,9 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 18 (A39, C84) ---
+    "cube_enl": dq.cube_enl,
+    "value_at_risk": tsq.value_at_risk,
     # --- wave 17 (P55-P56, E31) ---
     "packing_curve": pq.packing_curve,
     "erasure_impact": pq.erasure_impact,

@@ -2994,3 +2994,68 @@ def haar_energy(
             / F.lit(1e9)
         ).alias("energy_share"),
     ).orderBy(key_col, "level")
+
+
+def value_at_risk(
+    df: DataFrame, key_col: str, value_col: str, alpha_pct: int = 5
+) -> DataFrame:
+    """C84 — historical Value-at-Risk and Expected Shortfall per key:
+    the α-percentile worst value (discrete, no interpolation) and the
+    exact mean of the tail at or below it. The risk-desk pair every
+    monitoring stack quotes; ES is the coherent one (VaR ignores how
+    bad the tail is).
+
+    Exactness: the VaR cut is integer rank selection over
+    micro-quantized values; ES folds the tail in exact integers.
+
+    Plan: one (key, distinct-value) count aggregate, a per-key
+    cumulative window on that vocab-sized frame, one tail aggregate.
+    """
+    pts = (
+        df.select(
+            F.col(key_col),
+            F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("x"),
+        )
+        .groupBy(key_col, "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wp = Window.partitionBy(key_col)
+    wo = wp.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        key_col,
+        "x",
+        "c",
+        F.sum("c").over(wo).alias("cum"),
+        F.sum("c").over(wp).alias("n"),
+    )
+    # rank of the alpha-percentile: ceil(alpha * n / 100)
+    cut = F.floor(
+        (F.lit(alpha_pct) * F.col("n") + F.lit(99)) / F.lit(100)
+    )
+    var_row = (
+        cum.where(F.col("cum") >= cut)
+        .groupBy(key_col)
+        .agg(F.min("x").alias("var_q"))
+    )
+    tail = (
+        cum.join(var_row, key_col)
+        .where(F.col("x") <= F.col("var_q"))
+        .groupBy(key_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("var_q").alias("var_q"),
+            F.sum("c").cast("bigint").alias("n_tail"),
+            F.sum(F.col("x") * F.col("c")).alias("tail_sum"),
+        )
+    )
+    return tail.select(
+        key_col,
+        F.col("n").cast("bigint").alias("n_samples"),
+        (F.col("var_q").cast("double") / F.lit(1e6)).alias("var_value"),
+        "n_tail",
+        (
+            F.col("tail_sum").cast("double")
+            / F.col("n_tail").cast("double")
+            / F.lit(1e6)
+        ).alias("expected_shortfall"),
+    ).orderBy(key_col)

@@ -877,3 +877,24 @@ ORACLES["cube_hist_match"] = """
     JOIN cdf c ON t.rk > c.cum_lo AND t.rk <= c.cum_hi
     ORDER BY t.event_id
 """
+
+ORACLES["cube_enl"] = """
+    WITH mom AS (
+        SELECT user_id AS stack_id, event_type AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_looks_raw,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sq,
+               SUM(CAST(CAST(FLOOR(value * 1e6) AS BIGINT)
+                   AS DECIMAL(38,0))
+                   * CAST(FLOOR(value * 1e6) AS BIGINT)) AS sq2
+        FROM events GROUP BY 1, 2)
+    SELECT stack_id, band, n_looks_raw AS n_samples,
+           FLOOR(((CAST(sq AS DOUBLE) / CAST(n_looks_raw AS DOUBLE))
+                  * (CAST(sq AS DOUBLE) / CAST(n_looks_raw AS DOUBLE))
+                  / ((CAST(sq2 AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                        / CAST(n_looks_raw AS DOUBLE))
+                     / CAST(n_looks_raw AS DOUBLE)))
+                 * 1e9) / 1e9 AS enl
+    FROM mom WHERE n_looks_raw > 1 ORDER BY stack_id, band
+"""

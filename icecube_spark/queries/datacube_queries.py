@@ -1690,3 +1690,44 @@ def cube_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qv").cast("double") / F.lit(1e6)).alias("value"),
         (F.col("ref_qv").cast("double") / F.lit(1e6)).alias("matched_value"),
     ).orderBy("event_id")
+
+
+def cube_enl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 — Equivalent Number of Looks per (stack, band): ENL =
+    mean²/variance of the band's amplitude values — THE standard SAR
+    speckle-level metric (multilooked products quote it on the
+    datasheet; despeckle filters are judged by how much they raise
+    it, cf. A30's Lee filter).
+
+    Exactness: moments fold from micro-quantized integers (the A19
+    scheme); ENL quantizes to a 1e-9 grid (wide-int cast guard).
+
+    Plan: one map-side-combined (stack, band) aggregate; the ENL
+    arithmetic runs on dimension-bounded rows.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+    mom = ev.groupBy(
+        F.col("user_id").alias("stack_id"),
+        F.col("event_type").alias("band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_looks_raw"),
+        F.sum(q).alias("sq"),
+        F.sum(q.cast("decimal(38,0)") * q).alias("sq2"),
+    )
+    n = F.col("n_looks_raw").cast("double")
+    s = F.col("sq").cast("double")
+    s2 = F.col("sq2").cast("double")
+    mean = s / n
+    var = (s2 - s * s / n) / n
+    enl = mean * mean / var
+    return (
+        mom.where(F.col("n_looks_raw") > 1)
+        .select(
+            "stack_id",
+            "band",
+            F.col("n_looks_raw").alias("n_samples"),
+            (F.floor(enl * F.lit(1e9)) / F.lit(1e9)).alias("enl"),
+        )
+        .orderBy("stack_id", "band")
+    )

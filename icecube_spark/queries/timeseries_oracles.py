@@ -1771,3 +1771,32 @@ ORACLES["haar_energy"] = """
                AS energy_share
     FROM tot ORDER BY event_type, level
 """
+
+ORACLES["value_at_risk"] = """
+    WITH pts AS (
+        SELECT event_type AS k, CAST(FLOOR(value * 1e6) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    cum AS (
+        SELECT k, x, c,
+               CAST(SUM(c) OVER (PARTITION BY k ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY k) AS BIGINT) AS n
+        FROM pts),
+    var_row AS (
+        SELECT k, MIN(x) AS var_q
+        FROM cum
+        WHERE cum >= CAST(FLOOR((5 * n + 99) / 100) AS BIGINT)
+        GROUP BY 1),
+    tail AS (
+        SELECT c.k, MAX(c.n) AS n, MAX(v.var_q) AS var_q,
+               CAST(SUM(c.c) AS BIGINT) AS n_tail,
+               CAST(SUM(c.x * c.c) AS BIGINT) AS tail_sum
+        FROM cum c JOIN var_row v ON v.k = c.k
+        WHERE c.x <= v.var_q GROUP BY 1)
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n_samples,
+           CAST(var_q AS DOUBLE) / 1e6 AS var_value, n_tail,
+           CAST(tail_sum AS DOUBLE) / CAST(n_tail AS DOUBLE) / 1e6
+               AS expected_shortfall
+    FROM tail ORDER BY event_type
+"""

@@ -922,3 +922,10 @@ def haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     series per event_type."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.haar_energy(ev, "ts", "event_type", "value")
+
+
+def value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C84 — historical 5% VaR + expected shortfall of values per
+    event_type."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.value_at_risk(ev, "event_type", "value")

@@ -12,6 +12,7 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_enl", dq.cube_enl),
     ("cube_rgb_composite", dq.cube_rgb_composite),
     ("cube_hist_match", dq.cube_hist_match),
     ("cube_baseline_pairs", dq.cube_baseline_pairs),
