@@ -131,19 +131,17 @@ def exact_group_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     to the min-id representative of its normalized-text group, plus
     the group size. ONE shuffle on the content hash — rep id and size
     come from the same window exchange (a groupBy+join would shuffle
-    twice). Persisted because the LSH collapse/expansion reads it
-    several times; at corpus scale this is a written staging table
-    shared across the whole dedup campaign (see
-    queries/llm_queries.staged_collapse)."""
-    from pyspark import StorageLevel
-
+    twice). Deliberately NOT persisted here: callers that read it
+    repeatedly persist it in their own staging layer (see
+    queries/llm_queries.staged_collapse, which also owns release via
+    clear_staging) so a long session doesn't leak one cached table
+    per call."""
     wth = Window.partitionBy("_th")
     return (
         df.select(F.col(id_col), F.md5(normalized(text_col)).alias("_th"))
         .withColumn("_rep", F.min(id_col).over(wth))
         .withColumn("_gsz", F.count(F.lit(1)).over(wth))
         .drop("_th")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -667,7 +665,7 @@ def incremental_dedup(
     h = F.md5(F.expr(f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"))
     tagged = df.select(
         F.col(id_col),
-        F.col("source"),
+        F.col(group_col),
         h.alias("digest"),
         (_bucket(id_col) < base_pct).alias("is_base"),
     )
@@ -688,9 +686,9 @@ def incremental_dedup(
         )
     )
     return (
-        marked.groupBy("source", "status")
+        marked.groupBy(group_col, "status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .orderBy("source", "status")
+        .orderBy(group_col, "status")
     )
 
 

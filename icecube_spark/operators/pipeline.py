@@ -1709,7 +1709,7 @@ def connected_components_fast(
     right for near-dup clusters (diameter 2-3) but needs O(diameter)
     rounds on spatially contiguous blobs (A35 masks run hundreds of
     cells across), and naive pointer-jumping hybrids plateau.
-    Each round ends in a reliable checkpoint (lineage truncated; the
+    Each round ends in an eager localCheckpoint (lineage truncated; the
     iterative-plan buildup otherwise exhausts the driver) and costs
     two node-key aggregates plus two distinct passes over the
     edge-bounded frame. Convergence is an edge-set fixpoint checked
@@ -1720,14 +1720,6 @@ def connected_components_fast(
     u's small neighborhood. Fixpoint = disjoint stars centered at
     component minima; the label is least(min neighbor, self).
     """
-    spark = pairs.sparkSession
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="icecube_spark_cc_")
-        )
-
     def sym(ed):
         return ed.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -1759,11 +1751,11 @@ def connected_components_fast(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .checkpoint()
+        .localCheckpoint()
     )
-    nodes = sym(edges).select(F.col("u").alias("node")).distinct().checkpoint()
+    nodes = sym(edges).select(F.col("u").alias("node")).distinct().localCheckpoint()
     for _ in range(max_iter):
-        new = small_star(large_star(edges)).checkpoint()
+        new = small_star(large_star(edges)).localCheckpoint()
         changed = (
             new.join(
                 edges, (new.a == edges.a) & (new.b == edges.b), "left_anti"

@@ -1597,10 +1597,16 @@ ORACLES["tokenizer_fertility"] = f"""
 """
 
 ORACLES["media_frame_dedup"] = """
-    WITH meta AS (
+    WITH ascii_docs AS (
+        -- ASCII projection mirrors the Spark side: 1 char == 1 byte,
+        -- so character substr below is byte-exact on any corpus.
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+        FROM documents),
+    meta AS (
         SELECT doc_id, text, strlen(text) % 7 + 1 AS n,
                strlen(text) // (strlen(text) % 7 + 1) AS flen
-        FROM documents),
+        FROM ascii_docs),
     frames AS (
         SELECT doc_id, n AS n_frames,
                md5(substr(text, f * flen + 1, flen)) AS frame_hash

@@ -61,7 +61,7 @@ def staged_collapse(spark, sf_dir):
         grams, sigs = staged_corpus(spark, sf_dir)
         members = dedup.exact_group_members(
             _docs(spark, sf_dir), "doc_id", "text"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         rep_ids = members.where(F.col("doc_id") == F.col("_rep")).select(
             "doc_id"
         )
@@ -93,6 +93,22 @@ def staged_candidates(spark, sf_dir):
             grams, "doc_id", max_df=64
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return _STAGED_CANDS[sf_dir]
+
+
+def clear_staging() -> None:
+    """Release every session-scoped staging table (grams, signatures,
+    collapse members, candidate pairs). The ownership twin of the
+    staged_* persists above: a long-lived session that switches
+    corpora calls this between campaigns instead of leaking one
+    cached table set per sf_dir."""
+    for store in (_STAGED, _STAGED_COLLAPSE, _STAGED_CANDS):
+        for val in store.values():
+            for df in val if isinstance(val, tuple) else (val,):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        store.clear()
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,8 +719,16 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 — cross-media near-dups by shared frame signatures."""
-    payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    """G7 — cross-media near-dups by shared frame signatures.
+
+    The payload is the ASCII projection of the text (non-ASCII bytes
+    → '?') so the DuckDB oracle's character-based frame grid is
+    byte-exact by construction on any corpus, not just ASCII ones."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    payload = multimodal.attach_binary(docs, "doc_id", "text")
     return multimodal.media_frame_dedup(payload)
 
 

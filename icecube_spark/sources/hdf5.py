@@ -304,9 +304,20 @@ def crawl_slc_metadata(binary_df: DataFrame) -> DataFrame:
                 end_utc = _scalar(h5, "acquisition_end_utc")
                 acq = None
                 if end_utc:
-                    acq = datetime.strptime(
-                        end_utc, "%Y-%m-%dT%H:%M:%S.%f"
-                    ).date()
+                    # tolerate missing fractional seconds / 'Z' suffix:
+                    # a malformed timestamp degrades to acq=None rather
+                    # than failing the whole crawl task
+                    for fmt in (
+                        "%Y-%m-%dT%H:%M:%S.%f",
+                        "%Y-%m-%dT%H:%M:%S.%fZ",
+                        "%Y-%m-%dT%H:%M:%S",
+                        "%Y-%m-%dT%H:%M:%SZ",
+                    ):
+                        try:
+                            acq = datetime.strptime(end_utc, fmt).date()
+                            break
+                        except ValueError:
+                            continue
                 inc = _scalar(h5, "incidence_center")
                 n_rg = _scalar(h5, "number_of_range_samples")
                 n_az = _scalar(h5, "number_of_azimuth_samples")
