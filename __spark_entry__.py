@@ -29,6 +29,12 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 19 (A40-A41, B49, C85, G8) ---
+    "cube_cfar_detect": dq.cube_cfar_detect,
+    "cube_aspect_octant": dq.cube_aspect_octant,
+    "lorenz_curve": analytics.lorenz_curve,
+    "kruskal_wallis": tsq.kruskal_wallis,
+    "media_scene_cuts": lq.media_scene_cuts,
     # --- wave 18 (A39, C84) ---
     "cube_enl": dq.cube_enl,
     "value_at_risk": tsq.value_at_risk,

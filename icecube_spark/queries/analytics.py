@@ -2069,3 +2069,47 @@ def croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pd") > 0, p).alias("interval_ewma"),
         F.when(F.col("pd") > 0, z / p).alias("croston_forecast"),
     ).orderBy("p_brand")
+
+
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49 — Lorenz curve of customer revenue concentration: orders
+    roll up per customer, customers rank into revenue deciles, and
+    each decile reports its revenue share plus the cumulative share —
+    the curve behind the Gini number (source_balance_gini's twin on
+    the sales schema; "the top decile books 40% of revenue" is read
+    straight off the last row).
+
+    Plan: one map-side-combinable per-customer aggregate, an NTILE
+    window over the single revenue ordering, then a 10-row aggregate
+    + running sum — the heavy exchange is the customer rollup; the
+    decile stage moves one row per customer. Sums fold through
+    decimal so shares hash exactly.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    # integer-cent fold: exact at ANY scale factor (the decimal(18,8)
+    # fold's internal integer would pass 2^53 around sf0.1, where
+    # DuckDB's decimal->double cast stops being correctly rounded)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("decimal(28,0)")
+        ).alias("qrev")
+    )
+    w = Window.orderBy(F.col("qrev"), F.col("o_custkey"))
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("qrev").alias("drev"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        (F.col("drev").cast("double") / F.lit(1e2)).alias("decile_revenue"),
+        (
+            F.sum("drev").over(wc).cast("double")
+            / F.sum("drev").over(wt).cast("double")
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -1026,3 +1026,24 @@ ORACLES["croston_forecast"] = """
                AS croston_forecast
     FROM sm WHERE rn = 1 ORDER BY p_brand
 """
+
+ORACLES["lorenz_curve"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS qrev
+        FROM orders GROUP BY o_custkey),
+    deciled AS (
+        SELECT *, NTILE(10) OVER (ORDER BY qrev, o_custkey) AS decile
+        FROM per_cust),
+    per_dec AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(qrev) AS drev
+        FROM deciled GROUP BY decile)
+    SELECT decile, n_customers,
+           CAST(drev AS DOUBLE) / 100.0 AS decile_revenue,
+           CAST(SUM(drev) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(drev) OVER () AS DOUBLE) AS cum_share
+    FROM per_dec ORDER BY decile
+"""

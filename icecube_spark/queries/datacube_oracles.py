@@ -898,3 +898,78 @@ ORACLES["cube_enl"] = """
                  * 1e9) / 1e9 AS enl
     FROM mom WHERE n_looks_raw > 1 ORDER BY stack_id, band
 """
+
+ORACLES["cube_cfar_detect"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    offs AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM (SELECT UNNEST(range(-2, 3)) AS d) dx,
+             (SELECT UNNEST(range(-2, 3)) AS d) dy
+        WHERE GREATEST(ABS(dx.d), ABS(dy.d)) = 2
+    ),
+    rings AS (
+        SELECT c.x + o.dx AS tx, c.y + o.dy AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n_ring,
+               SUM(CAST(FLOOR(c.v * 1e6) AS BIGINT)) AS qsum
+        FROM cells c CROSS JOIN offs o
+        GROUP BY 1, 2
+    )
+    SELECT c.x, c.y, c.v AS center, r.n_ring,
+           CAST(r.qsum AS DOUBLE) / CAST(r.n_ring AS DOUBLE) / 1e6
+               AS ring_mean,
+           c.v > 1.5 * (CAST(r.qsum AS DOUBLE) / CAST(r.n_ring AS DOUBLE)
+                        / 1e6) AS is_detect
+    FROM cells c
+    JOIN rings r ON r.tx = c.x AND r.ty = c.y
+    WHERE r.n_ring >= 12
+    ORDER BY c.x, c.y
+"""
+
+ORACLES["cube_aspect_octant"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    interior AS (
+        SELECT (e.v - w.v) AS gx, (n.v - s.v) AS gy
+        FROM cells c
+        JOIN cells w ON w.x = c.x - 1 AND w.y = c.y
+        JOIN cells e ON e.x = c.x + 1 AND e.y = c.y
+        JOIN cells s ON s.x = c.x AND s.y = c.y - 1
+        JOIN cells n ON n.x = c.x AND n.y = c.y + 1
+    ),
+    classed AS (
+        SELECT CASE
+                 WHEN gx = 0 AND gy = 0 THEN 'flat'
+                 WHEN ABS(gx) <= 0.4142135623730951 * ABS(gy)
+                      AND gy > 0 THEN 'N'
+                 WHEN ABS(gx) <= 0.4142135623730951 * ABS(gy)
+                      AND gy < 0 THEN 'S'
+                 WHEN ABS(gy) <= 0.4142135623730951 * ABS(gx)
+                      AND gx > 0 THEN 'E'
+                 WHEN ABS(gy) <= 0.4142135623730951 * ABS(gx)
+                      AND gx < 0 THEN 'W'
+                 WHEN gx > 0 AND gy > 0 THEN 'NE'
+                 WHEN gx > 0 AND gy < 0 THEN 'SE'
+                 WHEN gx < 0 AND gy > 0 THEN 'NW'
+                 ELSE 'SW'
+               END AS octant,
+               CAST(FLOOR(sqrt(gx * gx / 4.0 + gy * gy / 4.0) * 1e6)
+                    AS BIGINT) AS qmag
+        FROM interior
+    )
+    SELECT octant,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(qmag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS mean_mag
+    FROM classed GROUP BY octant ORDER BY octant
+"""

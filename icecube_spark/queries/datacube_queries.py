@@ -1731,3 +1731,167 @@ def cube_enl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stack_id", "band")
     )
+
+
+def cube_cfar_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 — CA-CFAR (cell-averaging constant-false-alarm-rate)
+    point-target detection on the sparse pixel grid: a cell is a
+    detection when its value exceeds k× the mean of its clutter ring
+    (Chebyshev distance exactly 2 — the 16 cells of the 5×5 window
+    minus the 3×3 guard). This is the classic SAR ship/bright-target
+    detector the reference's analytics stack feeds (slc_datacube.py
+    intensity bands are CFAR's canonical input).
+
+    Plan: same sparse-stencil discipline as focal_mean — cells
+    aggregate once (map-side combine), each CELL emits exactly 16
+    ring contributions, one groupBy on the target, one (x, y)
+    co-partitioned join back to centers under AQE. Shuffle volume is
+    16 × distinct cells at any scale, never 16 × raw events; at
+    100 TB the grid is tiled per stack and the plan is unchanged.
+
+    Exactness: ring values quantize to micro-units (floor(v·1e6) into
+    BIGINT) before summing, so the ring mean and the k·mean compare
+    are fixed-shape IEEE on both engines.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(davg("value").alias("v"))
+    )
+    ring = [
+        (dx, dy)
+        for dx in range(-2, 3)
+        for dy in range(-2, 3)
+        if max(abs(dx), abs(dy)) == 2
+    ]
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ring
+        ]
+    )
+    contrib = cells.select(
+        "x", "y", "v", F.explode(offsets).alias("o")
+    ).select(
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        F.floor(F.col("v") * F.lit(1e6)).cast("bigint").alias("qv"),
+    )
+    rings = contrib.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ring"),
+        F.sum("qv").alias("qsum"),
+    )
+    ring_mean = (
+        F.col("qsum").cast("double") / F.col("n_ring").cast("double") / F.lit(1e6)
+    )
+    return (
+        cells.join(
+            rings,
+            (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")),
+        )
+        .where(F.col("n_ring") >= 12)
+        .select(
+            "x",
+            "y",
+            F.col("v").alias("center"),
+            "n_ring",
+            ring_mean.alias("ring_mean"),
+            (F.col("v") > F.lit(1.5) * ring_mean).alias("is_detect"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+def cube_aspect_octant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 — terrain aspect octants: the central-difference gradient
+    (A23's stencil) classified into the 8 compass sectors by SIGN and
+    |gx| vs |gy| comparisons only — the downhill-facing-direction
+    layer of every terrain analysis (hillshade A34's discrete twin),
+    with per-octant cell counts and mean gradient magnitude. Octant
+    boundaries sit on the 45° diagonals, so classification is pure
+    comparisons — no atan2, hence no transcendental parity hazard.
+
+    Plan: the A23 4-offset stencil (shuffle = 4 × distinct cells),
+    then an 8-row aggregate; magnitude means fold through floor(·1e6)
+    BIGINT sums so the report hashes exactly.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(davg("value").alias("v"))
+    )
+    roles = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("west").alias("role")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("east").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                 F.lit("south").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy"),
+                 F.lit("north").alias("role")),
+    )
+    contrib = (
+        cells.select("x", "y", "v", F.explode(roles).alias("r"))
+        .select(
+            (F.col("x") + F.col("r.dx")).alias("tx"),
+            (F.col("y") + F.col("r.dy")).alias("ty"),
+            F.col("r.role").alias("role"),
+            "v",
+        )
+    )
+    nb = contrib.groupBy("tx", "ty").agg(
+        F.max(F.when(F.col("role") == "west", F.col("v"))).alias("w"),
+        F.max(F.when(F.col("role") == "east", F.col("v"))).alias("e"),
+        F.max(F.when(F.col("role") == "south", F.col("v"))).alias("s"),
+        F.max(F.when(F.col("role") == "north", F.col("v"))).alias("n"),
+    )
+    gx = F.col("e") - F.col("w")
+    gy = F.col("n") - F.col("s")
+    ax, ay = F.abs(gx), F.abs(gy)
+    # sector boundaries at 22.5° multiples: |gx| <= tan(22.5°)·|gy|
+    # puts the vector within 22.5° of the N-S axis, and symmetrically
+    # for E-W; everything else is a diagonal sector by sign pair
+    c = F.lit(0.4142135623730951)
+    octant = (
+        F.when((gx == 0) & (gy == 0), F.lit("flat"))
+        .when((ax <= c * ay) & (gy > 0), F.lit("N"))
+        .when((ax <= c * ay) & (gy < 0), F.lit("S"))
+        .when((ay <= c * ax) & (gx > 0), F.lit("E"))
+        .when((ay <= c * ax) & (gx < 0), F.lit("W"))
+        .when((gx > 0) & (gy > 0), F.lit("NE"))
+        .when((gx > 0) & (gy < 0), F.lit("SE"))
+        .when((gx < 0) & (gy > 0), F.lit("NW"))
+        .otherwise(F.lit("SW"))
+    )
+    mag = F.sqrt(gx * gx / F.lit(4.0) + gy * gy / F.lit(4.0))
+    interior = (
+        cells.join(
+            nb,
+            (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")),
+        )
+        .where(
+            F.col("w").isNotNull() & F.col("e").isNotNull()
+            & F.col("s").isNotNull() & F.col("n").isNotNull()
+        )
+        .select(octant.alias("octant"),
+                F.floor(mag * F.lit(1e6)).cast("bigint").alias("qmag"))
+    )
+    return (
+        interior.groupBy("octant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            (F.sum("qmag").cast("double")
+             / F.count(F.lit(1)).cast("double") / F.lit(1e6)).alias("mean_mag"),
+        )
+        .orderBy("octant")
+    )

@@ -2342,3 +2342,36 @@ ORACLES["uncertainty_sampling"] = f"""
     FROM pa
     ORDER BY uncertainty DESC, vec_id LIMIT 20
 """
+
+ORACLES["media_scene_cuts"] = """
+    WITH ascii_docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+        FROM documents),
+    meta AS (
+        SELECT doc_id, text, strlen(text) % 7 + 1 AS n,
+               strlen(text) // (strlen(text) % 7 + 1) AS flen
+        FROM ascii_docs),
+    frames AS (
+        SELECT doc_id, n AS n_frames, f AS frame_idx,
+               md5(substr(text, f * flen + 1, flen)) AS frame_hash
+        FROM meta CROSS JOIN range(0, 7) t(f)
+        WHERE f < n),
+    cuts AS (
+        SELECT doc_id, n_frames, frame_hash,
+               CASE WHEN frame_hash <> LAG(frame_hash) OVER (
+                        PARTITION BY doc_id ORDER BY frame_idx)
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM frames),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+               CAST(COALESCE(SUM(is_cut), 0) AS BIGINT) AS n_cuts,
+               CAST(COUNT(DISTINCT frame_hash) AS BIGINT)
+                   AS n_distinct_frames
+        FROM cuts GROUP BY doc_id)
+    SELECT doc_id, n_frames, n_cuts, n_distinct_frames,
+           CAST(n_cuts AS DOUBLE) / CAST(n_frames - 1 AS DOUBLE)
+               AS cut_rate
+    FROM per_doc WHERE n_frames > 1 ORDER BY doc_id
+"""

@@ -944,3 +944,55 @@ def uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling queue)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.uncertainty_sampling(emb, "vec_id", "embedding", "label")
+
+
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — scene-cut profile per medium: adjacent frame-signature
+    changes over the G2 frame grid (a "cut" = consecutive frames with
+    different content hashes), plus the distinct-frame count. The
+    shot-boundary statistic a video curation pass uses to separate
+    static/looping media (few cuts, few distinct frames) from real
+    footage — and, like G7, the payload bytes never shuffle: only
+    (doc, idx, hash) rows leave the scan.
+
+    Plan: map-only Arrow frame extraction (fanout ≤ 7), one window
+    per doc ordered by frame index (key-partitioned, no global sort),
+    one per-doc aggregate. Text is ASCII-projected as in G7 so the
+    char-based oracle is byte-exact on any corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    frames = multimodal.frame_signatures(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "is_cut",
+        (F.col("frame_hash") != F.lag("frame_hash").over(w)).cast("int"),
+    )
+    return (
+        cuts.groupBy("doc_id")
+        .agg(
+            F.max("n_frames").cast("bigint").alias("n_frames"),
+            F.coalesce(F.sum("is_cut"), F.lit(0)).cast("bigint")
+            .alias("n_cuts"),
+            F.countDistinct("frame_hash").cast("bigint")
+            .alias("n_distinct_frames"),
+        )
+        .where(F.col("n_frames") > 1)
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_cuts",
+            "n_distinct_frames",
+            (
+                F.col("n_cuts").cast("double")
+                / (F.col("n_frames") - F.lit(1)).cast("double")
+            ).alias("cut_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1800,3 +1800,52 @@ ORACLES["value_at_risk"] = """
                AS expected_shortfall
     FROM tail ORDER BY event_type
 """
+
+ORACLES["kruskal_wallis"] = """
+    WITH gv AS (
+        SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS gc
+        FROM events GROUP BY 1, 2),
+    vals AS (
+        SELECT value, SUM(gc) AS cnt FROM gv GROUP BY value),
+    ranked AS (
+        SELECT value,
+               2 * (SUM(cnt) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt) + cnt + 1 AS two_r
+        FROM vals),
+    grp AS (
+        SELECT g.event_type,
+               SUM(g.gc) AS n_i,
+               SUM(g.gc * r.two_r) AS s2r
+        FROM gv g JOIN ranked r ON g.value = r.value
+        GROUP BY g.event_type),
+    tot AS (
+        SELECT SUM(cnt) AS n, SUM(cnt * cnt * cnt - cnt) AS tie3
+        FROM vals),
+    per_group AS (
+        SELECT t.n AS _n, t.tie3 AS _t3,
+               CAST(FLOOR(CAST(g.n_i AS DOUBLE)
+                    * (CAST(g.s2r AS DOUBLE) / (2.0 * CAST(g.n_i AS DOUBLE))
+                       - (CAST(t.n AS DOUBLE) + 1.0) / 2.0)
+                    * (CAST(g.s2r AS DOUBLE) / (2.0 * CAST(g.n_i AS DOUBLE))
+                       - (CAST(t.n AS DOUBLE) + 1.0) / 2.0)
+                    * 1e6) AS BIGINT) AS qc,
+               1 AS k1
+        FROM grp g CROSS JOIN tot t),
+    agg AS (
+        SELECT _n, _t3, SUM(qc) AS sqc, CAST(SUM(k1) AS INT) AS k
+        FROM per_group GROUP BY _n, _t3)
+    SELECT CAST(_n AS BIGINT) AS n_obs,
+           k - 1 AS dof,
+           12.0 / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) + 1.0))
+               * (CAST(sqc AS DOUBLE) / 1e6) AS h_stat,
+           1.0 - CAST(_t3 AS DOUBLE)
+               / (CAST(_n AS DOUBLE) * CAST(_n AS DOUBLE) * CAST(_n AS DOUBLE)
+                  - CAST(_n AS DOUBLE)) AS tie_correction,
+           (12.0 / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) + 1.0))
+               * (CAST(sqc AS DOUBLE) / 1e6))
+           / (1.0 - CAST(_t3 AS DOUBLE)
+               / (CAST(_n AS DOUBLE) * CAST(_n AS DOUBLE) * CAST(_n AS DOUBLE)
+                  - CAST(_n AS DOUBLE))) AS h_corrected
+    FROM agg
+"""

@@ -929,3 +929,80 @@ def value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type."""
     ev = catalog.load(spark, sf_dir, "events")
     return timeseries.value_at_risk(ev, "event_type", "value")
+
+
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85 — Kruskal-Wallis H: the k-sample rank test of `value`
+    across event types (the nonparametric ANOVA — dow_anova's
+    rank-based twin, mann_whitney's k-group generalization), with the
+    tie-corrected statistic. Used to decide "do these five metric
+    streams share a distribution?" without normality assumptions.
+
+    Plan: ranks come from DISTINCT-value cumulative counts — one
+    groupBy collapses N events to distinct values, one ordered window
+    over that (much smaller) frame assigns midranks, and per-group
+    rank sums join back on the value key; nothing ranks raw rows. At
+    100 TB the distinct-value window is a range-partitioned sort —
+    the same two-pass global-rank discipline as survival_km.
+
+    Exactness: midranks are held as 2·rank integers (BIGINT), group
+    contributions quantize to 1e-6 before the 5-row fold, and the
+    tie-correction sums t³−t in exact integers, so H hashes exactly.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    gv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gc")
+    )
+    vals = gv.groupBy("value").agg(F.sum("gc").alias("cnt"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.withColumn("cum", F.sum("cnt").over(wv)).select(
+        "value",
+        # 2 × average rank of a tie group, exact in integers:
+        # avg_rank = (cum - cnt) + (cnt + 1) / 2
+        (F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1))
+        .alias("two_r"),
+    )
+    grp = (
+        gv.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("gc").alias("n_i"),
+            F.sum(F.col("gc") * F.col("two_r")).alias("s2r"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .alias("tie3"),
+    )
+    n = F.col("n").cast("double")
+    mean_rank = F.col("s2r").cast("double") / (
+        F.lit(2.0) * F.col("n_i").cast("double")
+    )
+    dev = mean_rank - (n + F.lit(1.0)) / F.lit(2.0)
+    contrib = F.floor(
+        F.col("n_i").cast("double") * dev * dev * F.lit(1e6)
+    ).cast("bigint")
+    per_group = grp.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("_n"), F.col("tie3").alias("_t3"),
+        contrib.alias("qc"),
+        F.lit(1).alias("k1"),
+    )
+    agg = per_group.groupBy("_n", "_t3").agg(
+        F.sum("qc").alias("sqc"), F.sum("k1").cast("int").alias("k")
+    )
+    an = F.col("_n").cast("double")
+    h = (
+        F.lit(12.0) / (an * (an + F.lit(1.0)))
+        * (F.col("sqc").cast("double") / F.lit(1e6))
+    )
+    corr = F.lit(1.0) - F.col("_t3").cast("double") / (
+        an * an * an - an
+    )
+    return agg.select(
+        F.col("_n").alias("n_obs"),
+        (F.col("k") - F.lit(1)).alias("dof"),
+        h.alias("h_stat"),
+        corr.alias("tie_correction"),
+        (h / corr).alias("h_corrected"),
+    )

@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("lorenz_curve", analytics.lorenz_curve),
     ("weighted_median_price", analytics.weighted_median_price),
     ("croston_forecast", analytics.croston_forecast),
     ("abc_xyz_classes", analytics.abc_xyz_classes),

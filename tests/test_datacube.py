@@ -12,6 +12,8 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_cfar_detect", dq.cube_cfar_detect),
+    ("cube_aspect_octant", dq.cube_aspect_octant),
     ("cube_enl", dq.cube_enl),
     ("cube_rgb_composite", dq.cube_rgb_composite),
     ("cube_hist_match", dq.cube_hist_match),

@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("media_scene_cuts", lq.media_scene_cuts),
     ("uncertainty_sampling", lq.uncertainty_sampling),
     ("bbit_minhash_eval", lq.bbit_minhash_eval),
     ("label_silhouette", lq.label_silhouette),
