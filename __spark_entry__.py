@@ -29,6 +29,12 @@ from icecube_spark.queries.timeseries_oracles import ORACLES as TIMESERIES_ORACL
 # D2 collapse-affected family), then the keys with no driver evidence
 # yet, and the r1/r2 driver-green keys close the dict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- wave 20 (B50, C86, E32, F43, P57) ---
+    "cms_heavy_hitters": pq.cms_heavy_hitters,
+    "knn_reciprocity": lq.knn_reciprocity,
+    "normalization_impact": lq.normalization_impact,
+    "revenue_theil": analytics.revenue_theil,
+    "interarrival_fit": tsq.interarrival_fit,
     # --- wave 19 (A40-A41, B49, C85, G8) ---
     "cube_cfar_detect": dq.cube_cfar_detect,
     "cube_aspect_octant": dq.cube_aspect_octant,

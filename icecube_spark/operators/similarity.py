@@ -1610,3 +1610,73 @@ def uncertainty_sampling(
         .orderBy(F.col("uncertainty").desc(), "vec_id")
         .limit(top_n)
     )
+
+
+def knn_graph_stats(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    panel_filter,
+    k: int = 5,
+) -> DataFrame:
+    """E32 — kNN-graph health report over a sampled panel: build the
+    directed k-nearest-neighbor graph (cosine, within the panel) and
+    report its reciprocity (fraction of edges whose reverse edge also
+    exists) plus hubness extremes (max in-degree, never-cited count).
+    Low reciprocity / heavy hubs are the classic symptom of degraded
+    embedding spaces (hubness grows with dimension) and of ANN index
+    trouble — this is the diagnostic run before trusting any
+    embedding-based dedup or retrieval stage.
+
+    Plan: the panel broadcasts against itself (bounded: panel², never
+    corpus²), one per-source top-k window, then the mutual-edge check
+    is a self-join on the REVERSED key — k·|panel| edge rows, tiny.
+    At 100 TB the panel stays a fixed-size sample (the statistic is a
+    property of the space, not the corpus), so cost is flat.
+    """
+    panel = vectors.where(panel_filter).select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("v"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    cands = panel.select(
+        F.col("src").alias("dst"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        panel.join(F.broadcast(cands), F.col("src") != F.col("dst"))
+        .withColumn("cosine", dot_expr("v", "cv") / (F.col("nrm") * F.col("cn")))
+        .select("src", "dst", "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("src", "dst")
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    n_panel = panel.select(F.count(F.lit(1)).alias("n_vectors"))
+    stats = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        recip.agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+    ).crossJoin(
+        indeg.agg(
+            F.max("d").cast("bigint").alias("max_in_degree"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cited"),
+        )
+    ).crossJoin(n_panel)
+    return stats.select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.lit(k).cast("int").alias("k"),
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double"))
+        .alias("reciprocity"),
+        "max_in_degree",
+        (F.col("n_vectors").cast("bigint") - F.col("n_cited"))
+        .alias("n_never_cited"),
+    )

@@ -2113,3 +2113,79 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("drev").over(wt).cast("double")
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+def revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 — Theil-T inequality decomposition of customer revenue by
+    nation: per-nation within-group Theil index plus the nation's
+    between-group contribution (share-weighted log of its mean-to-
+    global-mean ratio). Theil is the inequality measure that
+    decomposes EXACTLY into between + within — the question "is
+    revenue concentration a nation story or a per-customer story?"
+    is answered by comparing the two columns.
+
+    Plan: one fact rollup to customers (map-combined, integer-cent
+    fold), a broadcast nation join, per-nation exact integer sums,
+    then the log terms evaluate on nation-count-bounded rows.
+    Exactness: every ln() argument is a ratio of exact integers (so
+    both engines see the identical double), log terms quantize to
+    micro-nats, the per-nation dot products fold in decimal(38,0),
+    and the final statistics snap to a 1e-9 grid (the corr_matrix
+    discipline for >2^53 integer→double casts).
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("decimal(28,0)")
+            ).cast("bigint").alias("x")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "x")
+    )
+    # global totals (exact integers), broadcast to every nation row
+    tot = per_cust.agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    grp = per_cust.groupBy("n_name").agg(
+        F.sum("x").alias("sg"), F.count(F.lit(1)).alias("ng")
+    )
+    # within-nation: lq_i = floor(ln(x_i * ng / sg) * 1e6) micro-nats;
+    # T_g = sum(x_i * lq_i) / sg / 1e6
+    enriched = per_cust.join(F.broadcast(grp), "n_name")
+    lq = F.floor(
+        F.log(
+            F.col("x").cast("double") * F.col("ng").cast("double")
+            / F.col("sg").cast("double")
+        ) * F.lit(1e6)
+    ).cast("bigint")
+    within = enriched.select("n_name", "sg", "ng", (F.col("x") * lq).alias("xl"))
+    wsum = within.groupBy("n_name", "sg", "ng").agg(
+        F.sum(F.col("xl").cast("decimal(38,0)")).alias("sxl")
+    )
+    out = wsum.crossJoin(F.broadcast(tot))
+    t_within = (
+        F.col("sxl").cast("double") / F.col("sg").cast("double") / F.lit(1e6)
+    )
+    lb = F.floor(
+        F.log(
+            F.col("sg").cast("double") * F.col("n").cast("double")
+            / (F.col("s").cast("double") * F.col("ng").cast("double"))
+        ) * F.lit(1e6)
+    ).cast("bigint")
+    between = (
+        F.col("sg").cast("double") / F.col("s").cast("double")
+        * lb.cast("double") / F.lit(1e6)
+    )
+    grid = lambda c: F.floor(c * F.lit(1e9)) / F.lit(1e9)
+    return out.select(
+        "n_name",
+        F.col("ng").cast("bigint").alias("n_customers"),
+        (F.col("sg").cast("double") / F.lit(1e2)).alias("revenue"),
+        grid(t_within).alias("theil_within"),
+        grid(between).alias("between_contrib"),
+    ).orderBy("n_name")

@@ -1047,3 +1047,45 @@ ORACLES["lorenz_curve"] = """
            / CAST(SUM(drev) OVER () AS DOUBLE) AS cum_share
     FROM per_dec ORDER BY decile
 """
+
+ORACLES["revenue_theil"] = """
+    WITH per_cust AS (
+        SELECT n_name,
+               SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS x
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY o_custkey, n_name),
+    tot AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM per_cust),
+    grp AS (
+        SELECT n_name, CAST(SUM(x) AS BIGINT) AS sg,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM per_cust GROUP BY n_name),
+    within AS (
+        SELECT p.n_name, g.sg, g.ng,
+               p.x * CAST(FLOOR(ln(CAST(p.x AS DOUBLE)
+                                   * CAST(g.ng AS DOUBLE)
+                                   / CAST(g.sg AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS xl
+        FROM per_cust p JOIN grp g ON p.n_name = g.n_name),
+    wsum AS (
+        SELECT n_name, sg, ng, SUM(xl) AS sxl
+        FROM within GROUP BY n_name, sg, ng)
+    SELECT w.n_name,
+           w.ng AS n_customers,
+           CAST(w.sg AS DOUBLE) / 100.0 AS revenue,
+           FLOOR(CAST(w.sxl AS DOUBLE) / CAST(w.sg AS DOUBLE) / 1e6 * 1e9)
+               / 1e9 AS theil_within,
+           FLOOR(CAST(w.sg AS DOUBLE) / CAST(t.s AS DOUBLE)
+                 * CAST(CAST(FLOOR(ln(CAST(w.sg AS DOUBLE)
+                                      * CAST(t.n AS DOUBLE)
+                                      / (CAST(t.s AS DOUBLE)
+                                         * CAST(w.ng AS DOUBLE))) * 1e6)
+                             AS BIGINT) AS DOUBLE) / 1e6 * 1e9) / 1e9
+               AS between_contrib
+    FROM wsum w CROSS JOIN tot t
+    ORDER BY w.n_name
+"""

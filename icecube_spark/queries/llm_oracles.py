@@ -2375,3 +2375,54 @@ ORACLES["media_scene_cuts"] = """
                AS cut_rate
     FROM per_doc WHERE n_frames > 1 ORDER BY doc_id
 """
+
+ORACLES["knn_reciprocity"] = f"""
+    WITH {_VNORM},
+    panel AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 500),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding',
+                                 na='a.nrm', nb='b.nrm')} AS cosine
+        FROM panel a JOIN panel b ON a.vec_id != b.vec_id),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cosine DESC, dst) AS r
+            FROM pairs)
+        WHERE r <= 5),
+    recip AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN edges r ON r.src = e.dst AND r.dst = e.src),
+    indeg AS (
+        SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)
+    SELECT CAST((SELECT COUNT(*) FROM panel) AS BIGINT) AS n_vectors,
+           CAST(5 AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM recip) AS BIGINT) AS n_reciprocal,
+           CAST((SELECT COUNT(*) FROM recip) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE) AS reciprocity,
+           CAST((SELECT MAX(d) FROM indeg) AS BIGINT) AS max_in_degree,
+           CAST((SELECT COUNT(*) FROM panel) AS BIGINT)
+             - CAST((SELECT COUNT(*) FROM indeg) AS BIGINT) AS n_never_cited
+"""
+
+ORACLES["normalization_impact"] = f"""
+    WITH audited AS (
+        SELECT source,
+               length(text) AS raw_len,
+               strlen({_NORM}) AS norm_len,
+               CASE WHEN {_NORM} != text THEN 1 ELSE 0 END AS changed,
+               CASE WHEN regexp_replace(trim(text), '\\s+', ' ', 'g')
+                         != text THEN 1 ELSE 0 END AS ws_changed,
+               CASE WHEN lower(text) != text THEN 1 ELSE 0 END AS has_upper
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(changed) AS BIGINT) AS n_changed,
+           CAST(SUM(has_upper) AS BIGINT) AS n_case_affected,
+           CAST(SUM(ws_changed) AS BIGINT) AS n_ws_affected,
+           CAST(SUM(raw_len - norm_len) AS BIGINT) AS chars_removed,
+           CAST(SUM(changed) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS pct_changed
+    FROM audited GROUP BY source ORDER BY source
+"""

@@ -996,3 +996,57 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32 — kNN-graph reciprocity + hubness over the vec_id<500 panel."""
+    return similarity.knn_graph_stats(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        F.col("vec_id") < 500, k=5,
+    )
+
+
+def normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F43 — normalization diff audit: how much does the dedup
+    pipeline's canonical normalization (trim → lowercase → whitespace
+    collapse) actually change, per source? Reports docs changed, the
+    character mass removed, and the case-only change count. The
+    pre-flight audit run before switching normalizers — a normalizer
+    that rewrites 40% of one source's bytes changes that source's
+    dedup groups, and this is how you find out BEFORE the campaign.
+
+    Plan: map-only projections + one source-keyed aggregate;
+    integer character counts fold exactly.
+    """
+    docs = _docs(spark, sf_dir)
+    norm = F.expr(
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    )
+    case_only = F.expr(
+        "regexp_replace(trim(text), '\\\\s+', ' ')"
+    )
+    audited = docs.select(
+        "source",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+        (case_only != F.col("text")).cast("int").alias("ws_changed"),
+        ((F.lower(F.col("text")) != F.col("text"))).cast("int")
+        .alias("has_upper"),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("changed").cast("bigint").alias("n_changed"),
+            F.sum("has_upper").cast("bigint").alias("n_case_affected"),
+            F.sum("ws_changed").cast("bigint").alias("n_ws_affected"),
+            F.sum(F.col("raw_len") - F.col("norm_len")).cast("bigint")
+            .alias("chars_removed"),
+            (
+                F.sum("changed").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("pct_changed"),
+        )
+        .orderBy("source")
+    )

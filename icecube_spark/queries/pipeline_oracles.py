@@ -1164,3 +1164,36 @@ ORACLES["erasure_impact"] = """
           SELECT orr.table_name, orr.n_affected, ort.n_total FROM orr, ort)
     ORDER BY table_name
 """
+
+ORACLES["cms_heavy_hitters"] = f"""
+    WITH terms AS (
+        SELECT UNNEST(string_split({_NORM}, ' ')) AS term FROM documents),
+    tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM terms
+        WHERE term != '' GROUP BY term),
+    hashed AS (
+        SELECT term, n, j.j,
+               {duck_hex2int("concat('cms', CAST(j.j AS VARCHAR), '|', term)")}
+                   % 1024 AS bucket
+        FROM tf CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) j),
+    cells AS (
+        SELECT j, bucket, SUM(n) AS cell FROM hashed GROUP BY j, bucket),
+    topk AS (
+        SELECT term, n, rank FROM (
+            SELECT term, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT)
+                       AS rank
+            FROM tf)
+        WHERE rank <= 20),
+    probes AS (
+        SELECT t.term, t.n, t.rank, j.j,
+               {duck_hex2int("concat('cms', CAST(j.j AS VARCHAR), '|', t.term)")}
+                   % 1024 AS bucket
+        FROM topk t CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) j)
+    SELECT p.rank, p.term, p.n AS exact,
+           CAST(MIN(c.cell) AS BIGINT) AS estimate,
+           CAST(MIN(c.cell) AS BIGINT) - p.n AS overestimate
+    FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.rank, p.term, p.n
+    ORDER BY p.rank
+"""

@@ -791,3 +791,54 @@ def erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(f"{spark_hex2int('cast(uid as string)')} % 50 = 0"))
     )
     return pipeline.erasure_impact(ev, orders, uids)
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P57 — Count-Min sketch heavy hitters with ground-truth error:
+    build a 4×1024 CMS over corpus terms (md5-derived row hashes, so
+    both engines agree bit-for-bit), then read the top-20 exact terms
+    back through the sketch and report estimate vs truth. The sketch
+    never under-counts; the overestimate column is the collision
+    noise a production frequency service (which keeps ONLY the 4 KB
+    sketch, not the term table) actually serves. This is the eval
+    harness a corpus team runs to size (depth, width) before
+    replacing exact counts with the sketch at 100 TB.
+
+    Plan: one term-count shuffle (map-side combined), a 4-way
+    bounded fanout into (row, bucket) cells — 4096 groups at ANY
+    corpus size — and a broadcast of the 20-term panel against the
+    tiny cell table. All integer arithmetic; hashes via the
+    cross-engine md5 60-bit parse.
+    """
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    docs = _docs(spark, sf_dir)
+    norm = dedup.NORM.format(col="text")
+    terms = docs.select(
+        F.explode(F.expr(f"split({norm}, ' ')")).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rows = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    bucket = F.expr(
+        spark_hex2int("concat('cms', cast(j as string), '|', term)")
+    ) % F.lit(1024)
+    hashed = tf.select("term", "n", rows).withColumn("bucket", bucket)
+    cells = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("cell"))
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("term"))
+    topk = (
+        tf.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+    )
+    probes = topk.select("term", "n", "rank", rows).withColumn("bucket", bucket)
+    est = (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("term", "n", "rank")
+        .agg(F.min("cell").cast("bigint").alias("estimate"))
+    )
+    return est.select(
+        "rank",
+        "term",
+        F.col("n").alias("exact"),
+        "estimate",
+        (F.col("estimate") - F.col("n")).alias("overestimate"),
+    ).orderBy("rank")

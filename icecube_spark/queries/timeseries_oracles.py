@@ -1849,3 +1849,43 @@ ORACLES["kruskal_wallis"] = """
                   - CAST(_n AS DOUBLE))) AS h_corrected
     FROM agg
 """
+
+ORACLES["interarrival_fit"] = """
+    WITH gaps AS (
+        SELECT event_type, ts, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id)
+                 AS gap_us
+        FROM events
+        QUALIFY gap_us IS NOT NULL),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap_us) AS BIGINT) AS s
+        FROM gaps GROUP BY event_type),
+    ranked AS (
+        SELECT g.event_type, a.n, a.s, g.gap_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY g.event_type
+                   ORDER BY g.gap_us, g.ts, g.event_id) AS i
+        FROM gaps g JOIN agg a ON g.event_type = a.event_type),
+    devs AS (
+        SELECT event_type, n, s,
+               GREATEST(
+                   CAST(i AS DOUBLE) / CAST(n AS DOUBLE)
+                     - FLOOR((1.0 - exp(-(CAST(gap_us AS DOUBLE)
+                           * CAST(n AS DOUBLE)) / CAST(s AS DOUBLE)))
+                           * 1e9) / 1e9,
+                   FLOOR((1.0 - exp(-(CAST(gap_us AS DOUBLE)
+                           * CAST(n AS DOUBLE)) / CAST(s AS DOUBLE)))
+                           * 1e9) / 1e9
+                     - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+               ) AS dev
+        FROM ranked)
+    SELECT event_type, n AS n_gaps,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean_gap_s,
+           3600.0 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+               AS rate_per_hour,
+           MAX(dev) AS ks_stat
+    FROM devs GROUP BY event_type, n, s ORDER BY event_type
+"""

@@ -1006,3 +1006,68 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("tie_correction"),
         (h / corr).alias("h_corrected"),
     )
+
+
+def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C86 — inter-arrival exponential fit + one-sample KS: per event
+    type, the MLE rate of an exponential model over consecutive-event
+    gaps and the Kolmogorov-Smirnov distance between the empirical
+    gap distribution and that fitted exponential. KS near 0 ⇒ the
+    stream is memoryless (Poisson arrivals — queueing math applies);
+    large KS ⇒ bursty/scheduled traffic (burst_detection's formal
+    counterpart).
+
+    Plan: one per-type ordered window for gaps (key-partitioned, no
+    global sort), a second for gap ranks, one aggregate. Exactness:
+    gaps are exact integer microseconds; each exp() argument is a
+    ratio of exact integers (identical double both engines); the
+    model CDF snaps to a 1e-9 grid per distinct gap; the KS statistic
+    is a MAX of identically-computed doubles — no order-dependent
+    float fold anywhere.
+    """
+    from icecube_spark.operators.timeseries import _us
+
+    ev = catalog.load(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", "event_id")
+        .withColumn("gap_us", _us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(wo))
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", "ts", "event_id", "gap_us")
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_us").alias("s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "ts", "event_id")
+    ranked = gaps.withColumn("i", F.row_number().over(wr)).join(
+        F.broadcast(agg), "event_type"
+    )
+    # fitted CDF at each gap, quantized once per row to a 1e-9 grid
+    fexp = F.floor(
+        (
+            F.lit(1.0)
+            - F.exp(
+                -(F.col("gap_us").cast("double") * F.col("n").cast("double"))
+                / F.col("s").cast("double")
+            )
+        ) * F.lit(1e9)
+    ) / F.lit(1e9)
+    nn = F.col("n").cast("double")
+    dev = F.greatest(
+        F.col("i").cast("double") / nn - fexp,
+        fexp - (F.col("i") - F.lit(1)).cast("double") / nn,
+    )
+    ks = ranked.groupBy("event_type", "n", "s").agg(
+        F.max(dev).alias("ks_stat")
+    )
+    mean_gap_s = (
+        F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e6)
+    )
+    return ks.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        mean_gap_s.alias("mean_gap_s"),
+        (F.lit(3600.0) / mean_gap_s).alias("rate_per_hour"),
+        "ks_stat",
+    ).orderBy("event_type")

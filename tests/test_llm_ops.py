@@ -8,6 +8,8 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("knn_reciprocity", lq.knn_reciprocity),
+    ("normalization_impact", lq.normalization_impact),
     ("media_scene_cuts", lq.media_scene_cuts),
     ("uncertainty_sampling", lq.uncertainty_sampling),
     ("bbit_minhash_eval", lq.bbit_minhash_eval),

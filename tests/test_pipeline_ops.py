@@ -13,6 +13,7 @@ from .conftest import assert_matches_oracle
 
 P_CASES = [
     ("packing_curve", pq.packing_curve),
+    ("cms_heavy_hitters", pq.cms_heavy_hitters),
     ("erasure_impact", pq.erasure_impact),
     ("k_anonymity", pq.k_anonymity),
     ("table_diff", pq.table_diff),

@@ -8,6 +8,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("interarrival_fit", tq.interarrival_fit),
     ("kruskal_wallis", tq.kruskal_wallis),
     ("value_at_risk", tq.value_at_risk),
     ("multitouch_attribution", tq.multitouch_attribution),
