@@ -1680,3 +1680,99 @@ def knn_graph_stats(
         (F.col("n_vectors").cast("bigint") - F.col("n_cited"))
         .alias("n_never_cited"),
     )
+
+
+def _rp_matrix(dim: int, proj_dim: int) -> list[list[int]]:
+    """Deterministic integer 'random' projection matrix in [-998, 998]:
+    r[j][p] = ((j*7919 + p*104729) mod 1997) - 998 with 1-based j, p.
+    Integer arithmetic evaluates identically in every engine — the
+    cross-engine-safe stand-in for a seeded Gaussian matrix."""
+    return [
+        [((j * 7919 + p * 104729) % 1997) - 998 for p in range(1, proj_dim + 1)]
+        for j in range(1, dim + 1)
+    ]
+
+
+def rp_recall(
+    vectors: DataFrame, id_col: str, vec_col: str,
+    k: int = 10, n_queries: int = 10, dim: int = EMBED_DIM, proj_dim: int = 8,
+) -> DataFrame:
+    """E33 — random-projection retrieval eval: project dim-D vectors
+    to proj_dim-D with a deterministic integer matrix (Johnson-
+    Lindenstrauss-style), take top-k by projected L2 distance, and
+    score recall against the exact cosine top-k. The go/no-go gate
+    for swapping full-precision scans for an 8-D projected index
+    (proj_dim/dim ~ 8x less distance work per probe at 100 TB).
+
+    Exactness: components quantize to floor(x*1e6) BIGINTs; each
+    projection is an exact integer dot with the integer matrix,
+    downscaled by floor(/1e6) (max |p| ~ 6.4e10 << 2^53, so the
+    double round-trip is exact); projected distances are exact
+    BIGINT sums of squared diffs; ties break on neighbor id.
+
+    Plan: the projection is one codegen zip_with/aggregate per
+    output dim over the corpus scan; the probe broadcasts only the
+    n_queries projected rows (integer compares, no doubles); the
+    exact reference reuses the E1 broadcast scan. No shuffle
+    touches the full corpus beyond the one top-k per query.
+    """
+    mat = _rp_matrix(dim, proj_dim)
+    qarr = (
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * 1e6) as bigint))"
+    )
+    proj_cols = []
+    for p in range(proj_dim):
+        rlist = ", ".join(str(mat[j][p]) for j in range(dim))
+        proj_cols.append(
+            F.expr(
+                f"cast(floor(cast(aggregate(zip_with({qarr}, array({rlist}), "
+                f"(x, y) -> x * cast(y as bigint)), cast(0 as bigint), "
+                f"(a, x) -> a + x) as double) / 1e6) as bigint)"
+            ).alias(f"p{p}")
+        )
+    pv = vectors.select(F.col(id_col), *proj_cols)
+    q = pv.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"p{p}").alias(f"q{p}") for p in range(proj_dim)],
+    )
+    dist = None
+    for p in range(proj_dim):
+        d = F.col(f"p{p}") - F.col(f"q{p}")
+        dist = d * d if dist is None else dist + d * d
+    scored = pv.join(
+        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dist.cast("bigint").alias("pdist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("pdist", F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = cosine_topk(
+        vectors, id_col, vec_col, F.col(id_col) < n_queries, k
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(
+        approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kk"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double") / F.col("kk").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -1796,3 +1796,49 @@ def license_notice_rate(
             F.col("n_license").cast("double") / F.col("n_docs").cast("double")
         ).alias("license_rate"),
     ).orderBy("source")
+
+
+def doc_stitch_pairs(
+    docs: DataFrame, id_col: str, text_col: str,
+    k: int = 2, max_df: int = 64,
+) -> DataFrame:
+    """F44 — document-stitching detector: pairs (a, b) where the last
+    k normalized tokens of a equal the first k tokens of b. Finds
+    split/continued documents (pagination, chunked crawls) that
+    concat-style dedup misses — the pre-pass before re-joining
+    fragments into one training document.
+
+    Boilerplate guard: a head- or tail-key shared by more than
+    max_df docs (template openings/closings) is excluded — stitch
+    evidence must be rare to be evidence, and the cap bounds the
+    join fanout to max_df^2 per key at any corpus size (the D3
+    df-cap discipline).
+
+    Plan: two key-count shuffles + one equi-join on the stitch key;
+    no text payload moves past the first projection.
+    """
+    toks = _toks(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"array_join(slice({toks}, 1, {k}), ' ')").alias("head_k"),
+        F.expr(f"array_join(slice({toks}, -{k}, {k}), ' ')").alias("tail_k"),
+        F.expr(f"size({toks})").alias("n_toks"),
+    ).where(F.col("n_toks") >= 2 * k)
+    hc = base.groupBy("head_k").agg(F.count(F.lit(1)).alias("h_df"))
+    tc = base.groupBy("tail_k").agg(F.count(F.lit(1)).alias("t_df"))
+    tails = (
+        base.join(tc, "tail_k")
+        .where(F.col("t_df") <= max_df)
+        .select(F.col("doc_id").alias("doc_a"), F.col("tail_k").alias("stitch_key"))
+    )
+    heads = (
+        base.join(hc, "head_k")
+        .where(F.col("h_df") <= max_df)
+        .select(F.col("doc_id").alias("doc_b"), F.col("head_k").alias("stitch_key"))
+    )
+    return (
+        tails.join(heads, "stitch_key")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "stitch_key")
+        .orderBy("doc_a", "doc_b")
+    )

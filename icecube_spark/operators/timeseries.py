@@ -3059,3 +3059,82 @@ def value_at_risk(
             / F.lit(1e6)
         ).alias("expected_shortfall"),
     ).orderBy(key_col)
+
+
+def ljung_box(
+    daily: DataFrame, idx_col: str, value_col: str, max_lag: int = 7
+) -> DataFrame:
+    """C87 — Ljung-Box portmanteau test on a regular series: full-
+    sample autocorrelations rho_k at lags 1..max_lag and the
+    cumulative Q statistic Q_m = n(n+2) * sum_{k<=m} rho_k^2/(n-k).
+    THE standard "is there ANY autocorrelation left" gate run on
+    forecast residuals before a model ships (compare Q against a
+    chi-square_m quantile).
+
+    Cross-engine exactness: values quantize to floor(x*1e6) BIGINT;
+    residuals center as floor((n*q - S)/n) (exact — magnitudes stay
+    << 2^53); covariance/variance moments fold in DECIMAL(38,0)
+    (DuckDB HUGEINT twin); each Q term quantizes to nano-units
+    BEFORE the cumulative sum so the running total is an exact
+    integer fold, order-free.
+
+    Plan: daily series is calendar-bounded (<=365 rows/year at ANY
+    corpus size), so the lag pairing broadcasts; moments are one
+    max_lag-group partial agg; the final window runs on max_lag
+    rows. Nothing here grows with raw-event volume — the rollup
+    before this operator does the heavy lifting.
+    """
+    q = F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint")
+    base = daily.select(F.col(idx_col).alias("i"), q.alias("qx"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").alias("s"),
+    )
+    cen = base.crossJoin(F.broadcast(tot)).select(
+        "i",
+        "n",
+        F.floor(
+            (F.col("qx") * F.col("n") - F.col("s")).cast("double")
+            / F.col("n").cast("double")
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    lags = cen.select(
+        "i", "e", F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag")
+    )
+    prev = cen.select(F.col("i").alias("ip"), F.col("e").alias("ep"))
+    num = (
+        lags.join(F.broadcast(prev), F.col("i") - F.col("lag") == F.col("ip"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("e").cast("decimal(38,0)") * F.col("ep")).alias("cnum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    den = cen.groupBy().agg(
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("cden"),
+        F.max("n").alias("n"),
+    )
+    j = num.crossJoin(F.broadcast(den))
+    nd = F.col("n").cast("double")
+    rho = F.col("cnum").cast("double") / F.col("cden").cast("double")
+    term_q = F.floor(
+        nd * (nd + F.lit(2.0)) * rho * rho
+        / (nd - F.col("lag").cast("double"))
+        * F.lit(1e9)
+    ).cast("bigint")
+    wl = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            (F.floor(rho * F.lit(1e9)) / F.lit(1e9)).alias("rho"),
+            term_q.alias("tq"),
+        )
+        .withColumn(
+            "q_stat", F.sum("tq").over(wl).cast("double") / F.lit(1e9)
+        )
+        .drop("tq")
+        .orderBy("lag")
+    )

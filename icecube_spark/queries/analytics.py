@@ -2189,3 +2189,50 @@ def revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid(t_within).alias("theil_within"),
         grid(between).alias("between_contrib"),
     ).orderBy("n_name")
+
+
+def new_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51 — monthly growth accounting: revenue split into new-
+    customer vs repeat-customer revenue plus the count of customers
+    acquired that month. The first chart on any growth dashboard —
+    "is this month's revenue acquisition or retention?".
+
+    An order is "new" iff it falls on its customer's first order
+    DATE (same-day ties all count as new — deterministic, no
+    row-order dependence). Revenue folds as exact integer cents.
+
+    Plan: one shuffle by custkey for the min-date window, then a
+    month rollup with map-side partial aggregation; both keys stay
+    low-skew at any scale (months are calendar-bounded, custkey is
+    uniform).
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey")
+    lab = orders.select(
+        "o_custkey",
+        d.alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint").alias("cents"),
+    ).withColumn("first_d", F.min("d").over(w))
+    new_cents = F.when(F.col("d") == F.col("first_d"), F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    rep_cents = F.when(F.col("d") > F.col("first_d"), F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    return (
+        lab.groupBy(F.date_trunc("month", F.col("d")).alias("month"))
+        .agg(
+            (F.sum(new_cents).cast("double") / F.lit(1e2)).alias("new_revenue"),
+            (F.sum(rep_cents).cast("double") / F.lit(1e2)).alias(
+                "repeat_revenue"
+            ),
+            F.countDistinct(
+                F.when(F.col("d") == F.col("first_d"), F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("n_new_customers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("month")
+    )

@@ -1089,3 +1089,21 @@ ORACLES["revenue_theil"] = """
     FROM wsum w CROSS JOIN tot t
     ORDER BY w.n_name
 """
+
+ORACLES["new_repeat_revenue"] = """
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               MIN(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey) AS fd
+        FROM orders)
+    SELECT CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
+           CAST(SUM(CASE WHEN d = fd THEN cents ELSE 0 END) AS DOUBLE)
+               / 100.0 AS new_revenue,
+           CAST(SUM(CASE WHEN d > fd THEN cents ELSE 0 END) AS DOUBLE)
+               / 100.0 AS repeat_revenue,
+           CAST(COUNT(DISTINCT CASE WHEN d = fd THEN o_custkey END)
+               AS BIGINT) AS n_new_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM o GROUP BY 1 ORDER BY 1
+"""

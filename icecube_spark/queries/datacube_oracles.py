@@ -973,3 +973,27 @@ ORACLES["cube_aspect_octant"] = """
                AS mean_mag
     FROM classed GROUP BY octant ORDER BY octant
 """
+
+ORACLES["cube_glcm_texture"] = f"""
+    WITH {_QCELLS},
+    ext AS (SELECT MIN(qv) AS lo, MAX(qv) AS hi FROM qcells),
+    g AS (
+        SELECT x, y,
+               CAST(FLOOR(CAST((qv - lo) * 8 AS DOUBLE)
+                          / CAST(hi - lo + 1 AS DOUBLE)) AS INT) AS g
+        FROM qcells, ext),
+    pairs AS (
+        SELECT a.g AS g1, b.g AS g2
+        FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y),
+    hist AS (
+        SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2),
+    tot AS (SELECT SUM(n_pairs) AS t FROM hist)
+    SELECT CAST(g1 AS INT) AS g1, CAST(g2 AS INT) AS g2, n_pairs,
+           CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS p,
+           CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE)
+               * (g1 - g2) * (g1 - g2) AS contrast_term,
+           CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE)
+               / (1.0 + abs(g1 - g2)) AS homogeneity_term
+    FROM hist, tot ORDER BY g1, g2
+"""

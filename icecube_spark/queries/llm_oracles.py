@@ -2426,3 +2426,72 @@ ORACLES["normalization_impact"] = f"""
                AS pct_changed
     FROM audited GROUP BY source ORDER BY source
 """
+
+ORACLES["doc_stitch_pairs"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+               array_to_string(toks[1:2], ' ') AS head_k,
+               array_to_string(toks[-2:], ' ') AS tail_k
+        FROM tk WHERE len(toks) >= 4),
+    hc AS (SELECT head_k, COUNT(*) AS hdf FROM b GROUP BY 1),
+    tc AS (SELECT tail_k, COUNT(*) AS tdf FROM b GROUP BY 1),
+    tails AS (
+        SELECT b.doc_id AS doc_a, b.tail_k AS stitch_key
+        FROM b JOIN tc ON b.tail_k = tc.tail_k WHERE tdf <= 64),
+    heads AS (
+        SELECT b.doc_id AS doc_b, b.head_k AS stitch_key
+        FROM b JOIN hc ON b.head_k = hc.head_k WHERE hdf <= 64)
+    SELECT t.doc_a, h.doc_b, t.stitch_key
+    FROM tails t JOIN heads h USING (stitch_key)
+    WHERE t.doc_a != h.doc_b
+    ORDER BY t.doc_a, h.doc_b
+"""
+
+_RP_PROJ_COLS = ",\n               ".join(
+    "CAST(FLOOR(CAST(list_sum([qe[j] * (((j * 7919 + {p} * 104729) % 1997)"
+    " - 998) FOR j IN range(1, 65)]) AS DOUBLE) / 1e6) AS BIGINT)"
+    " AS p{p}".format(p=p)
+    for p in range(1, 9)
+)
+_RP_DIST = " + ".join(
+    f"(c.p{p} - q.p{p}) * (c.p{p} - q.p{p})" for p in range(1, 9)
+)
+ORACLES["rp_recall"] = f"""
+    WITH {_VNORM},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} DESC,
+                       c.vec_id) AS r
+            FROM (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+                  FROM v WHERE vec_id < 10) q
+            JOIN v c ON c.vec_id != q.query_id)
+        WHERE r <= 10),
+    qarr AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                FOR x IN embedding] AS qe
+        FROM embeddings),
+    proj AS (
+        SELECT vec_id,
+               {_RP_PROJ_COLS}
+        FROM qarr),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_RP_DIST}, c.vec_id) AS r
+            FROM proj q JOIN proj c
+              ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+        WHERE r <= 10)
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+"""

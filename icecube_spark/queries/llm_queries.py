@@ -1050,3 +1050,16 @@ def normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def doc_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F44 — split-document stitching pairs: last-2 tokens of doc A
+    == first-2 tokens of doc B, template keys (df > 64) excluded."""
+    return text.doc_stitch_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33 — recall@10 of 8-D integer random-projection retrieval vs
+    exact cosine (JL-projection index sizing eval)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.rp_recall(emb, "vec_id", "embedding")

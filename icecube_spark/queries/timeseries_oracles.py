@@ -1889,3 +1889,47 @@ ORACLES["interarrival_fit"] = """
            MAX(dev) AS ks_stat
     FROM devs GROUP BY event_type, n, s ORDER BY event_type
 """
+
+ORACLES["ljung_box"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders GROUP BY 1),
+    base AS (
+        SELECT i, CAST(FLOOR(revenue * 1e6) AS BIGINT) AS qx FROM daily),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS s FROM base),
+    cen AS (
+        SELECT i, n,
+               CAST(FLOOR(CAST(qx * n - s AS DOUBLE)
+                          / CAST(n AS DOUBLE)) AS BIGINT) AS e
+        FROM base, tot),
+    lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+    num AS (
+        SELECT l.lag AS lag,
+               SUM(CAST(c.e AS HUGEINT) * p.e) AS cnum,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM cen c CROSS JOIN lags l
+        JOIN cen p ON c.i - l.lag = p.i
+        GROUP BY l.lag),
+    den AS (
+        SELECT SUM(CAST(e AS HUGEINT) * e) AS cden, MAX(n) AS n FROM cen),
+    j AS (
+        SELECT lag, n_pairs,
+               CAST(cnum AS DOUBLE) / CAST(cden AS DOUBLE) AS rho_raw,
+               CAST(n AS DOUBLE) AS nd
+        FROM num, den),
+    t AS (
+        SELECT lag, n_pairs, FLOOR(rho_raw * 1e9) / 1e9 AS rho,
+               CAST(FLOOR(nd * (nd + 2.0) * rho_raw * rho_raw
+                          / (nd - CAST(lag AS DOUBLE)) * 1e9)
+                    AS BIGINT) AS tq
+        FROM j)
+    SELECT CAST(lag AS INT) AS lag, n_pairs, rho,
+           CAST(SUM(tq) OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / 1e9 AS q_stat
+    FROM t ORDER BY lag
+"""

@@ -1071,3 +1071,24 @@ def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(3600.0) / mean_gap_s).alias("rate_per_hour"),
         "ks_stat",
     ).orderBy("event_type")
+
+
+def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C87 — Ljung-Box Q on the daily order-revenue series, lags
+    1..7: residual-autocorrelation sign-off for the forecasting
+    family (C55/C42). Daily revenue folds as exact integer cents
+    before the operator's quantized moments."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+            ).cast("double")
+            / F.lit(1e2)
+        ).alias("revenue")
+    )
+    return timeseries.ljung_box(daily, "day_num", "revenue", max_lag=7)

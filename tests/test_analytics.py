@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("new_repeat_revenue", analytics.new_repeat_revenue),
     ("revenue_theil", analytics.revenue_theil),
     ("lorenz_curve", analytics.lorenz_curve),
     ("weighted_median_price", analytics.weighted_median_price),

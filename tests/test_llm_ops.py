@@ -8,6 +8,8 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("doc_stitch_pairs", lq.doc_stitch_pairs),
+    ("rp_recall", lq.rp_recall),
     ("knn_reciprocity", lq.knn_reciprocity),
     ("normalization_impact", lq.normalization_impact),
     ("media_scene_cuts", lq.media_scene_cuts),

@@ -8,6 +8,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("ljung_box", tq.ljung_box_revenue),
     ("interarrival_fit", tq.interarrival_fit),
     ("kruskal_wallis", tq.kruskal_wallis),
     ("value_at_risk", tq.value_at_risk),
