@@ -345,3 +345,51 @@ def media_frame_dedup(
             / F.least("nf_a", "nf_b").cast("double")
         ).alias("overlap_frac"),
     ).orderBy("doc_a", "doc_b")
+
+
+AUDIO_SILENCE_SCHEMA = (
+    "doc_id long, n_chunks long, n_silent long, longest_run long, "
+    "silence_rate double"
+)
+
+
+def audio_silence(df: DataFrame, chunk: int = 64) -> DataFrame:
+    """G9 — silence profiling over opaque audio payloads: split each
+    payload into fixed chunk-byte windows, flag a window silent when
+    >= 25% of its bytes are below the amplitude floor (byte 32 in
+    this text-backed stand-in — swap the predicate for a real RMS
+    gate without touching the plan), and report per-medium chunk
+    counts, the longest silent run, and the silence rate. The VAD-
+    style pre-screen an audio curation pass runs before any
+    transcription model sees the data.
+
+    Plan: map-only Arrow batches; each payload is processed whole
+    inside its batch (chunk loop is O(len/chunk), payload bytes
+    never shuffle — only the 5-column profile row leaves the
+    worker). Deterministic: pure function of the payload bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_chunks": [], "n_silent": [],
+                "longest_run": [], "silence_rate": [],
+            }
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                chunks = [b[i : i + chunk] for i in range(0, len(b), chunk)]
+                if not chunks:
+                    continue
+                sil = [4 * c.count(32) >= len(c) for c in chunks]
+                longest = cur = 0
+                for s in sil:
+                    cur = cur + 1 if s else 0
+                    longest = max(longest, cur)
+                rows["doc_id"].append(d)
+                rows["n_chunks"].append(len(chunks))
+                rows["n_silent"].append(sum(sil))
+                rows["longest_run"].append(longest)
+                rows["silence_rate"].append(sum(sil) / len(chunks))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_SILENCE_SCHEMA)

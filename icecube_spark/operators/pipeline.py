@@ -2053,3 +2053,83 @@ def erasure_impact(
         )
         .orderBy("table_name")
     )
+
+
+def quality_reliability(
+    df: DataFrame, id_col: str, text_col: str, n_bins: int = 10
+) -> DataFrame:
+    """P58 — score-vs-rule reliability diagram: bin documents into
+    quality-score deciles (F2's composite score) and report, per
+    bin, how often the Gopher rule gate (F7) agrees. A monotone
+    keep_rate curve means the continuous score can replace the rule
+    stack with a single threshold; a flat or jagged one means the
+    score is miscalibrated on this corpus. The eval every team runs
+    before swapping filters at 100 TB.
+
+    Exactness: both score and gate are the F2/F7 integer-ratio
+    expressions; decile cuts come from the distributed prefix-sum
+    (no global sort) and bin membership is a strict < compare; the
+    mean quality folds floor(q*1e9) BIGINTs (the davg decimal cast
+    hits its tie-rounding hazard on this column at sf0.1) with one
+    single-division readout.
+
+    Plan: one scan computes score+flag map-side; cuts need one
+    histogram shuffle + tiny prefix sum; assignment broadcasts the
+    9-value cut list; the final aggregate has n_bins groups.
+    """
+    from icecube_spark.operators.text import NORM, STOPWORDS
+
+    norm = NORM.format(col=text_col)
+    toks = f"split({norm}, ' ')"
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_words = F.expr(f"size({toks})")
+    n_chars = F.expr(f"length({norm})")
+    alpha = F.expr(f"length(regexp_replace({norm}, '[^a-z]', ''))")
+    stop_hits = F.expr(f"size(filter({toks}, t -> t IN ({stops})))")
+    awl = F.expr(f"length(replace({norm}, ' ', '')) / size({toks})")
+    n_sym = F.expr(f"size(regexp_extract_all({norm}, '#|\\\\.\\\\.\\\\.', 0))")
+    n_stop_d = F.expr(
+        f"size(array_intersect(array_distinct({toks}), array({stops})))"
+    )
+    quality = (
+        0.3 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.3 * (stop_hits / n_words)
+        + 0.2 * (alpha / n_chars)
+        + 0.2 * F.least(awl / 10.0, F.lit(1.0))
+    )
+    keep = (
+        n_words.between(10, 100000)
+        & awl.between(2.0, 10.0)
+        & ((n_sym / n_words) < 0.1)
+        & (n_stop_d >= 2)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        quality.alias("quality"),
+        keep.cast("int").alias("keep"),
+    )
+    cuts = distributed_depth_cuts(base, "quality", n_bins)
+    binned = base.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter("cut_list", lambda c: c < F.col("quality")))
+        .cast("int")
+        .alias("bin"),
+        "quality",
+        "keep",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            (F.sum("keep").cast("double") / F.count(F.lit(1))).alias(
+                "keep_rate"
+            ),
+            (
+                F.sum(
+                    F.floor(F.col("quality") * F.lit(1e9)).cast("bigint")
+                ).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+            ).alias("mean_quality"),
+        )
+        .orderBy("bin")
+    )

@@ -1776,3 +1776,64 @@ def rp_recall(
         )
         .orderBy("query_id")
     )
+
+
+def bucket_label_ari(
+    vectors: DataFrame, id_col: str, vec_col: str, label_col: str,
+    n_planes: int = 8,
+) -> DataFrame:
+    """E34 — Adjusted Rand Index between the E2 hyperplane-LSH bucket
+    assignment and the ground-truth labels: does the geometric
+    bucketing recover the label structure? The clustering-eval twin
+    of label_silhouette — ARI ~ 0 means buckets are label-random
+    (bad retrieval space), ARI -> 1 means LSH codes alone separate
+    the classes.
+
+    Exactness: the contingency table is exact integer counts;
+    multiplying the ARI ratio through by the pair count keeps BOTH
+    numerator and denominator exact BIGINTs — one final single
+    division produces the identical double in both engines.
+
+    Plan: one (code, label) count shuffle (<= 256 x labels cells),
+    then driver-sized marginal sums; the code itself is the E2
+    codegen fold over the corpus scan. Scales linearly forever.
+    """
+    coded = vectors.select(
+        lsh_code(vec_col, n_planes).alias("code"), F.col(label_col).alias("lbl")
+    )
+    cells = coded.groupBy("code", "lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    pairs = F.expr("(nij * (nij - 1)) div 2")
+    idx = cells.agg(
+        F.sum(pairs).cast("bigint").alias("index_pairs"),
+        F.sum("nij").cast("bigint").alias("n_vectors"),
+        F.countDistinct("code").cast("bigint").alias("n_codes"),
+        F.countDistinct("lbl").cast("bigint").alias("n_labels"),
+    )
+    a = (
+        cells.groupBy("code")
+        .agg(F.sum("nij").alias("ni"))
+        .agg(F.sum(F.expr("(ni * (ni - 1)) div 2")).cast("bigint").alias("a"))
+    )
+    b = (
+        cells.groupBy("lbl")
+        .agg(F.sum("nij").alias("nj"))
+        .agg(F.sum(F.expr("(nj * (nj - 1)) div 2")).cast("bigint").alias("b"))
+    )
+    j = idx.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).withColumn(
+        "np", F.expr("(n_vectors * (n_vectors - 1)) div 2")
+    )
+    num = F.expr("2 * index_pairs * np - 2 * a * b")
+    den = F.expr("(a + b) * np - 2 * a * b")
+    return j.select(
+        "n_vectors",
+        "n_codes",
+        "n_labels",
+        "index_pairs",
+        (
+            (F.col("a") * F.col("b")).cast("double")
+            / F.col("np").cast("double")
+        ).alias("expected_pairs"),
+        (num.cast("double") / den.cast("double")).alias("ari"),
+    )

@@ -1842,3 +1842,68 @@ def doc_stitch_pairs(
         .select("doc_a", "doc_b", "stitch_key")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F45 — per-document character-distribution entropy (nats) over
+    a fixed 37-symbol alphabet (a-z, 0-9, space) plus an "other"
+    bucket. The gibberish/compressibility screen: natural text sits
+    in a narrow entropy band, base64 blobs and key-mash spam sit
+    high, repeated-char padding sits low — a per-doc complement to
+    the corpus-level entropy_by_source.
+
+    Exactness: per-symbol counts come from length-difference
+    expressions (no tokenizer, no explode); each n·ln(n) term
+    quantizes to micro-nats BEFORE summation (ln of an exact
+    integer is the identical double in both engines), so the
+    reduction is an exact integer fold; the readout is ln(L) minus
+    ONE single division, snapped to a 1e-9 grid.
+
+    Plan: map-only — one codegen projection per doc, no shuffle at
+    all. The cheapest possible 100 TB scan shape.
+    """
+    norm = NORM.format(col=text_col)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    cnts = ", ".join(
+        f"cast(length({norm}) - length(replace({norm}, '{ch}', ''))"
+        " as bigint)"
+        for ch in alphabet
+    )
+    arr = f"array({cnts})"
+    total = f"cast(length({norm}) as bigint)"
+    counted = f"aggregate({arr}, cast(0 as bigint), (a, x) -> a + x)"
+    term = (
+        "n -> IF(n > 0, cast(floor(cast(n as double)"
+        " * ln(cast(n as double)) * 1e6) as bigint), cast(0 as bigint))"
+    )
+    s_counted = (
+        f"aggregate(transform({arr}, {term}),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.expr(total).alias("L"),
+        F.expr(arr).alias("cnt_arr"),
+        F.expr(counted).alias("counted"),
+        F.expr(s_counted).alias("s_counted"),
+    ).where(F.col("L") > 0)
+    o = F.col("L") - F.col("counted")
+    s_other = F.when(
+        o > 0,
+        F.floor(o.cast("double") * F.log(o.cast("double")) * F.lit(1e6)).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0))
+    s_all = F.col("s_counted") + s_other
+    h = F.log(F.col("L").cast("double")) - s_all.cast("double") / (
+        F.col("L").cast("double") * F.lit(1e6)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("L").alias("n_chars"),
+        (
+            F.expr("size(filter(cnt_arr, n -> n > 0))").cast("int")
+            + F.when(o > 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_distinct_symbols"),
+        (F.floor(h * F.lit(1e9)) / F.lit(1e9)).alias("entropy_nats"),
+    ).orderBy(id_col)

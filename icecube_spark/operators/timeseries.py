@@ -3138,3 +3138,124 @@ def ljung_box(
         .drop("tq")
         .orderBy("lag")
     )
+
+
+def runs_test(daily: DataFrame, idx_col: str, value_col: str) -> DataFrame:
+    """C88 — Wald-Wolfowitz runs test on a daily integer series:
+    classify each day above/below the (disc) median, count sign
+    runs, and z-score the count against the random expectation
+    E[R] = 1 + 2 n1 n2/(n1+n2). The nonparametric "is this series
+    random or regime-y" gate that needs no distributional
+    assumptions — the complement to ljung_box's linear-correlation
+    view.
+
+    Exactness: the median is the element at row ceil(n/2) of the
+    (value, day) total order (no interpolation); run/level counts
+    are exact integers; E and z evaluate on exact-integer ratios
+    and snap to a 1e-9 grid.
+
+    Plan: the series is calendar-bounded, so the rank/lag windows
+    run on a frame that stays tiny at any corpus size; everything
+    upstream (the daily rollup) partial-aggregates before shuffling.
+    """
+    base = daily.select(F.col(idx_col).alias("i"), F.col(value_col).alias("v"))
+    wr = Window.orderBy("v", "i")
+    cw = Window.partitionBy()
+    med = (
+        base.select(
+            "v",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)))
+        .select(F.col("v").alias("med"))
+    )
+    cls = (
+        base.crossJoin(F.broadcast(med))
+        .where(F.col("v") != F.col("med"))
+        .select("i", (F.col("v") > F.col("med")).alias("above"))
+    )
+    wi = Window.orderBy("i")
+    flagged = cls.select(
+        "above",
+        F.when(
+            F.lag("above").over(wi).isNull()
+            | (F.col("above") != F.lag("above").over(wi)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("above").cast("bigint")).cast("bigint").alias("n_above"),
+        F.sum((~F.col("above")).cast("bigint")).cast("bigint").alias("n_below"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    r = F.col("n_runs").cast("double")
+    e = F.lit(1.0) + F.lit(2.0) * n1 * n2 / (n1 + n2)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    grid = lambda c: F.floor(c * F.lit(1e9)) / F.lit(1e9)  # noqa: E731
+    return agg.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        grid(e).alias("expected_runs"),
+        grid((r - e) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+def turning_points(daily: DataFrame, idx_col: str, value_col: str) -> DataFrame:
+    """C89 — turning-point randomness test: count strict local peaks
+    and troughs in a daily integer series and z-score against the
+    i.i.d. expectation E[T] = 2(n-2)/3, Var[T] = (16n-29)/90. The
+    quickest "is there structure at all" screen (runs_test's
+    derivative-sign sibling): too few turns = trend, too many =
+    oscillation.
+
+    Exactness: strict integer comparisons (ties are non-turning by
+    definition); E is one exact ratio; z snaps to a 1e-9 grid.
+
+    Plan: one lag/lead window over the calendar-bounded series —
+    cost flat in corpus size once the daily rollup lands.
+    """
+    w = Window.orderBy(idx_col)
+    v = F.col(value_col)
+    tp = (
+        daily.select(
+            v.alias("v"),
+            F.lag(value_col).over(w).alias("pv"),
+            F.lead(value_col).over(w).alias("nv"),
+        )
+        .where(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            (
+                ((F.col("v") > F.col("pv")) & (F.col("v") > F.col("nv")))
+                | ((F.col("v") < F.col("pv")) & (F.col("v") < F.col("nv")))
+            )
+            .cast("int")
+            .alias("turn")
+        )
+    )
+    agg = tp.agg(
+        (F.count(F.lit(1)) + 2).cast("bigint").alias("n_days"),
+        F.sum("turn").cast("bigint").alias("n_turning"),
+    )
+    nd = F.col("n_days").cast("double")
+    e = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    grid = lambda c: F.floor(c * F.lit(1e9)) / F.lit(1e9)  # noqa: E731
+    return agg.select(
+        "n_days",
+        "n_turning",
+        grid(e).alias("expected_turning"),
+        grid((F.col("n_turning").cast("double") - e) / F.sqrt(var)).alias(
+            "z_score"
+        ),
+    )

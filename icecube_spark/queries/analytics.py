@@ -2236,3 +2236,112 @@ def new_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52 — repeat-purchase cadence per nation: count, mean, p50 and
+    p90 of the day-gap between a customer's consecutive orders. The
+    replenishment-cycle profile behind churn windows and "time to
+    next order" campaign triggers.
+
+    Quantiles use the explicit disc rule (value at row ceil(p*n) in
+    the (gap, custkey, date) total order) so both engines pick the
+    identical element — no engine median()/interpolation drift.
+
+    Plan: custkey-partitioned lag window (one shuffle), broadcast
+    dim joins, then a nation-partitioned rank window over the gap
+    rows (25 calendar-bounded groups). No global sort.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+        )
+        .withColumn("gap", F.datediff(F.col("d"), F.lag("d").over(w)))
+        .where(F.col("gap").isNotNull())
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "gap", "o_custkey", "d")
+    )
+    wn = Window.partitionBy("n_name").orderBy("gap", "o_custkey", "d")
+    cn = Window.partitionBy("n_name")
+    ranked = gaps.select(
+        "n_name",
+        "gap",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(cn).alias("n"),
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            (
+                F.sum(F.col("gap").cast("bigint")).cast("double") / F.max("n")
+            ).alias("avg_gap_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)), F.col("gap")
+                )
+            )
+            .cast("int")
+            .alias("p50_gap_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.9)), F.col("gap")
+                )
+            )
+            .cast("int")
+            .alias("p90_gap_days"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53 — month-of-year seasonal index per region: monthly revenue
+    over the regional year-average month (12·m_rev/year_total). The
+    ratio-to-average method — the first demand-planning seasonal
+    profile, and the divisor any deseasonalized trend uses.
+
+    Exactness: revenue folds as integer cents; the index is one
+    exact-integer ratio (12·m/y) evaluated as a single division.
+
+    Plan: one (region, year, month) rollup with map-side combine
+    after broadcast dim joins; the year total is a 12-row window
+    over the rollup — cost bounded by calendar x regions forever.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    region = catalog.load(spark, sf_dir, "region")
+    base = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            F.year(F.to_date("o_orderdate")).alias("yr"),
+            F.month(F.to_date("o_orderdate")).alias("mon"),
+            F.floor(F.col("o_totalprice") * F.lit(1e2))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    m = base.groupBy("r_name", "yr", "mon").agg(
+        F.sum("cents").alias("mc"), F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    wy = Window.partitionBy("r_name", "yr")
+    return m.select(
+        "r_name",
+        F.col("yr").cast("int").alias("yr"),
+        F.col("mon").cast("int").alias("mon"),
+        "n_orders",
+        (F.col("mc").cast("double") / F.lit(1e2)).alias("revenue"),
+        (
+            (F.lit(12) * F.col("mc")).cast("double")
+            / F.sum("mc").over(wy).cast("double")
+        ).alias("seasonal_index"),
+    ).orderBy("r_name", "yr", "mon")

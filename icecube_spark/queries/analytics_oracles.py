@@ -1107,3 +1107,57 @@ ORACLES["new_repeat_revenue"] = """
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM o GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["reorder_intervals"] = """
+    WITH g AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders),
+    j AS (
+        SELECT n_name, gap, o_custkey, d
+        FROM g
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE gap IS NOT NULL),
+    r AS (
+        SELECT n_name, gap,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY gap, o_custkey, d) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM j)
+    SELECT n_name,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(CAST(gap AS BIGINT)) AS DOUBLE) / MAX(n)
+               AS avg_gap_days,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                         THEN gap END) AS INT) AS p50_gap_days,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                         THEN gap END) AS INT) AS p90_gap_days
+    FROM r GROUP BY n_name ORDER BY n_name
+"""
+
+ORACLES["seasonality_index"] = """
+    WITH base AS (
+        SELECT r_name,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    m AS (
+        SELECT r_name, yr, mon, SUM(cents) AS mc,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM base GROUP BY 1, 2, 3)
+    SELECT r_name, yr, mon, n_orders,
+           CAST(mc AS DOUBLE) / 100.0 AS revenue,
+           CAST(12 * mc AS DOUBLE)
+               / CAST(SUM(mc) OVER (PARTITION BY r_name, yr) AS DOUBLE)
+               AS seasonal_index
+    FROM m ORDER BY r_name, yr, mon
+"""

@@ -997,3 +997,40 @@ ORACLES["cube_glcm_texture"] = f"""
                / (1.0 + abs(g1 - g2)) AS homogeneity_term
     FROM hist, tot ORDER BY g1, g2
 """
+
+ORACLES["cube_variogram"] = f"""
+    WITH {_QCELLS},
+    vlags AS (SELECT UNNEST(range(1, 6)) AS h),
+    vpairs AS (
+        SELECT l.h AS h,
+               CAST(a.qv - b.qv AS HUGEINT) * (a.qv - b.qv) AS d2
+        FROM qcells a CROSS JOIN vlags l
+        JOIN qcells b ON b.x = a.x + l.h AND b.y = a.y),
+    vagg AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(d2) AS sd2
+        FROM vpairs GROUP BY h)
+    SELECT CAST(h AS INT) AS lag, n_pairs,
+           FLOOR(CAST(sd2 AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE))
+                 / 1e12 * 1e9) / 1e9 AS semivariance
+    FROM vagg ORDER BY lag
+"""
+
+ORACLES["cube_median_filter"] = f"""
+    WITH {_QCELLS},
+    mcontrib AS (
+        SELECT x + dx AS tx, y + dy AS ty, qv
+        FROM qcells, offs, offs2
+        WHERE x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000),
+    mmed AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               list_sort(list(qv)) AS vals
+        FROM mcontrib GROUP BY 1, 2),
+    mj AS (
+        SELECT m.tx, m.ty, m.n_cells, m.vals
+        FROM mmed m JOIN qcells c ON c.x = m.tx AND c.y = m.ty)
+    SELECT tx AS x, ty AS y, n_cells,
+           CAST(vals[CAST(CEIL(n_cells / 2.0) AS INT)] AS DOUBLE) / 1e6
+               AS median_value
+    FROM mj ORDER BY x, y
+"""

@@ -1949,3 +1949,104 @@ def cube_glcm_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g1", "g2")
     )
+
+
+def cube_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 — empirical semivariogram along x at lags h=1..5:
+    gamma(h) = sum (z(x+h,y) - z(x,y))^2 / (2 N_h) over the sparse
+    pixel grid. THE geostatistics structure function (range/sill/
+    nugget read-off) — the spatial-correlation profile a SAR analyst
+    fits before kriging or choosing a speckle-filter window.
+
+    Exactness: micro-quantized cell values; squared diffs fold in
+    DECIMAL(38,0) (DuckDB HUGEINT twin); one final exact-integer →
+    double division chain, identical in both engines.
+
+    Plan: explode 5 lags, ONE (x+h, y) equi-join against the cell
+    grid (shuffle keyed on the target cell — co-located under tile
+    bucketing), then a 5-group aggregate. Cost scales with cells x
+    lags, never with raw events.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = _pixel_cells(ev).select("x", "y", "qv")
+    lagged = cells.select(
+        "x", "y", "qv", F.explode(F.expr("sequence(1, 5)")).alias("h")
+    ).select((F.col("x") + F.col("h")).alias("tx"), "y", "h", "qv")
+    nb = cells.select(
+        F.col("x").alias("tx"), F.col("y").alias("y"), F.col("qv").alias("qv2")
+    )
+    d = F.col("qv") - F.col("qv2")
+    agg = (
+        lagged.join(nb, ["tx", "y"])
+        .select("h", (d.cast("decimal(38,0)") * d).alias("d2"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("d2").alias("sd2"),
+        )
+    )
+    gamma = (
+        F.col("sd2").cast("double")
+        / (F.lit(2.0) * F.col("n_pairs").cast("double"))
+        / F.lit(1e12)
+    )
+    # 1e-9 snap: engines associate the division chain differently
+    # (~1e-13 relative drift); the grid makes the rendering identical.
+    return agg.select(
+        F.col("h").cast("int").alias("lag"),
+        "n_pairs",
+        (F.floor(gamma * F.lit(1e9)) / F.lit(1e9)).alias("semivariance"),
+    ).orderBy("lag")
+
+
+def cube_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 — 3x3 median despeckle over the sparse pixel grid: each
+    cell's filtered value is the (disc lower) median of its present
+    3x3 neighbors. The rank-filter complement to A30's Lee filter —
+    medians kill salt-and-pepper outliers that mean-based filters
+    smear; SAR ops run one of the two before any thresholding.
+
+    Exactness: the median is element ceil(n/2) of the SORTED
+    micro-quantized neighbor list (n <= 9) — pure integer selection,
+    one single-division readout to value units.
+
+    Plan: the same bounded stencil-gather as A30 (9 contributions
+    per cell, one (x,y) shuffle); the sort is over <= 9 elements per
+    group. Scales with distinct cells only.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = _pixel_cells(ev).select("x", "y", "qv")
+    offs = F.expr("explode(sequence(-1, 1))")
+    contrib = (
+        cells.select("x", "y", "qv", offs.alias("dx"))
+        .select("x", "y", "qv", "dx", F.expr("explode(sequence(-1, 1))").alias("dy"))
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"),
+            (F.col("y") + F.col("dy")).alias("ty"),
+            "qv",
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < 1000)
+            & (F.col("ty") >= 0) & (F.col("ty") < 1000)
+        )
+    )
+    med = (
+        contrib.groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sort_array(F.collect_list("qv")).alias("vals"),
+        )
+        .join(
+            cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
+            ["tx", "ty"],
+        )
+    )
+    pick = F.element_at(
+        "vals", F.ceil(F.col("n_cells") / F.lit(2.0)).cast("int")
+    )
+    return med.select(
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        "n_cells",
+        (pick.cast("double") / F.lit(1e6)).alias("median_value"),
+    ).orderBy("x", "y")

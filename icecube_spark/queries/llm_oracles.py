@@ -2495,3 +2495,118 @@ ORACLES["rp_recall"] = f"""
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
     GROUP BY e.query_id ORDER BY e.query_id
 """
+
+ORACLES["media_audio_silence"] = """
+    WITH ascii_docs AS (
+        -- ASCII projection mirrors the Spark side: 1 char == 1 byte.
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+        FROM documents),
+    meta AS (
+        SELECT doc_id, text,
+               CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nc
+        FROM ascii_docs WHERE strlen(text) > 0),
+    chunks AS (
+        SELECT doc_id, nc, c, substr(text, c * 64 + 1, 64) AS ck
+        FROM meta CROSS JOIN range(0, 1024) t(c)
+        WHERE c < nc),
+    scored AS (
+        SELECT doc_id, c,
+               4 * (strlen(ck) - strlen(replace(ck, ' ', '')))
+                   >= strlen(ck) AS silent
+        FROM chunks),
+    runs AS (
+        SELECT doc_id,
+               c - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c)
+                   AS grp
+        FROM scored WHERE silent),
+    runlen AS (
+        SELECT doc_id, COUNT(*) AS rl FROM runs GROUP BY doc_id, grp),
+    longest AS (
+        SELECT doc_id, MAX(rl) AS longest_run FROM runlen GROUP BY doc_id),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent
+        FROM scored GROUP BY doc_id)
+    SELECT p.doc_id, p.n_chunks, p.n_silent,
+           CAST(COALESCE(l.longest_run, 0) AS BIGINT) AS longest_run,
+           CAST(p.n_silent AS DOUBLE) / CAST(p.n_chunks AS DOUBLE)
+               AS silence_rate
+    FROM per_doc p LEFT JOIN longest l ON p.doc_id = l.doc_id
+    ORDER BY p.doc_id
+"""
+
+_ENT_ALPHA = ", ".join(
+    "' '" if c == " " else f"'{c}'"
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789 "
+)
+ORACLES["char_entropy_docs"] = f"""
+    WITH ca AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    base AS (
+        SELECT doc_id, CAST(length(t) AS BIGINT) AS L,
+               [CAST(length(t) - length(replace(t, c, '')) AS BIGINT)
+                FOR c IN [{_ENT_ALPHA}]] AS arr
+        FROM ca WHERE length(t) > 0),
+    calc AS (
+        SELECT doc_id, L, arr,
+               CAST(list_sum(arr) AS BIGINT) AS counted,
+               CAST(list_sum(
+                   [CASE WHEN n > 0
+                         THEN CAST(FLOOR(CAST(n AS DOUBLE)
+                                         * ln(CAST(n AS DOUBLE)) * 1e6)
+                              AS BIGINT)
+                         ELSE 0 END FOR n IN arr]) AS BIGINT) AS s_counted
+        FROM base)
+    SELECT doc_id, L AS n_chars,
+           CAST(len(list_filter(arr, n -> n > 0))
+                + CASE WHEN L - counted > 0 THEN 1 ELSE 0 END AS INT)
+               AS n_distinct_symbols,
+           FLOOR((ln(CAST(L AS DOUBLE))
+                  - CAST(s_counted
+                         + CASE WHEN L - counted > 0
+                                THEN CAST(FLOOR(CAST(L - counted AS DOUBLE)
+                                          * ln(CAST(L - counted AS DOUBLE))
+                                          * 1e6) AS BIGINT)
+                                ELSE 0 END AS DOUBLE)
+                    / (CAST(L AS DOUBLE) * 1e6)) * 1e9) / 1e9
+               AS entropy_nats
+    FROM calc ORDER BY doc_id
+"""
+
+ORACLES["bucket_label_ari"] = """
+    WITH coded AS (
+        SELECT label AS lbl,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM embeddings),
+    cells AS (
+        SELECT code, lbl, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM coded GROUP BY 1, 2),
+    idx AS (
+        SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS index_pairs,
+               CAST(SUM(nij) AS BIGINT) AS n_vectors,
+               CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+               CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_labels
+        FROM cells),
+    ma AS (
+        SELECT CAST(SUM((ni * (ni - 1)) // 2) AS BIGINT) AS a FROM (
+            SELECT SUM(nij) AS ni FROM cells GROUP BY code)),
+    mb AS (
+        SELECT CAST(SUM((nj * (nj - 1)) // 2) AS BIGINT) AS b FROM (
+            SELECT SUM(nij) AS nj FROM cells GROUP BY lbl))
+    SELECT n_vectors, n_codes, n_labels, index_pairs,
+           CAST(a * b AS DOUBLE)
+               / CAST((n_vectors * (n_vectors - 1)) // 2 AS DOUBLE)
+               AS expected_pairs,
+           CAST(2 * index_pairs * ((n_vectors * (n_vectors - 1)) // 2)
+                - 2 * a * b AS DOUBLE)
+               / CAST((a + b) * ((n_vectors * (n_vectors - 1)) // 2)
+                      - 2 * a * b AS DOUBLE) AS ari
+    FROM idx, ma, mb
+"""

@@ -1063,3 +1063,30 @@ def rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine (JL-projection index sizing eval)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.rp_recall(emb, "vec_id", "embedding")
+
+
+def media_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — per-medium silence profile (64-byte windows, >=25%
+    floor-amplitude bytes = silent): chunk counts, longest silent
+    run, silence rate. Text is ASCII-projected as in G7/G8 so the
+    char-based oracle is byte-exact on any corpus."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    return multimodal.audio_silence(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F45 — per-doc character entropy over a-z/0-9/space + other
+    (gibberish and padding screen)."""
+    return text.char_entropy(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def bucket_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 — Adjusted Rand Index of the E2 LSH bucket assignment vs
+    embedding labels (does geometry recover the classes?)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.bucket_label_ari(emb, "vec_id", "embedding", "label")

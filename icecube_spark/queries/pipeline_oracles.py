@@ -1197,3 +1197,48 @@ ORACLES["cms_heavy_hitters"] = f"""
     GROUP BY p.rank, p.term, p.n
     ORDER BY p.rank
 """
+
+ORACLES["quality_reliability"] = """
+    WITH qbase AS (
+        SELECT doc_id,
+               0.3 * least(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) / 100.0, 1.0)
+               + 0.3 * (len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'], x)))
+                        / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+               + 0.2 * (length(regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '[^a-z]', '', 'g'))
+                        / length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+               + 0.2 * least((length(replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', ''))
+                              / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) / 10.0, 1.0)
+                   AS quality,
+               CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) BETWEEN 10 AND 100000
+                    AND (length(replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', ''))
+                         / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) BETWEEN 2.0 AND 10.0
+                    AND (len(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '#|\\.\\.\\.'))
+                         / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) < 0.1
+                    AND len(list_intersect(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), ['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'])) >= 2
+                    AS INT) AS keep
+        FROM documents),
+    h AS (SELECT quality AS v, COUNT(*) AS cnt FROM qbase GROUP BY 1),
+    cum AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n_total
+        FROM h),
+    ds AS (SELECT UNNEST(range(1, 10)) AS d),
+    cuts AS (
+        SELECT d, MIN(v) AS cut
+        FROM cum CROSS JOIN ds
+        WHERE cum >= CEIL(d * n_total / 10)
+        GROUP BY d),
+    cut_arr AS (SELECT array_agg(cut ORDER BY cut) AS cut_list FROM cuts),
+    binned AS (
+        SELECT CAST(len(list_filter(cut_list, c -> c < quality)) AS INT)
+                   AS bin,
+               quality, keep
+        FROM qbase, cut_arr)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate,
+           CAST(SUM(CAST(FLOOR(quality * 1e9) AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mean_quality
+    FROM binned GROUP BY bin ORDER BY bin
+"""

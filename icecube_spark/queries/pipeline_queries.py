@@ -842,3 +842,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "estimate",
         (F.col("estimate") - F.col("n")).alias("overestimate"),
     ).orderBy("rank")
+
+
+def quality_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P58 — quality-score decile vs Gopher-gate keep-rate
+    reliability diagram (score calibration audit)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.quality_reliability(docs, "doc_id", "text")

@@ -1933,3 +1933,88 @@ ORACLES["ljung_box"] = """
                 AS DOUBLE) / 1e9 AS q_stat
     FROM t ORDER BY lag
 """
+
+ORACLES["runs_test"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1),
+    med AS (
+        SELECT v AS med FROM (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v, i) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily)
+        WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)),
+    cls AS (
+        SELECT i, v > med AS above
+        FROM daily, med WHERE v != med),
+    flagged AS (
+        SELECT above,
+               CASE WHEN LAG(above) OVER (ORDER BY i) IS NULL
+                         OR above != LAG(above) OVER (ORDER BY i)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM cls),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_below,
+               CAST(SUM(new_run) AS BIGINT) AS n_runs
+        FROM flagged)
+    SELECT n_days, n_above, n_below, n_runs,
+           FLOOR((1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE)
+                  / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+                 * 1e9) / 1e9 AS expected_runs,
+           FLOOR((CAST(n_runs AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                           * CAST(n_below AS DOUBLE)
+                     / (CAST(n_above AS DOUBLE)
+                        + CAST(n_below AS DOUBLE))))
+                 / SQRT(2.0 * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE)
+                        * (2.0 * CAST(n_above AS DOUBLE)
+                           * CAST(n_below AS DOUBLE)
+                           - CAST(n_above AS DOUBLE)
+                           - CAST(n_below AS DOUBLE))
+                        / ((CAST(n_above AS DOUBLE)
+                            + CAST(n_below AS DOUBLE))
+                           * (CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE))
+                           * (CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE) - 1.0)))
+                 * 1e9) / 1e9 AS z_score
+    FROM agg
+"""
+
+ORACLES["turning_points"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1),
+    tp AS (
+        SELECT v, LAG(v) OVER (ORDER BY i) AS pv,
+               LEAD(v) OVER (ORDER BY i) AS nv
+        FROM daily),
+    f AS (
+        SELECT CASE WHEN (v > pv AND v > nv) OR (v < pv AND v < nv)
+                    THEN 1 ELSE 0 END AS turn
+        FROM tp WHERE pv IS NOT NULL AND nv IS NOT NULL),
+    agg AS (
+        SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_days,
+               CAST(SUM(turn) AS BIGINT) AS n_turning
+        FROM f)
+    SELECT n_days, n_turning,
+           FLOOR(2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0 * 1e9) / 1e9
+               AS expected_turning,
+           FLOOR((CAST(n_turning AS DOUBLE)
+                  - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+                 / SQRT((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)
+                 * 1e9) / 1e9 AS z_score
+    FROM agg
+"""

@@ -1092,3 +1092,35 @@ def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue")
     )
     return timeseries.ljung_box(daily, "day_num", "revenue", max_lag=7)
+
+
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C88 — Wald-Wolfowitz runs test on daily order revenue
+    (integer cents), days at the median excluded."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+        ).alias("cents")
+    )
+    return timeseries.runs_test(daily, "day_num", "cents")
+
+
+def turning_points_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C89 — turning-point randomness test on daily order revenue
+    (integer cents)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+        ).alias("cents")
+    )
+    return timeseries.turning_points(daily, "day_num", "cents")

@@ -8,6 +8,8 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("seasonality_index", analytics.seasonality_index),
+    ("reorder_intervals", analytics.reorder_intervals),
     ("new_repeat_revenue", analytics.new_repeat_revenue),
     ("revenue_theil", analytics.revenue_theil),
     ("lorenz_curve", analytics.lorenz_curve),

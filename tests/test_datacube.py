@@ -12,6 +12,8 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_median_filter", dq.cube_median_filter),
+    ("cube_variogram", dq.cube_variogram),
     ("cube_glcm_texture", dq.cube_glcm_texture),
     ("cube_cfar_detect", dq.cube_cfar_detect),
     ("cube_aspect_octant", dq.cube_aspect_octant),

@@ -8,6 +8,9 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("bucket_label_ari", lq.bucket_label_ari),
+    ("char_entropy_docs", lq.char_entropy_docs),
+    ("media_audio_silence", lq.media_audio_silence),
     ("doc_stitch_pairs", lq.doc_stitch_pairs),
     ("rp_recall", lq.rp_recall),
     ("knn_reciprocity", lq.knn_reciprocity),

@@ -12,6 +12,7 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("quality_reliability", pq.quality_reliability),
     ("packing_curve", pq.packing_curve),
     ("cms_heavy_hitters", pq.cms_heavy_hitters),
     ("erasure_impact", pq.erasure_impact),

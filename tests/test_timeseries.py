@@ -8,6 +8,8 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("turning_points", tq.turning_points_revenue),
+    ("runs_test", tq.runs_test_revenue),
     ("ljung_box", tq.ljung_box_revenue),
     ("interarrival_fit", tq.interarrival_fit),
     ("kruskal_wallis", tq.kruskal_wallis),
