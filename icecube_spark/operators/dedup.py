@@ -937,3 +937,60 @@ def bbit_minhash_eval(
         est_1bit.alias("est_1bit"),
         F.abs(est_full - est_1bit).alias("abs_gap"),
     ).orderBy("doc_a", "doc_b")
+
+
+def winnowing_pairs(
+    docs: DataFrame, id_col: str, text_col: str,
+    k: int = 4, w: int = 4, min_shared: int = 3, max_df: int = 64,
+) -> DataFrame:
+    """D15 — winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every k-token gram, slide a w-gram
+    window and keep each window's MINIMUM hash; the distinct kept
+    hashes are the document's fingerprints. Winnowing guarantees any
+    shared run of >= w+k-1 tokens yields a shared fingerprint —
+    positional near-dup evidence MinHash's bag-of-grams view can't
+    give. Pairs share >= min_shared fingerprints.
+
+    Exactness: md5 hex minima are lexicographic string minima —
+    identical in both engines; overlap counts are exact.
+
+    Plan: gram hashing is a map-side transform; the window minimum
+    is a doc-partitioned ordered window (rows w-1 following — no
+    global sort); the pair join runs on the fingerprint inverted
+    index with the D3 df <= max_df stop-fingerprint cap, bounding
+    fanout per fingerprint at any corpus size.
+    """
+    norm = NORM.format(col=text_col)
+    toks = f"split({norm}, ' ')"
+    ghash = (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+        f" i -> md5(array_join(slice({toks}, i, {k}), ' ')))"
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(F.expr(ghash))
+    ).select("doc_id", F.col("pos"), F.col("col").alias("gh"))
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    cnt = Window.partitionBy("doc_id")
+    fps = (
+        grams.withColumn("n_grams", F.count(F.lit(1)).over(cnt))
+        .withColumn("wmin", F.min("gh").over(wwin))
+        .where(F.col("pos") <= F.col("n_grams") - w)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    df_cap = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    idx = fps.join(df_cap, "fp").where(F.col("df") <= max_df)
+    a = idx.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

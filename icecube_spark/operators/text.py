@@ -1907,3 +1907,66 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("n_distinct_symbols"),
         (F.floor(h * F.lit(1e9)) / F.lit(1e9)).alias("entropy_nats"),
     ).orderBy(id_col)
+
+
+def topk_coverage_curve(
+    df: DataFrame, id_col: str, text_col: str,
+    ks: tuple[int, ...] = (10, 100, 1000, 10000),
+) -> DataFrame:
+    """F46 — cumulative token-mass coverage of the top-k vocabulary
+    ranks: for each budget k, how many corpus tokens the k most
+    frequent types cover. THE sizing table for vocab/tokenizer
+    budget decisions (and the practical companion to zipf_fit's
+    exponent estimate).
+
+    Exactness: counts are exact; ranks break ties on the term
+    string; shares are single divisions of exact integers.
+
+    Plan: one term-count shuffle; the rank cut is TakeOrdered
+    (limit max(ks)) — NO global sort materializes the full vocab;
+    the cumulative window then runs on <= max(ks) rows.
+    """
+    norm = NORM.format(col=text_col)
+    terms = df.select(
+        F.explode(F.expr(f"split({norm}, ' ')")).alias("term")
+    ).where(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    top = counts.orderBy(F.desc("n"), "term").limit(max(ks))
+    wr = Window.orderBy(F.desc("n"), "term")
+    ranked = top.select(
+        "n",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("n")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    ks_df = ranked.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(k,) for k in ks], "k int"
+            )
+        )
+    ).where(F.col("rn") <= F.col("k"))
+    return (
+        ks_df.groupBy("k")
+        .agg(
+            F.max("rn").cast("bigint").alias("ranks_used"),
+            F.max("cum").cast("bigint").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "ranks_used",
+            "covered_tokens",
+            "total_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

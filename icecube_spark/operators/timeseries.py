@@ -3259,3 +3259,57 @@ def turning_points(daily: DataFrame, idx_col: str, value_col: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+def drawdown_durations(
+    daily: DataFrame, idx_col: str, value_col: str
+) -> DataFrame:
+    """C90 — drawdown-episode profile of a daily integer series:
+    consecutive runs of days strictly below the running maximum,
+    reporting episode count, longest and mean duration, and the
+    deepest shortfall. C60's max_drawdown gives the single worst
+    fall; this gives the regime picture (how often, how long, how
+    deep) that capacity planning actually consumes.
+
+    Exactness: run-max, episode boundaries and depths are exact
+    integer comparisons; the mean duration is one single division.
+
+    Plan: two ordered windows over the calendar-bounded daily frame
+    (running max, then gaps-and-islands episode ids) — flat cost at
+    any corpus size after the daily rollup.
+    """
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.orderBy("i")
+    base = daily.select(
+        F.col(idx_col).alias("i"), F.col(value_col).alias("v")
+    ).withColumn("runmax", F.max("v").over(w))
+    dd = base.withColumn("in_dd", (F.col("v") < F.col("runmax")).cast("int"))
+    ep = dd.withColumn(
+        "ep_start",
+        F.when(
+            (F.col("in_dd") == 1)
+            & (F.coalesce(F.lag("in_dd").over(wi), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "ep_id",
+        F.sum("ep_start").over(
+            Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    eps = (
+        ep.where(F.col("in_dd") == 1)
+        .groupBy("ep_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dur"),
+            F.max(F.col("runmax") - F.col("v")).alias("depth"),
+        )
+    )
+    return eps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.max("dur").cast("bigint").alias("longest_days"),
+        (
+            F.sum("dur").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_duration_days"),
+        (F.max("depth").cast("double") / F.lit(1e2)).alias("max_depth"),
+    )

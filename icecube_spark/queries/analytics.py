@@ -2345,3 +2345,64 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("mc").over(wy).cast("double")
         ).alias("seasonal_index"),
     ).orderBy("r_name", "yr", "mon")
+
+
+def lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54 — monthly ship-SLA attainment: fraction of lineitems
+    shipped within 30 days of order placement, plus the disc-p95
+    ship delay. The operations SLA trend every fulfilment review
+    opens with; q12 counts late modes, this tracks the attainment
+    rate and tail latency over time.
+
+    Exactness: delays are integer days; the SLA rate is one exact
+    division; p95 is the explicit disc-rank element (row
+    ceil(0.95 n) of the (delay, orderkey, linenumber) total order).
+
+    Plan: one co-partitioned orderkey join (both sides shuffle on
+    the join key — bucketing makes it exchange-free), then a
+    month-partitioned rank window; months are calendar-bounded.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("month"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wm = Window.partitionBy("month").orderBy(
+        "delay", "l_orderkey", "l_linenumber"
+    )
+    cm = Window.partitionBy("month")
+    ranked = j.select(
+        "month",
+        "delay",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(cm).alias("n"),
+    )
+    return (
+        ranked.groupBy("month")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("delay") <= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_sla"),
+            (
+                F.sum(F.when(F.col("delay") <= 30, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.max("n").cast("double")
+            ).alias("sla_rate"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.95)),
+                    F.col("delay"),
+                )
+            )
+            .cast("int")
+            .alias("p95_delay_days"),
+        )
+        .orderBy("month")
+    )

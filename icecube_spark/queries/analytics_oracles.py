@@ -1161,3 +1161,28 @@ ORACLES["seasonality_index"] = """
                AS seasonal_index
     FROM m ORDER BY r_name, yr, mon
 """
+
+ORACLES["lead_time_sla"] = """
+    WITH j AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS TIMESTAMP) AS month,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS delay,
+               l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    r AS (
+        SELECT month, delay,
+               ROW_NUMBER() OVER (PARTITION BY month
+                   ORDER BY delay, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY month) AS n
+        FROM j)
+    SELECT month,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_sla,
+           CAST(SUM(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(MAX(n) AS DOUBLE) AS sla_rate,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT)
+                         THEN delay END) AS INT) AS p95_delay_days
+    FROM r GROUP BY month ORDER BY month
+"""

@@ -1034,3 +1034,24 @@ ORACLES["cube_median_filter"] = f"""
                AS median_value
     FROM mj ORDER BY x, y
 """
+
+ORACLES["cube_ring_stats"] = f"""
+    WITH {_QCELLS},
+    banded AS (
+        SELECT CAST(FLOOR(SQRT(CAST((x - 500) * (x - 500)
+                                    + (y - 500) * (y - 500) AS DOUBLE))
+                          / 50.0) AS INT) AS ring,
+               qv
+        FROM qcells),
+    ragg AS (
+        SELECT ring, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(qv) AS BIGINT) AS s,
+               MIN(qv) AS mn, MAX(qv) AS mx
+        FROM banded GROUP BY ring)
+    SELECT ring, n_cells,
+           CAST(s AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 1e6)
+               AS mean_value,
+           CAST(mn AS DOUBLE) / 1e6 AS min_value,
+           CAST(mx AS DOUBLE) / 1e6 AS max_value
+    FROM ragg ORDER BY ring
+"""

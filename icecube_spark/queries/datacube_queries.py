@@ -2050,3 +2050,48 @@ def cube_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         (pick.cast("double") / F.lit(1e6)).alias("median_value"),
     ).orderBy("x", "y")
+
+
+def cube_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45 — radial ring profile from the grid center: cells band by
+    floor(sqrt((x-500)^2+(y-500)^2)/50) and each ring reports count
+    and mean/min/max value. The range-profile readout (antenna
+    pattern falloff, incidence-angle banding, vignette checks) SAR
+    calibration teams pull from every scene.
+
+    Exactness: r^2 is exact integer math; sqrt of an exact int is
+    the identical correctly-rounded double in both engines, so the
+    band floor agrees; ring moments are exact-int folds with
+    single-division readouts.
+
+    Plan: band assignment is map-side; one <=15-group aggregate.
+    Scales with cells; no shuffle beyond the ring rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = _pixel_cells(ev).select("x", "y", "qv")
+    r2 = (
+        (F.col("x") - F.lit(500)) * (F.col("x") - F.lit(500))
+        + (F.col("y") - F.lit(500)) * (F.col("y") - F.lit(500))
+    )
+    banded = cells.select(
+        F.floor(F.sqrt(r2.cast("double")) / F.lit(50.0)).cast("int").alias(
+            "ring"
+        ),
+        "qv",
+    )
+    agg = banded.groupBy("ring").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("qv").alias("s"),
+        F.min("qv").alias("mn"),
+        F.max("qv").alias("mx"),
+    )
+    return agg.select(
+        "ring",
+        "n_cells",
+        (
+            F.col("s").cast("double")
+            / (F.col("n_cells").cast("double") * F.lit(1e6))
+        ).alias("mean_value"),
+        (F.col("mn").cast("double") / F.lit(1e6)).alias("min_value"),
+        (F.col("mx").cast("double") / F.lit(1e6)).alias("max_value"),
+    ).orderBy("ring")

@@ -2610,3 +2610,59 @@ ORACLES["bucket_label_ari"] = """
                       - 2 * a * b AS DOUBLE) AS ari
     FROM idx, ma, mb
 """
+
+ORACLES["dedup_winnowing"] = f"""
+    WITH wtk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    wg AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+3], ' ')) AS gh,
+               greatest(len(toks) - 3, 1) AS n_grams
+        FROM wtk CROSS JOIN range(1, 4096) t(i)
+        WHERE i <= greatest(len(toks) - 3, 1)),
+    wwin AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin
+        FROM wg),
+    wfps AS (
+        SELECT DISTINCT doc_id, wmin AS fp
+        FROM wwin WHERE pos <= n_grams - 4),
+    wdfc AS (SELECT fp, COUNT(*) AS df FROM wfps GROUP BY 1),
+    widx AS (SELECT f.doc_id, f.fp FROM wfps f JOIN wdfc USING (fp)
+             WHERE df <= 64)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM widx a JOIN widx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLES["topk_coverage_curve"] = f"""
+    WITH cterms AS (
+        SELECT UNNEST({_TOKS}) AS term FROM documents),
+    ccounts AS (
+        SELECT term, COUNT(*) AS n FROM cterms
+        WHERE term != '' GROUP BY 1),
+    ctotal AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size
+        FROM ccounts),
+    ctop AS (
+        SELECT n FROM ccounts ORDER BY n DESC, term LIMIT 10000),
+    cranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC) AS rn,
+               SUM(n) OVER (ORDER BY n DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum
+        FROM ctop),
+    cks AS (SELECT UNNEST([10, 100, 1000, 10000]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(MAX(rn) AS BIGINT) AS ranks_used,
+           CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+           total_tokens,
+           CAST(MAX(cum) AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS coverage
+    FROM cranked CROSS JOIN cks CROSS JOIN ctotal
+    WHERE rn <= k
+    GROUP BY k, total_tokens ORDER BY k
+"""

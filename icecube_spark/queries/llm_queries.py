@@ -1090,3 +1090,17 @@ def bucket_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding labels (does geometry recover the classes?)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.bucket_label_ari(emb, "vec_id", "embedding", "label")
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 — MOSS-style winnowing fingerprint pairs (4-token grams,
+    window 4, >=3 shared fingerprints, df<=64 cap)."""
+    return dedup.winnowing_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def topk_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F46 — token-mass coverage at vocab ranks 10/100/1k/10k: the
+    tokenizer-budget table (how much of the corpus the top-k types
+    explain). zipf_fit gives the exponent; this gives the budget
+    read-off."""
+    return text.topk_coverage_curve(_docs(spark, sf_dir), "doc_id", "text")

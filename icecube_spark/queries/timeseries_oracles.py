@@ -2018,3 +2018,42 @@ ORACLES["turning_points"] = """
                  * 1e9) / 1e9 AS z_score
     FROM agg
 """
+
+ORACLES["drawdown_durations"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1),
+    rm AS (
+        SELECT i, v,
+               MAX(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS runmax
+        FROM daily),
+    dd AS (
+        SELECT i, v, runmax,
+               CASE WHEN v < runmax THEN 1 ELSE 0 END AS in_dd
+        FROM rm),
+    epf AS (
+        SELECT i, v, runmax, in_dd,
+               CASE WHEN in_dd = 1
+                         AND COALESCE(LAG(in_dd) OVER (ORDER BY i), 0) = 0
+                    THEN 1 ELSE 0 END AS ep_start
+        FROM dd),
+    ep AS (
+        SELECT i, v, runmax, in_dd,
+               SUM(ep_start) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS ep_id
+        FROM epf),
+    eps AS (
+        SELECT ep_id, CAST(COUNT(*) AS BIGINT) AS dur,
+               MAX(runmax - v) AS depth
+        FROM ep WHERE in_dd = 1 GROUP BY ep_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_episodes,
+           CAST(MAX(dur) AS BIGINT) AS longest_days,
+           CAST(SUM(dur) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_duration_days,
+           CAST(MAX(depth) AS DOUBLE) / 1e2 AS max_depth
+    FROM eps
+"""

@@ -1124,3 +1124,19 @@ def turning_points_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     return timeseries.turning_points(daily, "day_num", "cents")
+
+
+def drawdown_durations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C90 — drawdown-episode profile of daily order revenue
+    (integer cents; depth reported in currency units)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+        ).alias("cents")
+    )
+    return timeseries.drawdown_durations(daily, "day_num", "cents")

@@ -8,6 +8,8 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("dedup_winnowing", lq.dedup_winnowing),
+    ("topk_coverage_curve", lq.topk_coverage_curve),
     ("bucket_label_ari", lq.bucket_label_ari),
     ("char_entropy_docs", lq.char_entropy_docs),
     ("media_audio_silence", lq.media_audio_silence),
