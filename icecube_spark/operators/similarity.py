@@ -1837,3 +1837,67 @@ def bucket_label_ari(
         ).alias("expected_pairs"),
         (num.cast("double") / den.cast("double")).alias("ari"),
     )
+
+
+def dot_cosine_rank_corr(
+    vectors: DataFrame, id_col: str, vec_col: str,
+    n_queries: int = 10, dim: int = EMBED_DIM,
+) -> DataFrame:
+    """E35 — Spearman rank correlation between dot-product ranking
+    and cosine ranking per query, over the whole candidate set. The
+    "does normalization matter HERE" gate: rho ~ 1 means norms are
+    uniform enough to skip the normalize pass (and its sqrt per
+    pair) in the retrieval path; a low rho means dot-product
+    shortcuts silently reorder results.
+
+    Exactness: both rankings are integer row_numbers over quantized
+    scores with id tie-breaks; Spearman's 1 - 6*sum d^2/(n(n^2-1))
+    divides exact integers once.
+
+    Plan: one E1-shaped broadcast scan produces both scores in the
+    same pass; two windows per query (partition-local sorts), one
+    per-query aggregate.
+    """
+    q = vectors.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = vectors.join(
+        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot_expr("qv", vec_col, dim).alias("dot"),
+        (
+            dot_expr("qv", vec_col, dim)
+            / (norm_expr("qv", dim) * norm_expr(vec_col, dim))
+        ).alias("cosine"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        (F.row_number().over(wd) - F.row_number().over(wc)).alias("d"),
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d").cast("bigint") * F.col("d")).alias("sd2"),
+    )
+    return agg.select(
+        "query_id",
+        "n",
+        (
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sd2").cast("double"))
+            / (
+                F.col("n").cast("double")
+                * (
+                    F.col("n").cast("double") * F.col("n").cast("double")
+                    - F.lit(1.0)
+                )
+            )
+        ).alias("spearman_rho"),
+    ).orderBy("query_id")

@@ -2406,3 +2406,42 @@ def lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def bulk_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55 — realized unit-price curve by order quantity: per
+    integer quantity, the count and mean/min/max unit price
+    (extendedprice/quantity). The pricing-analytics read-off for
+    volume-discount structure — a downward-sloping mean says bulk
+    buyers pay less per unit.
+
+    Exactness: unit prices quantize once to floor(p/q * 1e4)
+    BIGINTs (identical IEEE division first, identical floor); the
+    mean is one single division of exact integers.
+
+    Plan: map-side quantize + one <=50-group aggregate with partial
+    combine — a pure scan shape at any corpus size.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    unit = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(1e4)
+    ).cast("bigint")
+    base = li.select(
+        F.col("l_quantity").cast("int").alias("quantity"), unit.alias("qu")
+    )
+    agg = base.groupBy("quantity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qu").alias("s"),
+        F.min("qu").alias("mn"),
+        F.max("qu").alias("mx"),
+    )
+    return agg.select(
+        "quantity",
+        "n_lines",
+        (
+            F.col("s").cast("double")
+            / (F.col("n_lines").cast("double") * F.lit(1e4))
+        ).alias("mean_unit_price"),
+        (F.col("mn").cast("double") / F.lit(1e4)).alias("min_unit_price"),
+        (F.col("mx").cast("double") / F.lit(1e4)).alias("max_unit_price"),
+    ).orderBy("quantity")

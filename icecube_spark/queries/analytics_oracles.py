@@ -1186,3 +1186,22 @@ ORACLES["lead_time_sla"] = """
                          THEN delay END) AS INT) AS p95_delay_days
     FROM r GROUP BY month ORDER BY month
 """
+
+ORACLES["bulk_discount_curve"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS INT) AS quantity,
+               CAST(FLOOR(l_extendedprice / l_quantity * 1e4) AS BIGINT)
+                   AS qu
+        FROM lineitem),
+    agg AS (
+        SELECT quantity, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(qu) AS BIGINT) AS s,
+               MIN(qu) AS mn, MAX(qu) AS mx
+        FROM base GROUP BY quantity)
+    SELECT quantity, n_lines,
+           CAST(s AS DOUBLE) / (CAST(n_lines AS DOUBLE) * 1e4)
+               AS mean_unit_price,
+           CAST(mn AS DOUBLE) / 1e4 AS min_unit_price,
+           CAST(mx AS DOUBLE) / 1e4 AS max_unit_price
+    FROM agg ORDER BY quantity
+"""

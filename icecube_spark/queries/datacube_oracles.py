@@ -1055,3 +1055,23 @@ ORACLES["cube_ring_stats"] = f"""
            CAST(mx AS DOUBLE) / 1e6 AS max_value
     FROM ragg ORDER BY ring
 """
+
+ORACLES["cube_ruggedness"] = f"""
+    WITH {_QCELLS},
+    tcontrib AS (
+        SELECT x + dx AS tx, y + dy AS ty, qv AS nqv
+        FROM qcells, offs, offs2
+        WHERE NOT (dx = 0 AND dy = 0)
+          AND x + dx >= 0 AND x + dx < 1000
+          AND y + dy >= 0 AND y + dy < 1000),
+    tgather AS (
+        SELECT c.tx, c.ty, abs(q.qv - c.nqv) AS ad
+        FROM tcontrib c JOIN qcells q ON q.x = c.tx AND q.y = c.ty),
+    tagg AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(SUM(ad) AS BIGINT) AS sad
+        FROM tgather GROUP BY 1, 2)
+    SELECT tx AS x, ty AS y, n_neighbors,
+           CAST(sad AS DOUBLE) / (CAST(n_neighbors AS DOUBLE) * 1e6) AS tri
+    FROM tagg ORDER BY x, y
+"""

@@ -2095,3 +2095,54 @@ def cube_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mn").cast("double") / F.lit(1e6)).alias("min_value"),
         (F.col("mx").cast("double") / F.lit(1e6)).alias("max_value"),
     ).orderBy("ring")
+
+
+def cube_ruggedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46 — terrain ruggedness index (TRI, Riley 1999 mean-|diff|
+    form): per cell, the mean absolute value difference to its
+    present 8-neighbors. The terrain-complexity layer between A22's
+    smoothing view and A23's directional gradient — flat vs rugged
+    classification for layover/shadow masking.
+
+    Exactness: absolute diffs of micro-quantized values are exact
+    BIGINTs; the per-cell mean is one single-division readout.
+
+    Plan: the A30-shaped bounded stencil (8 contributions per cell,
+    one (x,y) shuffle), then a per-cell aggregate. Scales with
+    distinct cells.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = _pixel_cells(ev).select("x", "y", "qv")
+    contrib = (
+        cells.select("x", "y", "qv", F.expr("explode(sequence(-1, 1))").alias("dx"))
+        .select("x", "y", "qv", "dx", F.expr("explode(sequence(-1, 1))").alias("dy"))
+        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"),
+            (F.col("y") + F.col("dy")).alias("ty"),
+            F.col("qv").alias("nqv"),
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < 1000)
+            & (F.col("ty") >= 0) & (F.col("ty") < 1000)
+        )
+    )
+    center = cells.select(
+        F.col("x").alias("tx"), F.col("y").alias("ty"), F.col("qv")
+    )
+    gathered = contrib.join(center, ["tx", "ty"]).select(
+        "tx", "ty", F.abs(F.col("qv") - F.col("nqv")).alias("ad")
+    )
+    agg = gathered.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.sum("ad").alias("sad"),
+    )
+    return agg.select(
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        "n_neighbors",
+        (
+            F.col("sad").cast("double")
+            / (F.col("n_neighbors").cast("double") * F.lit(1e6))
+        ).alias("tri"),
+    ).orderBy("x", "y")

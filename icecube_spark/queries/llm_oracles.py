@@ -2666,3 +2666,31 @@ ORACLES["topk_coverage_curve"] = f"""
     WHERE rn <= k
     GROUP BY k, total_tokens ORDER BY k
 """
+
+ORACLES["dot_cosine_rank_corr"] = f"""
+    WITH {_VNORM},
+    qset AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+             FROM v WHERE vec_id < 10),
+    rscored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_PAIR_COS.format(a='q.qv', b='c.embedding', na='1.0', nb='1.0')} AS dot,
+               {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} AS cosine
+        FROM qset q JOIN v c ON c.vec_id != q.query_id),
+    rranked AS (
+        SELECT query_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, neighbor_id)
+               - ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS d
+        FROM rscored),
+    ragg AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(d AS BIGINT) * d) AS BIGINT) AS sd2
+        FROM rranked GROUP BY query_id)
+    SELECT query_id, n,
+           1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+               AS spearman_rho
+    FROM ragg ORDER BY query_id
+"""

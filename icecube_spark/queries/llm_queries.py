@@ -1104,3 +1104,10 @@ def topk_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     explain). zipf_fit gives the exponent; this gives the budget
     read-off."""
     return text.topk_coverage_curve(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def dot_cosine_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — per-query Spearman rho between dot-product and cosine
+    rankings (is the normalize pass load-bearing on this corpus?)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.dot_cosine_rank_corr(emb, "vec_id", "embedding")

@@ -2057,3 +2057,116 @@ ORACLES["drawdown_durations"] = """
            CAST(MAX(depth) AS DOUBLE) / 1e2 AS max_depth
     FROM eps
 """
+
+ORACLES["seasonal_strength"] = """
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS value
+        FROM orders GROUP BY 1),
+    q AS (
+        SELECT day, value,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qv
+        FROM daily),
+    t AS (
+        SELECT day, value, qv,
+               COUNT(*) OVER w AS win_n,
+               SUM(qv) OVER w AS sqv
+        FROM q
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)),
+    tr AS (
+        SELECT day, value,
+               CASE WHEN win_n = 7
+                    THEN CAST(sqv AS DOUBLE) / 7.0 / 1000000.0 END AS trend
+        FROM t),
+    dt AS (
+        SELECT *,
+               CAST(FLOOR((value - trend) * 1000000.0) AS BIGINT) AS qd,
+               dayofweek(day) + 1 AS dow
+        FROM tr),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(qd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0 AS seasonal
+        FROM dt WHERE trend IS NOT NULL GROUP BY dow),
+    full_dec AS (
+        SELECT d.day, d.value, d.trend, s.seasonal,
+               d.value - d.trend - s.seasonal AS residual
+        FROM dt d LEFT JOIN seas s ON d.dow = s.dow
+        WHERE d.trend IS NOT NULL),
+    qx AS (
+        SELECT CAST(FLOOR(residual * 1e6) AS BIGINT) AS r,
+               CAST(FLOOR((value - trend) * 1e6) AS BIGINT) AS sr,
+               CAST(FLOOR((value - seasonal) * 1e6) AS BIGINT) AS trr
+        FROM full_dec),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS s_r,
+               SUM(CAST(r AS HUGEINT) * r) AS ss_r,
+               CAST(SUM(sr) AS BIGINT) AS s_sr,
+               SUM(CAST(sr AS HUGEINT) * sr) AS ss_sr,
+               CAST(SUM(trr) AS BIGINT) AS s_tr,
+               SUM(CAST(trr AS HUGEINT) * trr) AS ss_tr
+        FROM qx)
+    SELECT n AS n_days,
+           FLOOR(greatest(0.0,
+               1.0 - (CAST(n AS DOUBLE) * CAST(ss_r AS DOUBLE)
+                      - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(ss_sr AS DOUBLE)
+                        - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE)))
+                 * 1e9) / 1e9 AS seasonal_strength,
+           FLOOR(greatest(0.0,
+               1.0 - (CAST(n AS DOUBLE) * CAST(ss_r AS DOUBLE)
+                      - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(ss_tr AS DOUBLE)
+                        - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE)))
+                 * 1e9) / 1e9 AS trend_strength
+    FROM mom
+"""
+
+ORACLES["intervention_impact"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    ext AS (
+        SELECT CAST(FLOOR(CAST(MIN(i) + MAX(i) AS DOUBLE) / 2.0)
+                    AS BIGINT) AS bp
+        FROM daily),
+    seg AS (SELECT i, y, bp, i >= bp AS post FROM daily, ext),
+    mom AS (
+        SELECT post, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(i AS HUGEINT) * y) AS sxy,
+               SUM(CAST(i AS HUGEINT) * i) AS sxx,
+               MAX(bp) AS bp
+        FROM seg GROUP BY post),
+    fit AS (
+        SELECT post, n, bp,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+        FROM mom)
+    SELECT pre.bp AS bp_day,
+           pre.n AS n_pre, post.n AS n_post,
+           FLOOR(pre.slope / 1e2 * 1e9) / 1e9 AS slope_pre,
+           FLOOR(post.slope / 1e2 * 1e9) / 1e9 AS slope_post,
+           FLOOR((post.slope - pre.slope) / 1e2 * 1e9) / 1e9
+               AS slope_change,
+           FLOOR(((post.icept + post.slope * CAST(pre.bp AS DOUBLE))
+                  - (pre.icept + pre.slope * CAST(pre.bp AS DOUBLE)))
+                 / 1e2 * 1e9) / 1e9 AS level_change
+    FROM (SELECT * FROM fit WHERE NOT post) pre
+    CROSS JOIN (SELECT * FROM fit WHERE post) post
+"""

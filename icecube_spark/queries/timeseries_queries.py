@@ -1140,3 +1140,153 @@ def drawdown_durations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     return timeseries.drawdown_durations(daily, "day_num", "cents")
+
+
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C91 — Hyndman seasonal/trend strength of the daily revenue
+    decomposition: F_s = max(0, 1 - Var(R)/Var(S+R)) and
+    F_t = max(0, 1 - Var(R)/Var(T+R)) over C42's STL-lite output.
+    THE one-number summaries that decide whether a forecast model
+    needs seasonal terms at all (Hyndman & Athanasopoulos, FPP).
+
+    Exactness: the decomposition columns are already engine-exact;
+    each variance operand quantizes to floor(x*1e6) BIGINT and the
+    unnormalized variance n·Σx²−(Σx)² folds in DECIMAL(38,0); the
+    strengths are single divisions of exact integers, snapped 1e-9.
+
+    Plan: one extra single-row aggregate over the calendar-bounded
+    decomposition frame.
+    """
+    from icecube_spark.functions.parity import qsum  # noqa: F401
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").cast("timestamp").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("bigint")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("revenue")
+    )
+    dec = timeseries.seasonal_decompose(daily, "day", "revenue").where(
+        F.col("trend").isNotNull()
+    )
+    qr = F.floor(F.col("residual") * F.lit(1e6)).cast("bigint")
+    qsr = F.floor((F.col("value") - F.col("trend")) * F.lit(1e6)).cast("bigint")
+    qtr = F.floor((F.col("value") - F.col("seasonal")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    q = dec.select(qr.alias("r"), qsr.alias("sr"), qtr.alias("tr"))
+    agg = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").alias("s_r"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("ss_r"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.col("sr").cast("decimal(38,0)") * F.col("sr")).alias("ss_sr"),
+        F.sum("tr").alias("s_tr"),
+        F.sum(F.col("tr").cast("decimal(38,0)") * F.col("tr")).alias("ss_tr"),
+    )
+    def uvar(ss, s):
+        return (
+            F.col("n").cast("double") * F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+        )
+    grid = lambda c: F.floor(c * F.lit(1e9)) / F.lit(1e9)  # noqa: E731
+    vr, vsr, vtr = uvar("ss_r", "s_r"), uvar("ss_sr", "s_sr"), uvar("ss_tr", "s_tr")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        grid(
+            F.greatest(F.lit(0.0), F.lit(1.0) - vr / vsr)
+        ).alias("seasonal_strength"),
+        grid(
+            F.greatest(F.lit(0.0), F.lit(1.0) - vr / vtr)
+        ).alias("trend_strength"),
+    )
+
+
+def intervention_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C92 — interrupted time-series (segmented regression) on daily
+    revenue around the series midpoint: pre/post OLS slopes, the
+    slope change, and the level change at the breakpoint. The
+    single-series causal-read companion to diff_in_diff (which needs
+    a control group; ITS needs only the break date).
+
+    Exactness: OLS moments are exact integer folds (days x cents,
+    DECIMAL(38,0)); slopes are single divisions; the level change
+    evaluates the same expression shape in both engines; outputs
+    snap to a 1e-9 grid.
+
+    Plan: one daily rollup, one broadcast 1-row extent, a 2-group
+    moment aggregate — flat cost at any corpus size.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("i")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+        ).alias("y")
+    )
+    ext = daily.agg(
+        F.floor(
+            (F.min("i") + F.max("i")).cast("double") / F.lit(2.0)
+        ).cast("bigint").alias("bp")
+    )
+    seg = daily.crossJoin(F.broadcast(ext)).select(
+        "i", "y", "bp", (F.col("i") >= F.col("bp")).alias("post")
+    )
+    mom = seg.groupBy("post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("i").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("i")).alias("sxx"),
+        F.max("bp").alias("bp"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / nd
+    fit = mom.select(
+        "post", "n", "bp",
+        slope.alias("slope"), intercept.alias("icept"),
+    )
+    pre = fit.where(~F.col("post")).select(
+        F.col("n").alias("n_pre"), F.col("slope").alias("slope_pre"),
+        F.col("icept").alias("icept_pre"), "bp",
+    )
+    post = fit.where(F.col("post")).select(
+        F.col("n").alias("n_post"), F.col("slope").alias("slope_post"),
+        F.col("icept").alias("icept_post"),
+    )
+    j = pre.crossJoin(F.broadcast(post))
+    bpd = F.col("bp").cast("double")
+    grid = lambda c: F.floor(c * F.lit(1e9)) / F.lit(1e9)  # noqa: E731
+    return j.select(
+        F.col("bp").alias("bp_day"),
+        "n_pre",
+        "n_post",
+        grid(F.col("slope_pre") / F.lit(1e2)).alias("slope_pre"),
+        grid(F.col("slope_post") / F.lit(1e2)).alias("slope_post"),
+        grid(
+            (F.col("slope_post") - F.col("slope_pre")) / F.lit(1e2)
+        ).alias("slope_change"),
+        grid(
+            (
+                (F.col("icept_post") + F.col("slope_post") * bpd)
+                - (F.col("icept_pre") + F.col("slope_pre") * bpd)
+            )
+            / F.lit(1e2)
+        ).alias("level_change"),
+    )

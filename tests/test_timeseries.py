@@ -8,6 +8,8 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("seasonal_strength", tq.seasonal_strength),
+    ("intervention_impact", tq.intervention_impact),
     ("drawdown_durations", tq.drawdown_durations_revenue),
     ("turning_points", tq.turning_points_revenue),
     ("runs_test", tq.runs_test_revenue),
