@@ -2133,3 +2133,46 @@ def quality_reliability(
         )
         .orderBy("bin")
     )
+
+
+def dedup_cost_model(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """P60 — dedup blocking-cost planner: for three blocking schemes
+    (exact normalized hash, 32-char prefix, length bucket) report
+    bucket count, the candidate-pair bill sum C(b,2), and the worst
+    bucket. The back-of-envelope every dedup campaign runs FIRST:
+    candidate pairs — not documents — are what you pay for at
+    100 TB, and a scheme whose worst bucket is quadratic-sized is
+    vetoed here before any join runs.
+
+    Exactness: all outputs are exact integer counts.
+
+    Plan: three key-count shuffles over one scan projection; each
+    report row is a tiny re-aggregate of its bucket histogram.
+    """
+    from icecube_spark.operators.dedup import NORM
+
+    norm = NORM.format(col=text_col)
+    base = df.select(
+        F.md5(F.expr(norm)).alias("exact_key"),
+        F.expr(f"substring({norm}, 1, 32)").alias("prefix_key"),
+        F.floor(F.length(F.expr(norm)) / F.lit(64)).cast("bigint").alias("len_key"),
+    )
+    out = None
+    for method, key in (
+        ("exact_hash", "exact_key"),
+        ("prefix_32", "prefix_key"),
+        ("length_64", "len_key"),
+    ):
+        hist = base.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("b"))
+        rep = hist.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.expr("(b * (b - 1)) div 2")).cast("bigint").alias(
+                "candidate_pairs"
+            ),
+            F.max("b").cast("bigint").alias("max_bucket"),
+        )
+        out = rep if out is None else out.unionAll(rep)
+    return out.orderBy("method")

@@ -3313,3 +3313,125 @@ def drawdown_durations(
         ).alias("mean_duration_days"),
         (F.max("depth").cast("double") / F.lit(1e2)).alias("max_depth"),
     )
+
+
+_HURST_SIZES = {8: 2079441541, 16: 2772588722, 32: 3465735902, 64: 4158883083}
+
+
+def hurst_rs(daily: DataFrame, idx_col: str, value_col: str) -> DataFrame:
+    """C93 — rescaled-range (R/S) Hurst exponent of a daily integer
+    series over block sizes 8/16/32/64: per complete block, R =
+    range of cumulative mean-deviations and S = population std;
+    H = OLS slope of ln(mean R/S) on ln(block size). H ~ 0.5 is a
+    random walk, > 0.5 long-memory persistence, < 0.5 mean
+    reversion — the classic long-range-dependence diagnostic
+    (Hurst 1951, Mandelbrot's R/S analysis).
+
+    Exactness: deviations scale by the block size so every
+    cumulative term is an exact BIGINT; R/S divides an exact int by
+    the sqrt of an exact int (identical doubles); per-size means
+    fold nano-quantized R/S values; the regression runs on
+    nano-quantized (ln B, ln mean) integer moments (ln B pinned as
+    integer literals) with one final single division, snapped 1e-9.
+
+    Plan: blocks form with one rank window over the calendar-bounded
+    series, then per-(size, block) aggregates and a 4-row readout —
+    flat cost at any corpus size.
+    """
+    sizes = F.array(*[F.lit(b) for b in _HURST_SIZES])
+    wr = Window.orderBy(idx_col)
+    base = daily.select(
+        F.col(value_col).alias("x"),
+        (F.row_number().over(wr) - 1).alias("rn"),
+    ).select("x", "rn", F.explode(sizes).alias("bs"))
+    blk = base.select(
+        "bs", "x", "rn",
+        F.floor(F.col("rn") / F.col("bs")).cast("bigint").alias("blk"),
+        (F.col("rn") % F.col("bs")).alias("pos"),
+    )
+    per = blk.groupBy("bs", "blk").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("x").alias("sb"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ssb"),
+    )
+    full = per.where(F.col("nb") == F.col("bs"))
+    wcum = (
+        Window.partitionBy("bs", "blk")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        blk.join(full.select("bs", "blk", "sb", "ssb"), ["bs", "blk"])
+        .withColumn(
+            "cum",
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("bs") - F.col("sb")
+            ).over(wcum),
+        )
+    )
+    rs = (
+        dev.groupBy("bs", "blk", "sb", "ssb")
+        .agg(
+            (F.max("cum") - F.min("cum")).cast("double").alias("r_scaled")
+        )
+        .select(
+            "bs",
+            F.floor(
+                F.col("r_scaled")
+                / F.sqrt(
+                    (
+                        F.col("ssb").cast("double") * F.col("bs").cast("double")
+                        - F.col("sb").cast("double") * F.col("sb").cast("double")
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("qrs"),
+        )
+    )
+    per_size = rs.groupBy("bs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("qrs").alias("sqrs"),
+    ).select(
+        "bs",
+        "n_blocks",
+        (
+            F.col("sqrs").cast("double")
+            / (F.col("n_blocks").cast("double") * F.lit(1e9))
+        ).alias("mean_rs"),
+    )
+    lnb = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in _HURST_SIZES]),
+            F.array(*[F.lit(v) for v in _HURST_SIZES.values()]),
+        ),
+        F.col("bs"),
+    )
+    pts = per_size.select(
+        "bs", "n_blocks", "mean_rs",
+        lnb.alias("qx"),
+        F.floor(F.log(F.col("mean_rs")) * F.lit(1e9)).cast("bigint").alias(
+            "qy"
+        ),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias("sxx"),
+    )
+    h = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    hrow = mom.select(
+        (F.floor(h * F.lit(1e9)) / F.lit(1e9)).alias("hurst")
+    )
+    return pts.select(
+        F.col("bs").cast("int").alias("block_size"), "n_blocks", "mean_rs"
+    ).crossJoin(F.broadcast(hrow)).orderBy("block_size")

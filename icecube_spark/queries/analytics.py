@@ -2445,3 +2445,68 @@ def bulk_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mn").cast("double") / F.lit(1e4)).alias("min_unit_price"),
         (F.col("mx").cast("double") / F.lit(1e4)).alias("max_unit_price"),
     ).orderBy("quantity")
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56 — nation-to-nation trade matrix and net balance: revenue
+    flowing from customer nation (buyer) to supplier nation
+    (seller), with each nation's exports, imports and net position.
+    q7 tracks two nations' shipping volume; this is the full
+    bilateral matrix every trade dashboard starts from.
+
+    Exactness: integer-cent folds; balances are exact integer
+    subtractions with single-division readouts.
+
+    Plan: one fact shuffle on (cust_nation, supp_nation) after two
+    broadcast dim joins; the matrix is nations^2-bounded (625 rows)
+    and the balance is a self-aggregate of that matrix.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    supp = catalog.load(spark, sf_dir, "supplier")
+    nation = catalog.load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e2)
+    ).cast("bigint")
+    flows = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(cents).alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    exports = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("c").alias("exp_c")
+    )
+    imports = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("c").alias("imp_c")
+    )
+    balance = exports.join(imports, "nation", "full").select(
+        "nation",
+        (F.coalesce(F.col("exp_c"), F.lit(0)).cast("double") / F.lit(1e2)).alias(
+            "exports"
+        ),
+        (F.coalesce(F.col("imp_c"), F.lit(0)).cast("double") / F.lit(1e2)).alias(
+            "imports"
+        ),
+        (
+            (
+                F.coalesce(F.col("exp_c"), F.lit(0))
+                - F.coalesce(F.col("imp_c"), F.lit(0))
+            ).cast("double")
+            / F.lit(1e2)
+        ).alias("net_balance"),
+    )
+    return balance.orderBy("nation")

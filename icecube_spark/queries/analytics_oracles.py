@@ -1205,3 +1205,30 @@ ORACLES["bulk_discount_curve"] = """
            CAST(mx AS DOUBLE) / 1e4 AS max_unit_price
     FROM agg ORDER BY quantity
 """
+
+ORACLES["nation_trade_balance"] = """
+    WITH flows AS (
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+                        AS BIGINT)) AS c
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+    exports AS (
+        SELECT supp_nation AS nation, SUM(c) AS exp_c
+        FROM flows GROUP BY 1),
+    imports AS (
+        SELECT cust_nation AS nation, SUM(c) AS imp_c
+        FROM flows GROUP BY 1)
+    SELECT COALESCE(e.nation, i.nation) AS nation,
+           CAST(COALESCE(exp_c, 0) AS DOUBLE) / 100.0 AS exports,
+           CAST(COALESCE(imp_c, 0) AS DOUBLE) / 100.0 AS imports,
+           CAST(COALESCE(exp_c, 0) - COALESCE(imp_c, 0) AS DOUBLE) / 100.0
+               AS net_balance
+    FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
+    ORDER BY nation
+"""

@@ -1075,3 +1075,23 @@ ORACLES["cube_ruggedness"] = f"""
            CAST(sad AS DOUBLE) / (CAST(n_neighbors AS DOUBLE) * 1e6) AS tri
     FROM tagg ORDER BY x, y
 """
+
+ORACLES["cube_layover_shadow"] = """
+    WITH g50 AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM events GROUP BY 1, 2),
+    grad AS (
+        SELECT c.x, c.y, e.qv - w.qv AS g2
+        FROM g50 c
+        JOIN g50 e ON e.x = c.x + 1 AND e.y = c.y
+        JOIN g50 w ON w.x = c.x - 1 AND w.y = c.y)
+    SELECT x, y,
+           CAST(g2 AS DOUBLE) / 2e6 AS gx,
+           CASE WHEN g2 > 4000000 THEN 'layover'
+                WHEN g2 < -4000000 THEN 'shadow'
+                ELSE 'ok' END AS mask_class
+    FROM grad ORDER BY x, y
+"""

@@ -2146,3 +2146,58 @@ def cube_ruggedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_neighbors").cast("double") * F.lit(1e6))
         ).alias("tri"),
     ).orderBy("x", "y")
+
+
+def cube_layover_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47 — layover/shadow candidate masking from the A23
+    central-difference gradient on the 50x50 dense grid: a cell
+    whose east-west twice-gradient exceeds +4.0 value units leans
+    toward the (+x-looking) sensor — layover candidate; below -4.0
+    it faces away — shadow candidate. The geometry pre-mask every
+    SAR terrain pipeline applies before radiometric use.
+
+    Exactness: classification happens on EXACT integer
+    twice-gradients (E-W in micro-units — no /2, no floats); the
+    reported gradient is one single-division readout.
+
+    Plan: A23's 2-offset stencil (E/W contributions only), one
+    (x,y) shuffle, map-side classify. Scales with cells.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("qv")
+        )
+    )
+    east = cells.select(
+        (F.col("x") - 1).alias("x"), "y", F.col("qv").alias("e")
+    )
+    west = cells.select(
+        (F.col("x") + 1).alias("x"), "y", F.col("qv").alias("w")
+    )
+    g = cells.join(east, ["x", "y"]).join(west, ["x", "y"]).select(
+        "x", "y", (F.col("e") - F.col("w")).alias("g2")
+    )
+    cls = (
+        F.when(F.col("g2") > 4_000_000, F.lit("layover"))
+        .when(F.col("g2") < -4_000_000, F.lit("shadow"))
+        .otherwise(F.lit("ok"))
+    )
+    return g.select(
+        "x",
+        "y",
+        (F.col("g2").cast("double") / F.lit(2e6)).alias("gx"),
+        cls.alias("mask_class"),
+    ).orderBy("x", "y")

@@ -2694,3 +2694,40 @@ ORACLES["dot_cosine_rank_corr"] = f"""
                AS spearman_rho
     FROM ragg ORDER BY query_id
 """
+
+ORACLES["burrows_delta"] = f"""
+    WITH bterms AS (
+        SELECT source AS grp, UNNEST({_TOKS}) AS term FROM documents),
+    bg AS (
+        SELECT grp, term, COUNT(*) AS cnt FROM bterms
+        WHERE term != '' GROUP BY 1, 2),
+    btot AS (SELECT grp, SUM(cnt) AS tok FROM bg GROUP BY 1),
+    btop AS (
+        SELECT term FROM (
+            SELECT term, SUM(cnt) AS tot FROM bg GROUP BY 1
+            ORDER BY tot DESC, term LIMIT 20)),
+    bgrid AS (SELECT grp, tok, term FROM btot CROSS JOIN btop),
+    brates AS (
+        SELECT g.grp, g.term,
+               (COALESCE(c.cnt, 0) * CAST(1000000 AS BIGINT)) // g.tok AS r
+        FROM bgrid g LEFT JOIN bg c ON g.grp = c.grp AND g.term = c.term),
+    bstats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS s,
+               SUM(CAST(r AS HUGEINT) * r) AS ss
+        FROM brates GROUP BY 1),
+    bz AS (
+        SELECT r.grp, r.term,
+               CAST(st.n * r.r - st.s AS DOUBLE)
+               / SQRT(CAST(st.n AS DOUBLE) * CAST(st.ss AS DOUBLE)
+                      - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) AS z
+        FROM brates r JOIN bstats st ON r.term = st.term),
+    bpairs AS (
+        SELECT a.grp AS source_a, b.grp AS source_b,
+               CAST(FLOOR(abs(a.z - b.z) * 1e9) AS BIGINT) AS qd
+        FROM bz a JOIN bz b ON a.term = b.term AND a.grp < b.grp)
+    SELECT source_a, source_b,
+           CAST(SUM(qd) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e9)
+               AS delta
+    FROM bpairs GROUP BY 1, 2 ORDER BY source_a, source_b
+"""

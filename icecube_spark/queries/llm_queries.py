@@ -1111,3 +1111,9 @@ def dot_cosine_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings (is the normalize pass load-bearing on this corpus?)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     return similarity.dot_cosine_rank_corr(emb, "vec_id", "embedding")
+
+
+def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F47 — Burrows' Delta stylometric distance between sources
+    (top-20 corpus terms, per-million rates, z-scored)."""
+    return text.burrows_delta(_docs(spark, sf_dir), "doc_id", "text", "source")

@@ -1242,3 +1242,35 @@ ORACLES["quality_reliability"] = """
                / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mean_quality
     FROM binned GROUP BY bin ORDER BY bin
 """
+
+ORACLES["dedup_cost_model"] = """
+    WITH nbase AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS exact_key,
+               substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      1, 32) AS prefix_key,
+               CAST(FLOOR(length(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g')) / 64) AS BIGINT) AS len_key
+        FROM documents),
+    h1 AS (SELECT exact_key AS k, COUNT(*) AS b FROM nbase GROUP BY 1),
+    h2 AS (SELECT prefix_key AS k, COUNT(*) AS b FROM nbase GROUP BY 1),
+    h3 AS (SELECT CAST(len_key AS VARCHAR) AS k, COUNT(*) AS b
+           FROM nbase GROUP BY 1),
+    reps AS (
+        SELECT 'exact_hash' AS method, CAST(COUNT(*) AS BIGINT)
+                   AS n_buckets,
+               CAST(SUM((b * (b - 1)) // 2) AS BIGINT) AS candidate_pairs,
+               CAST(MAX(b) AS BIGINT) AS max_bucket
+        FROM h1
+        UNION ALL
+        SELECT 'prefix_32', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM((b * (b - 1)) // 2) AS BIGINT),
+               CAST(MAX(b) AS BIGINT)
+        FROM h2
+        UNION ALL
+        SELECT 'length_64', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM((b * (b - 1)) // 2) AS BIGINT),
+               CAST(MAX(b) AS BIGINT)
+        FROM h3)
+    SELECT * FROM reps ORDER BY method
+"""

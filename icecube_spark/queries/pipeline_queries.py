@@ -849,3 +849,10 @@ def quality_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliability diagram (score calibration audit)."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.quality_reliability(docs, "doc_id", "text")
+
+
+def dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P60 — candidate-pair cost of three dedup blocking schemes
+    (exact hash / 32-char prefix / length bucket)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return pipeline.dedup_cost_model(docs, "doc_id", "text")

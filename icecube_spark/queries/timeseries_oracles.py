@@ -2170,3 +2170,66 @@ ORACLES["intervention_impact"] = """
     FROM (SELECT * FROM fit WHERE NOT post) pre
     CROSS JOIN (SELECT * FROM fit WHERE post) post
 """
+
+ORACLES["hurst_exponent"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+    hbase AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY i) - 1 AS rn FROM daily),
+    hexp AS (
+        SELECT x, rn, bs, CAST(FLOOR(rn / bs) AS BIGINT) AS blk,
+               rn % bs AS pos
+        FROM hbase CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS bs)),
+    hper AS (
+        SELECT bs, blk, COUNT(*) AS nb,
+               CAST(SUM(x) AS BIGINT) AS sb,
+               SUM(CAST(x AS HUGEINT) * x) AS ssb
+        FROM hexp GROUP BY 1, 2),
+    hfull AS (SELECT * FROM hper WHERE nb = bs),
+    hdev AS (
+        SELECT e.bs, e.blk, f.sb, f.ssb,
+               SUM(CAST(e.x AS HUGEINT) * e.bs - f.sb) OVER (
+                   PARTITION BY e.bs, e.blk ORDER BY e.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hexp e JOIN hfull f ON e.bs = f.bs AND e.blk = f.blk),
+    hrs AS (
+        SELECT bs,
+               CAST(FLOOR(CAST(MAX(cum) - MIN(cum) AS DOUBLE)
+                          / SQRT(CAST(ssb AS DOUBLE) * CAST(bs AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                          * 1e9) AS BIGINT) AS qrs
+        FROM hdev GROUP BY bs, blk, sb, ssb),
+    hsize AS (
+        SELECT bs, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(qrs) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mean_rs
+        FROM hrs GROUP BY bs),
+    hpts AS (
+        SELECT bs, n_blocks, mean_rs,
+               CASE bs WHEN 8 THEN 2079441541
+                       WHEN 16 THEN 2772588722
+                       WHEN 32 THEN 3465735902
+                       ELSE 4158883083 END AS qx,
+               CAST(FLOOR(ln(mean_rs) * 1e9) AS BIGINT) AS qy
+        FROM hsize),
+    hmom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sx,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               SUM(CAST(qx AS HUGEINT) * qy) AS sxy,
+               SUM(CAST(qx AS HUGEINT) * qx) AS sxx
+        FROM hpts),
+    hfit AS (
+        SELECT FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e9) / 1e9 AS hurst
+        FROM hmom)
+    SELECT CAST(bs AS INT) AS block_size, n_blocks, mean_rs, hurst
+    FROM hpts CROSS JOIN hfit ORDER BY block_size
+"""

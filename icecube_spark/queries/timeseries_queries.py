@@ -1290,3 +1290,19 @@ def intervention_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e2)
         ).alias("level_change"),
     )
+
+
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C93 — R/S Hurst exponent of daily order revenue (block sizes
+    8-64 days; per-size mean R/S plus the fitted H on each row)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+        ).alias("cents")
+    )
+    return timeseries.hurst_rs(daily, "day_num", "cents")
