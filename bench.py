@@ -94,4 +94,10 @@ if __name__ == "__main__":
     except Exception:
         result["fatal"] = traceback.format_exc()[-2000:]
     finally:
-        print(json.dumps(result))
+        # Key order matters: harnesses that keep only the tail of the
+        # output line must still see the headline scalars, so the big
+        # per-query map goes first and every summary field goes last.
+        bulky = {"queries", "errors"}
+        out = {k: result[k] for k in result if k in bulky}
+        out.update({k: result[k] for k in result if k not in bulky})
+        print(json.dumps(out))
