@@ -2176,3 +2176,89 @@ def dedup_cost_model(
         )
         out = rep if out is None else out.unionAll(rep)
     return out.orderBy("method")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int = 600,
+) -> DataFrame:
+    """P61 — greedy quality-per-token selection under a fixed token
+    budget per group: rank documents by lexical-diversity score
+    (distinct-token ratio, the density heuristic), keep them while
+    the group's running token count stays within budget, and report
+    the kept-vs-all funnel. The knapsack-style curation step every
+    token-budgeted pretraining mix runs after quality gating —
+    complement of P22's temperature resampling (which reweights; this
+    SELECTS under a hard budget).
+
+    Exactness: token and distinct-token counts are exact ints; the
+    score quantizes to floor(1e6·distinct/tokens); the greedy cut is
+    a deterministic (score desc, id) running sum of ints; readout
+    shares and means are fixed-order divisions of exact ints.
+
+    Plan: per-doc scoring is map-only array work (no explode, no
+    shuffle); the greedy cut is one window per group (partition
+    bounded by group size), and the report is one partial-agg
+    shuffle of |groups| rows.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    scored = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tok"),
+        F.floor(
+            F.lit(1e6)
+            * F.expr(f"size(array_distinct({toks}))").cast("double")
+            / F.expr(f"size({toks})").cast("double")
+        )
+        .cast("bigint")
+        .alias("score_q"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("score_q").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = scored.select(
+        "grp",
+        "n_tok",
+        "score_q",
+        (F.sum("n_tok").over(w) <= F.lit(budget_tokens)).alias("kept"),
+    )
+    kept_i = F.when(F.col("kept"), F.lit(1)).otherwise(F.lit(0))
+    rep = flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept_i).cast("bigint").alias("docs_kept"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+        F.sum(F.when(F.col("kept"), F.col("score_q")).otherwise(F.lit(0))).alias(
+            "ks"
+        ),
+        F.sum("score_q").alias("ts"),
+    )
+    return rep.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "docs_kept",
+        "tokens_total",
+        "tokens_kept",
+        (
+            F.col("tokens_kept").cast("double")
+            / F.col("tokens_total").cast("double")
+        ).alias("token_share"),
+        (
+            F.col("ks").cast("double")
+            / F.col("docs_kept").cast("double")
+            / F.lit(1e6)
+        ).alias("mean_score_kept"),
+        (
+            F.col("ts").cast("double")
+            / F.col("n_docs").cast("double")
+            / F.lit(1e6)
+        ).alias("mean_score_all"),
+    )

@@ -1901,3 +1901,91 @@ def dot_cosine_rank_corr(
             )
         ).alias("spearman_rho"),
     ).orderBy("query_id")
+
+
+def isotropy(
+    df: DataFrame, id_col: str, label_col: str, vec_col: str
+) -> DataFrame:
+    """E36 — embedding-space isotropy audit, per label plus an
+    overall row (label -1): ||mean(unit vector)||^2 (0 = perfectly
+    spread, 1 = all vectors collinear) and the implied mean pairwise
+    cosine (S - n)/(n(n-1)) where S = ||sum(unit)||^2. Anisotropy —
+    embeddings huddling in a narrow cone — is the classic
+    representation-degeneration symptom (Ethayarajh 2019) that makes
+    cosine thresholds misleading; this is the one-number check run
+    before picking any dedup/ANN threshold.
+
+    Exactness: per-vector norms fold floor(x*x*1e12) ints; unit
+    components quantize to floor(u*1e9) ints whose per-(label,dim)
+    sums are exact; S folds per-dim micro-quantized squares
+    floor((sq/1e9)^2 * 1e6) — keeping the fold result below 2^53 so
+    the int->double readout is EXACT in both engines (a raw sq^2
+    fold lands in DuckDB's HUGEINT->double two-step rounding and
+    drifts); readouts are fixed-order double expressions.
+
+    Plan: one posexplode (corpus x dims rows), a per-vector window
+    (partition = one vector, never corpus-sized), one (label, dim)
+    partial-agg shuffle bounded by |labels| x dims, and label-count
+    joins on dimension-bounded frames. The overall row re-aggregates
+    the per-(label,dim) integer sums — no second corpus pass.
+    """
+    dims = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "xf"),
+    ).select("vid", "label", "dim", F.col("xf").cast("double").alias("x"))
+    w = Window.partitionBy("vid")
+    units = dims.select(
+        "label",
+        "dim",
+        F.floor(
+            F.col("x")
+            / F.sqrt(
+                F.sum(
+                    F.floor(F.col("x") * F.col("x") * F.lit(1e12)).cast(
+                        "bigint"
+                    )
+                )
+                .over(w)
+                .cast("double")
+                / F.lit(1e12)
+            )
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("qu"),
+    )
+    perdim = units.groupBy("label", "dim").agg(F.sum("qu").alias("sq"))
+    q2 = lambda c: F.floor(
+        (F.col(c).cast("double") / F.lit(1e9))
+        * (F.col(c).cast("double") / F.lit(1e9))
+        * F.lit(1e6)
+    ).cast("bigint")
+    perlab = perdim.groupBy("label").agg(F.sum(q2("sq")).alias("s"))
+    tot = (
+        perdim.groupBy("dim")
+        .agg(F.sum("sq").alias("st"))
+        .agg(F.sum(q2("st")).alias("s"))
+        .select(F.lit(-1).alias("label"), "s")
+    )
+    counts = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .unionAll(
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+                F.lit(-1).alias("label"), "n"
+            )
+        )
+    )
+    n = F.col("n").cast("double")
+    v = F.col("s").cast("double") / F.lit(1e6)
+    return (
+        perlab.unionAll(tot)
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "n",
+            (v / (n * n)).alias("isotropy"),
+            ((v - n) / (n * (n - F.lit(1.0)))).alias("mean_pair_cos"),
+        )
+    )

@@ -3435,3 +3435,64 @@ def hurst_rs(daily: DataFrame, idx_col: str, value_col: str) -> DataFrame:
     return pts.select(
         F.col("bs").cast("int").alias("block_size"), "n_blocks", "mean_rs"
     ).crossJoin(F.broadcast(hrow)).orderBy("block_size")
+
+
+def ccf(
+    daily: DataFrame,
+    idx_col: str,
+    a_col: str,
+    b_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """C94 — cross-correlation function between two aligned regular
+    series at lags -max_lag..max_lag: Pearson r between (a_t,
+    b_{t+lag}) over all aligned index pairs. Positive-lag peaks mean
+    series `a` LEADS `b` (a's moves show up in b `lag` steps later)
+    — the lead/lag dependence diagnostic behind demand-transfer,
+    marketing-response, and sensor-alignment analyses; the
+    two-series generalization of C40's ACF.
+
+    Cross-engine exactness: identical to acf — values quantize to
+    floor(x*1e6) BIGINTs, cross/square moments fold as exact
+    decimal(38,0) integer products, and the Pearson formula runs the
+    same double-op sequence in both engines.
+
+    Plan: the lagged pairing equi-joins the calendar-bounded daily
+    frame against itself shifted by an exploded lag array (broadcast
+    — the daily frame stays a few hundred rows at any corpus size);
+    moments are one partial-agg shuffle of 2*max_lag+1 groups.
+    """
+    base = daily.select(
+        F.col(idx_col).alias("i"),
+        F.floor(F.col(a_col) * F.lit(1e6)).cast("bigint").alias("qa"),
+        F.floor(F.col(b_col) * F.lit(1e6)).cast("bigint").alias("qb"),
+    )
+    lags = base.select(
+        "i",
+        "qa",
+        F.explode(F.expr(f"sequence({-max_lag}, {max_lag})")).alias("lag"),
+    )
+    other = base.select(F.col("i").alias("i_b"), F.col("qb").alias("qbs"))
+    pairs = lags.join(
+        F.broadcast(other), F.col("i") + F.col("lag") == F.col("i_b")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qa").alias("sx"),
+        F.sum("qbs").alias("sy"),
+        F.sum(F.col("qa").cast("decimal(38,0)") * F.col("qbs")).alias("sxy"),
+        F.sum(F.col("qa").cast("decimal(38,0)") * F.col("qa")).alias("sxx"),
+        F.sum(F.col("qbs").cast("decimal(38,0)") * F.col("qbs")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e12)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    syy = F.col("syy").cast("double") / F.lit(1e12)
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        r.alias("ccf"),
+    )

@@ -2510,3 +2510,55 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("net_balance"),
     )
     return balance.orderBy("nation")
+
+
+def supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 — single-sourcing supply-risk report per part brand: parts
+    whose entire shipped volume comes from exactly one supplier, and
+    the revenue riding on them. The procurement-continuity view that
+    complements B46's nation-level HHI — a brand with a high
+    at-risk revenue share has no fallback vendor when that supplier
+    fails.
+
+    Exactness: integer-cent revenue folds; the at-risk share is one
+    exact-int double division.
+
+    Plan: one fact shuffle on l_partkey (distinct-supplier count +
+    revenue in the same agg), the part dim broadcasts, and the brand
+    rollup runs over the dimension-bounded per-part frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e2)
+    ).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.sum(cents).alias("c"),
+    )
+    single = F.when(F.col("n_supp") == 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        per_part.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(single).cast("bigint").alias("single_source_parts"),
+            F.sum("c").alias("tc"),
+            F.sum(F.when(F.col("n_supp") == 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "rc"
+            ),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_parts",
+            "single_source_parts",
+            (F.col("tc").cast("double") / F.lit(1e2)).alias("revenue"),
+            (F.col("rc").cast("double") / F.lit(1e2)).alias("revenue_at_risk"),
+            (F.col("rc").cast("double") / F.col("tc").cast("double")).alias(
+                "risk_share"
+            ),
+        )
+        .orderBy("brand")
+    )

@@ -1232,3 +1232,24 @@ ORACLES["nation_trade_balance"] = """
     FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
     ORDER BY nation
 """
+
+ORACLES["supply_risk"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0) AS BIGINT)) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1)
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS single_source_parts,
+           CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+           CAST(CAST(SUM(CASE WHEN n_supp = 1 THEN c ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / 100.0 AS revenue_at_risk,
+           CAST(CAST(SUM(CASE WHEN n_supp = 1 THEN c ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+               / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS risk_share
+    FROM per_part JOIN part ON l_partkey = p_partkey
+    GROUP BY 1 ORDER BY 1
+"""

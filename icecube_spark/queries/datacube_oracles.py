@@ -1095,3 +1095,28 @@ ORACLES["cube_layover_shadow"] = """
                 ELSE 'ok' END AS mask_class
     FROM grad ORDER BY x, y
 """
+
+ORACLES["cube_integral_image"] = """
+    WITH g50 AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM events GROUP BY 1, 2),
+    rowp AS (
+        SELECT x, y,
+               SUM(qv) OVER (PARTITION BY y ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
+        FROM g50),
+    sat AS (
+        SELECT x, y,
+               CAST(SUM(rq) OVER (PARTITION BY x ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS qsat
+        FROM rowp)
+    SELECT x, y,
+           CAST(qsat AS DOUBLE) / 1e6 AS sat,
+           CAST(qsat AS DOUBLE) / CAST((x + 1) * (y + 1) AS DOUBLE) / 1e6
+               AS rect_mean
+    FROM sat ORDER BY x, y
+"""

@@ -2201,3 +2201,62 @@ def cube_layover_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g2").cast("double") / F.lit(2e6)).alias("gx"),
         cls.alias("mask_class"),
     ).orderBy("x", "y")
+
+
+def cube_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 — summed-area table (integral image) over the 50x50 dense
+    grid: sat(x,y) = sum of cell values over x'<=x, y'<=y, plus the
+    O(1) rectangle-mean readout it enables. The precomputation behind
+    constant-time box filters, adaptive thresholding, and Haar
+    features on rasters (Crow 1984; Viola-Jones 2001).
+
+    Exactness: cell values quantize to micro-unit BIGINTs before the
+    two prefix passes (integer sums, order-free); sat and rect_mean
+    are single-division readouts of the exact integer.
+
+    Plan: separable prefix sums — one window partitioned by raster
+    row then one by column, each partition bounded by the grid edge
+    (never corpus-sized), no global sort. Prefix sums run over the
+    OBSERVED cells (sparse grids skip absent cells identically in
+    both engines; the test grids are dense).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("qv")
+        )
+    )
+    wrow = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rowp = cells.select("x", "y", F.sum("qv").over(wrow).alias("rq"))
+    wcol = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sat = rowp.select("x", "y", F.sum("rq").over(wcol).alias("qsat"))
+    return sat.select(
+        "x",
+        "y",
+        (F.col("qsat").cast("double") / F.lit(1e6)).alias("sat"),
+        (
+            F.col("qsat").cast("double")
+            / ((F.col("x") + 1) * (F.col("y") + 1)).cast("double")
+            / F.lit(1e6)
+        ).alias("rect_mean"),
+    ).orderBy("x", "y")

@@ -2731,3 +2731,47 @@ ORACLES["burrows_delta"] = f"""
                AS delta
     FROM bpairs GROUP BY 1, 2 ORDER BY source_a, source_b
 """
+
+ORACLES["embed_isotropy"] = """
+    WITH dims AS (
+        SELECT vec_id, label, CAST(gs - 1 AS INT) AS dim,
+               CAST(embedding[CAST(gs AS INT)] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(gs)),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS BIGINT) AS qsq
+        FROM dims GROUP BY 1),
+    units AS (
+        SELECT d.label, d.dim,
+               CAST(FLOOR(d.x / sqrt(CAST(n.qsq AS DOUBLE) / 1e12) * 1e9)
+                    AS BIGINT) AS qu
+        FROM dims d JOIN norms n USING (vec_id)),
+    perdim AS (
+        SELECT label, dim, CAST(SUM(qu) AS BIGINT) AS sq
+        FROM units GROUP BY 1, 2),
+    perlab AS (
+        SELECT label,
+               CAST(SUM(CAST(FLOOR((CAST(sq AS DOUBLE) / 1e9)
+                                   * (CAST(sq AS DOUBLE) / 1e9)
+                                   * 1e6) AS BIGINT)) AS BIGINT) AS s
+        FROM perdim GROUP BY 1),
+    tot AS (
+        SELECT -1 AS label,
+               CAST(SUM(CAST(FLOOR((CAST(st AS DOUBLE) / 1e9)
+                                   * (CAST(st AS DOUBLE) / 1e9)
+                                   * 1e6) AS BIGINT)) AS BIGINT) AS s
+        FROM (SELECT dim, CAST(SUM(sq) AS BIGINT) AS st
+              FROM perdim GROUP BY 1)),
+    allrows AS (SELECT * FROM perlab UNION ALL SELECT * FROM tot),
+    counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+        UNION ALL
+        SELECT -1 AS label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT a.label, c.n,
+           (CAST(s AS DOUBLE) / 1e6)
+               / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS isotropy,
+           (CAST(s AS DOUBLE) / 1e6 - CAST(c.n AS DOUBLE))
+               / (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1.0))
+               AS mean_pair_cos
+    FROM allrows a JOIN counts c USING (label) ORDER BY a.label
+"""

@@ -1117,3 +1117,13 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F47 — Burrows' Delta stylometric distance between sources
     (top-20 corpus terms, per-million rates, z-scored)."""
     return text.burrows_delta(_docs(spark, sf_dir), "doc_id", "text", "source")
+
+
+def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — embedding isotropy / anisotropy audit per label plus an
+    overall row: ||mean unit vector||^2 and implied mean pairwise
+    cosine — the cone-collapse check run before trusting any cosine
+    threshold."""
+    return similarity.isotropy(
+        _emb(spark, sf_dir), "vec_id", "label", "embedding"
+    ).orderBy("label")

@@ -1274,3 +1274,43 @@ ORACLES["dedup_cost_model"] = """
         FROM h3)
     SELECT * FROM reps ORDER BY method
 """
+
+ORACLES["token_budget_sample"] = """
+    WITH scored AS (
+        SELECT source AS grp, doc_id AS id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tok,
+               CAST(FLOOR(1e6
+                   * CAST(len(list_distinct(
+                         string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+'))
+                          AS DOUBLE)) AS BIGINT) AS score_q
+        FROM documents),
+    flagged AS (
+        SELECT grp, n_tok, score_q,
+               SUM(n_tok) OVER (PARTITION BY grp
+                   ORDER BY score_q DESC, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 600
+                   AS kept
+        FROM scored),
+    rep AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS tokens_kept,
+               CAST(SUM(CASE WHEN kept THEN score_q ELSE 0 END) AS BIGINT)
+                   AS ks,
+               CAST(SUM(score_q) AS BIGINT) AS ts
+        FROM flagged GROUP BY 1)
+    SELECT grp AS source, n_docs, docs_kept, tokens_total, tokens_kept,
+           CAST(tokens_kept AS DOUBLE) / CAST(tokens_total AS DOUBLE)
+               AS token_share,
+           CAST(ks AS DOUBLE) / CAST(docs_kept AS DOUBLE) / 1e6
+               AS mean_score_kept,
+           CAST(ts AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6
+               AS mean_score_all
+    FROM rep ORDER BY source
+"""

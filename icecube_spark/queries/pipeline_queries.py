@@ -856,3 +856,11 @@ def dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact hash / 32-char prefix / length bucket)."""
     docs = catalog.load(spark, sf_dir, "documents")
     return pipeline.dedup_cost_model(docs, "doc_id", "text")
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P61 — greedy quality-per-token document selection under a
+    600-token budget per source (knapsack-style curation funnel)."""
+    return pipeline.token_budget_sample(
+        _docs(spark, sf_dir), "source", "doc_id", "text", budget_tokens=600
+    ).orderBy("source")

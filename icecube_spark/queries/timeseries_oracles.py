@@ -2233,3 +2233,39 @@ ORACLES["hurst_exponent"] = """
     SELECT CAST(bs AS INT) AS block_size, n_blocks, mean_rs, hurst
     FROM hpts CROSS JOIN hfit ORDER BY block_size
 """
+
+ORACLES["cross_correlation"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+               CAST(FLOOR(COALESCE(
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(18,8)) END) AS DOUBLE),
+                   0.0) * 1e6) AS BIGINT) AS qa,
+               CAST(FLOOR(COALESCE(
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,8)) END) AS DOUBLE),
+                   0.0) * 1e6) AS BIGINT) AS qb
+        FROM events GROUP BY 1),
+    pairs AS (
+        SELECT t.lag, a.qa, b.qb
+        FROM daily a
+        CROSS JOIN (SELECT UNNEST(generate_series(-7, 7)) AS lag) t
+        JOIN daily b ON a.i + t.lag = b.i),
+    mom AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qa) AS BIGINT) AS sx,
+               CAST(SUM(qb) AS BIGINT) AS sy,
+               SUM(CAST(qa AS HUGEINT) * qb) AS sxy,
+               SUM(CAST(qa AS HUGEINT) * qa) AS sxx,
+               SUM(CAST(qb AS HUGEINT) * qb) AS syy
+        FROM pairs GROUP BY 1)
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+           (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+            - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           / sqrt((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                   - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+                  * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e12)
+                     - (CAST(sy AS DOUBLE) / 1e6)
+                       * (CAST(sy AS DOUBLE) / 1e6))) AS ccf
+    FROM mom ORDER BY lag
+"""

@@ -1306,3 +1306,28 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     return timeseries.hurst_rs(daily, "day_num", "cents")
+
+
+def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C94 — lead/lag cross-correlation between the daily click-value
+    and purchase-value series at lags -7..+7: does click activity
+    lead purchases (and by how many days)? The two-series complement
+    of C40's ACF."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.coalesce(
+            dsum(F.when(F.col("event_type") == "click", F.col("value"))),
+            F.lit(0.0),
+        ).alias("click_value"),
+        F.coalesce(
+            dsum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("purchase_value"),
+    )
+    return timeseries.ccf(
+        daily, "day_num", "click_value", "purchase_value", max_lag=7
+    ).orderBy("lag")

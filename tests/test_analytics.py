@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("supply_risk", analytics.supply_risk),
     ("nation_trade_balance", analytics.nation_trade_balance),
     ("bulk_discount_curve", analytics.bulk_discount_curve),
     ("lead_time_sla", analytics.lead_time_sla),

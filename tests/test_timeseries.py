@@ -8,6 +8,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("cross_correlation", tq.cross_correlation),
     ("hurst_exponent", tq.hurst_exponent),
     ("seasonal_strength", tq.seasonal_strength),
     ("intervention_impact", tq.intervention_impact),
