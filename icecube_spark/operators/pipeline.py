@@ -2262,3 +2262,65 @@ def token_budget_sample(
             / F.lit(1e6)
         ).alias("mean_score_all"),
     )
+
+
+def length_filter_tuning(
+    df: DataFrame,
+    len_col: str,
+    thresholds: tuple = (100, 200, 300, 400, 600),
+) -> DataFrame:
+    """P62 — retention curve across minimum-length gates: for each
+    candidate threshold, how many documents and what share of the
+    corpus (docs AND characters) survive `len >= T`. The tuning
+    readout run BEFORE committing a length filter — the
+    gate-calibration sibling of E15's dedup threshold curve.
+
+    Exactness: counts/sums are exact ints; shares are single
+    divisions.
+
+    Plan: one explode of the fixed threshold array over the
+    length projection (fanout = |thresholds|), one partial-agg
+    shuffle of |thresholds| groups, plus a broadcast 1-row total.
+    """
+    tarr = F.array(*[F.lit(int(t)) for t in thresholds])
+    tot = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.sum(F.col(len_col)).cast("bigint").alias("total_len"),
+    )
+    per = (
+        df.select(F.col(len_col).alias("ln"), F.explode(tarr).alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("ln") >= F.col("threshold"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("docs_kept"),
+            F.sum(
+                F.when(F.col("ln") >= F.col("threshold"), F.col("ln")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("len_kept"),
+        )
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            F.col("threshold").cast("int").alias("threshold"),
+            "docs_kept",
+            (
+                F.col("docs_kept").cast("double")
+                / F.col("total_docs").cast("double")
+            ).alias("doc_share"),
+            "len_kept",
+            (
+                F.col("len_kept").cast("double")
+                / F.col("total_len").cast("double")
+            ).alias("len_share"),
+        )
+        .orderBy("threshold")
+    )

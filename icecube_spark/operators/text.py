@@ -2059,3 +2059,59 @@ def burrows_delta(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def mattr_diversity(
+    df: DataFrame, group_col: str, text_col: str, window: int = 50
+) -> DataFrame:
+    """F48 — moving-average type-token ratio (MATTR, Covington &
+    McFall 2010) rolled up per group: the length-robust lexical-
+    diversity score — plain TTR collapses as documents grow, MATTR
+    slides a fixed window so short and long documents compare
+    fairly. Low group MATTR flags templated/repetitive feeds that
+    static F9 TTR (computed over the pooled vocabulary) can miss.
+
+    Exactness: per-doc MATTR is a ratio of exact ints (sum of
+    window distinct-counts over n_windows*window) quantized to
+    floor(1e9·x); the group rollup folds those ints and divides
+    once.
+
+    Plan: entirely map-only per document — the sliding windows are
+    an in-row array transform (no explode, no shuffle); the group
+    report is one |groups|-row partial agg.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    L = f"size({toks})"
+    w = f"least({window}, {L})"
+    nw = f"({L} - {w} + 1)"
+    sumd = (
+        f"aggregate(transform(sequence(1, {nw}),"
+        f" i -> size(array_distinct(slice({toks}, i, {w})))),"
+        f" 0L, (a, x) -> a + x)"
+    )
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(
+            F.lit(1e9)
+            * F.expr(sumd).cast("double")
+            / F.expr(f"CAST({nw} * {w} AS DOUBLE)")
+        )
+        .cast("bigint")
+        .alias("qm"),
+    )
+    return per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("qm").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e9)
+        ).alias("mean_mattr"),
+        (F.min("qm").cast("double") / F.lit(1e9)).alias("min_mattr"),
+        (F.max("qm").cast("double") / F.lit(1e9)).alias("max_mattr"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "mean_mattr",
+        "min_mattr",
+        "max_mattr",
+    )

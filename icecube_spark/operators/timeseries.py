@@ -3496,3 +3496,78 @@ def ccf(
         F.col("n").alias("n_pairs"),
         r.alias("ccf"),
     )
+
+
+def spectral_entropy(
+    daily: DataFrame, idx_col: str, value_col: str, max_period: int = 16
+) -> DataFrame:
+    """C95 — trig-free folded-phase spectrum + spectral entropy of a
+    regular series: for each candidate period p in 2..max_period,
+    fold the series by t mod p and take the between-phase sum of
+    squares (the ANOVA numerator — high when the series really
+    repeats every p steps); normalize the 15 powers to weights and
+    report their Shannon entropy. Low entropy = one dominant cycle
+    (strong periodicity), high = broadband/noise — the signal-
+    texture diagnostic complementing C78's ACF-argmax period pick,
+    without cos/sin (whose ulp behavior differs across engines).
+
+    Exactness: per-(p, phase) counts/sums are exact ints; each
+    phase's contribution quantizes to floor(n_k*(m_k-gm)^2*1e6)
+    before the order-free integer fold; weights are exact-int
+    divisions; entropy folds floor(w*ln(w)*1e9) micro-nats.
+
+    Plan: one explode by the 15-period array, one (p, phase)
+    partial-agg shuffle (partitions bounded by p*max_period), and
+    two broadcast 1-row joins for the normalizers. The daily frame
+    is calendar-bounded, so every stage is flat-cost at any corpus
+    size.
+    """
+    q = F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint")
+    base = daily.select(F.col(idx_col).alias("i"), q.alias("q"))
+    folded = base.select(
+        "i", "q", F.explode(F.expr(f"sequence(2, {max_period})")).alias("p")
+    ).select("p", (F.col("i") % F.col("p")).alias("k"), "q")
+    phases = folded.groupBy("p", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("q").alias("sk"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("q").alias("ss"),
+    )
+    mk = F.col("sk").cast("double") / F.lit(1e6) / F.col("nk").cast("double")
+    gm = F.col("ss").cast("double") / F.lit(1e6) / F.col("nn").cast("double")
+    qk = F.floor(
+        F.col("nk").cast("double") * ((mk - gm) * (mk - gm)) * F.lit(1e6)
+    ).cast("bigint")
+    perp = (
+        phases.join(F.broadcast(tot))
+        .select("p", qk.alias("qk"))
+        .groupBy("p")
+        .agg(F.sum("qk").alias("v"))
+    )
+    wsum = perp.agg(F.sum("v").alias("w_all"))
+    w = F.col("v").cast("double") / F.col("w_all").cast("double")
+    weighted = perp.join(F.broadcast(wsum)).select(
+        "p",
+        (F.col("v").cast("double") / F.lit(1e6)).alias("between_var"),
+        w.alias("weight"),
+        F.when(
+            F.col("v") > 0, F.floor(w * F.log(w) * F.lit(1e9)).cast("bigint")
+        )
+        .otherwise(F.lit(0))
+        .alias("qe"),
+    )
+    ent = weighted.agg(
+        (-F.sum("qe").cast("double") / F.lit(1e9)).alias("entropy")
+    )
+    return (
+        weighted.join(F.broadcast(ent))
+        .select(
+            F.col("p").cast("int").alias("period"),
+            "between_var",
+            "weight",
+            "entropy",
+        )
+        .orderBy("period")
+    )

@@ -2562,3 +2562,59 @@ def supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def return_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58 — per-(brand, ship-month) return-rate z-score against the
+    brand's own baseline: the quality/fraud monitor that flags a
+    month whose R-flag share departs from the brand norm by more
+    than binomial noise explains. q10 lists returned revenue; this
+    is the statistical control chart over it.
+
+    Exactness: counts are exact ints; rate, baseline and the
+    binomial z run one fixed-order double expression on exact-int
+    ratios.
+
+    Plan: one (brand, month) fact shuffle after a broadcast part
+    join; the brand baseline is a window over the brand-x-month
+    bounded aggregate — never a second corpus pass.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    bm = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.trunc(F.to_date("l_shipdate"), "month")
+            .cast("timestamp")
+            .alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("returns"),
+        )
+    )
+    wb = Window.partitionBy("brand")
+    bm = bm.withColumn("bn", F.sum("n_lines").over(wb)).withColumn(
+        "br", F.sum("returns").over(wb)
+    )
+    rate = F.col("returns").cast("double") / F.col("n_lines").cast("double")
+    base = F.col("br").cast("double") / F.col("bn").cast("double")
+    z = (rate - base) / F.sqrt(
+        base * (F.lit(1.0) - base) / F.col("n_lines").cast("double")
+    )
+    return bm.select(
+        "brand",
+        "month",
+        "n_lines",
+        "returns",
+        rate.alias("return_rate"),
+        base.alias("brand_rate"),
+        z.alias("z"),
+    ).orderBy("brand", "month")

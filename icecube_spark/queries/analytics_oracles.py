@@ -1253,3 +1253,29 @@ ORACLES["supply_risk"] = """
     FROM per_part JOIN part ON l_partkey = p_partkey
     GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["return_rate_anomaly"] = """
+    WITH bm AS (
+        SELECT p_brand AS brand,
+               CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS TIMESTAMP)
+                   AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returns
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+    wb AS (
+        SELECT *,
+               CAST(SUM(n_lines) OVER (PARTITION BY brand) AS BIGINT) AS bn,
+               CAST(SUM(returns) OVER (PARTITION BY brand) AS BIGINT) AS br
+        FROM bm)
+    SELECT brand, month, n_lines, returns,
+           CAST(returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS return_rate,
+           CAST(br AS DOUBLE) / CAST(bn AS DOUBLE) AS brand_rate,
+           (CAST(returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+            - CAST(br AS DOUBLE) / CAST(bn AS DOUBLE))
+           / sqrt((CAST(br AS DOUBLE) / CAST(bn AS DOUBLE))
+                  * (1.0 - CAST(br AS DOUBLE) / CAST(bn AS DOUBLE))
+                  / CAST(n_lines AS DOUBLE)) AS z
+    FROM wb ORDER BY brand, month
+"""

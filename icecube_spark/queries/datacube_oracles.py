@@ -1120,3 +1120,33 @@ ORACLES["cube_integral_image"] = """
                AS rect_mean
     FROM sat ORDER BY x, y
 """
+
+ORACLES["cube_flow_direction"] = """
+    WITH g50 AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM events GROUP BY 1, 2),
+    offs(dx, dy, code, fac) AS (VALUES
+        (1, 0, 1, 1414214), (1, 1, 2, 1000000), (0, 1, 4, 1414214),
+        (-1, 1, 8, 1000000), (-1, 0, 16, 1414214), (-1, -1, 32, 1000000),
+        (0, -1, 64, 1414214), (1, -1, 128, 1000000)),
+    cand AS (
+        SELECT c.x, c.y, o.code,
+               (c.qv - n.qv) * CAST(o.fac AS BIGINT) AS score,
+               c.qv - n.qv AS dq
+        FROM g50 c CROSS JOIN offs o
+        JOIN g50 n ON n.x = c.x + o.dx AND n.y = c.y + o.dy),
+    down AS (SELECT * FROM cand WHERE score > 0),
+    best AS (SELECT x, y, MAX(score) AS ms FROM down GROUP BY 1, 2),
+    chosen AS (
+        SELECT d.x, d.y, MIN(d.code) AS dir, arg_min(d.dq, d.code) AS dqb
+        FROM down d JOIN best b ON d.x = b.x AND d.y = b.y AND d.score = b.ms
+        GROUP BY 1, 2)
+    SELECT g.x, g.y,
+           CAST(COALESCE(ch.dir, 0) AS INT) AS dir,
+           COALESCE(CAST(ch.dqb AS DOUBLE) / 1e6, 0.0) AS drop
+    FROM g50 g LEFT JOIN chosen ch ON g.x = ch.x AND g.y = ch.y
+    ORDER BY g.x, g.y
+"""

@@ -2260,3 +2260,86 @@ def cube_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("rect_mean"),
     ).orderBy("x", "y")
+
+
+def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 — D8 flow direction over the 50x50 dense grid: each cell
+    drains to the steepest-descent neighbor among its 8 (drop/
+    distance, diagonal distance sqrt2), ESRI direction codes E=1,
+    SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128, 0 = pit/flat (no
+    downhill neighbor). The first step of every hydrological
+    routing / watershed-delineation pipeline (O'Callaghan & Mark
+    1984).
+
+    Exactness: steepness compares EXACT scaled integers — cardinal
+    drops x1414214, diagonal x1000000 (the sqrt2 ratio pinned as
+    integer literals) — and ties break to the smallest code via
+    min_by/arg_min; the reported drop is a single-division readout.
+
+    Plan: the 8-neighbor stencil is a union of 8 shifted projections
+    of the cell table joined on (x, y) — one bounded-fanout shuffle,
+    no window over the corpus; argmax + tie-break are per-cell aggs.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("qv")
+        )
+    )
+    offs = [
+        (1, 0, 1, 1414214), (1, 1, 2, 1000000), (0, 1, 4, 1414214),
+        (-1, 1, 8, 1000000), (-1, 0, 16, 1414214), (-1, -1, 32, 1000000),
+        (0, -1, 64, 1414214), (1, -1, 128, 1000000),
+    ]
+    nbrs = None
+    for dx, dy, code, fac in offs:
+        p = cells.select(
+            (F.col("x") - F.lit(dx)).alias("x"),
+            (F.col("y") - F.lit(dy)).alias("y"),
+            F.col("qv").alias("nbqv"),
+            F.lit(code).alias("code"),
+            F.lit(fac).cast("bigint").alias("fac"),
+        )
+        nbrs = p if nbrs is None else nbrs.unionAll(p)
+    cand = cells.join(nbrs, ["x", "y"]).select(
+        "x",
+        "y",
+        "code",
+        ((F.col("qv") - F.col("nbqv")) * F.col("fac")).alias("score"),
+        (F.col("qv") - F.col("nbqv")).alias("dq"),
+    )
+    down = cand.where(F.col("score") > 0)
+    best = down.groupBy("x", "y").agg(F.max("score").alias("ms"))
+    chosen = (
+        down.join(best, ["x", "y"])
+        .where(F.col("score") == F.col("ms"))
+        .groupBy("x", "y")
+        .agg(
+            F.min("code").alias("dir"),
+            F.min_by("dq", "code").alias("dqb"),
+        )
+    )
+    return (
+        cells.join(chosen, ["x", "y"], "left")
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.col("dir"), F.lit(0)).cast("int").alias("dir"),
+            F.coalesce(
+                F.col("dqb").cast("double") / F.lit(1e6), F.lit(0.0)
+            ).alias("drop"),
+        )
+        .orderBy("x", "y")
+    )

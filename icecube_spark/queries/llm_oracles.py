@@ -2775,3 +2775,33 @@ ORACLES["embed_isotropy"] = """
                AS mean_pair_cos
     FROM allrows a JOIN counts c USING (label) ORDER BY a.label
 """
+
+ORACLES["mattr_diversity"] = """
+    WITH per_doc AS (
+        SELECT source AS grp,
+               CAST(FLOOR(1e9
+                   * CAST(list_sum(list_transform(
+                         generate_series(1,
+                             len(string_split_regex(trim(text), '\\s+'))
+                             - least(50, len(string_split_regex(trim(text),
+                                                                '\\s+'))) + 1),
+                         i -> len(list_distinct(
+                             string_split_regex(trim(text), '\\s+')[
+                                 i:i + least(50, len(string_split_regex(
+                                     trim(text), '\\s+'))) - 1]))))
+                     AS DOUBLE)
+                   / CAST((len(string_split_regex(trim(text), '\\s+'))
+                           - least(50, len(string_split_regex(trim(text),
+                                                              '\\s+'))) + 1)
+                          * least(50, len(string_split_regex(trim(text),
+                                                             '\\s+')))
+                          AS DOUBLE)) AS BIGINT) AS qm
+        FROM documents)
+    SELECT grp AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(qm) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_mattr,
+           CAST(MIN(qm) AS DOUBLE) / 1e9 AS min_mattr,
+           CAST(MAX(qm) AS DOUBLE) / 1e9 AS max_mattr
+    FROM per_doc GROUP BY 1 ORDER BY 1
+"""

@@ -1127,3 +1127,12 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.isotropy(
         _emb(spark, sf_dir), "vec_id", "label", "embedding"
     ).orderBy("label")
+
+
+def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F48 — moving-average type-token ratio (window 50) per source:
+    length-robust lexical diversity; low values flag templated
+    feeds."""
+    return text.mattr_diversity(
+        _docs(spark, sf_dir), "source", "text", window=50
+    ).orderBy("source")

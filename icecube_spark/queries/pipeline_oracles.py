@@ -1314,3 +1314,25 @@ ORACLES["token_budget_sample"] = """
                AS mean_score_all
     FROM rep ORDER BY source
 """
+
+ORACLES["length_filter_tuning"] = """
+    WITH tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_len
+        FROM documents),
+    per AS (
+        SELECT t.threshold,
+               CAST(SUM(CASE WHEN n_chars >= t.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_kept,
+               CAST(SUM(CASE WHEN n_chars >= t.threshold THEN n_chars
+                             ELSE 0 END) AS BIGINT) AS len_kept
+        FROM documents CROSS JOIN
+             (SELECT UNNEST([100, 200, 300, 400, 600]) AS threshold) t
+        GROUP BY 1)
+    SELECT CAST(threshold AS INT) AS threshold, docs_kept,
+           CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE)
+               AS doc_share,
+           len_kept,
+           CAST(len_kept AS DOUBLE) / CAST(total_len AS DOUBLE) AS len_share
+    FROM per CROSS JOIN tot ORDER BY threshold
+"""

@@ -864,3 +864,11 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.token_budget_sample(
         _docs(spark, sf_dir), "source", "doc_id", "text", budget_tokens=600
     ).orderBy("source")
+
+
+def length_filter_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P62 — doc/char retention curve across min-length gates
+    (100..600 chars): pick the length filter with eyes open."""
+    return pipeline.length_filter_tuning(
+        _docs(spark, sf_dir), "n_chars", thresholds=(100, 200, 300, 400, 600)
+    )

@@ -2269,3 +2269,46 @@ ORACLES["cross_correlation"] = """
                        * (CAST(sy AS DOUBLE) / 1e6))) AS ccf
     FROM mom ORDER BY lag
 """
+
+ORACLES["spectral_entropy"] = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1),
+    folded AS (
+        SELECT t.p, i % t.p AS k, q
+        FROM daily CROSS JOIN
+             (SELECT UNNEST(generate_series(2, 16)) AS p) t),
+    phases AS (
+        SELECT p, k, CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(q) AS BIGINT) AS sk
+        FROM folded GROUP BY 1, 2),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(q) AS BIGINT) AS ss
+        FROM daily),
+    perp AS (
+        SELECT p,
+               CAST(SUM(CAST(FLOOR(CAST(nk AS DOUBLE)
+                   * ((CAST(sk AS DOUBLE) / 1e6 / CAST(nk AS DOUBLE)
+                       - CAST(ss AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE))
+                      * (CAST(sk AS DOUBLE) / 1e6 / CAST(nk AS DOUBLE)
+                         - CAST(ss AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE)))
+                   * 1e6) AS BIGINT)) AS BIGINT) AS v
+        FROM phases CROSS JOIN tot GROUP BY 1),
+    wsum AS (SELECT CAST(SUM(v) AS BIGINT) AS w_all FROM perp),
+    weighted AS (
+        SELECT p,
+               CAST(v AS DOUBLE) / 1e6 AS between_var,
+               CAST(v AS DOUBLE) / CAST(w_all AS DOUBLE) AS weight,
+               CASE WHEN v > 0
+                    THEN CAST(FLOOR(CAST(v AS DOUBLE) / CAST(w_all AS DOUBLE)
+                              * ln(CAST(v AS DOUBLE) / CAST(w_all AS DOUBLE))
+                              * 1e9) AS BIGINT)
+                    ELSE 0 END AS qe
+        FROM perp CROSS JOIN wsum),
+    ent AS (
+        SELECT -CAST(SUM(qe) AS DOUBLE) / 1e9 AS entropy FROM weighted)
+    SELECT CAST(p AS INT) AS period, between_var, weight, entropy
+    FROM weighted CROSS JOIN ent ORDER BY period
+"""

@@ -1331,3 +1331,18 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ccf(
         daily, "day_num", "click_value", "purchase_value", max_lag=7
     ).orderBy("lag")
+
+
+def spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C95 — folded-phase spectrum (periods 2..16) + spectral entropy
+    of the daily event-value series: one-number periodicity-vs-noise
+    texture, trig-free for cross-engine exactness."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(dsum("value").alias("daily_value"))
+    return timeseries.spectral_entropy(
+        daily, "day_num", "daily_value", max_period=16
+    )

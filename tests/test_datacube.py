@@ -12,6 +12,7 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_flow_direction", dq.cube_flow_direction),
     ("cube_integral_image", dq.cube_integral_image),
     ("cube_layover_shadow", dq.cube_layover_shadow),
     ("cube_ruggedness", dq.cube_ruggedness),

@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("mattr_diversity", lq.mattr_diversity),
     ("embed_isotropy", lq.embed_isotropy),
     ("burrows_delta", lq.burrows_delta),
     ("dot_cosine_rank_corr", lq.dot_cosine_rank_corr),
