@@ -2324,3 +2324,61 @@ def length_filter_tuning(
         )
         .orderBy("threshold")
     )
+
+
+def cross_shard_dup_rate(
+    df: DataFrame, text_col: str, shard_exprs: dict[str, F.Column]
+) -> DataFrame:
+    """P63 — do the sharding schemes colocate near-duplicates? Keyed
+    on the 8-token boilerplate prefix (the D14 dup signal), every
+    dup group of size g contributes C(g,2) pairs; a pair is
+    SAME-shard when both members land in one shard. A high cross-
+    shard share means shard-local dedup (the cheap shortcut) would
+    miss most duplicates and the global dedup join is load-bearing —
+    the planning readout run before choosing a dedup topology.
+
+    Exactness: pure integer pair counting (g*(g-1)/2 with g even/odd
+    exact under integer floor-div in both engines via (g*(g-1))/2 on
+    BIGINT); the share is one division.
+
+    Plan: per scheme, ONE (key, shard) partial-agg shuffle then a
+    key-bounded re-aggregate — pairs are counted combinatorially,
+    never enumerated, so a million-member template group costs one
+    row, not 10^12 pairs.
+    """
+    key = F.expr(
+        f"concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), 1, 8))"
+    )
+    out = None
+    for name, sh in shard_exprs.items():
+        per = (
+            df.select(key.alias("k"), sh.alias("sh"))
+            .groupBy("k", "sh")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        )
+        perk = per.groupBy("k").agg(
+            F.sum("s").alias("g"),
+            F.sum((F.col("s") * (F.col("s") - 1)) / F.lit(2))
+            .cast("bigint")
+            .alias("same_k"),
+        ).where(F.col("g") >= 2)
+        rep = perk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_groups"),
+            F.sum((F.col("g") * (F.col("g") - 1)) / F.lit(2))
+            .cast("bigint")
+            .alias("total_pairs"),
+            F.sum("same_k").cast("bigint").alias("same_shard_pairs"),
+        ).select(
+            F.lit(name).alias("scheme"),
+            "dup_groups",
+            "total_pairs",
+            "same_shard_pairs",
+            (
+                (F.col("total_pairs") - F.col("same_shard_pairs")).cast(
+                    "double"
+                )
+                / F.col("total_pairs").cast("double")
+            ).alias("cross_share"),
+        )
+        out = rep if out is None else out.unionAll(rep)
+    return out.orderBy("scheme")

@@ -1989,3 +1989,86 @@ def isotropy(
             ((v - n) / (n * (n - F.lit(1.0)))).alias("mean_pair_cos"),
         )
     )
+
+
+def knn_margin(
+    vectors: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """E37 — nearest-neighbor margin audit per label: for each
+    anchor, the best same-label cosine minus the best other-label
+    cosine within its LSH bucket; per class, the mean margin and the
+    violation rate (margin < 0 — the nearest neighbor belongs to
+    another class). The metric-learning / embedding-quality readout
+    that says whether cosine separates the classes at all —
+    E26 counts vote disagreement, this measures the GAP.
+
+    Exactness: cosines follow the E2 quantized dot/norm scheme
+    (identical doubles); margins fold floor(m*1e9) ints; rates are
+    exact-int divisions.
+
+    Plan: within-bucket pairs only (same bounded fanout as E2/E26 —
+    never corpus²), one per-anchor aggregate, then a |labels|-row
+    report.
+    """
+    coded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_code(vec_col).alias("code"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    a = coded.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"),
+        F.col(label_col).alias("la"), "code", F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"),
+        F.col(label_col).alias("lb"), "code", F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "code")
+        .where(F.col("vec_id_a") != F.col("vec_id_b"))
+        .withColumn(
+            "cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb"))
+        )
+    )
+    per_anchor = pairs.groupBy("vec_id_a", "la").agg(
+        F.max(
+            F.when(F.col("lb") == F.col("la"), F.col("cosine"))
+        ).alias("best_same"),
+        F.max(
+            F.when(F.col("lb") != F.col("la"), F.col("cosine"))
+        ).alias("best_other"),
+    )
+    both = per_anchor.where(
+        F.col("best_same").isNotNull() & F.col("best_other").isNotNull()
+    ).withColumn(
+        "qm",
+        F.floor(
+            (F.col("best_same") - F.col("best_other")) * F.lit(1e9)
+        ).cast("bigint"),
+    )
+    return (
+        both.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum("qm").alias("sm"),
+            F.sum(F.when(F.col("qm") < 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_viol"),
+        )
+        .select(
+            "label",
+            "n_anchors",
+            (
+                F.col("sm").cast("double")
+                / F.col("n_anchors").cast("double")
+                / F.lit(1e9)
+            ).alias("mean_margin"),
+            (
+                F.col("n_viol").cast("double")
+                / F.col("n_anchors").cast("double")
+            ).alias("violation_rate"),
+        )
+        .orderBy("label")
+    )

@@ -3571,3 +3571,67 @@ def spectral_entropy(
         )
         .orderBy("period")
     )
+
+
+def ar1_halflife(
+    daily: DataFrame, idx_col: str, key_col: str, value_col: str
+) -> DataFrame:
+    """C96 — per-key AR(1) persistence fit on a daily series: phi is
+    the lag-1 OLS slope (x_t on x_{t-1}), and the mean-reversion
+    half-life is -ln(2)/ln(phi) for 0 < phi < 1 (NULL otherwise —
+    random-walk or oscillating series have no finite half-life).
+    The Ornstein-Uhlenbeck-style "how fast does a shock decay"
+    readout used for inventory smoothing and anomaly decay windows;
+    complements C93's Hurst (long memory) with short-memory decay.
+
+    Exactness: moments fold quantized floor(x*1e6) ints with exact
+    decimal(38,0) cross-products; phi is one fixed-order double
+    expression; the half-life snaps to 1e-6 after the ln ratio to
+    absorb last-ulp libm divergence.
+
+    Plan: per-key daily frames are calendar-bounded; the lag pairing
+    is a broadcast self-join on (key, day+1); moments are a |keys|-
+    group partial agg.
+    """
+    q = F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint")
+    base = daily.select(
+        F.col(key_col).alias("k"), F.col(idx_col).alias("i"), q.alias("qx")
+    )
+    nxt = base.select(
+        F.col("k").alias("k2"),
+        F.col("i").alias("i2"),
+        F.col("qx").alias("qy"),
+    )
+    pairs = base.join(
+        F.broadcast(nxt),
+        (F.col("k") == F.col("k2")) & (F.col("i") + 1 == F.col("i2")),
+    )
+    mom = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e12)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    phi = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out = mom.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_pairs"),
+        phi.alias("phi"),
+    )
+    hl = F.floor(
+        -F.log(F.lit(2.0)) / F.log(F.col("phi")) * F.lit(1e6)
+    ) / F.lit(1e6)
+    return out.select(
+        key_col,
+        "n_pairs",
+        "phi",
+        F.when(
+            (F.col("phi") > 0) & (F.col("phi") < 1), hl
+        ).alias("halflife_days"),
+    )

@@ -2618,3 +2618,67 @@ def return_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.alias("brand_rate"),
         z.alias("z"),
     ).orderBy("brand", "month")
+
+
+def acctbal_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B59 — does account balance predict spend? Customers rank into
+    balance deciles (NTILE 10, deterministic (balance, key) order)
+    and each decile reports customer count, order count, revenue,
+    and revenue per customer. The credit-vs-behavior segmentation
+    readout beside B24's RFM view.
+
+    Exactness: decile assignment is a deterministic rank; revenue
+    folds integer cents; per-customer averages are single exact-int
+    divisions; the balance mean folds decimal(18,8).
+
+    Plan: orders pre-aggregate to per-customer (one custkey
+    shuffle), join the customer dim, one NTILE window over the
+    dimension-bounded customer frame, 10-row report.
+    """
+    cust = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
+        ).alias("cents"),
+    )
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    joined = (
+        cust.join(
+            per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+    return (
+        joined.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("bal_sum"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            (F.col("bal_sum") / F.col("n_customers").cast("double")).alias(
+                "avg_balance"
+            ),
+            "n_orders",
+            (F.col("cents").cast("double") / F.lit(1e2)).alias("revenue"),
+            (
+                F.col("cents").cast("double")
+                / F.col("n_customers").cast("double")
+                / F.lit(1e2)
+            ).alias("rev_per_customer"),
+        )
+        .orderBy("decile")
+    )

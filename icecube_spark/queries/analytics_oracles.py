@@ -1279,3 +1279,27 @@ ORACLES["return_rate_anomaly"] = """
                   / CAST(n_lines AS DOUBLE)) AS z
     FROM wb ORDER BY brand, month
 """
+
+ORACLES["acctbal_spend_deciles"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    joined AS (
+        SELECT c_custkey, c_acctbal,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(cents, 0) AS cents,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_balance,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 100.0 AS rev_per_customer
+    FROM joined GROUP BY 1 ORDER BY 1
+"""

@@ -1150,3 +1150,29 @@ ORACLES["cube_flow_direction"] = """
     FROM g50 g LEFT JOIN chosen ch ON g.x = ch.x AND g.y = ch.y
     ORDER BY g.x, g.y
 """
+
+ORACLES["cube_contour_bands"] = """
+    WITH g50 AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM events GROUP BY 1, 2),
+    banded AS (
+        SELECT x, y, CAST(FLOOR(qv / 5000000) AS BIGINT) AS band FROM g50),
+    offs(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+    flags AS (
+        SELECT c.x, c.y, c.band,
+               MAX(CASE WHEN n.band != c.band THEN 1 ELSE 0 END)
+                   AS is_boundary
+        FROM banded c CROSS JOIN offs o
+        JOIN banded n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+        GROUP BY 1, 2, 3)
+    SELECT band,
+           CAST(band AS DOUBLE) * 5.0 AS band_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(is_boundary) AS BIGINT) AS n_boundary,
+           CAST(SUM(is_boundary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS boundary_share
+    FROM flags GROUP BY 1 ORDER BY 1
+"""

@@ -2343,3 +2343,77 @@ def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+def cube_contour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 — contour-band extraction over the 50x50 dense grid: cells
+    classify into 5-unit elevation bands and a cell is a CONTOUR
+    (boundary) cell when any 4-neighbor lies in a different band.
+    Per band: cell count, boundary count, boundary share — the
+    vectorize-isolines precursor and a terrain-complexity readout
+    per elevation slice.
+
+    Exactness: band ids are exact integer floors of the micro-unit
+    cell values; boundary detection compares exact ints; the share
+    is one division.
+
+    Plan: a 4-shifted-projection stencil join (bounded fanout, one
+    (x,y) shuffle) then a bands-bounded aggregate. Edge cells
+    compare only their PRESENT neighbors — identical rule in both
+    engines.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("qv")
+        )
+    ).withColumn("band", F.floor(F.col("qv") / F.lit(5_000_000)).cast("bigint"))
+    nbrs = None
+    for dx, dy in [(1, 0), (-1, 0), (0, 1), (0, -1)]:
+        p = cells.select(
+            (F.col("x") - F.lit(dx)).alias("x"),
+            (F.col("y") - F.lit(dy)).alias("y"),
+            F.col("band").alias("nb_band"),
+        )
+        nbrs = p if nbrs is None else nbrs.unionAll(p)
+    flags = (
+        cells.join(nbrs, ["x", "y"])
+        .groupBy("x", "y", "band")
+        .agg(
+            F.max(
+                F.when(F.col("nb_band") != F.col("band"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("is_boundary")
+        )
+    )
+    return (
+        flags.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("is_boundary").cast("bigint").alias("n_boundary"),
+        )
+        .select(
+            "band",
+            (F.col("band").cast("double") * F.lit(5.0)).alias("band_floor"),
+            "n_cells",
+            "n_boundary",
+            (
+                F.col("n_boundary").cast("double")
+                / F.col("n_cells").cast("double")
+            ).alias("boundary_share"),
+        )
+        .orderBy("band")
+    )

@@ -2805,3 +2805,40 @@ ORACLES["mattr_diversity"] = """
            CAST(MAX(qm) AS DOUBLE) / 1e9 AS max_mattr
     FROM per_doc GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["knn_margin"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id, label, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v),
+    pairs AS (
+        SELECT a.vec_id AS vec_id_a, a.label AS la, b.label AS lb,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND a.vec_id != b.vec_id),
+    per_anchor AS (
+        SELECT vec_id_a, la,
+               MAX(CASE WHEN lb = la THEN cosine END) AS best_same,
+               MAX(CASE WHEN lb != la THEN cosine END) AS best_other
+        FROM pairs GROUP BY 1, 2),
+    mboth AS (
+        SELECT la,
+               CAST(FLOOR((best_same - best_other) * 1e9) AS BIGINT) AS qm
+        FROM per_anchor
+        WHERE best_same IS NOT NULL AND best_other IS NOT NULL)
+    SELECT la AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(CAST(SUM(qm) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_margin,
+           CAST(SUM(CASE WHEN qm < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+    FROM mboth GROUP BY 1 ORDER BY 1
+"""

@@ -1136,3 +1136,12 @@ def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mattr_diversity(
         _docs(spark, sf_dir), "source", "text", window=50
     ).orderBy("source")
+
+
+def knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 — nearest-neighbor margin per label (best same-label minus
+    best other-label cosine within the LSH bucket): does cosine
+    separate the classes, and by how much?"""
+    return similarity.knn_margin(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label"
+    )

@@ -1336,3 +1336,43 @@ ORACLES["length_filter_tuning"] = """
            CAST(len_kept AS DOUBLE) / CAST(total_len AS DOUBLE) AS len_share
     FROM per CROSS JOIN tot ORDER BY threshold
 """
+
+ORACLES["cross_shard_dup_rate"] = """
+    WITH base AS (
+        SELECT concat_ws(' ', list_slice(
+                   string_split_regex(trim(text), '\\s+'), 1, 8)) AS k,
+               CAST(doc_id % 8 AS VARCHAR) AS sh1,
+               source AS sh2
+        FROM documents),
+    rep1 AS (
+        SELECT 'doc_id_mod8' AS scheme, dup_groups, total_pairs,
+               same_shard_pairs
+        FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups,
+                   CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS total_pairs,
+                   CAST(SUM(same_k) AS BIGINT) AS same_shard_pairs
+            FROM (
+                SELECT k, CAST(SUM(s) AS BIGINT) AS g,
+                       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS same_k
+                FROM (SELECT k, sh1, CAST(COUNT(*) AS BIGINT) AS s
+                      FROM base GROUP BY 1, 2)
+                GROUP BY 1 HAVING CAST(SUM(s) AS BIGINT) >= 2))),
+    rep2 AS (
+        SELECT 'source' AS scheme, dup_groups, total_pairs,
+               same_shard_pairs
+        FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups,
+                   CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS total_pairs,
+                   CAST(SUM(same_k) AS BIGINT) AS same_shard_pairs
+            FROM (
+                SELECT k, CAST(SUM(s) AS BIGINT) AS g,
+                       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS same_k
+                FROM (SELECT k, sh2, CAST(COUNT(*) AS BIGINT) AS s
+                      FROM base GROUP BY 1, 2)
+                GROUP BY 1 HAVING CAST(SUM(s) AS BIGINT) >= 2)))
+    SELECT scheme, dup_groups, total_pairs, same_shard_pairs,
+           CAST(total_pairs - same_shard_pairs AS DOUBLE)
+               / CAST(total_pairs AS DOUBLE) AS cross_share
+    FROM (SELECT * FROM rep1 UNION ALL SELECT * FROM rep2)
+    ORDER BY scheme
+"""

@@ -872,3 +872,18 @@ def length_filter_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.length_filter_tuning(
         _docs(spark, sf_dir), "n_chars", thresholds=(100, 200, 300, 400, 600)
     )
+
+
+def cross_shard_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P63 — same-shard vs cross-shard duplicate pair shares under
+    two sharding schemes (doc_id mod 8, by-source): is shard-local
+    dedup enough, or is the global join load-bearing?"""
+    d = _docs(spark, sf_dir)
+    return pipeline.cross_shard_dup_rate(
+        d,
+        "text",
+        {
+            "doc_id_mod8": (F.col("doc_id") % 8).cast("string"),
+            "source": F.col("source"),
+        },
+    )

@@ -2312,3 +2312,35 @@ ORACLES["spectral_entropy"] = """
     SELECT CAST(p AS INT) AS period, between_var, weight, entropy
     FROM weighted CROSS JOIN ent ORDER BY period
 """
+
+ORACLES["ar1_halflife"] = """
+    WITH daily AS (
+        SELECT event_type AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS qx
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.k, a.qx, b.qx AS qy
+        FROM daily a JOIN daily b ON a.k = b.k AND a.i + 1 = b.i),
+    mom AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sx,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               SUM(CAST(qx AS HUGEINT) * qy) AS sxy,
+               SUM(CAST(qx AS HUGEINT) * qx) AS sxx
+        FROM pairs GROUP BY 1),
+    fit AS (
+        SELECT k, n,
+               (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+               / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+                   AS phi
+        FROM mom)
+    SELECT k AS event_type, n AS n_pairs, phi,
+           CASE WHEN phi > 0 AND phi < 1
+                THEN FLOOR(-ln(2.0) / ln(phi) * 1e6) / 1e6
+                ELSE NULL END AS halflife_days
+    FROM fit ORDER BY event_type
+"""

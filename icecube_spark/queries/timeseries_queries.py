@@ -1346,3 +1346,18 @@ def spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.spectral_entropy(
         daily, "day_num", "daily_value", max_period=16
     )
+
+
+def ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C96 — AR(1) shock-decay fit per event type on the daily value
+    series: lag-1 slope phi and mean-reversion half-life."""
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+    ).agg(dsum("value").alias("daily_value"))
+    return timeseries.ar1_halflife(
+        daily, "day_num", "event_type", "daily_value"
+    ).orderBy("event_type")

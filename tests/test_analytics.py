@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("acctbal_spend_deciles", analytics.acctbal_spend_deciles),
     ("return_rate_anomaly", analytics.return_rate_anomaly),
     ("supply_risk", analytics.supply_risk),
     ("nation_trade_balance", analytics.nation_trade_balance),

@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("knn_margin", lq.knn_margin),
     ("mattr_diversity", lq.mattr_diversity),
     ("embed_isotropy", lq.embed_isotropy),
     ("burrows_delta", lq.burrows_delta),

@@ -8,6 +8,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("ar1_halflife", tq.ar1_halflife),
     ("spectral_entropy", tq.spectral_entropy),
     ("cross_correlation", tq.cross_correlation),
     ("hurst_exponent", tq.hurst_exponent),
