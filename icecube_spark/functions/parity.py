@@ -26,6 +26,27 @@ trend_stats / time_weighted_avg).
 
 SQL twin of ``dsum(x)``:  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
 SQL twin of ``davg(x)``:  CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(x)
+
+Two more cross-engine traps (both bit DuckDB oracles in round 4):
+
+1. DuckDB FRACTIONAL LITERALS ARE DECIMAL, and its decimal->double
+   conversion double-rounds (int mantissa -> double, then /10^scale).
+   ``3.8415999999999997`` in SQL is NOT Python's ``1.96*1.96`` — even
+   through CAST(... AS DOUBLE). Write double constants in scientific
+   notation (``3.8415999999999997e0``), which parses directly as
+   DOUBLE with a correctly-rounded string->double conversion.
+
+2. HUGEINT->DOUBLE double-rounds the same way (upper*2^64 + lower,
+   three roundings). Keep any integer an oracle casts to DOUBLE
+   below 2^53 (micro-quantize per-term BEFORE squaring/folding, as
+   in similarity.isotropy) so the conversion is exact in both
+   engines.
+
+3. Spark's Catalyst reassociates constant multiply chains
+   (``lit(a) * x * lit(b)`` groups the literals), and DuckDB's
+   optimizer reorders ``lit * x / lit`` too. Fold constant factors
+   into ONE literal, or isolate the data term in parentheses as a
+   single ratio, so both engines see one unambiguous op order.
 """
 
 from __future__ import annotations

@@ -994,3 +994,64 @@ def winnowing_pairs(
         .where(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """D17 — sorted-neighborhood near-dup blocking (Hernandez &
+    Stolfo 1995): sort documents by their normalized text inside
+    first-token blocks, slide a w-record window, and Jaccard-verify
+    only window pairs. The classic entity-resolution alternative to
+    LSH banding (D2): deterministic candidate count (<= w-1 per
+    record), no hash tuning, catches prefix-anchored dup families
+    that banding can split across buckets.
+
+    Exactness: the verify is exact distinct-3-gram Jaccard — an
+    integer intersect/union ratio; the [0,1] threshold compare is
+    on that exact double.
+
+    Plan: the sort key partitions by FIRST TOKEN (the block), so
+    the rank window never sees a corpus-wide partition; pairing is
+    an equi-join on (block, rank+offset) with the tiny offset array
+    exploded — candidate fanout is exactly (w-1) per record at any
+    corpus size.
+    """
+    norm = NORM.format(col=text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(norm).alias("k"),
+        F.expr(GRAMS.format(col=text_col)).alias("g"),
+    ).withColumn("blk", F.expr("split(k, ' ')[0]"))
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    left = ranked.select(
+        F.col("blk"),
+        F.col("rn"),
+        F.col("id").alias("doc_a"),
+        F.col("g").alias("ga"),
+        F.explode(
+            F.array(*[F.lit(o) for o in range(1, window)])
+        ).alias("o"),
+    ).select(
+        "blk", (F.col("rn") + F.col("o")).alias("rn"), "doc_a", "ga"
+    )
+    right = ranked.select(
+        "blk", "rn", F.col("id").alias("doc_b"), F.col("g").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        left.join(right, ["blk", "rn"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+        .orderBy("doc_a", "doc_b")
+    )

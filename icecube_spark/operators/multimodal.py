@@ -393,3 +393,58 @@ def audio_silence(df: DataFrame, chunk: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=AUDIO_SILENCE_SCHEMA)
+
+
+LOUDNESS_SCHEMA = (
+    "doc_id long, n_chunks long, mean_rms double, peak_rms double, "
+    "dyn_range double, clip_rate double"
+)
+
+
+def audio_loudness(df: DataFrame, chunk: int = 64) -> DataFrame:
+    """G10 — loudness-normalization profile over opaque audio
+    payloads: per 64-byte window the RMS amplitude (bytes as
+    unsigned samples in this text-backed stand-in), rolled up per
+    medium into mean/peak RMS, dynamic range, and the clipping rate
+    (samples at >= 120 of the 0-127 scale). The gain-staging /
+    hot-master screen an audio curation pass runs before loudness
+    normalization — complements G9's silence view from the loud end.
+
+    Exactness: per-chunk RMS quantizes to floor(sqrt(sumsq/len)*1e6)
+    — sumsq and len are exact ints and sqrt/division are IEEE-
+    identical across engines; the rollup folds those ints and
+    divides once; the clip rate is an exact int ratio.
+
+    Plan: map-only Arrow batches, payload bytes never shuffle —
+    only the 6-column profile row leaves the worker. Deterministic
+    pure function of the payload bytes.
+    """
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_chunks": [], "mean_rms": [],
+                "peak_rms": [], "dyn_range": [], "clip_rate": [],
+            }
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if not b:
+                    continue
+                chunks = [b[i : i + chunk] for i in range(0, len(b), chunk)]
+                qrms = [
+                    math.floor(
+                        math.sqrt(sum(x * x for x in c) / len(c)) * 1e6
+                    )
+                    for c in chunks
+                ]
+                clip = sum(1 for x in b if x >= 120)
+                rows["doc_id"].append(d)
+                rows["n_chunks"].append(len(chunks))
+                rows["mean_rms"].append(sum(qrms) / len(qrms) / 1e6)
+                rows["peak_rms"].append(max(qrms) / 1e6)
+                rows["dyn_range"].append((max(qrms) - min(qrms)) / 1e6)
+                rows["clip_rate"].append(clip / len(b))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=LOUDNESS_SCHEMA)

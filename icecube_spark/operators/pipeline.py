@@ -2382,3 +2382,51 @@ def cross_shard_dup_rate(
         )
         out = rep if out is None else out.unionAll(rep)
     return out.orderBy("scheme")
+
+
+def sample_size_planner(
+    df: DataFrame,
+    group_col: str,
+    pass_col,
+    z: float = 1.96,
+    margin: float = 0.03,
+) -> DataFrame:
+    """P64 — audit-sample sizing per group: given each group's
+    observed quality-gate pass rate, the sample size needed to
+    estimate that rate within ±margin at the z confidence level
+    (n0 = z²p(1-p)/e²) with finite-population correction
+    n = n0/(1+(n0-1)/N). The "how many docs must a human (or LLM
+    judge) look at per source" planning readout behind every
+    curation QA loop.
+
+    Exactness: counts are exact ints; p is one division; the sizing
+    formula is a fixed-order double chain ending in a ceil both
+    engines compute identically.
+
+    Plan: one |groups|-row aggregate over a boolean projection —
+    single corpus pass, no joins.
+    """
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(pass_col, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    p = F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+    # p(1-p) as ONE exact-int ratio: a zz*p*(1-p) multiply chain gets
+    # reassociated by Catalyst (constants grouped first) and drifts a
+    # ulp from the oracle's left-assoc parse.
+    pq = (F.col("n_pass") * (F.col("n_docs") - F.col("n_pass"))).cast(
+        "double"
+    ) / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    n0 = F.lit(z * z) * pq / F.lit(margin * margin)
+    nn = F.col("n_docs").cast("double")
+    n_fpc = n0 / (F.lit(1.0) + (n0 - F.lit(1.0)) / nn)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        p.alias("pass_rate"),
+        n0.alias("n_infinite"),
+        F.ceil(n_fpc).cast("bigint").alias("sample_needed"),
+        (F.ceil(n_fpc) / nn).alias("sampling_frac"),
+    ).orderBy(group_col)

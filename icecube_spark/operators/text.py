@@ -2115,3 +2115,63 @@ def mattr_diversity(
         "min_mattr",
         "max_mattr",
     )
+
+
+def char_trigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """F49 — character-trigram LM quality score: per-doc mean
+    trigram log-probability under the corpus's own char-3gram model.
+    The sub-word twin of F16's unigram gate — catches symbol soup,
+    transliteration noise and encoding damage INSIDE tokens that a
+    word-level LM scores as normal unseen words.
+
+    Cross-engine exactness: F16's scheme — each distinct trigram's
+    ln(p) quantizes once to micro-nats in the LM table; every
+    downstream reduction is exact integer math.
+
+    Plan: two in-row trigram expansions (no corpus shuffle beyond
+    the vocab-sized LM agg), LM broadcast back, one doc-key agg.
+    The char-trigram vocab is alphabet^3-bounded — KBs at any
+    corpus size.
+    """
+    norm = NORM.format(col=text_col)
+    tris_expr = (
+        f"transform(sequence(1, greatest(length({norm}) - 2, 1)),"
+        f" i -> substring({norm}, i, 3))"
+    )
+    tris = df.select(
+        F.col(id_col), F.explode(F.expr(tris_expr)).alias("tri")
+    )
+    lm = (
+        tris.groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn(
+            "qlp",
+            F.floor(
+                F.log(
+                    F.col("cnt").cast("double") / F.col("total").cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("bigint"),
+        )
+        .select("tri", "qlp")
+    )
+    return (
+        tris.join(F.broadcast(lm), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tris"),
+            F.sum("qlp").alias("sum_qlp"),
+        )
+        .select(
+            id_col,
+            "n_tris",
+            (
+                F.col("sum_qlp").cast("double")
+                / F.col("n_tris").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_logprob"),
+        )
+    )

@@ -2682,3 +2682,124 @@ def acctbal_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60 — unit-price consistency audit per part type: coefficient
+    of variation, min/max and max/min ratio of the per-line unit
+    price (extendedprice/quantity). High dispersion flags types with
+    inconsistent pricing (negotiated deals, data errors, or real
+    price discrimination) — the pricing-hygiene complement of B27's
+    brand rank correlation.
+
+    Exactness: the per-row unit price is one double division
+    (identical in both engines); moments fold floor(u*1e6) ints with
+    exact decimal cross-products; CV and ratios are fixed-order
+    double readouts.
+
+    Plan: one (type) partial-agg shuffle after a broadcast part
+    join — |types|-bounded output, single corpus pass.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    u = F.col("l_extendedprice") / F.col("l_quantity")
+    qu = F.floor(u * F.lit(1e6)).cast("bigint")
+    mom = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_type").alias("part_type"), qu.alias("q"))
+        .groupBy("part_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").alias("sx"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sxx"),
+            F.min("q").alias("mn"),
+            F.max("q").alias("mx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    cv = F.sqrt(n * sxx - sx * sx) / sx
+    return mom.select(
+        "part_type",
+        "n",
+        (sx / n).alias("mean_unit_price"),
+        cv.alias("cv"),
+        (F.col("mn").cast("double") / F.lit(1e6)).alias("min_unit_price"),
+        (F.col("mx").cast("double") / F.lit(1e6)).alias("max_unit_price"),
+        (F.col("mx").cast("double") / F.col("mn").cast("double")).alias(
+            "max_min_ratio"
+        ),
+    ).orderBy("part_type")
+
+
+def priority_escalation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61 — is the order book escalating? Monthly share of
+    URGENT/HIGH-priority orders plus the OLS trend slope of that
+    share (per month, repeated on every row). The ops-capacity
+    early-warning readout behind q4's static priority counts.
+
+    Exactness: shares quantize to floor(1e9*u/n) ints; the OLS runs
+    on exact integer moments (month index x quantized share) with
+    one final division; all doubles are fixed-order readouts.
+
+    Plan: one (month) fact aggregate, then the regression folds the
+    calendar-bounded monthly frame (broadcast 1-row join).
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month")
+        .cast("timestamp")
+        .alias("month"),
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+        ).alias("mi"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_urgent"),
+    )
+    qs = F.floor(
+        F.lit(1e9)
+        * F.col("n_urgent").cast("double")
+        / F.col("n_orders").cast("double")
+    ).cast("bigint")
+    pts = monthly.select("month", "mi", "n_orders", "n_urgent", qs.alias("qy"))
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mi").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("mi").cast("decimal(38,0)") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("mi").cast("decimal(38,0)") * F.col("mi")).alias("sxx"),
+    )
+    slope = (
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        / F.lit(1e9)
+    )
+    fit = mom.select(slope.alias("trend_slope"))
+    return (
+        pts.join(F.broadcast(fit))
+        .select(
+            "month",
+            "n_orders",
+            "n_urgent",
+            (
+                F.col("qy").cast("double") / F.lit(1e9)
+            ).alias("urgent_share"),
+            "trend_slope",
+        )
+        .orderBy("month")
+    )

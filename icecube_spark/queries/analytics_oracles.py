@@ -1303,3 +1303,66 @@ ORACLES["acctbal_spend_deciles"] = """
                / CAST(COUNT(*) AS DOUBLE) / 100.0 AS rev_per_customer
     FROM joined GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["price_dispersion"] = """
+    WITH mom AS (
+        SELECT p_type AS part_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1e6)
+                             AS BIGINT)) AS BIGINT) AS sx,
+               SUM(CAST(CAST(FLOOR(l_extendedprice / l_quantity * 1e6)
+                             AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(l_extendedprice / l_quantity * 1e6)
+                          AS BIGINT)) AS sxx,
+               CAST(MIN(CAST(FLOOR(l_extendedprice / l_quantity * 1e6)
+                             AS BIGINT)) AS BIGINT) AS mn,
+               CAST(MAX(CAST(FLOOR(l_extendedprice / l_quantity * 1e6)
+                             AS BIGINT)) AS BIGINT) AS mx
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1)
+    SELECT part_type, n,
+           (CAST(sx AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)
+               AS mean_unit_price,
+           sqrt(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+               / (CAST(sx AS DOUBLE) / 1e6) AS cv,
+           CAST(mn AS DOUBLE) / 1e6 AS min_unit_price,
+           CAST(mx AS DOUBLE) / 1e6 AS max_unit_price,
+           CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE) AS max_min_ratio
+    FROM mom ORDER BY part_type
+"""
+
+ORACLES["priority_escalation_trend"] = """
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS TIMESTAMP) AS month,
+               year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)) AS mi,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        FROM orders GROUP BY 1, 2),
+    pts AS (
+        SELECT month, mi, n_orders, n_urgent,
+               CAST(FLOOR(1e9 * CAST(n_urgent AS DOUBLE)
+                          / CAST(n_orders AS DOUBLE)) AS BIGINT) AS qy
+        FROM monthly),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(mi) AS BIGINT) AS sx,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               SUM(CAST(mi AS HUGEINT) * qy) AS sxy,
+               SUM(CAST(mi AS HUGEINT) * mi) AS sxx
+        FROM pts),
+    fit AS (
+        SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / 1e9 AS trend_slope
+        FROM mom)
+    SELECT month, n_orders, n_urgent,
+           CAST(qy AS DOUBLE) / 1e9 AS urgent_share,
+           trend_slope
+    FROM pts CROSS JOIN fit ORDER BY month
+"""

@@ -1176,3 +1176,61 @@ ORACLES["cube_contour_bands"] = """
                AS boundary_share
     FROM flags GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["cube_swath_coverage"] = """
+    WITH obs AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num
+        FROM events),
+    per_day AS (
+        SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(COUNT(DISTINCT (x, y)) AS BIGINT) AS n_cells
+        FROM obs GROUP BY 1),
+    first_seen AS (
+        SELECT x, y, MIN(day_num) AS fd FROM obs GROUP BY 1, 2),
+    grid_n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS grid_cells FROM first_seen),
+    new_per_day AS (
+        SELECT fd AS day_num, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY 1),
+    joined AS (
+        SELECT p.day_num, p.n_obs, p.n_cells,
+               COALESCE(n.n_new, 0) AS n_new,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                   ORDER BY p.day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cells
+        FROM per_day p LEFT JOIN new_per_day n ON p.day_num = n.day_num)
+    SELECT day_num, n_obs, n_cells, n_new, cum_cells,
+           CAST(cum_cells AS DOUBLE) / CAST(grid_cells AS DOUBLE)
+               AS coverage_share
+    FROM joined CROSS JOIN grid_n ORDER BY day_num
+"""
+
+ORACLES["cube_lbp_texture"] = """
+    WITH g50 AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM events GROUP BY 1, 2),
+    offs(dx, dy, bit) AS (VALUES
+        (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+        (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128)),
+    codes AS (
+        SELECT c.x, c.y, COUNT(*) AS n_nb,
+               CAST(SUM(CASE WHEN n.qv >= c.qv THEN o.bit ELSE 0 END)
+                    AS BIGINT) AS code
+        FROM g50 c CROSS JOIN offs o
+        JOIN g50 n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+        GROUP BY 1, 2),
+    interior AS (SELECT * FROM codes WHERE n_nb = 8),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_interior FROM interior)
+    SELECT CAST(code AS INT) AS lbp_code,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n_interior AS DOUBLE) AS share
+    FROM interior CROSS JOIN tot
+    GROUP BY code, n_interior ORDER BY lbp_code
+"""

@@ -2842,3 +2842,90 @@ ORACLES["knn_margin"] = f"""
                / CAST(COUNT(*) AS DOUBLE) AS violation_rate
     FROM mboth GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["char_trigram_logprob"] = f"""
+    WITH tris AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, greatest(length({_NORM}) - 2, 1)),
+                   i -> substr({_NORM}, CAST(i AS INT), 3))) AS tri
+        FROM documents),
+    lm AS (
+        SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM tris GROUP BY 1),
+    qlm AS (
+        SELECT tri,
+               CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                          * 1e6) AS BIGINT) AS qlp
+        FROM lm)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tris,
+           CAST(CAST(SUM(qlp) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_logprob
+    FROM tris JOIN qlm USING (tri) GROUP BY 1 ORDER BY doc_id
+"""
+
+ORACLES["media_loudness"] = """
+    WITH ascii_docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+        FROM documents),
+    meta AS (
+        SELECT doc_id, text,
+               CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nc
+        FROM ascii_docs WHERE strlen(text) > 0),
+    chunks AS (
+        SELECT doc_id, nc, c, substr(text, c * 64 + 1, 64) AS ck
+        FROM meta CROSS JOIN range(0, 1024) t(c)
+        WHERE c < nc),
+    scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(sqrt(
+                   CAST(list_sum([ascii(substr(ck, CAST(i AS INT), 1))
+                                  * ascii(substr(ck, CAST(i AS INT), 1))
+                                  FOR i IN generate_series(1, strlen(ck))])
+                        AS DOUBLE)
+                   / CAST(strlen(ck) AS DOUBLE)) * 1e6) AS BIGINT) AS qrms,
+               CAST(list_sum([CASE WHEN ascii(substr(ck, CAST(i AS INT), 1))
+                                        >= 120 THEN 1 ELSE 0 END
+                              FOR i IN generate_series(1, strlen(ck))])
+                    AS BIGINT) AS clip,
+               CAST(strlen(ck) AS BIGINT) AS blen
+        FROM chunks)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(CAST(SUM(qrms) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_rms,
+           CAST(MAX(qrms) AS DOUBLE) / 1e6 AS peak_rms,
+           CAST(MAX(qrms) - MIN(qrms) AS DOUBLE) / 1e6 AS dyn_range,
+           CAST(CAST(SUM(clip) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(blen) AS BIGINT) AS DOUBLE) AS clip_rate
+    FROM scored GROUP BY 1 ORDER BY doc_id
+"""
+
+ORACLES["dedup_sorted_neighborhood"] = f"""
+    WITH {_GRAMS_CTES},
+    base AS (
+        SELECT d.doc_id AS id, {_NORM} AS k, g.g AS g,
+               string_split({_NORM}, ' ')[1] AS blk
+        FROM documents d JOIN grams g ON d.doc_id = g.doc_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY blk ORDER BY k, id) AS rn
+        FROM base),
+    pairs AS (
+        SELECT a.id AS doc_a, b.id AS doc_b, a.g AS ga, b.g AS gb
+        FROM ranked a
+        CROSS JOIN (SELECT UNNEST([1, 2]) AS o) t
+        JOIN ranked b ON b.blk = a.blk AND b.rn = a.rn + t.o)
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE)
+               AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE)
+          >= 0.3
+    ORDER BY doc_a, doc_b
+"""

@@ -1145,3 +1145,33 @@ def knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_margin(
         _emb(spark, sf_dir), "vec_id", "embedding", "label"
     )
+
+
+def char_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F49 — char-trigram LM score per doc: sub-word quality gate
+    that catches in-token noise a word-level LM misses."""
+    return text.char_trigram_logprob(
+        _docs(spark, sf_dir), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def media_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — loudness profile per medium (64-byte RMS windows): mean
+    /peak RMS, dynamic range, clipping rate. ASCII projection keeps
+    the char-based oracle byte-exact."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    return multimodal.audio_loudness(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 — sorted-neighborhood blocking (window 3 inside first-token
+    blocks) with exact 3-gram Jaccard verify: the deterministic-
+    fanout ER alternative to D2's LSH banding."""
+    return dedup.sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", window=3, min_jaccard=0.3
+    )

@@ -1376,3 +1376,30 @@ ORACLES["cross_shard_dup_rate"] = """
     FROM (SELECT * FROM rep1 UNION ALL SELECT * FROM rep2)
     ORDER BY scheme
 """
+
+ORACLES["sample_size_planner"] = """
+    WITH agg AS (
+        SELECT source AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass
+        FROM documents GROUP BY 1),
+    calc AS (
+        SELECT grp, n_docs, n_pass,
+               CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+               CAST(n_docs AS DOUBLE) AS nn
+        FROM agg),
+    sized AS (
+        SELECT grp, n_docs, p,
+               ((3.8415999999999997e0 * (CAST(n_pass * (n_docs - n_pass)
+                                                AS DOUBLE)
+                                           / CAST(n_docs * n_docs AS DOUBLE)))
+                   / 0.0009e0) AS n0,
+               nn
+        FROM calc)
+    SELECT grp AS source, n_docs, p AS pass_rate, n0 AS n_infinite,
+           CAST(CEIL(n0 / (1.0 + (n0 - 1.0) / nn)) AS BIGINT)
+               AS sample_needed,
+           CEIL(n0 / (1.0 + (n0 - 1.0) / nn)) / nn AS sampling_frac
+    FROM sized ORDER BY source
+"""

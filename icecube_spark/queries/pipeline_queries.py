@@ -887,3 +887,11 @@ def cross_shard_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source": F.col("source"),
         },
     )
+
+
+def sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P64 — per-source audit sample sizing (±3% at 95%) for the
+    n_chars >= 300 quality gate, with finite-population correction."""
+    return pipeline.sample_size_planner(
+        _docs(spark, sf_dir), "source", F.col("n_chars") >= 300
+    )

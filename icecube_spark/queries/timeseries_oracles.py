@@ -2344,3 +2344,85 @@ ORACLES["ar1_halflife"] = """
                 ELSE NULL END AS halflife_days
     FROM fit ORDER BY event_type
 """
+
+ORACLES["transition_entropy"] = """
+    WITH steps AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type,
+               event_type AS to_type
+        FROM events),
+    counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    cells AS (
+        SELECT from_type, n_steps,
+               CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT)
+                   AS row_n
+        FROM counts),
+    qcells AS (
+        SELECT from_type, n_steps, row_n,
+               CAST(FLOOR(ln(CAST(n_steps AS DOUBLE)
+                             / CAST(row_n AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS qlp
+        FROM cells),
+    per_from AS (
+        SELECT from_type,
+               CAST(MAX(row_n) AS BIGINT) AS n_out,
+               CAST(COUNT(*) AS BIGINT) AS n_targets,
+               CAST(SUM(n_steps * qlp) AS BIGINT) AS sum_nqlp
+        FROM qcells GROUP BY 1),
+    ent AS (
+        SELECT from_type, n_out, n_targets,
+               -CAST(sum_nqlp AS DOUBLE) / CAST(n_out AS DOUBLE) / 1e6
+                   AS entropy
+        FROM per_from),
+    tot AS (
+        SELECT CAST(SUM(CAST(FLOOR(entropy * CAST(n_out AS DOUBLE) * 1e6)
+                             AS BIGINT)) AS DOUBLE)
+               / CAST(CAST(SUM(n_out) AS BIGINT) AS DOUBLE) / 1e6
+                   AS entropy_rate
+        FROM ent)
+    SELECT from_type, n_out, n_targets, entropy, entropy_rate
+    FROM ent CROSS JOIN tot ORDER BY from_type
+"""
+
+ORACLES["weekly_profile_drift"] = """
+    WITH base AS (
+        SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow
+        FROM events),
+    weekly AS (
+        SELECT wk, dow, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2),
+    tw AS (SELECT wk, CAST(SUM(n) AS BIGINT) AS tw FROM weekly GROUP BY 1),
+    gd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS g FROM base GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+    cells AS (
+        SELECT t.wk, d.dow, t.tw, d.g, nn.nn, COALESCE(w.n, 0) AS n
+        FROM tw t CROSS JOIN gd d CROSS JOIN nn
+        LEFT JOIN weekly w ON w.wk = t.wk AND w.dow = d.dow),
+    scored AS (
+        SELECT wk, tw, nn, n, g,
+               CASE WHEN n > 0 THEN CAST(FLOOR(ln(
+                   (CAST(n AS DOUBLE) / CAST(tw AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) / CAST(tw AS DOUBLE)
+                       + CAST(g AS DOUBLE) / CAST(nn AS DOUBLE)) / 2.0))
+                   * 1e6) AS BIGINT) ELSE 0 END AS qa,
+               CAST(FLOOR(ln(
+                   (CAST(g AS DOUBLE) / CAST(nn AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) / CAST(tw AS DOUBLE)
+                       + CAST(g AS DOUBLE) / CAST(nn AS DOUBLE)) / 2.0))
+                   * 1e6) AS BIGINT) AS qb
+        FROM cells),
+    agg AS (
+        SELECT wk, tw, nn,
+               CAST(SUM(n * qa) AS BIGINT) AS sa,
+               CAST(SUM(g * qb) AS BIGINT) AS sb
+        FROM scored GROUP BY 1, 2, 3)
+    SELECT wk AS week_start, tw AS n_events,
+           (CAST(sa AS DOUBLE) / CAST(tw AS DOUBLE)
+            + CAST(sb AS DOUBLE) / CAST(nn AS DOUBLE)) / 2e6
+               AS js_divergence
+    FROM agg ORDER BY week_start
+"""

@@ -1361,3 +1361,132 @@ def ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ar1_halflife(
         daily, "day_num", "event_type", "daily_value"
     ).orderBy("event_type")
+
+
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C97 — behavioral predictability of the event stream: Shannon
+    entropy of each event type's OUTGOING transition distribution
+    (from C21's Markov matrix) plus the stationary-weighted entropy
+    rate repeated on every row. Low row entropy = deterministic
+    next-step behavior (funnels); the rate is the one-number
+    "how predictable is the stream" readout used to compare cohorts
+    or detect bot traffic.
+
+    Exactness: transition counts are exact ints; ln(p) quantizes to
+    micro-nats per cell before the integer fold (entropy_by_group's
+    scheme); weights and the rate are fixed-order exact-int
+    divisions.
+
+    Plan: C21's one key-window shuffle + |types|^2 aggregate; the
+    entropy stage works entirely on the types-bounded matrix.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    counts = timeseries.transition_counts(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).select("from_type", "to_type", "n_steps")
+    wf = Window.partitionBy("from_type")
+    cells = counts.withColumn(
+        "row_n", F.sum("n_steps").over(wf)
+    ).withColumn(
+        "qlp",
+        F.floor(
+            F.log(
+                F.col("n_steps").cast("double") / F.col("row_n").cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    per_from = cells.groupBy("from_type").agg(
+        F.max("row_n").cast("bigint").alias("n_out"),
+        F.count(F.lit(1)).cast("bigint").alias("n_targets"),
+        F.sum(F.col("n_steps") * F.col("qlp")).alias("sum_nqlp"),
+    )
+    ent = (
+        -F.col("sum_nqlp").cast("double")
+        / F.col("n_out").cast("double")
+        / F.lit(1e6)
+    )
+    per_from = per_from.select(
+        "from_type", "n_out", "n_targets", ent.alias("entropy")
+    )
+    tot = per_from.agg(
+        F.sum("n_out").cast("bigint").alias("nn"),
+        F.sum(
+            F.floor(
+                F.col("entropy")
+                * F.col("n_out").cast("double")
+                * F.lit(1e6)
+            ).cast("bigint")
+        ).alias("qsum"),
+    ).select(
+        (
+            F.col("qsum").cast("double")
+            / F.col("nn").cast("double")
+            / F.lit(1e6)
+        ).alias("entropy_rate")
+    )
+    return (
+        per_from.join(F.broadcast(tot))
+        .select("from_type", "n_out", "n_targets", "entropy", "entropy_rate")
+        .orderBy("from_type")
+    )
+
+
+def weekly_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C98 — timetable-shift detector: per calendar week, the
+    Jensen-Shannon divergence between that week's day-of-week event
+    distribution and the corpus-global profile. A quiet weekly JSD
+    says the rhythm is stable; spikes flag schedule changes,
+    outages or bot bursts that C24's static heatmap averages away.
+
+    Exactness: the F27 JSD scheme — ln(p/m) quantizes to micro-nats
+    per cell, reductions are exact integer folds, one fixed-order
+    double readout per week. The week x 7-dow grid is completed
+    explicitly so partial weeks score against the full profile.
+
+    Plan: one (week, dow) fact aggregate; the grid, global profile
+    and readout all live on calendar-bounded frames (weeks x 7
+    rows) with broadcast joins.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("wk"),
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+    )
+    weekly = base.groupBy("wk", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tw = weekly.groupBy("wk").agg(F.sum("n").cast("bigint").alias("tw"))
+    gd = base.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g")
+    )
+    nn = base.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    grid = tw.crossJoin(F.broadcast(gd)).crossJoin(F.broadcast(nn))
+    cells = grid.join(weekly, ["wk", "dow"], "left").select(
+        "wk",
+        "dow",
+        "tw",
+        "g",
+        "nn",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    pa = F.col("n").cast("double") / F.col("tw").cast("double")
+    pb = F.col("g").cast("double") / F.col("nn").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    qa = F.when(
+        F.col("n") > 0, F.floor(F.log(pa / m) * F.lit(1e6)).cast("bigint")
+    ).otherwise(F.lit(0))
+    qb = F.floor(F.log(pb / m) * F.lit(1e6)).cast("bigint")
+    agg = cells.groupBy("wk", "tw", "nn").agg(
+        F.sum(F.col("n") * qa).alias("sa"),
+        F.sum(F.col("g") * qb).alias("sb"),
+    )
+    js = (
+        F.col("sa").cast("double") / F.col("tw").cast("double")
+        + F.col("sb").cast("double") / F.col("nn").cast("double")
+    ) / F.lit(2e6)
+    return agg.select(
+        F.col("wk").alias("week_start"),
+        F.col("tw").alias("n_events"),
+        js.alias("js_divergence"),
+    ).orderBy("week_start")

@@ -8,6 +8,8 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("price_dispersion", analytics.price_dispersion),
+    ("priority_escalation_trend", analytics.priority_escalation_trend),
     ("acctbal_spend_deciles", analytics.acctbal_spend_deciles),
     ("return_rate_anomaly", analytics.return_rate_anomaly),
     ("supply_risk", analytics.supply_risk),

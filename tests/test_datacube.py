@@ -12,6 +12,8 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_swath_coverage", dq.cube_swath_coverage),
+    ("cube_lbp_texture", dq.cube_lbp_texture),
     ("cube_contour_bands", dq.cube_contour_bands),
     ("cube_flow_direction", dq.cube_flow_direction),
     ("cube_integral_image", dq.cube_integral_image),

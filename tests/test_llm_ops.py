@@ -8,6 +8,9 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("char_trigram_logprob", lq.char_trigram_logprob),
+    ("media_loudness", lq.media_loudness),
+    ("dedup_sorted_neighborhood", lq.dedup_sorted_neighborhood),
     ("knn_margin", lq.knn_margin),
     ("mattr_diversity", lq.mattr_diversity),
     ("embed_isotropy", lq.embed_isotropy),
