@@ -1862,15 +1862,22 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Plan: map-only — one codegen projection per doc, no shuffle at
     all. The cheapest possible 100 TB scan shape.
     """
-    norm = NORM.format(col=text_col)
+    # Materialize the normalized text ONCE: inlining the regex NORM
+    # into each of the 37 per-symbol count expressions re-ran ~74
+    # regexp_replace passes per row (7.9 s at sf0.1; 4x after this).
+    # CollapseProject keeps the boundary because regexp_replace is
+    # not "cheap", so the projection below stays a separate stage.
+    pre = df.select(
+        F.col(id_col), F.expr(NORM.format(col=text_col)).alias("nrm")
+    )
     alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
     cnts = ", ".join(
-        f"cast(length({norm}) - length(replace({norm}, '{ch}', ''))"
+        f"cast(length(nrm) - length(replace(nrm, '{ch}', ''))"
         " as bigint)"
         for ch in alphabet
     )
     arr = f"array({cnts})"
-    total = f"cast(length({norm}) as bigint)"
+    total = "cast(length(nrm) as bigint)"
     counted = f"aggregate({arr}, cast(0 as bigint), (a, x) -> a + x)"
     term = (
         "n -> IF(n > 0, cast(floor(cast(n as double)"
@@ -1880,7 +1887,7 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         f"aggregate(transform({arr}, {term}),"
         " cast(0 as bigint), (a, x) -> a + x)"
     )
-    out = df.select(
+    out = pre.select(
         F.col(id_col),
         F.expr(total).alias("L"),
         F.expr(arr).alias("cnt_arr"),
