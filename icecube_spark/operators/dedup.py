@@ -1055,3 +1055,55 @@ def sorted_neighborhood_pairs(
         .where(F.col("jaccard") >= F.lit(min_jaccard))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dup_transitivity_audit(pairs: DataFrame) -> DataFrame:
+    """D18 — transitivity (global clustering coefficient) of the
+    near-dup pair graph: of all wedges a—m—c (two pairs sharing a
+    middle doc), what fraction close into a triangle (a—c also a
+    pair)? High closure says near-dup similarity behaves like an
+    equivalence relation and connected-components clustering (P6)
+    merges true groups; low closure warns that CC will chain
+    unrelated docs through hubs and a stricter threshold or
+    star-split is needed BEFORE the cluster-collapse step.
+
+    Exactness: pure integer wedge/triangle counting on the pair
+    table; the rate is one division.
+
+    Plan: the pair graph is candidate-capped upstream (df<=64
+    inverted index), so the wedge self-join fans out per-node
+    degree-bounded; triangles close via one more join on the
+    (a, c) key. Never touches the corpus — only the pair table.
+    """
+    e = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    e = e.unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+    )
+    w1 = e.select(F.col("s").alias("a"), F.col("t").alias("m"))
+    w2 = e.select(F.col("s").alias("m"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "m").where(F.col("a") < F.col("c"))
+    undirected = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("c")
+    )
+    closed = wedges.join(undirected, ["a", "c"], "left_semi")
+    agg = (
+        wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+        .crossJoin(
+            closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+        )
+        .crossJoin(
+            pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        )
+    )
+    return agg.select(
+        "n_pairs",
+        "n_wedges",
+        "n_closed",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.col("n_closed").cast("double")
+            / F.col("n_wedges").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closure_rate"),
+    )

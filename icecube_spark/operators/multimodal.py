@@ -448,3 +448,61 @@ def audio_loudness(df: DataFrame, chunk: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=LOUDNESS_SCHEMA)
+
+
+FRAME_ENTROPY_SCHEMA = (
+    "doc_id long, n_frames long, mean_entropy double, min_entropy double, "
+    "low_entropy_share double"
+)
+
+
+def frame_entropy(df: DataFrame, chunk: int = 64) -> DataFrame:
+    """G11 — per-frame byte-entropy profile over opaque media
+    payloads: each 64-byte frame's Shannon entropy (nats) over its
+    byte histogram, rolled up per medium into mean/min entropy and
+    the share of low-entropy frames (< 3 nats — blank/solid/padded
+    frames). The cheap "is this media content or filler" triage run
+    before any expensive decode — complements G8's scene cuts
+    (change between frames) with WITHIN-frame information density.
+
+    Exactness: per-frame entropy uses the F45 scheme — each n·ln(n)
+    term quantizes to micro-nats (ln of an exact int is the same
+    double everywhere), H = ln(L) - s/L/1e6 then floors to a 1e-6
+    grid; rollups fold those ints and divide once.
+
+    Plan: map-only Arrow batches; payloads never shuffle.
+    """
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_frames": [], "mean_entropy": [],
+                "min_entropy": [], "low_entropy_share": [],
+            }
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if not b:
+                    continue
+                qhs = []
+                for i in range(0, len(b), chunk):
+                    c = b[i : i + chunk]
+                    counts: dict[int, int] = {}
+                    for x in c:
+                        counts[x] = counts.get(x, 0) + 1
+                    s = sum(
+                        math.floor(n * math.log(n) * 1e6)
+                        for n in counts.values()
+                        if n > 1
+                    )
+                    h = math.log(len(c)) - s / len(c) / 1e6
+                    qhs.append(math.floor(h * 1e6))
+                low = sum(1 for q in qhs if q < 3_000_000)
+                rows["doc_id"].append(d)
+                rows["n_frames"].append(len(qhs))
+                rows["mean_entropy"].append(sum(qhs) / len(qhs) / 1e6)
+                rows["min_entropy"].append(min(qhs) / 1e6)
+                rows["low_entropy_share"].append(low / len(qhs))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_ENTROPY_SCHEMA)

@@ -2430,3 +2430,51 @@ def sample_size_planner(
         F.ceil(n_fpc).cast("bigint").alias("sample_needed"),
         (F.ceil(n_fpc) / nn).alias("sampling_frac"),
     ).orderBy(group_col)
+
+
+def split_stratification_check(
+    df: DataFrame, id_col: str, stratum_col: str
+) -> DataFrame:
+    """P65 — is the hash split BALANCED across strata? For every
+    (split, stratum) cell: observed count, expected count under
+    independence, the standardized residual, and the split's total
+    chi-square. A split can pass P23's leakage check and still be
+    skewed (one source over-represented in test); this is the
+    balance audit run beside it.
+
+    Exactness: counts are exact ints; expected = split_n*stratum_n/N
+    is a fixed-order exact-int double chain; residual/chi2 terms
+    quantize to a 1e-9 grid before the per-split integer fold.
+
+    Plan: one (split, stratum) aggregate; margins via windows over
+    the splits-x-strata-bounded cell table.
+    """
+    assigned = train_test_split(df, id_col)
+    cells = assigned.groupBy(
+        F.col("split"), F.col(stratum_col).alias("stratum")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    ws = Window.partitionBy("split")
+    wt = Window.partitionBy("stratum")
+    wa = Window.partitionBy()
+    cells = (
+        cells.withColumn("split_n", F.sum("obs").over(ws))
+        .withColumn("strat_n", F.sum("obs").over(wt))
+        .withColumn("nn", F.sum("obs").over(wa))
+    )
+    exp = (
+        F.col("split_n").cast("double")
+        * F.col("strat_n").cast("double")
+        / F.col("nn").cast("double")
+    )
+    resid = (F.col("obs").cast("double") - exp) / F.sqrt(exp)
+    qchi = F.floor(resid * resid * F.lit(1e9)).cast("bigint")
+    out = cells.withColumn("expected", exp).withColumn(
+        "std_residual", resid
+    ).withColumn("qchi", qchi)
+    chi = out.withColumn(
+        "chi2",
+        F.sum("qchi").over(ws).cast("double") / F.lit(1e9),
+    )
+    return chi.select(
+        "split", "stratum", "obs", "expected", "std_residual", "chi2"
+    ).orderBy("split", "stratum")

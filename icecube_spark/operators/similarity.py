@@ -2072,3 +2072,93 @@ def knn_margin(
         )
         .orderBy("label")
     )
+
+
+def cosine_label_pr_curve(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """E38 — cosine-threshold calibration against labels: within LSH
+    buckets, score every pair, treat same-label as ground truth, and
+    report precision/recall/F1 of "cosine >= t means same class" for
+    each candidate threshold. The eyes-open way to pick the cosine
+    cut that E5/E15 curves assume — run it before hard-coding 0.8
+    into any dedup or clustering config.
+
+    Exactness: cosines follow the E2 quantized scheme; tp/fp/fn are
+    exact pair counts; P/R/F1 are single exact-int divisions (F1 in
+    its 2tp/(2tp+fp+fn) one-division form).
+
+    Plan: bucket-bounded pairs (E2's fanout), one explode by the
+    fixed threshold array, one |thresholds|-row aggregate.
+    """
+    coded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_code(vec_col).alias("code"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    a = coded.select(
+        F.col(id_col).alias("ia"), F.col(vec_col).alias("va"),
+        F.col(label_col).alias("la"), "code", F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"),
+        F.col(label_col).alias("lb"), "code", F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "code")
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            (F.col("la") == F.col("lb")).alias("same"),
+            (dot_expr("va", "vb") / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    tarr = F.array(*[F.lit(float(t)) for t in thresholds])
+    scored = pairs.select(
+        "same", "cosine", F.explode(tarr).alias("threshold")
+    )
+    agg = scored.groupBy("threshold").agg(
+        F.sum(
+            F.when(F.col("same") & (F.col("cosine") >= F.col("threshold")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                ~F.col("same") & (F.col("cosine") >= F.col("threshold")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(F.col("same") & (F.col("cosine") < F.col("threshold")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    def safe(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        safe(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        safe(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        safe(
+            F.lit(2) * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1"),
+    ).orderBy("threshold")

@@ -2182,3 +2182,44 @@ def char_trigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def term_burstiness(
+    df: DataFrame, text_col: str, top_k: int = 30
+) -> DataFrame:
+    """F50 — Church-Gale term burstiness for the corpus's top-k
+    terms: mean occurrences PER CONTAINING DOCUMENT (tf/df). Content
+    words burst (a doc about a topic repeats its terms); function
+    words spread evenly (burstiness ~ tf/n_docs share). The classic
+    IR statistic separating topical vocabulary from glue — feeds
+    stopword induction and keyword weighting without any language
+    resource.
+
+    Exactness: tf and df are exact counts; burstiness is one
+    division; the top-k cut orders by (tf desc, term) — total and
+    deterministic.
+
+    Plan: one (term) count shuffle computing tf and df in the same
+    agg (df via countDistinct on the doc id), then TakeOrdered
+    top-k — no global sort materializes.
+    """
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        agg.orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(top_k)
+        .select(
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+    )

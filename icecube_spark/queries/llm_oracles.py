@@ -2929,3 +2929,146 @@ ORACLES["dedup_sorted_neighborhood"] = f"""
           >= 0.3
     ORDER BY doc_a, doc_b
 """
+
+
+ORACLES["cosine_label_pr_curve"] = f"""
+    WITH {_VNORM},
+    coded AS (
+        SELECT vec_id, label, embedding, nrm,
+               CAST((SELECT SUM(CASE WHEN
+                   list_sum(
+                       [CAST(floor(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1) >= '8'
+                                  THEN 1.0 ELSE -1.0 END
+                             * CAST(embedding[j] AS DOUBLE) * 1e12) AS BIGINT)
+                        FOR j IN range(1, len(embedding) + 1)]) >= 0
+                   THEN (1 << p) ELSE 0 END) FROM range(8) t(p)) AS INT) AS code
+        FROM v),
+    pairs AS (
+        SELECT a.label = b.label AS same,
+               {_PAIR_COS.format(a='a.embedding', b='b.embedding', na='a.nrm', nb='b.nrm')} AS cosine
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND a.vec_id < b.vec_id),
+    scored AS (
+        SELECT same, cosine, t.threshold
+        FROM pairs CROSS JOIN
+             (SELECT UNNEST([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0])
+                  AS threshold) t),
+    agg AS (
+        SELECT threshold,
+               CAST(SUM(CASE WHEN same AND cosine >= threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN NOT same AND cosine >= threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN same AND cosine < threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM scored GROUP BY 1)
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                ELSE 0.0e0 END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                ELSE 0.0e0 END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+                ELSE 0.0e0 END AS f1
+    FROM agg ORDER BY threshold
+"""
+
+ORACLES["term_burstiness"] = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    agg AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE tok != '' GROUP BY 1)
+    SELECT tok AS term, tf, df,
+           CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+    FROM agg ORDER BY tf DESC, term LIMIT 30
+"""
+
+ORACLES["media_frame_entropy"] = """
+    WITH ascii_docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+        FROM documents),
+    meta AS (
+        SELECT doc_id, text,
+               CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nc
+        FROM ascii_docs WHERE strlen(text) > 0),
+    chunks AS (
+        SELECT doc_id, c, substr(text, c * 64 + 1, 64) AS ck
+        FROM meta CROSS JOIN range(0, 1024) t(c)
+        WHERE c < nc),
+    chars AS (
+        SELECT doc_id, c, strlen(ck) AS L,
+               substr(ck, CAST(i AS INT), 1) AS ch
+        FROM chunks CROSS JOIN generate_series(1, 64) t(i)
+        WHERE i <= strlen(ck)),
+    counts AS (
+        SELECT doc_id, c, L, ch, CAST(COUNT(*) AS BIGINT) AS n
+        FROM chars GROUP BY 1, 2, 3, 4),
+    perframe AS (
+        SELECT doc_id, c, L,
+               CAST(SUM(CASE WHEN n > 1
+                   THEN CAST(FLOOR(CAST(n AS DOUBLE)
+                                   * ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS s
+        FROM counts GROUP BY 1, 2, 3),
+    qh AS (
+        SELECT doc_id,
+               CAST(FLOOR((ln(CAST(L AS DOUBLE))
+                           - CAST(s AS DOUBLE) / CAST(L AS DOUBLE) / 1e6)
+                          * 1e6) AS BIGINT) AS q
+        FROM perframe)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_entropy,
+           CAST(MIN(q) AS DOUBLE) / 1e6 AS min_entropy,
+           CAST(SUM(CASE WHEN q < 3000000 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS low_entropy_share
+    FROM qh GROUP BY 1 ORDER BY doc_id
+"""
+
+ORACLES["dup_transitivity_audit"] = f"""
+    WITH {_GRAMS_CTES},
+    e0 AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+    rare AS (SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+        FROM e0) WHERE df <= 64),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    verify AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(ga.g, gb.g)) AS inter,
+               len(ga.g) AS la, len(gb.g) AS lb
+        FROM cands c
+        JOIN grams ga ON c.doc_a = ga.doc_id
+        JOIN grams gb ON c.doc_b = gb.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b FROM verify
+        WHERE inter / (la + lb - inter) >= 0.3),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    wedges AS (
+        SELECT w1.s AS a, w1.t AS m, w2.t AS c
+        FROM edges w1 JOIN edges w2 ON w1.t = w2.s
+        WHERE w1.s < w2.t),
+    closed AS (
+        SELECT w.* FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.doc_a = w.a AND p.doc_b = w.c)),
+    agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM closed) AS n_closed)
+    SELECT n_pairs, n_wedges, n_closed,
+           CASE WHEN n_wedges > 0
+                THEN CAST(n_closed AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                ELSE 0.0e0 END AS closure_rate
+    FROM agg
+"""

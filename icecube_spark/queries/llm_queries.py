@@ -1175,3 +1175,41 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         _docs(spark, sf_dir), "doc_id", "text", window=3, min_jaccard=0.3
     )
+
+
+def cosine_label_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — precision/recall/F1 of "cosine >= t == same label" per
+    candidate threshold: calibrate the cosine cut before using it."""
+    return similarity.cosine_label_pr_curve(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label"
+    )
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F50 — tf/df burstiness of the top-30 terms (Church-Gale):
+    topical vocabulary bursts, glue words spread evenly."""
+    return text.term_burstiness(_docs(spark, sf_dir), "text", top_k=30)
+
+
+def media_frame_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 — within-frame byte-entropy profile per medium (64-byte
+    frames): content-vs-filler triage before any decode."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    return multimodal.frame_entropy(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18 — does near-dup similarity behave transitively? Wedge/
+    triangle closure rate of the 0.3-Jaccard pair graph — the
+    go/no-go check before connected-components cluster collapse."""
+    grams, _ = staged_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3,
+        grams=grams, cands=staged_candidates(spark, sf_dir),
+    )
+    return dedup.dup_transitivity_audit(pairs)

@@ -1403,3 +1403,42 @@ ORACLES["sample_size_planner"] = """
            CEIL(n0 / (1.0 + (n0 - 1.0) / nn)) / nn AS sampling_frac
     FROM sized ORDER BY source
 """
+
+ORACLES["split_stratification_check"] = f"""
+    WITH assigned AS (
+        SELECT source AS stratum,
+               CASE WHEN {_BUCKET} < 90 THEN 'train'
+                    WHEN {_BUCKET} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    cells AS (
+        SELECT split, stratum, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM assigned GROUP BY 1, 2),
+    m AS (
+        SELECT *,
+               CAST(SUM(obs) OVER (PARTITION BY split) AS BIGINT)
+                   AS split_n,
+               CAST(SUM(obs) OVER (PARTITION BY stratum) AS BIGINT)
+                   AS strat_n,
+               CAST(SUM(obs) OVER () AS BIGINT) AS nn
+        FROM cells),
+    scored AS (
+        SELECT split, stratum, obs,
+               CAST(split_n AS DOUBLE) * CAST(strat_n AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS expected,
+               (CAST(obs AS DOUBLE)
+                - CAST(split_n AS DOUBLE) * CAST(strat_n AS DOUBLE)
+                      / CAST(nn AS DOUBLE))
+               / sqrt(CAST(split_n AS DOUBLE) * CAST(strat_n AS DOUBLE)
+                      / CAST(nn AS DOUBLE)) AS std_residual
+        FROM m),
+    q AS (
+        SELECT *,
+               CAST(FLOOR(std_residual * std_residual * 1e9) AS BIGINT)
+                   AS qchi
+        FROM scored)
+    SELECT split, stratum, obs, expected, std_residual,
+           CAST(CAST(SUM(qchi) OVER (PARTITION BY split) AS BIGINT)
+                AS DOUBLE) / 1e9 AS chi2
+    FROM q ORDER BY split, stratum
+"""

@@ -895,3 +895,11 @@ def sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.sample_size_planner(
         _docs(spark, sf_dir), "source", F.col("n_chars") >= 300
     )
+
+
+def split_stratification_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P65 — per-(split, source) balance audit of the P1 hash split:
+    observed vs expected, standardized residuals, per-split chi2."""
+    return pipeline.split_stratification_check(
+        _docs(spark, sf_dir), "doc_id", "source"
+    )

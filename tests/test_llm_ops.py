@@ -8,6 +8,10 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cosine_label_pr_curve", lq.cosine_label_pr_curve),
+    ("term_burstiness", lq.term_burstiness),
+    ("media_frame_entropy", lq.media_frame_entropy),
+    ("dup_transitivity_audit", lq.dup_transitivity_audit),
     ("char_trigram_logprob", lq.char_trigram_logprob),
     ("media_loudness", lq.media_loudness),
     ("dedup_sorted_neighborhood", lq.dedup_sorted_neighborhood),
