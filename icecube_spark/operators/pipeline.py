@@ -2478,3 +2478,84 @@ def split_stratification_check(
     return chi.select(
         "split", "stratum", "obs", "expected", "std_residual", "chi2"
     ).orderBy("split", "stratum")
+
+
+def retention_policy_matrix(
+    df: DataFrame, id_col: str, text_col: str, len_col: str
+) -> DataFrame:
+    """P66 — dedup survivorship POLICY comparison: group docs by the
+    8-token boilerplate prefix (the D14 dup key) and, for three
+    keep-one-representative rules (first-by-id, longest, densest by
+    distinct-token ratio), report docs/tokens retained and the mean
+    density of what survives. P26 executes one golden-record rule;
+    this is the side-by-side that justifies WHICH rule, before any
+    destructive collapse runs.
+
+    Exactness: winners come from a rank window with a fully
+    deterministic (policy sort key, id) order; retained counts are
+    exact ints; means are single divisions.
+
+    Plan: per-doc scoring is map-only; ONE rank window over
+    (policy, group) partitions (groups are prefix-cluster-sized);
+    the report is a 3-row aggregate.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    key = F.expr(f"concat_ws(' ', slice({toks}, 1, 8))")
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        F.col(len_col).alias("ln"),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tok"),
+        F.floor(
+            F.lit(1e6)
+            * F.expr(f"size(array_distinct({toks}))").cast("double")
+            / F.expr(f"size({toks})").cast("double")
+        )
+        .cast("bigint")
+        .alias("score_q"),
+    )
+    pols = F.array(
+        F.lit("keep_first"), F.lit("keep_longest"), F.lit("keep_densest")
+    )
+    fan = scored.select(
+        "id", "k", "ln", "n_tok", "score_q", F.explode(pols).alias("policy")
+    ).withColumn(
+        "o1",
+        F.when(F.col("policy") == "keep_first", F.lit(0))
+        .when(F.col("policy") == "keep_longest", -F.col("ln"))
+        .otherwise(-F.col("score_q")),
+    )
+    w = Window.partitionBy("policy", "k").orderBy("o1", "id")
+    reps = fan.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+        F.sum("n_tok").cast("bigint").alias("tokens_before"),
+    )
+    return (
+        reps.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_after"),
+            F.sum("n_tok").cast("bigint").alias("tokens_after"),
+            F.sum("score_q").alias("sq"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "policy",
+            "docs_before",
+            "docs_after",
+            "tokens_before",
+            "tokens_after",
+            (
+                F.col("tokens_after").cast("double")
+                / F.col("tokens_before").cast("double")
+            ).alias("token_share"),
+            (
+                F.col("sq").cast("double")
+                / F.col("docs_after").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_density_after"),
+        )
+        .orderBy("policy")
+    )

@@ -2162,3 +2162,87 @@ def cosine_label_pr_curve(
             F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+def quantization_sweep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits_levels: tuple = (1, 2, 4, 8),
+    vrange: float = 0.75,
+) -> DataFrame:
+    """E39 — scalar-quantization sweep: for each bit width, uniformly
+    quantize every component into 2^b levels over [-vrange, vrange]
+    and report reconstruction RMSE and the mean cosine between
+    original and reconstructed vectors. The storage-vs-fidelity
+    sizing table read before committing an index format — E6 applies
+    ONE quantizer, this compares the ladder (and shows where cosine
+    survives 4x compression).
+
+    Exactness: codes are exact integer floors of a fixed-order
+    affine map; reconstruction is the same closed form in both
+    engines; error/dot/norm folds quantize per term to 1e12 ints;
+    readouts are single divisions (cosines pre-snap to 1e-9).
+
+    Plan: one posexplode (corpus x dims), a fixed 4-way explode by
+    bit width, one (bits, vector) aggregate then a 4-row rollup —
+    two bounded shuffles, no joins beyond the bit array.
+    """
+    dims = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("dim", "xf"),
+    ).select("vid", F.col("xf").cast("double").alias("x"))
+    barr = F.array(*[F.lit(int(b)) for b in bits_levels])
+    fan = dims.select("vid", "x", F.explode(barr).alias("bits"))
+    levels = F.pow(F.lit(2.0), F.col("bits").cast("double"))
+    step = F.lit(2.0 * vrange) / levels
+    code = F.least(
+        levels - F.lit(1.0),
+        F.greatest(
+            F.lit(0.0), F.floor((F.col("x") + F.lit(vrange)) / step)
+        ),
+    )
+    recon = F.lit(-vrange) + (code + F.lit(0.5)) * step
+    scored = fan.select(
+        "vid",
+        "bits",
+        F.floor((F.col("x") - recon) * (F.col("x") - recon) * F.lit(1e12))
+        .cast("bigint")
+        .alias("qerr"),
+        F.floor(F.col("x") * recon * F.lit(1e12)).cast("bigint").alias("qdot"),
+        F.floor(F.col("x") * F.col("x") * F.lit(1e12))
+        .cast("bigint")
+        .alias("qxx"),
+        F.floor(recon * recon * F.lit(1e12)).cast("bigint").alias("qrr"),
+    )
+    per_vec = scored.groupBy("bits", "vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("qerr").alias("se"),
+        F.sum("qdot").alias("sd"),
+        F.sum("qxx").alias("sx"),
+        F.sum("qrr").alias("sr"),
+    )
+    cos = F.col("sd").cast("double") / (
+        F.sqrt(F.col("sx").cast("double")) * F.sqrt(F.col("sr").cast("double"))
+    )
+    qcos = F.floor(cos * F.lit(1e9)).cast("bigint")
+    out = per_vec.select(
+        "bits", "d", "se", qcos.alias("qc")
+    ).groupBy("bits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("se").alias("sse"),
+        F.sum("d").alias("nd"),
+        F.sum("qc").alias("sqc"),
+    )
+    return out.select(
+        F.col("bits").cast("int").alias("bits"),
+        "n_vectors",
+        F.sqrt(
+            F.col("sse").cast("double") / F.col("nd").cast("double") / F.lit(1e12)
+        ).alias("rmse"),
+        (
+            F.col("sqc").cast("double")
+            / F.col("n_vectors").cast("double")
+            / F.lit(1e9)
+        ).alias("mean_cosine"),
+    ).orderBy("bits")

@@ -3647,3 +3647,52 @@ def ar1_halflife(
             (F.col("phi") > 0) & (F.col("phi") < 1), hl
         ).alias("halflife_days"),
     )
+
+
+def burstiness_index(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str = "event_id",
+    min_gaps: int = 5,
+) -> DataFrame:
+    """C100 — Goh-Barabasi burstiness of per-key interarrival times:
+    B = (sigma - mu)/(sigma + mu) over the gaps between consecutive
+    events. B ~ -1 is a metronome (schedulers, heartbeats), B ~ 0 a
+    Poisson process (organic traffic), B -> 1 heavy bursts (humans,
+    incidents, scrapers). Separates WHO is bursty — complements
+    C41's WHEN (hour flags) and C26's single-gap screen.
+
+    Exactness: gaps quantize to whole seconds (keeps the square
+    fold far below 2^53 — see parity.py trap #2); moments are exact
+    ints; mu/sigma/B are one fixed-order double chain.
+
+    Plan: one key-window shuffle for the lag, one per-key aggregate.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    gaps = (
+        df.select(
+            F.col(key_col),
+            F.floor(
+                (_us(ts_col) - F.lag(_us(ts_col)).over(w)) / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    mom = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").alias("sx"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("sxx"),
+    ).where(F.col("n") >= min_gaps)
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / n
+    sig = F.sqrt(n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")) / n
+    return mom.select(
+        key_col,
+        F.col("n").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        sig.alias("std_gap_s"),
+        ((sig - mu) / (sig + mu)).alias("burstiness"),
+    )

@@ -2803,3 +2803,53 @@ def priority_escalation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def cross_sell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62 — merchandising cross-sell matrix: revenue share of each
+    part type within each customer market segment, with lift vs the
+    type's global share. Lift > 1 marks segment-type affinities
+    (where to target assortment); B26/B29 find item-pair baskets,
+    this is the segment-level planning view.
+
+    Exactness: integer-cent folds; shares and lift are fixed-order
+    exact-int double divisions.
+
+    Plan: one fact shuffle on (segment, type) after broadcast dim
+    joins; margins via windows over the segments-x-types-bounded
+    matrix.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    part = catalog.load(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e2)
+    ).cast("bigint")
+    cells = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("p_type").alias("part_type"),
+        )
+        .agg(F.sum(cents).alias("c"))
+    )
+    wseg = Window.partitionBy("segment")
+    wtyp = Window.partitionBy("part_type")
+    wall = Window.partitionBy()
+    m = (
+        cells.withColumn("seg_c", F.sum("c").over(wseg))
+        .withColumn("typ_c", F.sum("c").over(wtyp))
+        .withColumn("all_c", F.sum("c").over(wall))
+    )
+    seg_share = F.col("c").cast("double") / F.col("seg_c").cast("double")
+    typ_share = F.col("typ_c").cast("double") / F.col("all_c").cast("double")
+    return m.select(
+        "segment",
+        "part_type",
+        (F.col("c").cast("double") / F.lit(1e2)).alias("revenue"),
+        seg_share.alias("segment_share"),
+        (seg_share / typ_share).alias("lift"),
+    ).orderBy("segment", "part_type")

@@ -1366,3 +1366,27 @@ ORACLES["priority_escalation_trend"] = """
            trend_slope
     FROM pts CROSS JOIN fit ORDER BY month
 """
+
+ORACLES["cross_sell_matrix"] = """
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, p_type AS part_type,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0) AS BIGINT)) AS BIGINT) AS c
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+    m AS (
+        SELECT *,
+               CAST(SUM(c) OVER (PARTITION BY segment) AS BIGINT) AS seg_c,
+               CAST(SUM(c) OVER (PARTITION BY part_type) AS BIGINT) AS typ_c,
+               CAST(SUM(c) OVER () AS BIGINT) AS all_c
+        FROM cells)
+    SELECT segment, part_type,
+           CAST(c AS DOUBLE) / 100.0 AS revenue,
+           CAST(c AS DOUBLE) / CAST(seg_c AS DOUBLE) AS segment_share,
+           (CAST(c AS DOUBLE) / CAST(seg_c AS DOUBLE))
+               / (CAST(typ_c AS DOUBLE) / CAST(all_c AS DOUBLE)) AS lift
+    FROM m ORDER BY segment, part_type
+"""

@@ -3072,3 +3072,56 @@ ORACLES["dup_transitivity_audit"] = f"""
                 ELSE 0.0e0 END AS closure_rate
     FROM agg
 """
+
+ORACLES["quantization_sweep"] = """
+    WITH dims AS (
+        SELECT vec_id AS vid,
+               CAST(embedding[CAST(gs AS INT)] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(gs)),
+    fan AS (
+        SELECT vid, x, b.bits
+        FROM dims CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS bits) b),
+    recon AS (
+        SELECT vid, bits, x,
+               -0.75e0 + (LEAST(pow(2.0e0, CAST(bits AS DOUBLE)) - 1.0e0,
+                                GREATEST(0.0e0,
+                                    FLOOR((x + 0.75e0)
+                                        / (1.5e0 / pow(2.0e0,
+                                               CAST(bits AS DOUBLE))))))
+                          + 0.5e0)
+                   * (1.5e0 / pow(2.0e0, CAST(bits AS DOUBLE))) AS r
+        FROM fan),
+    scored AS (
+        SELECT vid, bits,
+               CAST(FLOOR((x - r) * (x - r) * 1e12) AS BIGINT) AS qerr,
+               CAST(FLOOR(x * r * 1e12) AS BIGINT) AS qdot,
+               CAST(FLOOR(x * x * 1e12) AS BIGINT) AS qxx,
+               CAST(FLOOR(r * r * 1e12) AS BIGINT) AS qrr
+        FROM recon),
+    per_vec AS (
+        SELECT bits, vid,
+               CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(qerr) AS BIGINT) AS se,
+               CAST(SUM(qdot) AS BIGINT) AS sd,
+               CAST(SUM(qxx) AS BIGINT) AS sx,
+               CAST(SUM(qrr) AS BIGINT) AS sr
+        FROM scored GROUP BY 1, 2),
+    qc AS (
+        SELECT bits, d, se,
+               CAST(FLOOR(CAST(sd AS DOUBLE)
+                          / (sqrt(CAST(sx AS DOUBLE))
+                             * sqrt(CAST(sr AS DOUBLE))) * 1e9) AS BIGINT)
+                   AS qcv
+        FROM per_vec),
+    agg AS (
+        SELECT bits, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(se) AS BIGINT) AS sse,
+               CAST(SUM(d) AS BIGINT) AS nd,
+               CAST(SUM(qcv) AS BIGINT) AS sqc
+        FROM qc GROUP BY 1)
+    SELECT CAST(bits AS INT) AS bits, n_vectors,
+           sqrt(CAST(sse AS DOUBLE) / CAST(nd AS DOUBLE) / 1e12) AS rmse,
+           CAST(sqc AS DOUBLE) / CAST(n_vectors AS DOUBLE) / 1e9
+               AS mean_cosine
+    FROM agg ORDER BY bits
+"""

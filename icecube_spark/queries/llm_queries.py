@@ -1213,3 +1213,11 @@ def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams=grams, cands=staged_candidates(spark, sf_dir),
     )
     return dedup.dup_transitivity_audit(pairs)
+
+
+def quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39 — 1/2/4/8-bit scalar-quantization ladder: RMSE and mean
+    original-vs-reconstructed cosine per bit width."""
+    return similarity.quantization_sweep(
+        _emb(spark, sf_dir), "vec_id", "embedding"
+    )

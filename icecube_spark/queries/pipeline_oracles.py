@@ -1442,3 +1442,46 @@ ORACLES["split_stratification_check"] = f"""
                 AS DOUBLE) / 1e9 AS chi2
     FROM q ORDER BY split, stratum
 """
+
+ORACLES["retention_policy_matrix"] = """
+    WITH scored AS (
+        SELECT doc_id AS id,
+               concat_ws(' ', list_slice(
+                   string_split_regex(trim(text), '\\s+'), 1, 8)) AS k,
+               n_chars AS ln,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tok,
+               CAST(FLOOR(1e6
+                   * CAST(len(list_distinct(
+                         string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+'))
+                          AS DOUBLE)) AS BIGINT) AS score_q
+        FROM documents),
+    fan AS (
+        SELECT s.*, p.policy,
+               CASE WHEN p.policy = 'keep_first' THEN 0
+                    WHEN p.policy = 'keep_longest' THEN -ln
+                    ELSE -score_q END AS o1
+        FROM scored s CROSS JOIN
+             (SELECT UNNEST(['keep_first', 'keep_longest',
+                             'keep_densest']) AS policy) p),
+    reps AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY policy, k ORDER BY o1, id) AS rn
+            FROM fan) WHERE rn = 1),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS docs_before,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_before
+        FROM scored)
+    SELECT policy, docs_before,
+           CAST(COUNT(*) AS BIGINT) AS docs_after,
+           tokens_before,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_after,
+           CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+               / CAST(tokens_before AS DOUBLE) AS token_share,
+           CAST(CAST(SUM(score_q) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_density_after
+    FROM reps CROSS JOIN tot
+    GROUP BY policy, docs_before, tokens_before ORDER BY policy
+"""

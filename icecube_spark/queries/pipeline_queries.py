@@ -903,3 +903,11 @@ def split_stratification_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.split_stratification_check(
         _docs(spark, sf_dir), "doc_id", "source"
     )
+
+
+def retention_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P66 — keep-one policy comparison over prefix-dup clusters:
+    first vs longest vs densest — what survives each rule?"""
+    return pipeline.retention_policy_matrix(
+        _docs(spark, sf_dir), "doc_id", "text", "n_chars"
+    )

@@ -2426,3 +2426,65 @@ ORACLES["weekly_profile_drift"] = """
                AS js_divergence
     FROM agg ORDER BY week_start
 """
+
+ORACLES["dow_hour_interaction"] = """
+    WITH cells AS (
+        SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+               hour(CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT *,
+               CAST(SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS dn,
+               CAST(SUM(obs) OVER (PARTITION BY hour) AS BIGINT) AS hn,
+               CAST(SUM(obs) OVER () AS BIGINT) AS nn
+        FROM cells),
+    scored AS (
+        SELECT dow, hour, obs, dn, hn, nn,
+               CAST(dn AS DOUBLE) * CAST(hn AS DOUBLE) / CAST(nn AS DOUBLE)
+                   AS expected,
+               (CAST(obs AS DOUBLE)
+                - CAST(dn AS DOUBLE) * CAST(hn AS DOUBLE)
+                      / CAST(nn AS DOUBLE))
+               / sqrt(CAST(dn AS DOUBLE) * CAST(hn AS DOUBLE)
+                      / CAST(nn AS DOUBLE)) AS std_residual
+        FROM m),
+    q AS (
+        SELECT *,
+               CAST(FLOOR(std_residual * std_residual * 1e9) AS BIGINT)
+                   AS qchi
+        FROM scored)
+    SELECT dow, hour, obs, expected, std_residual,
+           CAST(CAST(SUM(qchi) OVER () AS BIGINT) AS DOUBLE) / 1e9
+               / CAST(nn AS DOUBLE) AS phi2
+    FROM q ORDER BY dow, hour
+"""
+
+ORACLES["burstiness_index"] = """
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) / 1000000)
+                   AS BIGINT) AS g
+        FROM events),
+    mom AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS sx,
+               SUM(CAST(g AS HUGEINT) * g) AS sxx
+        FROM gaps WHERE g IS NOT NULL GROUP BY 1
+        HAVING COUNT(*) >= 5)
+    SELECT user_id, n AS n_gaps,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_s,
+           sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS std_gap_s,
+           (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE)
+            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+              + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS burstiness
+    FROM mom ORDER BY user_id
+"""

@@ -1490,3 +1490,61 @@ def weekly_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tw").alias("n_events"),
         js.alias("js_divergence"),
     ).orderBy("week_start")
+
+
+def dow_hour_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C99 — two-way activity decomposition: does the hourly shape
+    change by weekday, or do day-of-week and hour-of-day act
+    independently? Per (dow, hour) cell: observed events, the
+    independence expectation row_total*col_total/N, and the
+    standardized residual; one chi2/N (mean-square contingency phi^2)
+    readout repeated per row. High phi^2 = the heatmap's shape is
+    day-dependent and C24's marginal profiles mislead.
+
+    Exactness: counts exact; expectation and residual are fixed-
+    order exact-int doubles; phi^2 folds a 1e-9-quantized integer.
+
+    Plan: one (dow, hour) aggregate (<=168 cells); margins and the
+    fold are windows over that bounded table.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    wd = Window.partitionBy("dow")
+    wh = Window.partitionBy("hour")
+    wa = Window.partitionBy()
+    m = (
+        cells.withColumn("dn", F.sum("obs").over(wd))
+        .withColumn("hn", F.sum("obs").over(wh))
+        .withColumn("nn", F.sum("obs").over(wa))
+    )
+    exp = (
+        F.col("dn").cast("double")
+        * F.col("hn").cast("double")
+        / F.col("nn").cast("double")
+    )
+    resid = (F.col("obs").cast("double") - exp) / F.sqrt(exp)
+    scored = m.withColumn("expected", exp).withColumn(
+        "std_residual", resid
+    ).withColumn(
+        "qchi", F.floor(resid * resid * F.lit(1e9)).cast("bigint")
+    )
+    return scored.withColumn(
+        "phi2",
+        F.sum("qchi").over(wa).cast("double")
+        / F.lit(1e9)
+        / F.col("nn").cast("double"),
+    ).select(
+        "dow", "hour", "obs", "expected", "std_residual", "phi2"
+    ).orderBy("dow", "hour")
+
+
+def burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C100 — per-user Goh-Barabasi burstiness B = (s-m)/(s+m) of
+    interarrival gaps: metronome vs Poisson vs bursty triage."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return timeseries.burstiness_index(ev, "user_id", "ts").orderBy(
+        "user_id"
+    )

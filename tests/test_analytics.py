@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cross_sell_matrix", analytics.cross_sell_matrix),
     ("price_dispersion", analytics.price_dispersion),
     ("priority_escalation_trend", analytics.priority_escalation_trend),
     ("acctbal_spend_deciles", analytics.acctbal_spend_deciles),

@@ -8,6 +8,8 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("dow_hour_interaction", tq.dow_hour_interaction),
+    ("burstiness_index", tq.burstiness_index),
     ("transition_entropy", tq.transition_entropy),
     ("weekly_profile_drift", tq.weekly_profile_drift),
     ("ar1_halflife", tq.ar1_halflife),
