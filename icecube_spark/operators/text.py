@@ -2223,3 +2223,156 @@ def term_burstiness(
         )
         .orderBy(F.desc("tf"), F.asc("term"))
     )
+
+
+def source_coherence(
+    df: DataFrame, group_col: str, id_col: str, text_col: str
+) -> DataFrame:
+    """F51 — topical coherence of each source: cosine of every doc's
+    term-frequency vector against its source's TF centroid, rolled
+    up to mean/min cosine and the share of docs below 0.5. A LOW-
+    coherence source mixes unrelated content (scraped aggregators,
+    mislabeled feeds) and deserves doc-level rather than source-
+    level curation decisions.
+
+    Exactness: centroid weights quantize to floor(w*1e9) ints (dot)
+    and floor(w^2*1e12) ints (norm — per-term, keeping folds below
+    2^53 per parity.py trap #2); doc norms are exact tf^2 ints;
+    per-doc cosines snap to 1e-9 before the source fold.
+
+    Plan: one (doc, term) tf shuffle, a (source, term) centroid agg
+    (vocab-bounded), a broadcast centroid join back, one doc agg,
+    one |sources|-row report.
+    """
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(_toks(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    tfs = toks.groupBy("src", "id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    st = toks.groupBy("src", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("stf")
+    )
+    tot = toks.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("T"))
+    w = (
+        st.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "tok",
+            F.floor(
+                F.col("stf").cast("double") / F.col("T").cast("double") * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("qw"),
+            F.floor(
+                (F.col("stf").cast("double") / F.col("T").cast("double"))
+                * (F.col("stf").cast("double") / F.col("T").cast("double"))
+                * F.lit(1e12)
+            )
+            .cast("bigint")
+            .alias("qw2"),
+        )
+    )
+    cnorm = w.groupBy("src").agg(F.sum("qw2").alias("cn2"))
+    per_doc = (
+        tfs.join(w, ["src", "tok"])
+        .groupBy("src", "id")
+        .agg(
+            F.sum(F.col("tf") * F.col("qw")).alias("sd"),
+            F.sum(F.col("tf") * F.col("tf")).alias("dn2"),
+        )
+        .join(F.broadcast(cnorm), "src")
+    )
+    cos = (F.col("sd").cast("double") / F.lit(1e9)) / (
+        F.sqrt(F.col("dn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double") / F.lit(1e12))
+    )
+    qcos = F.floor(cos * F.lit(1e9)).cast("bigint")
+    return (
+        per_doc.select("src", qcos.alias("qc"))
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("qc").alias("sq"),
+            F.min("qc").alias("mn"),
+            F.sum(
+                F.when(F.col("qc") < 500_000_000, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_low"),
+        )
+        .select(
+            F.col("src").alias(group_col),
+            "n_docs",
+            (
+                F.col("sq").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1e9)
+            ).alias("mean_cosine"),
+            (F.col("mn").cast("double") / F.lit(1e9)).alias("min_cosine"),
+            (
+                F.col("n_low").cast("double") / F.col("n_docs").cast("double")
+            ).alias("low_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def oov_rate_by_source(
+    df: DataFrame, group_col: str, text_col: str,
+    ks: tuple[int, ...] = (100, 500, 1000),
+) -> DataFrame:
+    """F52/P67 — per-source OOV impact of a vocabulary cut: if the
+    tokenizer keeps only the global top-k types, what fraction of
+    each source's tokens become UNK? F26's corpus curve picks k;
+    this shows WHO pays for it — a source full of rare vocabulary
+    (code, names, other languages) degrades first.
+
+    Exactness: ranks are a deterministic (count desc, term) order;
+    OOV counts are exact ints; the rate is one division.
+
+    Plan: one (term) count agg, a vocab-bounded rank window, a
+    broadcast vocab join back onto (source, term) counts, one
+    |sources x ks| report.
+    """
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.expr(_toks(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wr = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = vocab.withColumn("rnk", F.row_number().over(wr)).select(
+        "tok", "rnk"
+    )
+    st = toks.groupBy("src", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    karr = F.array(*[F.lit(int(k)) for k in ks])
+    fan = (
+        st.join(F.broadcast(ranked), "tok")
+        .select("src", "tf", "rnk", F.explode(karr).alias("k"))
+    )
+    return (
+        fan.groupBy("src", "k")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tokens"),
+            F.sum(F.when(F.col("rnk") > F.col("k"), F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            F.col("src").alias(group_col),
+            F.col("k").cast("int").alias("vocab_k"),
+            "tokens",
+            "oov_tokens",
+            (
+                F.col("oov_tokens").cast("double")
+                / F.col("tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy(group_col, "vocab_k")
+    )

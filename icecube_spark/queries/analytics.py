@@ -2853,3 +2853,58 @@ def cross_sell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_share.alias("segment_share"),
         (seg_share / typ_share).alias("lift"),
     ).orderBy("segment", "part_type")
+
+
+def margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B63 — revenue waterfall by order year: gross (extended price),
+    discount give-back, net revenue, tax collected, and the charged
+    total, with give-back and tax rates. The finance bridge every
+    revenue review opens with — q1 reports the same sums flat; this
+    is the decomposition over time.
+
+    Exactness: every bridge line folds integer cents from one
+    per-row floor; rates are exact-int divisions.
+
+    Plan: one (year) fact aggregate after the order-date join —
+    years-bounded output, single corpus pass.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    gross = F.floor(F.col("l_extendedprice") * F.lit(1e2)).cast("bigint")
+    disc = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * F.lit(1e2)
+    ).cast("bigint")
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e2)
+    ).cast("bigint")
+    charged = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(1e2)
+    ).cast("bigint")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(gross).alias("g"),
+            F.sum(disc).alias("d"),
+            F.sum(net).alias("n"),
+            F.sum(charged).alias("c"),
+        )
+    )
+    return agg.select(
+        "year",
+        "n_lines",
+        (F.col("g").cast("double") / F.lit(1e2)).alias("gross"),
+        (F.col("d").cast("double") / F.lit(1e2)).alias("discount_givenback"),
+        (F.col("n").cast("double") / F.lit(1e2)).alias("net_revenue"),
+        ((F.col("c") - F.col("n")).cast("double") / F.lit(1e2)).alias(
+            "tax_collected"
+        ),
+        (F.col("c").cast("double") / F.lit(1e2)).alias("total_charged"),
+        (F.col("d").cast("double") / F.col("g").cast("double")).alias(
+            "discount_rate"
+        ),
+    ).orderBy("year")

@@ -1390,3 +1390,28 @@ ORACLES["cross_sell_matrix"] = """
                / (CAST(typ_c AS DOUBLE) / CAST(all_c AS DOUBLE)) AS lift
     FROM m ORDER BY segment, part_type
 """
+
+ORACLES["margin_waterfall"] = """
+    WITH agg AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS g,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0)
+                             AS BIGINT)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0) AS BIGINT)) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                   * (1.0 + l_tax) * 100.0) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1)
+    SELECT year, n_lines,
+           CAST(g AS DOUBLE) / 100.0 AS gross,
+           CAST(d AS DOUBLE) / 100.0 AS discount_givenback,
+           CAST(n AS DOUBLE) / 100.0 AS net_revenue,
+           CAST(c - n AS DOUBLE) / 100.0 AS tax_collected,
+           CAST(c AS DOUBLE) / 100.0 AS total_charged,
+           CAST(d AS DOUBLE) / CAST(g AS DOUBLE) AS discount_rate
+    FROM agg ORDER BY year
+"""

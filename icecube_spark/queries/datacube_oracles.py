@@ -1234,3 +1234,25 @@ ORACLES["cube_lbp_texture"] = """
     FROM interior CROSS JOIN tot
     GROUP BY code, n_interior ORDER BY lbp_code
 """
+
+ORACLES["cube_revisit_stats"] = """
+    WITH obs AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2, 3),
+    gaps AS (
+        SELECT x, y, n_obs,
+               d - LAG(d) OVER (PARTITION BY x, y ORDER BY d) AS gap
+        FROM obs)
+    SELECT x, y,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n_obs) AS BIGINT) AS n_obs,
+           CASE WHEN COUNT(gap) > 0
+                THEN CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE)
+                     / CAST(COUNT(gap) AS DOUBLE)
+                ELSE 0.0e0 END AS mean_gap_days,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY 1, 2 ORDER BY x, y
+"""

@@ -2587,3 +2587,64 @@ def cube_lbp_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lbp_code")
     )
+
+
+def cube_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 — per-cell revisit cadence over the 50x50 grid: for each
+    cell, the number of distinct observation days and the mean/max
+    gap between consecutive revisits. The constellation-tasking SLA
+    readout ("every cell revisited within N days?") that A51's
+    corpus-level coverage timeline can't answer — this is the
+    per-target view.
+
+    Exactness: day numbers and gaps are exact ints; the mean gap is
+    one division.
+
+    Plan: one (cell, day) distinct aggregate, a lag window whose
+    partitions are single cells (calendar-bounded), then a per-cell
+    aggregate. No corpus-wide window.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .groupBy("x", "y", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    w = Window.partitionBy("x", "y").orderBy("d")
+    gaps = obs.select(
+        "x",
+        "y",
+        "n_obs",
+        (F.col("d") - F.lag("d").over(w)).alias("gap"),
+    )
+    return (
+        gaps.groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n_obs").cast("bigint").alias("n_obs"),
+            F.sum("gap").cast("bigint").alias("gap_sum"),
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .select(
+            "x",
+            "y",
+            "n_days",
+            "n_obs",
+            F.when(
+                F.col("n_gaps") > 0,
+                F.col("gap_sum").cast("double")
+                / F.col("n_gaps").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_gap_days"),
+            F.coalesce(F.col("max_gap_days"), F.lit(0)).alias("max_gap_days"),
+        )
+        .orderBy("x", "y")
+    )

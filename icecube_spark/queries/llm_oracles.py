@@ -3125,3 +3125,50 @@ ORACLES["quantization_sweep"] = """
                AS mean_cosine
     FROM agg ORDER BY bits
 """
+
+ORACLES["source_coherence"] = f"""
+    WITH toks AS (
+        SELECT source AS src, doc_id AS id, UNNEST({_TOKS}) AS tok
+        FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    tfs AS (
+        SELECT src, id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks2 GROUP BY 1, 2, 3),
+    st AS (
+        SELECT src, tok, CAST(COUNT(*) AS BIGINT) AS stf
+        FROM toks2 GROUP BY 1, 2),
+    tot AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS T FROM toks2 GROUP BY 1),
+    w AS (
+        SELECT st.src, st.tok,
+               CAST(FLOOR(CAST(stf AS DOUBLE) / CAST(T AS DOUBLE) * 1e9)
+                    AS BIGINT) AS qw,
+               CAST(FLOOR((CAST(stf AS DOUBLE) / CAST(T AS DOUBLE))
+                          * (CAST(stf AS DOUBLE) / CAST(T AS DOUBLE))
+                          * 1e12) AS BIGINT) AS qw2
+        FROM st JOIN tot ON st.src = tot.src),
+    cnorm AS (
+        SELECT src, CAST(SUM(qw2) AS BIGINT) AS cn2 FROM w GROUP BY 1),
+    per_doc AS (
+        SELECT t.src, t.id,
+               CAST(SUM(t.tf * w.qw) AS BIGINT) AS sd,
+               CAST(SUM(t.tf * t.tf) AS BIGINT) AS dn2
+        FROM tfs t JOIN w ON t.src = w.src AND t.tok = w.tok
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT p.src,
+               CAST(FLOOR(
+                   (CAST(sd AS DOUBLE) / 1e9)
+                   / (sqrt(CAST(dn2 AS DOUBLE))
+                      * sqrt(CAST(cn2 AS DOUBLE) / 1e12)) * 1e9) AS BIGINT)
+                   AS qc
+        FROM per_doc p JOIN cnorm c ON p.src = c.src)
+    SELECT src AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_cosine,
+           CAST(MIN(qc) AS DOUBLE) / 1e9 AS min_cosine,
+           CAST(SUM(CASE WHEN qc < 500000000 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS low_share
+    FROM scored GROUP BY 1 ORDER BY source
+"""

@@ -1221,3 +1221,11 @@ def quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantization_sweep(
         _emb(spark, sf_dir), "vec_id", "embedding"
     )
+
+
+def source_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F51 — doc-to-source-centroid TF cosine rollup: which sources
+    mix unrelated content?"""
+    return text.source_coherence(
+        _docs(spark, sf_dir), "source", "doc_id", "text"
+    )

@@ -1485,3 +1485,33 @@ ORACLES["retention_policy_matrix"] = """
     FROM reps CROSS JOIN tot
     GROUP BY policy, docs_before, tokens_before ORDER BY policy
 """
+
+ORACLES["oov_rate_by_source"] = """
+    WITH toks AS (
+        SELECT source AS src,
+               UNNEST(string_split(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'), ' '))
+                   AS tok
+        FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks2 GROUP BY 1),
+    ranked AS (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM vocab),
+    st AS (
+        SELECT src, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks2 GROUP BY 1, 2),
+    fan AS (
+        SELECT src, tf, rnk, t.k
+        FROM st JOIN ranked USING (tok)
+        CROSS JOIN (SELECT UNNEST([100, 500, 1000]) AS k) t)
+    SELECT src AS source, CAST(k AS INT) AS vocab_k,
+           CAST(SUM(tf) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN rnk > k THEN tf ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(SUM(CASE WHEN rnk > k THEN tf ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(tf) AS DOUBLE) AS oov_rate
+    FROM fan GROUP BY 1, 2 ORDER BY source, vocab_k
+"""

@@ -911,3 +911,13 @@ def retention_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.retention_policy_matrix(
         _docs(spark, sf_dir), "doc_id", "text", "n_chars"
     )
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P67 — who pays for a vocabulary cut? Per-source UNK-token
+    rate at global top-k vocab budgets 100/500/1000."""
+    from icecube_spark.operators import text as text_ops
+
+    return text_ops.oov_rate_by_source(
+        _docs(spark, sf_dir), "source", "text", ks=(100, 500, 1000)
+    )

@@ -2488,3 +2488,54 @@ ORACLES["burstiness_index"] = """
               + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS burstiness
     FROM mom ORDER BY user_id
 """
+
+ORACLES["seasonality_stability"] = """
+    WITH base AS (
+        SELECT event_type AS et,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events),
+    mid AS (SELECT CAST(FLOOR((MIN(d) + MAX(d)) / 2) AS BIGINT) AS mid
+            FROM base),
+    cells AS (
+        SELECT et, dow,
+               CAST(SUM(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM base CROSS JOIN mid GROUP BY 1, 2),
+    grid AS (
+        SELECT e.et, w.dow,
+               COALESCE(c.n1, 0) AS n1, COALESCE(c.n2, 0) AS n2
+        FROM (SELECT DISTINCT et FROM cells) e
+        CROSS JOIN (SELECT DISTINCT dow FROM cells) w
+        LEFT JOIN cells c ON c.et = e.et AND c.dow = w.dow),
+    g AS (
+        SELECT *,
+               CAST(SUM(n1) OVER (PARTITION BY et) AS BIGINT) AS t1,
+               CAST(SUM(n2) OVER (PARTITION BY et) AS BIGINT) AS t2
+        FROM grid),
+    scored AS (
+        SELECT et, t1, t2, n1, n2,
+               CASE WHEN n1 > 0 THEN CAST(FLOOR(ln(
+                   (CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                   / ((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                       + CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2.0))
+                   * 1e6) AS BIGINT) ELSE 0 END AS qa,
+               CASE WHEN n2 > 0 THEN CAST(FLOOR(ln(
+                   (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+                   / ((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                       + CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2.0))
+                   * 1e6) AS BIGINT) ELSE 0 END AS qb
+        FROM g),
+    agg AS (
+        SELECT et, t1, t2,
+               CAST(SUM(n1 * qa) AS BIGINT) AS sa,
+               CAST(SUM(n2 * qb) AS BIGINT) AS sb
+        FROM scored GROUP BY 1, 2, 3)
+    SELECT et AS event_type, t1 AS n_first_half, t2 AS n_second_half,
+           (CAST(sa AS DOUBLE) / CAST(t1 AS DOUBLE)
+            + CAST(sb AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2e6
+               AS js_divergence
+    FROM agg ORDER BY event_type
+"""

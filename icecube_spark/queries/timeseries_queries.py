@@ -1548,3 +1548,83 @@ def burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.burstiness_index(ev, "user_id", "ts").orderBy(
         "user_id"
     )
+
+
+def seasonality_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C101 — is each event type's weekly rhythm STATIONARY? Per
+    type, the Jensen-Shannon divergence between the first-half and
+    second-half day-of-week distributions (calendar midpoint split).
+    C98 scans week-by-week against the global profile; this is the
+    per-type before/after answer — a high value means C36/C42
+    seasonal models fitted on the full window are blending two
+    different regimes.
+
+    Exactness: the F27 JSD scheme over an explicit type x 7-dow
+    grid (zero cells kept — a dow present in only one half still
+    contributes through the mixture); micro-nat integer folds, one
+    double readout per type.
+
+    Plan: one (type, dow, half) aggregate, grid completion and the
+    fold on types x 7 rows — all broadcast-scale.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("et"),
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    mid = base.agg(
+        F.floor((F.min("d") + F.max("d")) / F.lit(2)).alias("mid")
+    )
+    halves = base.crossJoin(F.broadcast(mid)).select(
+        "et", "dow", (F.col("d") <= F.col("mid")).alias("h1")
+    )
+    cells = halves.groupBy("et", "dow").agg(
+        F.sum(F.when(F.col("h1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~F.col("h1"), 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    grid = (
+        cells.select("et")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                cells.select("dow").distinct()
+            )
+        )
+        .join(cells, ["et", "dow"], "left")
+        .select(
+            "et",
+            "dow",
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+        )
+    )
+    we = Window.partitionBy("et")
+    g = grid.withColumn("t1", F.sum("n1").over(we)).withColumn(
+        "t2", F.sum("n2").over(we)
+    )
+    pa = F.col("n1").cast("double") / F.col("t1").cast("double")
+    pb = F.col("n2").cast("double") / F.col("t2").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    qa = F.when(
+        F.col("n1") > 0, F.floor(F.log(pa / m) * F.lit(1e6)).cast("bigint")
+    ).otherwise(F.lit(0))
+    qb = F.when(
+        F.col("n2") > 0, F.floor(F.log(pb / m) * F.lit(1e6)).cast("bigint")
+    ).otherwise(F.lit(0))
+    agg = g.groupBy("et", "t1", "t2").agg(
+        F.sum(F.col("n1") * qa).alias("sa"),
+        F.sum(F.col("n2") * qb).alias("sb"),
+    )
+    js = (
+        F.col("sa").cast("double") / F.col("t1").cast("double")
+        + F.col("sb").cast("double") / F.col("t2").cast("double")
+    ) / F.lit(2e6)
+    return agg.select(
+        F.col("et").alias("event_type"),
+        F.col("t1").alias("n_first_half"),
+        F.col("t2").alias("n_second_half"),
+        js.alias("js_divergence"),
+    ).orderBy("event_type")

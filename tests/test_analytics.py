@@ -8,6 +8,7 @@ from icecube_spark.queries.analytics_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("margin_waterfall", analytics.margin_waterfall),
     ("cross_sell_matrix", analytics.cross_sell_matrix),
     ("price_dispersion", analytics.price_dispersion),
     ("priority_escalation_trend", analytics.priority_escalation_trend),

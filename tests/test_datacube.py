@@ -12,6 +12,7 @@ from icecube_spark.queries.datacube_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("cube_revisit_stats", dq.cube_revisit_stats),
     ("cube_swath_coverage", dq.cube_swath_coverage),
     ("cube_lbp_texture", dq.cube_lbp_texture),
     ("cube_contour_bands", dq.cube_contour_bands),

@@ -8,6 +8,7 @@ from icecube_spark.queries.llm_oracles import ORACLES
 from .conftest import assert_matches_oracle
 
 CASES = [
+    ("source_coherence", lq.source_coherence),
     ("quantization_sweep", lq.quantization_sweep),
     ("cosine_label_pr_curve", lq.cosine_label_pr_curve),
     ("term_burstiness", lq.term_burstiness),

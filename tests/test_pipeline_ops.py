@@ -12,6 +12,7 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as P_ORACLES
 from .conftest import assert_matches_oracle
 
 P_CASES = [
+    ("oov_rate_by_source", pq.oov_rate_by_source),
     ("retention_policy_matrix", pq.retention_policy_matrix),
     ("split_stratification_check", pq.split_stratification_check),
     ("sample_size_planner", pq.sample_size_planner),

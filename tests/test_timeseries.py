@@ -8,6 +8,7 @@ from icecube_spark.queries.timeseries_oracles import ORACLES
 from .conftest import assert_matches_oracle, normalize
 
 CASES = [
+    ("seasonality_stability", tq.seasonality_stability),
     ("dow_hour_interaction", tq.dow_hour_interaction),
     ("burstiness_index", tq.burstiness_index),
     ("transition_entropy", tq.transition_entropy),
