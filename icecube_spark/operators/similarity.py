@@ -2246,3 +2246,69 @@ def quantization_sweep(
             / F.lit(1e9)
         ).alias("mean_cosine"),
     ).orderBy("bits")
+
+
+def norm_quality_deciles(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """E40 — does embedding norm track quality? Vectors rank into
+    norm deciles (deterministic (norm, id) NTILE) and each decile
+    reports its label-distribution entropy. Broken/degenerate
+    encodings often pile into the norm tails with label soup —
+    E9 flags 3-sigma outliers, this profiles the whole range.
+
+    Exactness: norms use the quantized E2 scheme (identical
+    doubles); the NTILE order is total; entropy folds micro-nat
+    ints (entropy_by_group's scheme).
+
+    Plan: one norm projection, one NTILE window over the corpus-
+    bounded (id, norm) frame, a (decile, label) aggregate, then a
+    10-row report.
+    """
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    w = Window.orderBy(F.col("nrm").asc(), F.col("id").asc())
+    deciled = normed.withColumn("decile", F.ntile(10).over(w))
+    cells = deciled.groupBy("decile", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wd = Window.partitionBy("decile")
+    cells = cells.withColumn("tot", F.sum("n").over(wd)).withColumn(
+        "qlp",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("tot").cast("double"))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    mean_norm = deciled.groupBy("decile").agg(
+        (
+            F.sum(F.floor(F.col("nrm") * F.lit(1e9)).cast("bigint")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e9)
+        ).alias("mean_norm")
+    )
+    agg = cells.groupBy("decile").agg(
+        F.max("tot").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.sum(F.col("n") * F.col("qlp")).alias("sum_nqlp"),
+    )
+    return (
+        agg.join(F.broadcast(mean_norm), "decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_vectors",
+            "mean_norm",
+            "n_labels",
+            (
+                -F.col("sum_nqlp").cast("double")
+                / F.col("n_vectors").cast("double")
+                / F.lit(1e6)
+            ).alias("label_entropy"),
+        )
+        .orderBy("decile")
+    )

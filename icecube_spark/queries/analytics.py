@@ -2908,3 +2908,55 @@ def margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discount_rate"
         ),
     ).orderBy("year")
+
+
+def customer_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B64 — win-back tracking: an order REACTIVATES a customer when
+    it follows a gap of more than 180 days since their previous
+    order. Per order year: orders, reactivations, distinct
+    reactivated customers, and the reactivation share. B41's churn
+    view counts who LEFT; this counts who came back — the other half
+    of every retention dashboard.
+
+    Exactness: gaps are exact day integers from a deterministic
+    (date, orderkey) order; counts and the share are exact.
+
+    Plan: one custkey-window shuffle for the lag, one (year)
+    aggregate.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gapped = orders.select(
+        F.year(F.to_date("o_orderdate")).alias("year"),
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    )
+    react = F.when(F.col("gap") > 180, F.lit(1)).otherwise(F.lit(0))
+    return (
+        gapped.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(react).cast("bigint").alias("n_reactivations"),
+            F.countDistinct(
+                F.when(F.col("gap") > 180, F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("customers_reactivated"),
+        )
+        .select(
+            "year",
+            "n_orders",
+            "n_reactivations",
+            "customers_reactivated",
+            (
+                F.col("n_reactivations").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("reactivation_share"),
+        )
+        .orderBy("year")
+    )

@@ -1415,3 +1415,23 @@ ORACLES["margin_waterfall"] = """
            CAST(d AS DOUBLE) / CAST(g AS DOUBLE) AS discount_rate
     FROM agg ORDER BY year
 """
+
+ORACLES["customer_reactivation"] = """
+    WITH gapped AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS year, o_custkey,
+               date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders)
+    SELECT year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN gap > 180 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reactivations,
+           CAST(COUNT(DISTINCT CASE WHEN gap > 180 THEN o_custkey END)
+                AS BIGINT) AS customers_reactivated,
+           CAST(SUM(CASE WHEN gap > 180 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS reactivation_share
+    FROM gapped GROUP BY 1 ORDER BY year
+"""

@@ -1256,3 +1256,32 @@ ORACLES["cube_revisit_stats"] = """
            CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
     FROM gaps GROUP BY 1, 2 ORDER BY x, y
 """
+
+ORACLES["cube_class_transitions"] = """
+    WITH base AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               value
+        FROM events),
+    mid AS (SELECT CAST(FLOOR((MIN(d) + MAX(d)) / 2) AS BIGINT) AS mid
+            FROM base),
+    halves AS (
+        SELECT x, y, d <= mid AS h1,
+               CAST(FLOOR(CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8)))
+                                          AS DOUBLE)
+                                     / CAST(COUNT(*) AS DOUBLE) * 1e6)
+                               AS BIGINT) / 5000000) AS BIGINT) AS band
+        FROM base CROSS JOIN mid GROUP BY 1, 2, 3),
+    trans AS (
+        SELECT a.band AS from_band, b.band AS to_band,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM halves a JOIN halves b
+          ON a.x = b.x AND a.y = b.y AND a.h1 AND NOT b.h1
+        GROUP BY 1, 2)
+    SELECT from_band, to_band, n_cells,
+           CAST(n_cells AS DOUBLE)
+               / CAST(SUM(n_cells) OVER (PARTITION BY from_band) AS DOUBLE)
+               AS row_share
+    FROM trans ORDER BY from_band, to_band
+"""

@@ -2648,3 +2648,66 @@ def cube_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+def cube_class_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 — land-cover-style class-transition matrix: classify each
+    cell into 5-unit value bands in the first and second calendar
+    half, then count band-to-band transitions (diagonal = stable).
+    The bi-temporal change-detection summary (A16 flags per-cell
+    change magnitude; this is the FROM->TO accounting every change
+    report tabulates).
+
+    Exactness: per-half cell means quantize to micro-units before
+    integer band floors; transition counts and shares are exact.
+
+    Plan: one (cell, half) aggregate, a self-join on the cell key
+    (grid-bounded), a <=bands^2 transition aggregate.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.col("value"),
+    )
+    mid = base.agg(
+        F.floor((F.min("d") + F.max("d")) / F.lit(2)).alias("mid")
+    )
+    halves = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy("x", "y", (F.col("d") <= F.col("mid")).alias("h1"))
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("qv")
+        )
+        .withColumn(
+            "band", F.floor(F.col("qv") / F.lit(5_000_000)).cast("bigint")
+        )
+    )
+    a = halves.where(F.col("h1")).select(
+        "x", "y", F.col("band").alias("from_band")
+    )
+    b = halves.where(~F.col("h1")).select(
+        "x", "y", F.col("band").alias("to_band")
+    )
+    trans = a.join(b, ["x", "y"]).groupBy("from_band", "to_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells")
+    )
+    wf = Window.partitionBy("from_band")
+    return trans.select(
+        "from_band",
+        "to_band",
+        "n_cells",
+        (
+            F.col("n_cells").cast("double")
+            / F.sum("n_cells").over(wf).cast("double")
+        ).alias("row_share"),
+    ).orderBy("from_band", "to_band")

@@ -3172,3 +3172,69 @@ ORACLES["source_coherence"] = f"""
                / CAST(COUNT(*) AS DOUBLE) AS low_share
     FROM scored GROUP BY 1 ORDER BY source
 """
+
+ORACLES["norm_quality_deciles"] = f"""
+    WITH {_VNORM},
+    deciled AS (
+        SELECT vec_id, label, nrm,
+               NTILE(10) OVER (ORDER BY nrm, vec_id) AS decile
+        FROM v),
+    cells AS (
+        SELECT decile, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM deciled GROUP BY 1, 2),
+    wc AS (
+        SELECT *,
+               CAST(SUM(n) OVER (PARTITION BY decile) AS BIGINT) AS tot
+        FROM cells),
+    q AS (
+        SELECT decile, n, tot,
+               CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * 1e6) AS BIGINT) AS qlp
+        FROM wc),
+    mean_norm AS (
+        SELECT decile,
+               CAST(CAST(SUM(CAST(FLOOR(nrm * 1e9) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_norm
+        FROM deciled GROUP BY 1),
+    agg AS (
+        SELECT decile,
+               CAST(MAX(tot) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS BIGINT) AS n_labels,
+               CAST(SUM(n * qlp) AS BIGINT) AS sum_nqlp
+        FROM q GROUP BY 1)
+    SELECT CAST(a.decile AS INT) AS decile, n_vectors, mean_norm, n_labels,
+           -CAST(sum_nqlp AS DOUBLE) / CAST(n_vectors AS DOUBLE) / 1e6
+               AS label_entropy
+    FROM agg a JOIN mean_norm m ON a.decile = m.decile
+    ORDER BY decile
+"""
+
+ORACLES["media_dup_factor"] = """
+    WITH ascii_docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+        FROM documents),
+    meta AS (
+        SELECT doc_id, text, strlen(text) AS bl,
+               strlen(text) % 7 + 1 AS n,
+               strlen(text) // (strlen(text) % 7 + 1) AS flen
+        FROM ascii_docs),
+    frames AS (
+        SELECT doc_id,
+               md5(substr(text, CAST(i * flen + 1 AS INT),
+                          CAST(flen AS INT))) AS frame_hash
+        FROM meta CROSS JOIN range(0, 8) t(i)
+        WHERE i < n),
+    agg AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media,
+               CAST(COUNT(*) AS BIGINT) AS total_frames,
+               CAST(COUNT(DISTINCT frame_hash) AS BIGINT) AS distinct_frames
+        FROM frames)
+    SELECT n_media, total_frames, distinct_frames,
+           CAST(total_frames AS DOUBLE) / CAST(distinct_frames AS DOUBLE)
+               AS dup_factor,
+           CAST(total_frames - distinct_frames AS DOUBLE)
+               / CAST(total_frames AS DOUBLE) AS storage_savings
+    FROM agg
+"""

@@ -1229,3 +1229,43 @@ def source_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_coherence(
         _docs(spark, sf_dir), "source", "doc_id", "text"
     )
+
+
+def norm_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40 — label entropy by embedding-norm decile: do the norm
+    tails hold label soup?"""
+    return similarity.norm_quality_deciles(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label"
+    )
+
+
+def media_dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 — frame-level dedup leverage per medium: total frames vs
+    distinct frame signatures and the implied storage savings of
+    content-addressed frame storage (G7 finds the dup PAIRS; this
+    prices the win)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("text"),
+    )
+    sigs = multimodal.frame_signatures(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    )
+    agg = sigs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_frames"),
+        F.countDistinct("frame_hash").cast("bigint").alias("distinct_frames"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_media"),
+    )
+    return agg.select(
+        "n_media",
+        "total_frames",
+        "distinct_frames",
+        (
+            F.col("total_frames").cast("double")
+            / F.col("distinct_frames").cast("double")
+        ).alias("dup_factor"),
+        (
+            (F.col("total_frames") - F.col("distinct_frames")).cast("double")
+            / F.col("total_frames").cast("double")
+        ).alias("storage_savings"),
+    )

@@ -2539,3 +2539,47 @@ ORACLES["seasonality_stability"] = """
                AS js_divergence
     FROM agg ORDER BY event_type
 """
+
+ORACLES["anomaly_persistence"] = """
+    WITH daily AS (
+        SELECT event_type AS et,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    mom AS (
+        SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sx,
+               SUM(CAST(q AS HUGEINT) * q) AS sxx
+        FROM daily GROUP BY 1),
+    stats AS (
+        SELECT et,
+               CAST(sx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mu,
+               sqrt(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                    - (CAST(sx AS DOUBLE) / 1e6)
+                      * (CAST(sx AS DOUBLE) / 1e6))
+                   / CAST(n AS DOUBLE) AS sig
+        FROM mom),
+    flagged AS (
+        SELECT d.et, d.d
+        FROM daily d JOIN stats s ON d.et = s.et
+        WHERE (CAST(d.q AS DOUBLE) / 1e6 - s.mu) / s.sig > 2.0
+           OR (CAST(d.q AS DOUBLE) / 1e6 - s.mu) / s.sig < -2.0),
+    runs AS (
+        SELECT et, CAST(COUNT(*) AS BIGINT) AS rl
+        FROM (
+            SELECT et,
+                   d - ROW_NUMBER() OVER (PARTITION BY et ORDER BY d)
+                       AS grp
+            FROM flagged)
+        GROUP BY et, grp)
+    SELECT et AS event_type,
+           CAST(SUM(rl) AS BIGINT) AS n_flagged_days,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN rl >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_persistent_runs,
+           CAST(MAX(rl) AS BIGINT) AS max_run_days,
+           CAST(COUNT(*) - SUM(CASE WHEN rl >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS isolated_share
+    FROM runs GROUP BY 1 ORDER BY event_type
+"""

@@ -1628,3 +1628,80 @@ def seasonality_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t2").alias("n_second_half"),
         js.alias("js_divergence"),
     ).orderBy("event_type")
+
+
+def anomaly_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C102 — spike or shift? Per event type, z-score the daily value
+    series (|z| > 2 flags), then classify flagged days into isolated
+    spikes vs persistent runs (>= 2 consecutive flagged days). C11
+    lists the anomalies; this says whether they're transient noise
+    (alert fatigue) or level shifts worth a changepoint follow-up.
+
+    Exactness: z uses exact integer moments (micro-quantized daily
+    values) in one fixed-order double chain; run grouping is the
+    exact integer day - rank trick; all counts exact.
+
+    Plan: one (type, day) aggregate; moments per type on the
+    calendar-bounded frame; run detection via one type-partitioned
+    window over flagged days only.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.floor(dsum("value") * F.lit(1e6)).cast("bigint").alias("q")
+    )
+    mom = daily.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / F.lit(1e6) / n
+    sig = (
+        F.sqrt(
+            n * (F.col("sxx").cast("double") / F.lit(1e12))
+            - (F.col("sx").cast("double") / F.lit(1e6))
+            * (F.col("sx").cast("double") / F.lit(1e6))
+        )
+        / n
+    )
+    z = (F.col("q").cast("double") / F.lit(1e6) - F.col("mu")) / F.col("sig")
+    flagged = (
+        daily.join(
+            F.broadcast(mom.select("et", mu.alias("mu"), sig.alias("sig"))),
+            "et",
+        )
+        .where((z > 2.0) | (z < -2.0))
+        .select("et", "d")
+    )
+    wr = Window.partitionBy("et").orderBy("d")
+    runs = flagged.select(
+        "et", (F.col("d") - F.row_number().over(wr)).alias("grp")
+    ).groupBy("et", "grp").agg(F.count(F.lit(1)).cast("bigint").alias("rl"))
+    return (
+        runs.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum("rl").cast("bigint").alias("n_flagged_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum(F.when(F.col("rl") >= 2, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_persistent_runs"),
+            F.max("rl").cast("bigint").alias("max_run_days"),
+        )
+        .select(
+            "event_type",
+            "n_flagged_days",
+            "n_runs",
+            "n_persistent_runs",
+            "max_run_days",
+            (
+                (F.col("n_runs") - F.col("n_persistent_runs")).cast("double")
+                / F.col("n_runs").cast("double")
+            ).alias("isolated_share"),
+        )
+        .orderBy("event_type")
+    )
