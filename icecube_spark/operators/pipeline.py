@@ -2559,3 +2559,104 @@ def retention_policy_matrix(
         )
         .orderBy("policy")
     )
+
+
+def neyman_allocation(
+    df: DataFrame, stratum_col: str, size_col: str, budget: int = 1000
+) -> DataFrame:
+    """P68 — optimal audit-budget allocation across strata: Neyman
+    allocation puts sample mass where N_h·S_h is largest (stratum
+    size x within-stratum std of `size_col`), vs the naive
+    proportional split. P64 sizes each stratum independently; this
+    splits ONE fixed labeling/audit budget across all of them — the
+    difference between the two plans is exactly the over-sampling a
+    variance-aware curator buys in the noisy strata.
+
+    Exactness: per-stratum std folds exact integer moments; the
+    allocation weights are micro-quantized before the global
+    normalizing sum, so both engines divide identical integers
+    (integer div — no float rounding at bucket boundaries).
+
+    Plan: one stratum aggregate; the normalizing window runs over
+    one row per stratum.
+    """
+    mom = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(size_col).cast("bigint")).alias("sx"),
+        F.sum(
+            F.col(size_col).cast("decimal(38,0)") * F.col(size_col)
+        ).alias("sxx"),
+    )
+    n = F.col("n_docs").cast("double")
+    sig = (
+        F.sqrt(
+            F.greatest(
+                n * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+                F.lit(0.0),
+            )
+        )
+        / n
+    )
+    weighted = mom.select(
+        "stratum",
+        "n_docs",
+        sig.alias("std_size"),
+        F.floor(n * sig * F.lit(1e6)).cast("bigint").alias("wq"),
+    )
+    wall = Window.partitionBy()
+    b = F.lit(int(budget)).cast("bigint")
+    return weighted.select(
+        "stratum",
+        "n_docs",
+        "std_size",
+        F.expr(f"({int(budget)} * wq) div sum(wq) over ()")
+        .cast("bigint")
+        .alias("neyman_n"),
+        (b * F.col("n_docs"))
+        .cast("bigint")
+        .alias("_num"),
+    ).select(
+        "stratum",
+        "n_docs",
+        "std_size",
+        "neyman_n",
+        F.expr("_num div sum(n_docs) over ()").cast("bigint").alias(
+            "proportional_n"
+        ),
+    ).orderBy("stratum")
+
+
+def gate_kappa(df: DataFrame, gate_a, gate_b) -> DataFrame:
+    """P69 — Cohen's kappa between two boolean curation gates:
+    kappa = (po - pe) / (1 - pe) with po the raw agreement and pe
+    the chance agreement from the marginals. One row out, with the
+    full 2x2 table for the audit trail.
+
+    Plan: a single scan folding four exact counters; everything
+    after is arithmetic on one row.
+    """
+    a = F.when(gate_a, F.lit(1)).otherwise(F.lit(0))
+    b = F.when(gate_b, F.lit(1)).otherwise(F.lit(0))
+    counts = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(a * b).cast("bigint").alias("n_both"),
+        F.sum(a * (1 - b)).cast("bigint").alias("n_a_only"),
+        F.sum((1 - a) * b).cast("bigint").alias("n_b_only"),
+        F.sum((1 - a) * (1 - b)).cast("bigint").alias("n_neither"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / n
+    pa = (F.col("n_both") + F.col("n_a_only")).cast("double") / n
+    pb = (F.col("n_both") + F.col("n_b_only")).cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return counts.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        po.alias("observed_agreement"),
+        pe.alias("chance_agreement"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

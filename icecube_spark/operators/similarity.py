@@ -2312,3 +2312,136 @@ def norm_quality_deciles(
         )
         .orderBy("decile")
     )
+
+
+def knn_hubness(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_pred,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """E42 — hubness profile of the k-NN graph: how unevenly do
+    vectors appear in OTHER vectors' top-k lists? The in-degree
+    ("k-occurrence") distribution is the standard high-dimensionality
+    diagnostic — a long tail of hub points predicts both degraded
+    ANN recall and label noise amplification in k-NN classifiers
+    (E3), so this is the health check to run before trusting either.
+
+    Output: one row per observed in-degree with the number of sample
+    vectors at that degree (0 = anti-hubs, never retrieved).
+
+    Plan: the sample self-join is broadcast on one side and bounded
+    by the sample predicate squared; ranking uses the flat codegen
+    dot; the histogram is two tiny aggregates.
+    """
+    sample = vectors.where(sample_pred).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    q = sample.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = q.join(
+        F.broadcast(sample), F.col("vid") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        (dot_expr("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    topk = pairs.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= k_neighbors
+    )
+    indeg = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_degree")
+    )
+    degrees = sample.select("vid").join(
+        indeg, F.col("vid") == F.col("neighbor_id"), "left"
+    ).select(F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"))
+    return (
+        degrees.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
+def distance_concentration(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_pred,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """E43 — distance-concentration diagnostic: as dimensionality
+    grows, pairwise distances concentrate (std/mean shrinks) and
+    nearest-neighbor contrast evaporates — the curse-of-
+    dimensionality effect that, together with hubness (E42), decides
+    whether an ANN index at a given truncation (E-matryoshka) can
+    work at all. Reports mean, std, and coefficient of variation of
+    pairwise cosine distance at each prefix width.
+
+    Exactness: distances quantize to nano-units before the moment
+    folds; the sqrt argument is clamped at zero like every moment
+    chain in this repo.
+
+    Plan: one bounded sample self-join (i < j), a 4-way dim fanout in
+    the same projection (no re-join), one aggregate per dim.
+    """
+    sample = vectors.where(sample_pred).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    b = sample.select(F.col("vid").alias("wid"), F.col("v").alias("w"))
+    pairs = sample.join(F.broadcast(b), F.col("vid") < F.col("wid"))
+    per_dim = pairs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.floor(
+                            (
+                                F.lit(1.0)
+                                - dot_expr("v", "w", d)
+                                / (norm_expr("v", d) * norm_expr("w", d))
+                            )
+                            * F.lit(1e9)
+                        )
+                        .cast("bigint")
+                        .alias("dq"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.dim").alias("dim"), F.col("s.dq").alias("dq"))
+    mom = per_dim.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("dq").alias("sx"),
+        F.sum(F.col("dq").cast("decimal(38,0)") * F.col("dq")).alias("sxx"),
+    )
+    n = F.col("n_pairs").cast("double")
+    mean = F.col("sx").cast("double") / F.lit(1e9) / n
+    std = (
+        F.sqrt(
+            F.greatest(
+                n * (F.col("sxx").cast("double") / F.lit(1e18))
+                - (F.col("sx").cast("double") / F.lit(1e9))
+                * (F.col("sx").cast("double") / F.lit(1e9)),
+                F.lit(0.0),
+            )
+        )
+        / n
+    )
+    return mom.select(
+        "dim",
+        "n_pairs",
+        mean.alias("mean_dist"),
+        std.alias("std_dist"),
+        (std / mean).alias("cv"),
+    ).orderBy("dim")

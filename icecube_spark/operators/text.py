@@ -2376,3 +2376,42 @@ def oov_rate_by_source(
         )
         .orderBy(group_col, "vocab_k")
     )
+
+
+def yule_k(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """F53 — Yule's K lexical-richness characteristic per group:
+    K = 1e4 * (sum_f f^2·V_f - N) / N^2 over the token frequency
+    spectrum (V_f types occurring f times, N tokens). Unlike the raw
+    TTR (F9) K is length-invariant, which is what makes it usable to
+    compare sources with very different document counts — high K =
+    repetitive vocabulary, low K = rich.
+
+    Plan: explode → (group, term) count (map-side combine absorbs the
+    Zipf head) → one integer-moment fold per group. Integer-exact
+    until the single final division.
+    """
+    terms = df.select(
+        F.col(group_col), F.explode(F.expr(_toks(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    counts = terms.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    moments = counts.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("sum_freq_sq"),
+    )
+    nn = F.col("n_tokens").cast("double")
+    return moments.select(
+        group_col,
+        "n_tokens",
+        "vocab_size",
+        F.col("sum_freq_sq").cast("bigint").alias("sum_freq_sq"),
+        (
+            F.lit(1e4)
+            * (F.col("sum_freq_sq").cast("double") - nn)
+            / (nn * nn)
+        ).alias("yule_k"),
+    )

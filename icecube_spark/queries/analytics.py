@@ -2960,3 +2960,182 @@ def customer_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+def backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B65 — open-order aging snapshot: one year before the last ship
+    date, bucket every line ordered but not yet shipped into 0-30 /
+    31-60 / 61-90 / 90+ day age bands, with item counts, open value,
+    and each band's share of the open book. C45 tracks the backlog
+    LEVEL over time; this is the point-in-time AGING report a supply
+    desk reads to see how stale the open book is.
+
+    Exactness: ages are exact day integers; open value folds
+    micro-quantized price integers; shares divide those exact
+    integers.
+
+    Plan: one orderkey-keyed join (both sides pre-filtered by the
+    pushed snapshot predicates), one 4-row aggregate; the share
+    window runs over 4 rows.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    snap = li.agg(
+        F.date_sub(F.max(F.to_date("l_shipdate")), 365).alias("snap")
+    )
+    open_li = (
+        li.select(
+            "l_orderkey",
+            F.to_date("l_shipdate").alias("ship"),
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("px"),
+        )
+        .crossJoin(F.broadcast(snap))
+        .where(F.col("ship") > F.col("snap"))
+        .join(
+            orders.select(
+                "o_orderkey", F.to_date("o_orderdate").alias("odate")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("odate") <= F.col("snap"))
+        .select(
+            F.datediff(F.col("snap"), F.col("odate")).alias("age"),
+            F.floor(F.col("px") * F.lit(1e6)).cast("bigint").alias("pq"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, F.lit("00-30"))
+        .when(F.col("age") <= 60, F.lit("31-60"))
+        .when(F.col("age") <= 90, F.lit("61-90"))
+        .otherwise(F.lit("90+"))
+    )
+    agg = open_li.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("pq").alias("vq"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "age_bucket",
+        "n_items",
+        (F.col("vq").cast("double") / F.lit(1e6)).alias("open_value"),
+        (
+            F.col("vq").cast("double") / F.sum("vq").over(wall).cast("double")
+        ).alias("value_share"),
+    ).orderBy("age_bucket")
+
+
+def status_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66 — order-status mix over time: quarterly share of each
+    o_orderstatus plus a least-squares slope per status (share points
+    per quarter) — is the open/fulfilled balance drifting? B25 trends
+    revenue level; this trends a composition, the shape ops teams
+    watch for fulfillment regressions.
+
+    Exactness: shares are exact count ratios micro-quantized to
+    nano-units before the regression sums, so every regression moment
+    is an exact integer fold; first/last shares pick by exact integer
+    quarter rank.
+
+    Plan: one (status, quarter) count (quarter count bounds rows),
+    shares via a quarter-window over <= statuses x quarters rows, one
+    status-level regression fold.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    qidx = (F.year(od) * 4 + F.quarter(od) - 1).cast("bigint")
+    counts = orders.groupBy(
+        F.col("o_orderstatus").alias("status"), qidx.alias("qi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wq = Window.partitionBy("qi")
+    mn = Window.partitionBy()
+    shared = counts.select(
+        "status",
+        (F.col("qi") - F.min("qi").over(mn)).alias("x"),
+        F.floor(
+            F.col("n").cast("double")
+            / F.sum("n").over(wq).cast("double")
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    moments = shared.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quarters"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum("sq").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("sq")).alias("sxy"),
+        (F.min_by("sq", "x").cast("double") / F.lit(1e9)).alias(
+            "first_share"
+        ),
+        (F.max_by("sq", "x").cast("double") / F.lit(1e9)).alias(
+            "last_share"
+        ),
+    )
+    n = F.col("n_quarters").cast("double")
+    num = (
+        n * (F.col("sxy").cast("double") / F.lit(1e9))
+        - F.col("sx").cast("double")
+        * (F.col("sy").cast("double") / F.lit(1e9))
+    )
+    den = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return moments.select(
+        "status",
+        "n_quarters",
+        "first_share",
+        "last_share",
+        (num / den).alias("slope_per_quarter"),
+    ).orderBy("status")
+
+
+def supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67 — supplier-base lifecycle: per ship year, how many
+    suppliers shipped anything, how many are new (first-ever year),
+    how many were retained from the prior year, and the retention
+    rate. B41-style churn tracks customers; the supply side is the
+    mirror view procurement watches for base erosion.
+
+    Exactness: all counts are exact integers from one distinct
+    (supplier, year) frame; the rate divides exact counts.
+
+    Plan: one distinct (suppkey, year) aggregate, one
+    supplier-partitioned lag window (supplier-bounded partitions),
+    one per-year aggregate.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    sy = li.select(
+        "l_suppkey", F.year(F.to_date("l_shipdate")).alias("yr")
+    ).distinct()
+    w = Window.partitionBy("l_suppkey").orderBy("yr")
+    marked = sy.select(
+        "yr",
+        F.when(F.lag("yr").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+        F.when(F.lag("yr").over(w) == F.col("yr") - 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_retained"),
+    )
+    return (
+        marked.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum("is_new").cast("bigint").alias("n_new"),
+            F.sum("is_retained").cast("bigint").alias("n_retained"),
+        )
+        .select(
+            "yr",
+            "n_active",
+            "n_new",
+            "n_retained",
+            (
+                F.col("n_retained").cast("double")
+                / F.col("n_active").cast("double")
+            ).alias("retained_share"),
+        )
+        .orderBy("yr")
+    )

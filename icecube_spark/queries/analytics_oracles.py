@@ -1435,3 +1435,86 @@ ORACLES["customer_reactivation"] = """
                / CAST(COUNT(*) AS DOUBLE) AS reactivation_share
     FROM gapped GROUP BY 1 ORDER BY year
 """
+
+ORACLES["backlog_aging"] = """
+    WITH snap AS (
+        SELECT CAST(MAX(l_shipdate) AS DATE) - INTERVAL 365 DAY AS snap
+        FROM lineitem),
+    open_li AS (
+        SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(s.snap AS DATE)) AS age,
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 1e6)
+                    AS BIGINT) AS pq
+        FROM lineitem l CROSS JOIN snap s
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) > CAST(s.snap AS DATE)
+          AND CAST(o.o_orderdate AS DATE) <= CAST(s.snap AS DATE)),
+    agg AS (
+        SELECT CASE WHEN age <= 30 THEN '00-30'
+                    WHEN age <= 60 THEN '31-60'
+                    WHEN age <= 90 THEN '61-90'
+                    ELSE '90+' END AS age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(pq) AS vq
+        FROM open_li GROUP BY 1)
+    SELECT age_bucket, n_items,
+           CAST(vq AS DOUBLE) / 1e6 AS open_value,
+           CAST(vq AS DOUBLE) / CAST(SUM(vq) OVER () AS DOUBLE)
+               AS value_share
+    FROM agg ORDER BY age_bucket
+"""
+
+ORACLES["status_mix_trend"] = """
+    WITH counts AS (
+        SELECT o_orderstatus AS status,
+               CAST(YEAR(CAST(o_orderdate AS DATE)) * 4
+                    + QUARTER(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)
+                   AS qi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2),
+    shared AS (
+        SELECT status,
+               qi - MIN(qi) OVER () AS x,
+               CAST(FLOOR(CAST(n AS DOUBLE)
+                          / CAST(SUM(n) OVER (PARTITION BY qi) AS DOUBLE)
+                          * 1e9) AS BIGINT) AS sq
+        FROM counts),
+    moments AS (
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_quarters,
+               SUM(x) AS sx,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(sq) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * sq) AS sxy,
+               CAST(arg_min(sq, x) AS DOUBLE) / 1e9 AS first_share,
+               CAST(arg_max(sq, x) AS DOUBLE) / 1e9 AS last_share
+        FROM shared GROUP BY 1)
+    SELECT status, n_quarters, first_share, last_share,
+           (CAST(n_quarters AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+            - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e9))
+           / (CAST(n_quarters AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS slope_per_quarter
+    FROM moments ORDER BY status
+"""
+
+ORACLES["supplier_churn"] = """
+    WITH sy AS (
+        SELECT DISTINCT l_suppkey,
+               YEAR(CAST(l_shipdate AS DATE)) AS yr
+        FROM lineitem),
+    marked AS (
+        SELECT yr,
+               CASE WHEN LAG(yr) OVER (PARTITION BY l_suppkey
+                                       ORDER BY yr) IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN LAG(yr) OVER (PARTITION BY l_suppkey
+                                       ORDER BY yr) = yr - 1
+                    THEN 1 ELSE 0 END AS is_retained
+        FROM sy)
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+           CAST(SUM(is_retained) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS retained_share
+    FROM marked GROUP BY 1 ORDER BY yr
+"""

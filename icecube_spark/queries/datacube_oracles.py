@@ -1285,3 +1285,81 @@ ORACLES["cube_class_transitions"] = """
                AS row_share
     FROM trans ORDER BY from_band, to_band
 """
+
+ORACLES["cube_temporal_anomaly"] = """
+    WITH monthly AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               date_trunc('day', ts) AS day,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2, 3),
+    mom AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(q) AS sx, SUM(CAST(q AS DECIMAL(38,0)) * q) AS sxx
+        FROM monthly GROUP BY 1, 2),
+    params AS (
+        SELECT x, y,
+               CAST(sx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mu,
+               SQRT(GREATEST(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                    - (CAST(sx AS DOUBLE) / 1e6)
+                      * (CAST(sx AS DOUBLE) / 1e6), 0.0))
+                   / CAST(n AS DOUBLE) AS sig
+        FROM mom),
+    scored AS (
+        SELECT m.day,
+               CAST(FLOOR(ABS((CAST(m.q AS DOUBLE) / 1e6 - p.mu) / p.sig)
+                          * 1e6) AS BIGINT) AS zq
+        FROM monthly m JOIN params p ON m.x = p.x AND m.y = p.y
+        WHERE p.sig > 0)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(count_if(zq > 2000000) AS BIGINT) AS n_anomalous,
+           CAST(count_if(zq > 2000000) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS anomalous_share,
+           CAST(SUM(zq) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+               AS mean_abs_z
+    FROM scored GROUP BY 1 ORDER BY day
+"""
+
+ORACLES["cube_laplacian"] = """
+    WITH grid AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    stencil AS (
+        SELECT * FROM (VALUES (0, 0, -4), (-1, 0, 1), (1, 0, 1),
+                              (0, -1, 1), (0, 1, 1)) AS t(dx, dy, w)),
+    scatter AS (
+        SELECT g.x + s.dx AS tx, g.y + s.dy AS ty,
+               CAST(s.w AS BIGINT) * g.q AS wq
+        FROM grid g CROSS JOIN stencil s
+        WHERE g.x + s.dx BETWEEN 0 AND 49
+          AND g.y + s.dy BETWEEN 0 AND 49)
+    SELECT tx AS x, ty AS y, CAST(SUM(wq) AS DOUBLE) / 1e6 AS laplacian
+    FROM scatter GROUP BY 1, 2 HAVING COUNT(*) = 5
+    ORDER BY x, y
+"""
+
+ORACLES["cube_destripe"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    cols AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(q) AS sq
+        FROM cells GROUP BY 1),
+    gstats AS (
+        SELECT CAST(SUM(q) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+                   AS global_mean
+        FROM cells)
+    SELECT x, n_cells,
+           CAST(sq AS DOUBLE) / 1e6 / CAST(n_cells AS DOUBLE) AS col_mean,
+           g.global_mean,
+           CAST(sq AS DOUBLE) / 1e6 / CAST(n_cells AS DOUBLE)
+               - g.global_mean AS stripe_bias
+    FROM cols CROSS JOIN gstats g ORDER BY x
+"""

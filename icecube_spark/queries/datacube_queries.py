@@ -2711,3 +2711,188 @@ def cube_class_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_cells").over(wf).cast("double")
         ).alias("row_share"),
     ).orderBy("from_band", "to_band")
+
+
+def cube_temporal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 — per-cell temporal anomaly accounting: z-score each cell's
+    daily mean against that cell's own day-to-day history, then
+    report per day how much of the grid is anomalous (|z| > 2) and
+    how hot it runs on average. A16 compares two fixed epochs; C11
+    z-scores one aggregate series — this is the per-layer spatial
+    roll-up of per-cell temporal z-scores that a change-monitoring
+    dashboard plots as a timeline (reference stack-screening over
+    sar_datacube.py temporal stacks).
+
+    Exactness: daily cell means are decimal-summed then
+    micro-quantized to integers; per-cell moments fold those integers
+    exactly; |z| is re-quantized before the per-day mean so the
+    final fold is integer-exact.
+
+    Plan: one (cell, day) aggregate, per-cell moments on the
+    calendar-bounded frame (grid-bounded rows), one day aggregate
+    over <= n_cells rows per layer.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q")
+    )
+    mom = monthly.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / F.lit(1e6) / n
+    sig = (
+        F.sqrt(
+            F.greatest(
+                n * (F.col("sxx").cast("double") / F.lit(1e12))
+                - (F.col("sx").cast("double") / F.lit(1e6))
+                * (F.col("sx").cast("double") / F.lit(1e6)),
+                F.lit(0.0),
+            )
+        )
+        / n
+    )
+    scored = monthly.join(
+        mom.select("x", "y", mu.alias("mu"), sig.alias("sig")), ["x", "y"]
+    ).where(F.col("sig") > 0)
+    absz = F.abs(
+        (F.col("q").cast("double") / F.lit(1e6) - F.col("mu")) / F.col("sig")
+    )
+    return (
+        scored.select(
+            "day", F.floor(absz * F.lit(1e6)).cast("bigint").alias("zq")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.count_if(F.col("zq") > 2_000_000)
+            .cast("bigint")
+            .alias("n_anomalous"),
+            (
+                F.count_if(F.col("zq") > 2_000_000).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("anomalous_share"),
+            (
+                F.sum("zq").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_abs_z"),
+        )
+        .orderBy("day")
+    )
+
+
+def cube_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 — 4-neighbor Laplacian (curvature) of the value grid:
+    lap = z(x-1,y) + z(x+1,y) + z(x,y-1) + z(x,y+1) - 4·z(x,y), the
+    second-derivative stencil under A22's focal mean and A23's first
+    derivative — positive = pit, negative = peak, zero = planar.
+    Only cells with a complete 5-point stencil are scored, so sparse
+    grids never fabricate curvature from missing neighbors.
+
+    Exactness: cell values are micro-quantized integer means; the
+    stencil fold is pure integer arithmetic (one double division at
+    the end).
+
+    Plan: one (cell) aggregate, then the explode-scatter stencil (a
+    single 5-way fanout + re-aggregate on the target cell — no
+    5-way self-join), grid-bounded throughout.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    scatter = grid.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"),
+                         F.lit(-4).alias("w")),
+                F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy"),
+                         F.lit(1).alias("w")),
+                F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                         F.lit(1).alias("w")),
+                F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy"),
+                         F.lit(1).alias("w")),
+                F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                         F.lit(1).alias("w")),
+            )
+        ).alias("s"),
+        "x",
+        "y",
+        "q",
+    ).select(
+        (F.col("x") + F.col("s.dx")).alias("tx"),
+        (F.col("y") + F.col("s.dy")).alias("ty"),
+        (F.col("s.w").cast("bigint") * F.col("q")).alias("wq"),
+    )
+    return (
+        scatter.where(
+            (F.col("tx") >= 0) & (F.col("tx") <= 49)
+            & (F.col("ty") >= 0) & (F.col("ty") <= 49)
+        )
+        .groupBy(F.col("tx").alias("x"), F.col("ty").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_contrib"),
+            F.sum("wq").alias("lapq"),
+        )
+        .where(F.col("n_contrib") == 5)
+        .select(
+            "x",
+            "y",
+            (F.col("lapq").cast("double") / F.lit(1e6)).alias("laplacian"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+def cube_destripe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 — striping/banding audit: per image column, how far the
+    column mean sits from the global mean (the vertical-stripe bias a
+    destriping pass would subtract — antenna-pattern/range banding in
+    SAR, detector striping in optical). A25 equalizes the histogram
+    globally; this isolates the column-structured component.
+
+    Exactness: column and global means come from one integer-moment
+    fold each (micro-quantized cell means); the bias is a difference
+    of exact-integer-derived doubles.
+
+    Plan: one (cell) aggregate, one (column) aggregate, one broadcast
+    global mean; output bounded by grid width.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    cols = cells.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("q").alias("sq"),
+    )
+    glob = cells.agg(
+        (
+            F.sum("q").cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("global_mean")
+    )
+    col_mean = F.col("sq").cast("double") / F.lit(1e6) / F.col(
+        "n_cells"
+    ).cast("double")
+    return (
+        cols.crossJoin(F.broadcast(glob))
+        .select(
+            "x",
+            "n_cells",
+            col_mean.alias("col_mean"),
+            "global_mean",
+            (col_mean - F.col("global_mean")).alias("stripe_bias"),
+        )
+        .orderBy("x")
+    )

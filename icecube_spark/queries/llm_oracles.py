@@ -3238,3 +3238,124 @@ ORACLES["media_dup_factor"] = """
                / CAST(total_frames AS DOUBLE) AS storage_savings
     FROM agg
 """
+
+ORACLES["yule_k"] = f"""
+    WITH terms AS (
+        SELECT source, UNNEST(string_split({_NORM}, ' ')) AS term
+        FROM documents),
+    counts AS (
+        SELECT source, term, COUNT(*) AS n FROM terms
+        WHERE term != '' GROUP BY 1, 2),
+    moments AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)
+                   AS sum_freq_sq
+        FROM counts GROUP BY 1)
+    SELECT source, n_tokens, vocab_size, sum_freq_sq,
+           1e4 * (CAST(sum_freq_sq AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+               AS yule_k
+    FROM moments ORDER BY source
+"""
+
+ORACLES["knn_hubness"] = f"""
+    WITH {_VNORM},
+    sample AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 200),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+          FROM sample),
+    pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_PAIR_COS.format(a='q.qv', b='c.embedding', na='q.qn', nb='c.nrm')} AS cosine
+        FROM q JOIN sample c ON c.vec_id != q.query_id),
+    topk AS (
+        SELECT neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank FROM pairs)
+        WHERE rank <= 5),
+    indeg AS (
+        SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+        FROM topk GROUP BY 1),
+    degrees AS (
+        SELECT COALESCE(i.in_degree, 0) AS in_degree
+        FROM sample s LEFT JOIN indeg i ON s.vec_id = i.neighbor_id)
+    SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM degrees GROUP BY 1 ORDER BY in_degree
+"""
+
+ORACLES["media_format_sniff"] = """
+    WITH classed AS (
+        SELECT CASE
+                 WHEN substring(text, 1, 1) IN ('a','e','i','o','u')
+                     THEN 'audio-like'
+                 WHEN regexp_matches(substring(text, 1, 1), '^[0-9]$')
+                     THEN 'image-like'
+                 WHEN regexp_matches(substring(text, 1, 1), '^[a-z]$')
+                     THEN 'video-like'
+                 WHEN regexp_matches(substring(text, 1, 1), '^[A-Z]$')
+                     THEN 'doc-like'
+                 ELSE 'unknown' END AS format_class,
+               octet_length(encode(text)) AS nbytes
+        FROM documents),
+    agg AS (
+        SELECT format_class, CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+        FROM classed GROUP BY 1)
+    SELECT format_class, n_assets, total_bytes,
+           CAST(n_assets AS DOUBLE) / CAST(SUM(n_assets) OVER () AS DOUBLE)
+               AS asset_share
+    FROM agg ORDER BY format_class
+"""
+
+def _prefix_dot(a: str, b: str, d: int) -> str:
+    return (
+        "(CAST(list_sum([CAST(floor(CAST("
+        + a
+        + "[i] AS DOUBLE) * CAST("
+        + b
+        + f"[i] AS DOUBLE) * 1e12) AS BIGINT) FOR i IN range(1, {d + 1})])"
+        " AS DOUBLE) / 1e12)"
+    )
+
+
+def _dc_arm(d: int) -> str:
+    dist = (
+        f"(1.0 - {_prefix_dot('a.v', 'b.v', d)}"
+        f" / (sqrt({_prefix_dot('a.v', 'a.v', d)})"
+        f" * sqrt({_prefix_dot('b.v', 'b.v', d)})))"
+    )
+    return (
+        f"SELECT {d} AS dim,"
+        f" CAST(FLOOR({dist} * 1e9) AS BIGINT) AS dq"
+        " FROM sample a JOIN sample b ON a.vid < b.vid"
+    )
+
+
+ORACLES["distance_concentration"] = f"""
+    WITH sample AS (
+        SELECT vec_id AS vid, embedding AS v FROM embeddings
+        WHERE vec_id < 200),
+    per_dim AS (
+        {_dc_arm(8)} UNION ALL {_dc_arm(16)}
+        UNION ALL {_dc_arm(32)} UNION ALL {_dc_arm(64)}),
+    mom AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(dq) AS sx,
+               SUM(CAST(dq AS DECIMAL(38,0)) * dq) AS sxx
+        FROM per_dim GROUP BY 1)
+    SELECT dim, n_pairs,
+           CAST(sx AS DOUBLE) / 1e9 / CAST(n_pairs AS DOUBLE) AS mean_dist,
+           SQRT(GREATEST(CAST(n_pairs AS DOUBLE)
+                         * (CAST(sxx AS DOUBLE) / 1e18)
+                         - (CAST(sx AS DOUBLE) / 1e9)
+                           * (CAST(sx AS DOUBLE) / 1e9), 0.0))
+               / CAST(n_pairs AS DOUBLE) AS std_dist,
+           (SQRT(GREATEST(CAST(n_pairs AS DOUBLE)
+                          * (CAST(sxx AS DOUBLE) / 1e18)
+                          - (CAST(sx AS DOUBLE) / 1e9)
+                            * (CAST(sx AS DOUBLE) / 1e9), 0.0))
+            / CAST(n_pairs AS DOUBLE))
+           / (CAST(sx AS DOUBLE) / 1e9 / CAST(n_pairs AS DOUBLE)) AS cv
+    FROM mom ORDER BY dim
+"""

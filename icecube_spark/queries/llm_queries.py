@@ -1269,3 +1269,67 @@ def media_dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_frames").cast("double")
         ).alias("storage_savings"),
     )
+
+
+def yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F53 — Yule's K lexical-richness characteristic per source
+    (length-invariant repetitiveness; the vocab-health complement to
+    F9's size-dependent TTR)."""
+    from icecube_spark.operators import text as text_ops
+
+    return text_ops.yule_k(_docs(spark, sf_dir), "source", "text").orderBy(
+        "source"
+    )
+
+
+def knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42 — k-occurrence (hubness) histogram of the 5-NN cosine graph
+    over a 200-vector sample: the high-dimensionality health check
+    for the E1/E3 retrieval stack."""
+    return similarity.knn_hubness(
+        _emb(spark, sf_dir), "vec_id", "embedding", F.col("vec_id") < 200
+    )
+
+
+def media_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 — magic-byte format dispatch over the opaque payload
+    column: classify each asset by its leading byte (the same
+    first-bytes sniff a real ingester does before routing to a
+    codec; classes here are a deterministic stand-in taxonomy) and
+    report per-class counts, bytes, and share of the corpus."""
+    from pyspark.sql import Window
+
+    from icecube_spark.operators import multimodal
+
+    payload = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    lead = F.expr("decode(substring(payload, 1, 1), 'utf-8')")
+    fmt = (
+        F.when(lead.isin("a", "e", "i", "o", "u"), F.lit("audio-like"))
+        .when(lead.rlike("^[0-9]$"), F.lit("image-like"))
+        .when(lead.rlike("^[a-z]$"), F.lit("video-like"))
+        .when(lead.rlike("^[A-Z]$"), F.lit("doc-like"))
+        .otherwise(F.lit("unknown"))
+    )
+    wall = Window.partitionBy()
+    agg = payload.groupBy(fmt.alias("format_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+    )
+    return agg.select(
+        "format_class",
+        "n_assets",
+        "total_bytes",
+        (
+            F.col("n_assets").cast("double")
+            / F.sum("n_assets").over(wall).cast("double")
+        ).alias("asset_share"),
+    ).orderBy("format_class")
+
+
+def distance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 — pairwise cosine-distance concentration at matryoshka
+    prefix widths 8/16/32/64 over a 200-vector sample: the
+    curse-of-dimensionality companion to E42's hubness check."""
+    return similarity.distance_concentration(
+        _emb(spark, sf_dir), "vec_id", "embedding", F.col("vec_id") < 200
+    )

@@ -1515,3 +1515,70 @@ ORACLES["oov_rate_by_source"] = """
                / CAST(SUM(tf) AS DOUBLE) AS oov_rate
     FROM fan GROUP BY 1, 2 ORDER BY source, vocab_k
 """
+
+ORACLES["neyman_allocation"] = """
+    WITH mom AS (
+        SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
+        FROM documents GROUP BY 1),
+    weighted AS (
+        SELECT stratum, n_docs,
+               SQRT(GREATEST(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                   / CAST(n_docs AS DOUBLE) AS std_size,
+               CAST(FLOOR(CAST(n_docs AS DOUBLE)
+                          * (SQRT(GREATEST(CAST(n_docs AS DOUBLE)
+                                  * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE)
+                                    * CAST(sx AS DOUBLE), 0.0))
+                             / CAST(n_docs AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS wq
+        FROM mom)
+    SELECT stratum, n_docs, std_size,
+           CAST((1000 * wq) // SUM(wq) OVER () AS BIGINT) AS neyman_n,
+           CAST((1000 * n_docs) // SUM(n_docs) OVER () AS BIGINT)
+               AS proportional_n
+    FROM weighted ORDER BY stratum
+"""
+
+ORACLES["gate_kappa"] = """
+    WITH flags AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(list_filter(
+                        string_split(regexp_replace(trim(text),
+                                                    '\\s+', ' ', 'g'), ' '),
+                        x -> x != '')) >= 60
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n_both,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n_a_only,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n_b_only,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither
+        FROM flags)
+    SELECT n, n_both, n_a_only, n_b_only, n_neither,
+           CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE)
+               AS observed_agreement,
+           (CAST(n_both + n_a_only AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n_both + n_b_only AS DOUBLE) / CAST(n AS DOUBLE))
+           + (1.0 - CAST(n_both + n_a_only AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n_both + n_b_only AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS chance_agreement,
+           (CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE)
+            - ((CAST(n_both + n_a_only AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n_both + n_b_only AS DOUBLE) / CAST(n AS DOUBLE))
+               + (1.0 - CAST(n_both + n_a_only AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n_both + n_b_only AS DOUBLE)
+                  / CAST(n AS DOUBLE))))
+           / (1.0 - ((CAST(n_both + n_a_only AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n_both + n_b_only AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     + (1.0 - CAST(n_both + n_a_only AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(n_both + n_b_only AS DOUBLE)
+                        / CAST(n AS DOUBLE)))) AS kappa
+    FROM counts
+"""

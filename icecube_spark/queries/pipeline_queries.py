@@ -921,3 +921,25 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.oov_rate_by_source(
         _docs(spark, sf_dir), "source", "text", ks=(100, 500, 1000)
     )
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P68 — split a fixed 1000-doc audit budget across sources by
+    Neyman allocation on n_chars variance, vs the proportional
+    split."""
+    return pipeline.neyman_allocation(
+        _docs(spark, sf_dir), "source", "n_chars", budget=1000
+    )
+
+
+def gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P69 — inter-gate agreement: Cohen's kappa between the length
+    gate (n_chars >= 300) and the token-count gate (>= 60 whitespace
+    tokens) — are two curation rules measuring the same thing, or
+    does each kill documents the other would keep? The chance-
+    corrected version of the raw overlap P25's funnel shows."""
+    return pipeline.gate_kappa(
+        _docs(spark, sf_dir),
+        F.col("n_chars") >= 300,
+        F.size(F.split(F.trim("text"), r"\s+")) >= 60,
+    )

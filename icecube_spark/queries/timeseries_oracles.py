@@ -2583,3 +2583,110 @@ ORACLES["anomaly_persistence"] = """
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS isolated_share
     FROM runs GROUP BY 1 ORDER BY event_type
 """
+
+ORACLES["volume_bars"] = """
+    WITH base AS (
+        SELECT event_type, ts, event_id, value,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS q,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn,
+               COALESCE(SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                            OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING),
+                        0) AS cum_before
+        FROM events),
+    totals AS (
+        SELECT event_type,
+               GREATEST(CAST(SUM(q) // 20 AS BIGINT),
+                        CAST(1 AS BIGINT)) AS thr
+        FROM base GROUP BY 1),
+    barred AS (
+        SELECT b.event_type, CAST(b.cum_before // t.thr AS BIGINT) AS bar,
+               b.rn, b.value, b.q
+        FROM base b JOIN totals t ON b.event_type = t.event_type)
+    SELECT event_type, bar, CAST(COUNT(*) AS BIGINT) AS n_events,
+           arg_min(value, rn) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, rn) AS close,
+           CAST(SUM(q) AS DOUBLE) / 1e6 AS bar_value
+    FROM barred GROUP BY 1, 2 ORDER BY event_type, bar
+"""
+
+ORACLES["first_passage_time"] = """
+    WITH base AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+        FROM events),
+    firsts AS (
+        SELECT user_id, event_type AS cohort, CAST(ts AS DATE) AS first_day
+        FROM base WHERE rn = 1),
+    crossings AS (
+        SELECT user_id, arg_min(CAST(ts AS DATE), rn) AS cross_day
+        FROM base WHERE cum >= 300000000 GROUP BY 1),
+    joined AS (
+        SELECT f.cohort,
+               date_diff('day', f.first_day, c.cross_day) AS days
+        FROM firsts f LEFT JOIN crossings c ON f.user_id = c.user_id)
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(days) AS BIGINT) AS n_crossed,
+           CAST(COUNT(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS crossed_share,
+           CAST(SUM(days) AS DOUBLE) / CAST(COUNT(days) AS DOUBLE)
+               AS mean_days_to_cross,
+           CAST(MAX(days) AS BIGINT) AS max_days_to_cross
+    FROM joined GROUP BY 1 ORDER BY cohort
+"""
+
+ORACLES["retention_halflife"] = """
+    WITH origin AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    wk AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('day', d0, CAST(ts AS DATE)) / 7)
+                    AS BIGINT) AS wkidx
+        FROM events CROSS JOIN origin),
+    first AS (
+        SELECT user_id, MIN(wkidx) AS cohort FROM wk GROUP BY 1),
+    sizes AS (
+        SELECT cohort, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM first GROUP BY 1),
+    active AS (
+        SELECT f.cohort, w.wkidx - f.cohort AS k,
+               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+        FROM wk w JOIN first f ON w.user_id = f.user_id
+        GROUP BY 1, 2),
+    pts AS (
+        SELECT a.cohort, a.k,
+               CAST(FLOOR(LN(CAST(a.n_active AS DOUBLE)
+                             / CAST(s.n_users AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS lq
+        FROM active a JOIN sizes s ON a.cohort = s.cohort
+        WHERE a.n_active > 0),
+    mom AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               SUM(k) AS sx, SUM(CAST(k AS DECIMAL(38,0)) * k) AS sxx,
+               SUM(lq) AS sy, SUM(CAST(k AS DECIMAL(38,0)) * lq) AS sxy
+        FROM pts GROUP BY 1)
+    SELECT cohort, n_weeks,
+           (CAST(n_weeks AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+            - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6))
+           / (CAST(n_weeks AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS decay_per_week,
+           -0.6931471805599453e0
+           / ((CAST(n_weeks AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+               - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6))
+              / (CAST(n_weeks AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               AS halflife_weeks
+    FROM mom WHERE n_weeks >= 3
+      AND (CAST(n_weeks AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6)) != 0
+    ORDER BY cohort
+"""

@@ -1705,3 +1705,211 @@ def anomaly_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C103 — event-driven (volume) bars: per event type, close a bar
+    every time cumulative value crosses 1/20 of the type's total, and
+    report each bar's OHLC, event count, and value. C10's bars are
+    clock-aligned; these are information-aligned (equal value per
+    bar, the tick/volume-bar sampling used to de-cluster bursty
+    series before modeling).
+
+    Exactness: values are micro-quantized once; the running total and
+    the bar threshold are pure integer arithmetic, so bar membership
+    is engine-exact; OHLC picks raw doubles by exact integer rank.
+
+    Plan: one type-partitioned window for the running sum and rank
+    (types bound the partition count), one (type, bar) aggregate;
+    open/close via min_by/max_by on the exact rank — no second
+    window.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("q"),
+    ).withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "cum_before": F.coalesce(
+                F.sum("q").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        }
+    )
+    totals = base.groupBy("event_type").agg(
+        F.greatest(
+            F.expr("sum(q) div 20").cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("thr")
+    )
+    barred = base.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        F.expr("cum_before div thr").cast("bigint").alias("bar"),
+        "rn",
+        "value",
+        "q",
+    )
+    return (
+        barred.groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min_by("value", "rn").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "rn").alias("close"),
+            (F.sum("q").cast("double") / F.lit(1e6)).alias("bar_value"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+def first_passage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C104 — first-passage analysis: per user, days from their first
+    event until cumulative value first crosses 300, cohorted by the
+    type of their first event. C16 tracks WHO stays active; this
+    tracks HOW FAST accounts accumulate to a milestone (time-to-value
+    — the activation metric growth teams pair with retention).
+
+    Exactness: the running total folds micro-quantized integers, so
+    the crossing row is engine-exact; day gaps and the per-cohort
+    mean divide exact integers.
+
+    Plan: one user-partitioned window (running sum + first-row
+    marker), a crossing filter, one cohort aggregate over <= users
+    rows.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("q"),
+    ).withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "cum": F.sum("q").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        }
+    )
+    firsts = base.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("cohort"),
+        F.to_date("ts").alias("first_day"),
+    )
+    crossings = (
+        base.where(F.col("cum") >= 300_000_000)
+        .groupBy("user_id")
+        .agg(F.min_by(F.to_date("ts"), "rn").alias("cross_day"))
+    )
+    joined = firsts.join(crossings, "user_id", "left").select(
+        "cohort",
+        F.datediff(F.col("cross_day"), F.col("first_day")).alias("days"),
+    )
+    return (
+        joined.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("days").cast("bigint").alias("n_crossed"),
+            (
+                F.count("days").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("crossed_share"),
+            (
+                F.sum("days").cast("double") / F.count("days").cast("double")
+            ).alias("mean_days_to_cross"),
+            F.max("days").cast("bigint").alias("max_days_to_cross"),
+        )
+        .orderBy("cohort")
+    )
+
+
+def retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C105 — exponential retention fit: per weekly signup cohort,
+    regress ln(retention share) on week offset and report the decay
+    rate and half-life in weeks. C16 tabulates the retention matrix;
+    this compresses each cohort's row into the two numbers a growth
+    model actually consumes (lambda, t-half).
+
+    Exactness: shares are exact count ratios; ln() is quantized once
+    per cell (floor(ln(r)*1e6) micro-nats, the unigram_logprob
+    discipline) so the regression folds exact integers; the one
+    remaining double chain is fixed-order.
+
+    Plan: two distinct-user aggregates (cohort size, cohort-offset
+    activity), one cohort-level regression fold over <= weeks^2 rows.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    origin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    wk = ev.crossJoin(F.broadcast(origin)).select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.col("d0")) / F.lit(7)
+        ).cast("bigint").alias("wkidx"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("wkidx").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    active = (
+        wk.join(first, "user_id")
+        .select(
+            "cohort", (F.col("wkidx") - F.col("cohort")).alias("k"), "user_id"
+        )
+        .groupBy("cohort", "k")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    pts = (
+        active.join(sizes, "cohort")
+        .where(F.col("n_active") > 0)
+        .select(
+            "cohort",
+            "k",
+            F.floor(
+                F.log(
+                    F.col("n_active").cast("double")
+                    / F.col("n_users").cast("double")
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    mom = pts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("k").alias("sx"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("sxx"),
+        F.sum("lq").alias("sy"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("lq")).alias("sxy"),
+    )
+    n = F.col("n_weeks").cast("double")
+    num = n * (F.col("sxy").cast("double") / F.lit(1e6)) - F.col("sx").cast(
+        "double"
+    ) * (F.col("sy").cast("double") / F.lit(1e6))
+    den = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    lam = num / den
+    return (
+        mom.where(F.col("n_weeks") >= 3)
+        .select("cohort", "n_weeks", lam.alias("decay_per_week"))
+        .where(F.col("decay_per_week") != 0)
+        .select(
+            "cohort",
+            "n_weeks",
+            "decay_per_week",
+            (F.lit(-0.6931471805599453) / F.col("decay_per_week")).alias(
+                "halflife_weeks"
+            ),
+        )
+        .orderBy("cohort")
+    )
