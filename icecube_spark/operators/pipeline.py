@@ -217,14 +217,20 @@ def connected_components(
     sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    # the pair-mining pipeline above is the expensive part — persist it
-    # so nodes/edges/labels below all read the cache, not three
-    # recomputations of the mining joins. Repartition first: the edge
-    # list is tiny relative to the mining plan, but the union lineage
-    # carries the mining plan's partition count (100s of partitions) —
-    # every CC round would pay that task count otherwise. Size the
-    # cached graph to the data, not to the plan that produced it.
-    sym = sym.repartition(32, "src")
+    # the pair-mining pipeline above is the expensive part, and its
+    # lineage is the expensive PLAN: every iteration re-analyzes the
+    # whole mining tree unless it is severed here. localCheckpoint
+    # materializes the edge list once and gives each round a
+    # leaf-sized plan (the same driver-time blowup
+    # connected_components_fast truncates per-round). Then size every
+    # iteration's shuffle to the DATA, not the session default: each
+    # round is a join + aggregate whose per-task overhead dominates on
+    # a near-empty 32-way shuffle, and a 100 TB pair graph scales the
+    # partition count back up (one scalar count decides).
+    raw = sym.localCheckpoint()
+    n_edges = raw.count()
+    parts = max(1, min(32, n_edges // 100_000 + 1))
+    sym = raw.repartition(parts, "src")
     sym.persist()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # self-loops make each round a single join + single aggregate: the
@@ -2659,4 +2665,60 @@ def gate_kappa(df: DataFrame, gate_a, gate_b) -> DataFrame:
         po.alias("observed_agreement"),
         pe.alias("chance_agreement"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def connected_components_bounded(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Connected components for edge frames with a HARD structural
+    size bound — raster-mask adjacency (≤ grid cells × 8 edges, fixed
+    by sensor geometry no matter how large the corpus grows), not
+    corpus-shaped graphs. One Arrow batch through union-find with
+    min-member labeling: identical labels to
+    connected_components_fast, none of its O(log² n) driver rounds.
+    At 100 TB the per-scene masks stay bounded and label in parallel
+    ACROSS scenes (group by scene key); an unbounded dedup graph must
+    keep using connected_components_fast.
+    """
+    import pandas as pd
+
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def label(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        groups: dict = {}
+        for node in parent:
+            groups.setdefault(find(node), []).append(node)
+        rows = []
+        for members in groups.values():
+            lbl = min(members)
+            rows.extend((node, lbl) for node in members)
+        return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+    return (
+        edges.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(label, "doc_id long, cluster_id long")
     )

@@ -1445,48 +1445,59 @@ def cube_mask_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: pure integer set/graph logic; the component label is
     the min node key (deterministic).
 
-    Plan: adjacency edges come from the 9-target stencil on the mask
-    (sparse: edge count ≤ 8 × mask cells), then pointer-jumping
-    min-label CC (connected_components_fast: O(log diameter) rounds,
-    lineage localCheckpoint-truncated each round — grid masks form
-    contiguous blobs whose diameter would sink the plain P6
-    propagation). The summary is a |components|-row aggregate. The
-    oracle replays the same fixpoint with a recursive CTE.
+    Plan: ONE mask aggregate feeds everything — adjacency comes from
+    the explode-scatter stencil (each cell scatters to its 9 targets;
+    a groupBy on the target recovers "both endpoints present" without
+    a mask self-join), then single-batch union-find CC
+    (connected_components_bounded): the mask graph has a HARD
+    structural bound — grid cells are fixed by sensor geometry, so
+    labeling is per-scene-bounded work that at 100 TB parallelizes
+    ACROSS scenes, not within one. The summary is a |components|-row
+    aggregate. The oracle replays the same labeling with a recursive
+    CTE.
     """
     from icecube_spark.operators import pipeline as pipeline_ops
 
     ev = catalog.load(spark, sf_dir, "events")
     mask = _pixel_cells(ev).where(F.col("qv") >= 50_000_000).select("x", "y")
-    nodes = mask.select((F.col("x") * 1000 + F.col("y")).alias("node"), "x", "y")
-    stencil = (
-        mask.select(
-            "x", "y",
-            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
-        )
+    offsets = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    scatter = (
+        mask.select("x", "y", F.explode(F.array(*offsets)).alias("o"))
         .select(
-            "x", "y", "dx",
-            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
-        )
-        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
-        .select(
-            (F.col("x") * 1000 + F.col("y")).alias("a"),
-            ((F.col("x") + F.col("dx")) * 1000 + F.col("y") + F.col("dy")).alias("b"),
-            (F.col("x") + F.col("dx")).alias("nx"),
-            (F.col("y") + F.col("dy")).alias("ny"),
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            (F.col("x") * 1000 + F.col("y")).alias("origin"),
         )
         .where(
-            (F.col("nx") >= 0) & (F.col("nx") < 1000)
-            & (F.col("ny") >= 0) & (F.col("ny") < 1000)
+            (F.col("tx") >= 0) & (F.col("tx") < 1000)
+            & (F.col("ty") >= 0) & (F.col("ty") < 1000)
         )
+    )
+    hood = scatter.groupBy("tx", "ty").agg(
+        F.collect_list("origin").alias("ns"),
+        F.max(
+            F.when(
+                F.col("origin") == F.col("tx") * 1000 + F.col("ty"), 1
+            ).otherwise(0)
+        ).alias("present"),
+    ).where(F.col("present") == 1)
+    nodes = hood.select(
+        (F.col("tx") * 1000 + F.col("ty")).alias("node"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
     )
     edges = (
-        stencil.join(
-            nodes.select(F.col("node").alias("b")), "b"
+        hood.select(
+            (F.col("tx") * 1000 + F.col("ty")).alias("a"),
+            F.explode("ns").alias("b"),
         )
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
     )
-    labels = pipeline_ops.connected_components_fast(edges, "a", "b")
+    labels = pipeline_ops.connected_components_bounded(edges, "a", "b")
     labeled = nodes.join(
         labels.select(
             F.col("doc_id").alias("node"), F.col("cluster_id").alias("comp")

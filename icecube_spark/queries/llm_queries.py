@@ -95,13 +95,62 @@ def staged_candidates(spark, sf_dir):
     return _STAGED_CANDS[sf_dir]
 
 
+_STAGED_MH_PAIRS: dict[str, object] = {}
+
+
+def staged_minhash_pairs(spark, sf_dir):
+    """The exact-Jaccard-verified MinHash pair table at the campaign
+    threshold (0.8), staged once per corpus: six keys consume the
+    SAME pair graph (D2's listing, P6's clusters, P13's sizes, P23,
+    P26's survivorship, P32's per-source rate) and the LSH band
+    mining + verify join is the expensive part of each. A real dedup
+    campaign materializes the pair table once and every downstream
+    report reads it."""
+    from pyspark import StorageLevel
+
+    if sf_dir not in _STAGED_MH_PAIRS:
+        members, grams, sigs = staged_collapse(spark, sf_dir)
+        _STAGED_MH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
+            grams=grams, sigs=sigs, members=members,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _STAGED_MH_PAIRS[sf_dir]
+
+
+_STAGED_PAIRS: dict[tuple, object] = {}
+
+
+def staged_jaccard_pairs(spark, sf_dir, threshold):
+    """The verified n-gram Jaccard pair graph, staged once per
+    (corpus, threshold). Graph-shaped consumers (D18's wedge/triangle
+    audit) reference the pair table many times in one plan — wedges
+    are a self-join, closure is a third join, and the summary
+    crossJoins three aggregates — so without staging the verify
+    pipeline re-runs per reference. Same at-scale story as the other
+    staged_* tables: a dedup campaign writes pairs once, every graph
+    diagnostic reads them."""
+    from pyspark import StorageLevel
+
+    key = (sf_dir, threshold)
+    if key not in _STAGED_PAIRS:
+        _STAGED_PAIRS[key] = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", threshold=threshold,
+            grams=staged_corpus(spark, sf_dir)[0],
+            cands=staged_candidates(spark, sf_dir),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _STAGED_PAIRS[key]
+
+
 def clear_staging() -> None:
     """Release every session-scoped staging table (grams, signatures,
     collapse members, candidate pairs). The ownership twin of the
     staged_* persists above: a long-lived session that switches
     corpora calls this between campaigns instead of leaking one
     cached table set per sf_dir."""
-    for store in (_STAGED, _STAGED_COLLAPSE, _STAGED_CANDS):
+    for store in (
+        _STAGED, _STAGED_COLLAPSE, _STAGED_CANDS, _STAGED_PAIRS,
+        _STAGED_MH_PAIRS,
+    ):
         for val in store.values():
             for df in val if isinstance(val, tuple) else (val,):
                 try:
@@ -118,11 +167,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — MinHash+LSH candidates, exact-Jaccard-verified >= 0.8."""
-    members, grams, sigs = staged_collapse(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
-        grams=grams, sigs=sigs, members=members,
-    )
+    return staged_minhash_pairs(spark, sf_dir)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,12 +1252,9 @@ def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D18 — does near-dup similarity behave transitively? Wedge/
     triangle closure rate of the 0.3-Jaccard pair graph — the
     go/no-go check before connected-components cluster collapse."""
-    grams, _ = staged_corpus(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3,
-        grams=grams, cands=staged_candidates(spark, sf_dir),
+    return dedup.dup_transitivity_audit(
+        staged_jaccard_pairs(spark, sf_dir, 0.3)
     )
-    return dedup.dup_transitivity_audit(pairs)
 
 
 def quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

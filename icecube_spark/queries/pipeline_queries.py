@@ -77,13 +77,9 @@ def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — connected components over the MinHash near-dup pairs:
     every near-dup doc labeled with its component's min doc id."""
-    from icecube_spark.queries.llm_queries import staged_collapse
+    from icecube_spark.queries.llm_queries import staged_minhash_pairs
 
-    members, grams, sigs = staged_collapse(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
-        grams=grams, sigs=sigs, members=members,
-    )
+    pairs = staged_minhash_pairs(spark, sf_dir)
     return pipeline.connected_components(pairs, "doc_a", "doc_b")
 
 
@@ -243,14 +239,10 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins attach sources; the final aggregate is on a
     handful of cells. Mean Jaccard folds as floor(j·1e12) BIGINTs so
     the matrix is bit-identical to the oracle."""
-    from icecube_spark.queries.llm_queries import staged_collapse
+    from icecube_spark.queries.llm_queries import staged_minhash_pairs
 
     docs = _docs(spark, sf_dir)
-    members, grams, sigs = staged_collapse(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
-        members=members,
-    )
+    pairs = staged_minhash_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
         "source", "source_a"
@@ -407,14 +399,10 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from icecube_spark.queries.llm_queries import staged_collapse
+    from icecube_spark.queries.llm_queries import staged_minhash_pairs
 
     docs = _docs(spark, sf_dir)
-    members, grams, sigs = staged_collapse(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
-        members=members,
-    )
+    pairs = staged_minhash_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     labeled = (
         pairs.join(
@@ -598,13 +586,9 @@ def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    from icecube_spark.operators import dedup as dedup_ops
+    from icecube_spark.queries.llm_queries import staged_minhash_pairs
 
-    members, grams, sigs = staged_collapse(spark, sf_dir)
-    pairs = dedup_ops.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
-        members=members,
-    )
+    pairs = staged_minhash_pairs(spark, sf_dir)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = canon.join(losers, "doc_id", "left_anti")
 
@@ -668,14 +652,10 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check is deterministic and incremental-build-safe."""
     from pyspark.sql import functions as F
 
-    from icecube_spark.queries.llm_queries import staged_collapse
+    from icecube_spark.queries.llm_queries import staged_minhash_pairs
 
-    members, grams, sigs = staged_collapse(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, grams=grams, sigs=sigs,
-        members=members,
-    )
+    pairs = staged_minhash_pairs(spark, sf_dir)
     b = pipeline._bucket("doc_id")
     split = docs.select(
         "doc_id",
