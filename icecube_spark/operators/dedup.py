@@ -1107,3 +1107,62 @@ def dup_transitivity_audit(pairs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("closure_rate"),
     )
+
+
+def shingle_stats(
+    df: DataFrame, id_col: str, text_col: str, sizes: tuple[int, ...] = (3, 5, 8)
+) -> DataFrame:
+    """D19 — shingle-width tuning table: before committing a dedup
+    campaign to one n-gram width, measure what each width buys —
+    total and distinct shingles, the share that ever repeats across
+    the corpus (wider shingles repeat less: fewer candidates, fewer
+    false merges, worse recall on light edits), and shingles per doc.
+    The width knob is the third leg of the D15 threshold / F18
+    permutation tuning pair.
+
+    Exactness: pure integer counting; one share division.
+
+    Plan: per width, one explode → (shingle) count — map-side combine
+    absorbs the Zipf head exactly as in D3's index build — then a
+    one-row fold; widths are a fixed 3-way fanout, unioned.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '),"
+            " ' ')"
+        ).alias("t"),
+    )
+    per_size = []
+    for n in sizes:
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(t) < {n} THEN array(array_join(t, ' '))"
+                    f" ELSE transform(sequence(0, size(t) - {n}),"
+                    f" i -> array_join(slice(t, i + 1, {n}), ' ')) END"
+                )
+            ).alias("g"),
+        )
+        counts = grams.groupBy("g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        per_size.append(
+            counts.agg(
+                F.lit(n).alias("shingle_width"),
+                F.sum("cnt").cast("bigint").alias("n_shingles"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.count_if(F.col("cnt") > 1)
+                .cast("bigint")
+                .alias("n_repeated"),
+                (
+                    F.count_if(F.col("cnt") > 1).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("repeated_share"),
+            )
+        )
+    out = per_size[0]
+    for p in per_size[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("shingle_width")

@@ -2722,3 +2722,75 @@ def connected_components_bounded(
         .groupBy("_g")
         .applyInPandas(label, "doc_id long, cluster_id long")
     )
+
+
+def curation_ablation(docs: DataFrame) -> DataFrame:
+    """P70 — single-gate ablation accounting over three deterministic
+    gates: length (n_chars >= 100), token count (>= 20 normalized
+    tokens), stopword evidence (>= 2 standard stopwords). Per gate:
+    total kills, UNIQUE kills (docs every other gate passes), and the
+    unique share — the "does this filter earn its complexity" audit.
+
+    Plan: one scan folds all three flags; the per-gate report is a
+    3-row explode over the flagged frame's aggregate — no re-scan per
+    gate.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    stops = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in stops]))
+    )
+    flagged = docs.select(
+        (F.col("n_chars") >= 100).alias("p_len"),
+        (F.size(toks) >= 20).alias("p_tok"),
+        (n_stop >= 2).alias("p_stop"),
+    )
+    agg = flagged.agg(
+        F.count_if(~F.col("p_len")).cast("bigint").alias("k_len"),
+        F.count_if(~F.col("p_tok")).cast("bigint").alias("k_tok"),
+        F.count_if(~F.col("p_stop")).cast("bigint").alias("k_stop"),
+        F.count_if(~F.col("p_len") & F.col("p_tok") & F.col("p_stop"))
+        .cast("bigint")
+        .alias("u_len"),
+        F.count_if(F.col("p_len") & ~F.col("p_tok") & F.col("p_stop"))
+        .cast("bigint")
+        .alias("u_tok"),
+        F.count_if(F.col("p_len") & F.col("p_tok") & ~F.col("p_stop"))
+        .cast("bigint")
+        .alias("u_stop"),
+    )
+    gates = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min_length").alias("gate"),
+                    F.col("k_len").alias("n_killed"),
+                    F.col("u_len").alias("n_unique_killed"),
+                ),
+                F.struct(
+                    F.lit("min_tokens").alias("gate"),
+                    F.col("k_tok").alias("n_killed"),
+                    F.col("u_tok").alias("n_unique_killed"),
+                ),
+                F.struct(
+                    F.lit("stopword_evidence").alias("gate"),
+                    F.col("k_stop").alias("n_killed"),
+                    F.col("u_stop").alias("n_unique_killed"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.gate", "s.n_killed", "s.n_unique_killed")
+    return gates.select(
+        "gate",
+        "n_killed",
+        "n_unique_killed",
+        F.when(
+            F.col("n_killed") > 0,
+            F.col("n_unique_killed").cast("double")
+            / F.col("n_killed").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("unique_share"),
+    ).orderBy("gate")

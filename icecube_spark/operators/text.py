@@ -2415,3 +2415,49 @@ def yule_k(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
             / (nn * nn)
         ).alias("yule_k"),
     )
+
+
+def casing_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """F54 — token-casing mix per group: shares of ALL-CAPS, Title-
+    Case, and pure-digit tokens. Shouting (caps-heavy) and
+    numeric-table text are quality signals the lowercased token
+    pipeline (F9/F13) is blind to by construction — this profiles
+    the RAW tokens before normalization eats the evidence.
+
+    Plan: explode raw whitespace tokens → one group aggregate;
+    classification is pure codegen regex/compare on each token.
+    """
+    raw = (
+        f"split(regexp_replace(trim({text_col}), '\\\\s+', ' '), ' ')"
+    )
+    toks = df.select(
+        F.col(group_col), F.explode(F.expr(raw)).alias("tok")
+    ).where(F.col("tok") != "")
+    is_upper = F.col("tok").rlike("^[A-Z]{2,}$")
+    is_title = F.col("tok").rlike("^[A-Z][a-z]+$")
+    is_digit = F.col("tok").rlike("^[0-9]+$")
+    return (
+        toks.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_if(is_upper).cast("bigint").alias("n_upper"),
+            F.count_if(is_title).cast("bigint").alias("n_title"),
+            F.count_if(is_digit).cast("bigint").alias("n_digit"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            (
+                F.col("n_upper").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("upper_share"),
+            (
+                F.col("n_title").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("title_share"),
+            (
+                F.col("n_digit").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("digit_share"),
+        )
+    )

@@ -3139,3 +3139,123 @@ def supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+def customer_pareto_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68 — do the whales order often? Overlap between the top-20%
+    customers by revenue and the top-20% by order count: set sizes,
+    Jaccard, and how much revenue the frequency-top set actually
+    holds. B30 ranks one dimension; this audits whether the two
+    rankings agree before anyone targets "top customers".
+
+    Exactness: rankings order by micro-quantized revenue (ties by
+    custkey), so membership is engine-exact; shares divide exact
+    integer sums.
+
+    Plan: one customer aggregate, two rank windows over it, one
+    1-row summary.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("bigint")
+        ).alias("revq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    wr = Window.partitionBy().orderBy(F.col("revq").desc(), "o_custkey")
+    wc = Window.partitionBy().orderBy(
+        F.col("n_orders").desc(), "o_custkey"
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "revq",
+        F.row_number().over(wr).alias("rrank"),
+        F.row_number().over(wc).alias("crank"),
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("revq").alias("total_revq"),
+    )
+    k = F.expr("n_customers div 5")
+    flagged = ranked.crossJoin(F.broadcast(tot)).select(
+        "revq",
+        "n_customers",
+        "total_revq",
+        (F.col("rrank") <= k).alias("in_rev_top"),
+        (F.col("crank") <= k).alias("in_cnt_top"),
+    )
+    return flagged.agg(
+        F.first("n_customers").alias("n_customers"),
+        F.expr("first(n_customers) div 5").cast("bigint").alias("k_top"),
+        F.count_if(F.col("in_rev_top") & F.col("in_cnt_top"))
+        .cast("bigint")
+        .alias("n_overlap"),
+        (
+            F.count_if(F.col("in_rev_top") & F.col("in_cnt_top")).cast(
+                "double"
+            )
+            / (
+                F.lit(2.0) * F.expr("first(n_customers) div 5").cast("double")
+                - F.count_if(
+                    F.col("in_rev_top") & F.col("in_cnt_top")
+                ).cast("double")
+            )
+        ).alias("jaccard"),
+        (
+            F.sum(F.when(F.col("in_cnt_top"), F.col("revq"))).cast("double")
+            / F.first("total_revq").cast("double")
+        ).alias("cnt_top_revenue_share"),
+    )
+
+
+def flag_priority_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B69 — is the return flag independent of order priority? Full
+    contingency analysis of l_returnflag x o_orderpriority: observed
+    vs expected counts and standardized Pearson residuals per cell,
+    plus each cell's chi-square contribution. B7 (q10) totals the
+    returns; this is the independence diagnostic an ops analyst runs
+    before claiming urgent orders get returned more.
+
+    Exactness: expected counts and residuals derive from exact
+    integer marginals in fixed-order double arithmetic.
+
+    Plan: one orderkey join (priority broadcast onto lineitem rows),
+    one (mode, priority) count, marginals via two tiny re-aggregates
+    joined back broadcast; output bounded by modes x priorities.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    obs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    row_m = obs.groupBy("returnflag").agg(F.sum("n_obs").alias("row_n"))
+    col_m = obs.groupBy("priority").agg(F.sum("n_obs").alias("col_n"))
+    tot = obs.agg(F.sum("n_obs").alias("grand_n"))
+    joined = (
+        obs.join(F.broadcast(row_m), "returnflag")
+        .join(F.broadcast(col_m), "priority")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("grand_n").cast("double")
+    )
+    resid = (F.col("n_obs").cast("double") - expected) / F.sqrt(expected)
+    return joined.select(
+        "returnflag",
+        "priority",
+        "n_obs",
+        expected.alias("n_expected"),
+        resid.alias("std_residual"),
+        (resid * resid).alias("chi2_contrib"),
+    ).orderBy("returnflag", "priority")

@@ -1518,3 +1518,69 @@ ORACLES["supplier_churn"] = """
                AS retained_share
     FROM marked GROUP BY 1 ORDER BY yr
 """
+
+ORACLES["customer_pareto_overlap"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT)) AS revq,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT o_custkey, revq,
+               ROW_NUMBER() OVER (ORDER BY revq DESC, o_custkey) AS rrank,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey)
+                   AS crank
+        FROM per_cust),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(revq) AS total_revq
+        FROM per_cust),
+    flagged AS (
+        SELECT revq, n_customers, total_revq,
+               rrank <= n_customers // 5 AS in_rev_top,
+               crank <= n_customers // 5 AS in_cnt_top
+        FROM ranked CROSS JOIN tot)
+    SELECT CAST(MIN(n_customers) AS BIGINT) AS n_customers,
+           CAST(MIN(n_customers) // 5 AS BIGINT) AS k_top,
+           CAST(count_if(in_rev_top AND in_cnt_top) AS BIGINT) AS n_overlap,
+           CAST(count_if(in_rev_top AND in_cnt_top) AS DOUBLE)
+               / (2.0 * CAST(MIN(n_customers) // 5 AS DOUBLE)
+                  - CAST(count_if(in_rev_top AND in_cnt_top) AS DOUBLE))
+               AS jaccard,
+           CAST(SUM(CASE WHEN in_cnt_top THEN revq END) AS DOUBLE)
+               / CAST(MIN(total_revq) AS DOUBLE) AS cnt_top_revenue_share
+    FROM flagged
+"""
+
+ORACLES["flag_priority_residuals"] = """
+    WITH obs AS (
+        SELECT l.l_returnflag AS returnflag, o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+    row_m AS (SELECT returnflag, SUM(n_obs) AS row_n FROM obs GROUP BY 1),
+    col_m AS (SELECT priority, SUM(n_obs) AS col_n FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(n_obs) AS grand_n FROM obs)
+    SELECT o.returnflag, o.priority, o.n_obs,
+           CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+               / CAST(t.grand_n AS DOUBLE) AS n_expected,
+           (CAST(o.n_obs AS DOUBLE)
+            - CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+              / CAST(t.grand_n AS DOUBLE))
+           / SQRT(CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+                  / CAST(t.grand_n AS DOUBLE)) AS std_residual,
+           ((CAST(o.n_obs AS DOUBLE)
+             - CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+               / CAST(t.grand_n AS DOUBLE))
+            / SQRT(CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+                   / CAST(t.grand_n AS DOUBLE)))
+           * ((CAST(o.n_obs AS DOUBLE)
+               - CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+                 / CAST(t.grand_n AS DOUBLE))
+              / SQRT(CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE)
+                     / CAST(t.grand_n AS DOUBLE))) AS chi2_contrib
+    FROM obs o JOIN row_m r ON o.returnflag = r.returnflag
+    JOIN col_m c ON o.priority = c.priority
+    CROSS JOIN tot t
+    ORDER BY o.returnflag, o.priority
+"""

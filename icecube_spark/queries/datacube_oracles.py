@@ -1363,3 +1363,95 @@ ORACLES["cube_destripe"] = """
                - g.global_mean AS stripe_bias
     FROM cols CROSS JOIN gstats g ORDER BY x
 """
+
+
+def _qt_level(d: int) -> str:
+    s = 48 >> d
+    return f"""
+        SELECT {d} AS d, CAST(FLOOR(x / {s}) AS BIGINT) AS bx,
+               CAST(FLOOR(y / {s}) AS BIGINT) AS by,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(q AS DECIMAL(38,0))
+                                                      * q) AS DOUBLE)
+                - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+                   AS var
+        FROM cells GROUP BY 2, 3"""
+
+
+ORACLES["cube_quadtree"] = f"""
+    WITH cells AS (
+        SELECT x, y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM (SELECT event_id % 50 AS x,
+                     CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+                     value
+              FROM events)
+        WHERE x < 48 AND y < 48 GROUP BY 1, 2),
+    lvl AS (
+        SELECT *, var > 5.5e14 AS split FROM (
+            {_qt_level(0)} UNION ALL {_qt_level(1)}
+            UNION ALL {_qt_level(2)} UNION ALL {_qt_level(3)}
+            UNION ALL {_qt_level(4)})),
+    a0 AS (SELECT * FROM lvl WHERE d = 0),
+    a1 AS (SELECT c.* FROM lvl c JOIN a0 p
+           ON c.d = 1 AND p.split
+          AND CAST(FLOOR(c.bx / 2) AS BIGINT) = p.bx
+          AND CAST(FLOOR(c.by / 2) AS BIGINT) = p.by),
+    a2 AS (SELECT c.* FROM lvl c JOIN a1 p
+           ON c.d = 2 AND p.split
+          AND CAST(FLOOR(c.bx / 2) AS BIGINT) = p.bx
+          AND CAST(FLOOR(c.by / 2) AS BIGINT) = p.by),
+    a3 AS (SELECT c.* FROM lvl c JOIN a2 p
+           ON c.d = 3 AND p.split
+          AND CAST(FLOOR(c.bx / 2) AS BIGINT) = p.bx
+          AND CAST(FLOOR(c.by / 2) AS BIGINT) = p.by),
+    a4 AS (SELECT c.* FROM lvl c JOIN a3 p
+           ON c.d = 4 AND p.split
+          AND CAST(FLOOR(c.bx / 2) AS BIGINT) = p.bx
+          AND CAST(FLOOR(c.by / 2) AS BIGINT) = p.by),
+    leaves AS (
+        SELECT 0 AS depth, n_cells, var FROM a0 WHERE NOT split
+        UNION ALL SELECT 1, n_cells, var FROM a1 WHERE NOT split
+        UNION ALL SELECT 2, n_cells, var FROM a2 WHERE NOT split
+        UNION ALL SELECT 3, n_cells, var FROM a3 WHERE NOT split
+        UNION ALL SELECT 4, n_cells, var FROM a4)
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_leaves,
+           CAST(SUM(n_cells) AS BIGINT) AS cells_covered,
+           CAST(SUM(CAST(FLOOR(var / 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               / CAST(COUNT(*) AS DOUBLE) AS mean_leaf_var
+    FROM leaves GROUP BY 1 ORDER BY depth
+"""
+
+ORACLES["cube_inpaint"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    flagged AS (
+        SELECT x, y, q,
+               ROW_NUMBER() OVER (ORDER BY q, x, y)
+                   <= COUNT(*) OVER () // 20 AS is_hole
+        FROM cells),
+    stencil AS (
+        SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                              (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+    scatter AS (
+        SELECT c.x + s.dx AS tx, c.y + s.dy AS ty, c.q
+        FROM flagged c CROSS JOIN stencil s
+        WHERE NOT c.is_hole
+          AND c.x + s.dx BETWEEN 0 AND 49
+          AND c.y + s.dy BETWEEN 0 AND 49),
+    donors AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_donors, SUM(q) AS sq
+        FROM scatter GROUP BY 1, 2)
+    SELECT h.x, h.y, CAST(h.q AS DOUBLE) / 1e6 AS nodata_value,
+           d.n_donors,
+           CAST(d.sq AS DOUBLE) / 1e6 / CAST(d.n_donors AS DOUBLE)
+               AS filled_value
+    FROM flagged h JOIN donors d ON h.x = d.tx AND h.y = d.ty
+    WHERE h.is_hole AND d.n_donors >= 3 ORDER BY x, y
+"""

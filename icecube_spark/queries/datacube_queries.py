@@ -2907,3 +2907,184 @@ def cube_destripe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x")
     )
+
+
+def cube_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58 — adaptive quadtree tiling of the value grid: starting
+    from the 48x48 crop as one tile, any tile whose cell-mean
+    variance exceeds the threshold splits into four, down to 3x3
+    leaves. Reports the leaf-tile census per depth — the
+    variance-adaptive tiling a raster store uses to spend small
+    tiles only where the scene has structure (flat water = one big
+    tile, urban texture = many small ones).
+
+    Exactness: block variances fold exact integer moments
+    (micro-quantized cell means) into one fixed-order double; the
+    split decision compares identical doubles; leaf accounting is
+    pure integers.
+
+    Plan: five resolution aggregates over the SAME cell frame (grid-
+    bounded), chained parent→child by integer-division keys with
+    broadcast-sized joins per level; no iteration beyond the fixed
+    5-level pyramid.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 50).alias("x"),
+            ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+            F.col("value"),
+        )
+        .where((F.col("x") < 48) & (F.col("y") < 48))
+        .groupBy("x", "y")
+        .agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    )
+    thr = 5.5e14  # micro^2 units (~grid median block variance)
+    levels = []
+    for d in range(5):
+        s = 48 >> d
+        blk = cells.groupBy(
+            F.floor(F.col("x") / F.lit(s)).cast("bigint").alias("bx"),
+            F.floor(F.col("y") / F.lit(s)).cast("bigint").alias("by"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("q").alias("sx"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias(
+                "sxx"
+            ),
+        )
+        n = F.col("n_cells").cast("double")
+        var = (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ) / (n * n)
+        levels.append(
+            blk.select(
+                "bx",
+                "by",
+                "n_cells",
+                var.alias("var"),
+                (var > F.lit(thr)).alias("split"),
+            )
+        )
+    leaves = []
+    alive = levels[0]
+    for d in range(5):
+        is_last = d == 4
+        leaf_cond = (
+            F.lit(True) if is_last else ~F.col("split")
+        )
+        leaves.append(
+            alive.where(leaf_cond).select(
+                F.lit(d).alias("depth"), "n_cells", "var"
+            )
+        )
+        if is_last:
+            break
+        parents = alive.where(F.col("split")).select(
+            F.col("bx").alias("pbx"), F.col("by").alias("pby")
+        )
+        child = levels[d + 1]
+        alive = child.join(
+            F.broadcast(parents),
+            (F.floor(F.col("bx") / 2) == F.col("pbx"))
+            & (F.floor(F.col("by") / 2) == F.col("pby")),
+        ).select("bx", "by", "n_cells", "var", "split")
+    alll = leaves[0]
+    for lf in leaves[1:]:
+        alll = alll.unionAll(lf)
+    return (
+        alll.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaves"),
+            F.sum("n_cells").cast("bigint").alias("cells_covered"),
+            (
+                F.sum(
+                    F.floor(F.col("var") / F.lit(1e6)).cast("bigint")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_leaf_var"),
+        )
+        .orderBy("depth")
+    )
+
+
+def cube_inpaint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59 — nodata inpainting: the bottom-5% cells by mean value are
+    treated as nodata (dropout/shadow speckle) and re-estimated from
+    the exact mean of their VALID 8-neighbors (>= 3 donors required)
+    — the neighbor-mean fill a mosaicking chain runs before
+    compositing (A17). A4 fills TEMPORAL gaps per cell; this fills
+    SPATIAL holes per layer.
+
+    Exactness: the nodata set is an exact integer rank cut (ties by
+    cell key); donor means divide exact integer sums of
+    micro-quantized cell means.
+
+    Plan: one cell aggregate, one rank window over the grid-bounded
+    frame, the single explode-scatter stencil from A35 (valid cells
+    scatter to neighbors; a groupBy on the target recovers donor
+    sums — no mask self-join), an inner join back to the hole set.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    wr = Window.partitionBy().orderBy("q", "x", "y")
+    wn = Window.partitionBy()
+    flagged = cells.select(
+        "x",
+        "y",
+        "q",
+        (
+            F.row_number().over(wr)
+            <= F.expr("count(*) over () div 20")
+        ).alias("is_hole"),
+    )
+    offsets = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ]
+    scatter = (
+        flagged.where(~F.col("is_hole"))
+        .select("x", "y", "q", F.explode(F.array(*offsets)).alias("o"))
+        .select(
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "q",
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < 50)
+            & (F.col("ty") >= 0) & (F.col("ty") < 50)
+        )
+    )
+    donors = scatter.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_donors"),
+        F.sum("q").alias("sq"),
+    )
+    holes = flagged.where(F.col("is_hole")).select(
+        F.col("x").alias("tx"), F.col("y").alias("ty"),
+        F.col("q").alias("oldq"),
+    )
+    return (
+        holes.join(donors, ["tx", "ty"])
+        .where(F.col("n_donors") >= 3)
+        .select(
+            F.col("tx").alias("x"),
+            F.col("ty").alias("y"),
+            (F.col("oldq").cast("double") / F.lit(1e6)).alias(
+                "nodata_value"
+            ),
+            "n_donors",
+            (
+                F.col("sq").cast("double")
+                / F.lit(1e6)
+                / F.col("n_donors").cast("double")
+            ).alias("filled_value"),
+        )
+        .orderBy("x", "y")
+    )

@@ -3359,3 +3359,71 @@ ORACLES["distance_concentration"] = f"""
            / (CAST(sx AS DOUBLE) / 1e9 / CAST(n_pairs AS DOUBLE)) AS cv
     FROM mom ORDER BY dim
 """
+
+ORACLES["casing_profile"] = """
+    WITH toks AS (
+        SELECT source,
+               UNNEST(string_split(regexp_replace(trim(text), '\\s+', ' ',
+                                                  'g'), ' ')) AS tok
+        FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(count_if(regexp_matches(tok, '^[A-Z]{2,}$')) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS upper_share,
+           CAST(count_if(regexp_matches(tok, '^[A-Z][a-z]+$')) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS title_share,
+           CAST(count_if(regexp_matches(tok, '^[0-9]+$')) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS digit_share
+    FROM toks WHERE tok != '' GROUP BY 1 ORDER BY source
+"""
+
+ORACLES["payload_compression_probe"] = """
+    WITH blocks AS (
+        SELECT doc_id, source,
+               substring(text, 1 + 8 * i, 8) AS blk
+        FROM documents
+        CROSS JOIN UNNEST(range(0, CAST(FLOOR((n_chars - 8) / 8) AS INT)
+                                 + 1))
+            AS t(i)
+        WHERE length(substring(text, 1 + 8 * i, 8)) = 8),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_unique
+        FROM blocks GROUP BY 1, 2),
+    q AS (
+        SELECT source,
+               CAST(FLOOR(CAST(n_unique AS DOUBLE)
+                          / CAST(n_blocks AS DOUBLE) * 1e9) AS BIGINT) AS rq
+        FROM per_doc)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(rq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+               AS mean_unique_ratio,
+           CAST(count_if(rq < 500000000) AS BIGINT) AS n_dup_heavy
+    FROM q GROUP BY 1 ORDER BY source
+"""
+
+
+def _shingle_arm(n: int) -> str:
+    return f"""
+        SELECT {n} AS shingle_width, CAST(SUM(cnt) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(count_if(cnt > 1) AS BIGINT) AS n_repeated,
+               CAST(count_if(cnt > 1) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS repeated_share
+        FROM (
+            SELECT g, COUNT(*) AS cnt FROM (
+                SELECT UNNEST(
+                    CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(list_slice(t, i, i + {n} - 1),
+                                               ' ')
+                               FOR i IN range(1, len(t) - {n} + 2)]
+                    END) AS g
+                FROM toks)
+            GROUP BY g)"""
+
+
+ORACLES["shingle_stats"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    {_shingle_arm(3)} UNION ALL {_shingle_arm(5)} UNION ALL {_shingle_arm(8)}
+    ORDER BY shingle_width
+"""

@@ -1375,3 +1375,64 @@ def distance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.distance_concentration(
         _emb(spark, sf_dir), "vec_id", "embedding", F.col("vec_id") < 200
     )
+
+
+def casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F54 — raw-token casing mix per source (ALL-CAPS / TitleCase /
+    digit shares): the pre-normalization quality signal."""
+    from icecube_spark.operators import text as text_ops
+
+    return text_ops.casing_profile(
+        _docs(spark, sf_dir), "source", "text"
+    ).orderBy("source")
+
+
+def payload_compression_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 — storage-codec triage over the opaque payload column:
+    per source, the mean unique ratio of non-overlapping 8-byte
+    blocks (a deterministic compressibility proxy — low ratio =
+    dedup-friendly, skip recompression) plus how many assets are
+    dup-heavy (< 0.5 unique)."""
+    d = _docs(spark, sf_dir)
+    blocks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(floor((n_chars - 8) / 8) as int)),"
+                " i -> substring(text, 1 + 8 * i, 8))"
+            )
+        ).alias("blk"),
+    ).where(F.length("blk") == 8)
+    per_doc = blocks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.countDistinct("blk").cast("bigint").alias("n_unique"),
+    )
+    ratio_q = F.floor(
+        F.col("n_unique").cast("double")
+        / F.col("n_blocks").cast("double")
+        * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        per_doc.select("source", ratio_q.alias("rq"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            (
+                F.sum("rq").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_unique_ratio"),
+            F.count_if(F.col("rq") < 500_000_000)
+            .cast("bigint")
+            .alias("n_dup_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 — shingle-width tuning table (3/5/8-word shingles): volume,
+    distinctness, and cross-corpus repeat share per width — the
+    dedup-campaign knob D15/F18 don't cover."""
+    return dedup.shingle_stats(_docs(spark, sf_dir), "doc_id", "text")

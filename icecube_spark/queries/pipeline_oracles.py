@@ -1582,3 +1582,42 @@ ORACLES["gate_kappa"] = """
                         / CAST(n AS DOUBLE)))) AS kappa
     FROM counts
 """
+
+ORACLES["curation_ablation"] = """
+    WITH toks AS (
+        SELECT n_chars,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS t
+        FROM documents),
+    flagged AS (
+        SELECT n_chars >= 100 AS p_len,
+               len(t) >= 20 AS p_tok,
+               len(list_filter(t, x -> x IN ('the','a','an','and','or',
+                                             'of','to','in','is','it')))
+                   >= 2 AS p_stop
+        FROM toks),
+    agg AS (
+        SELECT CAST(count_if(NOT p_len) AS BIGINT) AS k_len,
+               CAST(count_if(NOT p_tok) AS BIGINT) AS k_tok,
+               CAST(count_if(NOT p_stop) AS BIGINT) AS k_stop,
+               CAST(count_if(NOT p_len AND p_tok AND p_stop) AS BIGINT)
+                   AS u_len,
+               CAST(count_if(p_len AND NOT p_tok AND p_stop) AS BIGINT)
+                   AS u_tok,
+               CAST(count_if(p_len AND p_tok AND NOT p_stop) AS BIGINT)
+                   AS u_stop
+        FROM flagged),
+    gates AS (
+        SELECT 'min_length' AS gate, k_len AS n_killed,
+               u_len AS n_unique_killed FROM agg
+        UNION ALL
+        SELECT 'min_tokens', k_tok, u_tok FROM agg
+        UNION ALL
+        SELECT 'stopword_evidence', k_stop, u_stop FROM agg)
+    SELECT gate, n_killed, n_unique_killed,
+           CASE WHEN n_killed > 0
+                THEN CAST(n_unique_killed AS DOUBLE)
+                     / CAST(n_killed AS DOUBLE)
+                ELSE 0.0 END AS unique_share
+    FROM gates ORDER BY gate
+"""

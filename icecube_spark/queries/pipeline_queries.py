@@ -923,3 +923,15 @@ def gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars") >= 300,
         F.size(F.split(F.trim("text"), r"\s+")) >= 60,
     )
+
+
+def curation_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P70 — gate-uniqueness ablation: for each curation gate (min
+    length, min tokens, stopword evidence), how many docs it kills
+    and how many ONLY it kills — a gate with near-zero unique kills
+    is dead weight the pipeline can drop. The complement of P25's
+    funnel (which orders gates; this asks whether each earns its
+    place)."""
+    from icecube_spark.operators import pipeline as pipeline_ops
+
+    return pipeline_ops.curation_ablation(_docs(spark, sf_dir))

@@ -2690,3 +2690,50 @@ ORACLES["retention_halflife"] = """
            - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6)) != 0
     ORDER BY cohort
 """
+
+ORACLES["session_concurrency"] = """
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+        SELECT *, CAST(SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS INT) AS session_id
+        FROM flagged),
+    sess AS (
+        SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+        FROM sessions GROUP BY 1, 2),
+    touched AS (
+        SELECT UNNEST(generate_series(date_trunc('hour', st),
+                                      date_trunc('hour', en),
+                                      INTERVAL 1 HOUR)) AS h
+        FROM sess)
+    SELECT EXTRACT(hour FROM h) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS session_hours,
+           CAST(COUNT(DISTINCT CAST(h AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(COUNT(DISTINCT CAST(h AS DATE)) AS DOUBLE)
+               AS avg_concurrent
+    FROM touched GROUP BY 1 ORDER BY hour_of_day
+"""
+
+ORACLES["peak_hour_stability"] = """
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    peaks AS (
+        SELECT day, hr FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                         ORDER BY n DESC, hr) AS rk
+            FROM hourly)
+        WHERE rk = 1)
+    SELECT hr AS peak_hour, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS day_share
+    FROM peaks GROUP BY 1 ORDER BY peak_hour
+"""

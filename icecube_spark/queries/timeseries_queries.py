@@ -1913,3 +1913,89 @@ def retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C106 — concurrency load profile: how many 30-min-gap sessions
+    (C2's definition) touch each hour of day, across how many days,
+    and the resulting average concurrent-session load per active
+    hour. C24's heatmap counts EVENTS; capacity planning needs
+    SESSIONS-in-flight, which is what a connection pool or stateful-
+    stream operator actually holds.
+
+    Exactness: session bounds come from the exact C2 window; the
+    hour fanout is integer timestamp arithmetic; counts and the one
+    ratio are exact.
+
+    Plan: the C2 session window, a per-session aggregate, a bounded
+    hour-sequence explode (sessions are gap-bounded, so the fanout
+    per session is small), one 24-row aggregate.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    s = timeseries.sessionize(ev, "ts", "user_id")
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    touched = sess.select(
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', st), date_trunc('hour', en),"
+                " interval 1 hour)"
+            )
+        ).alias("h")
+    )
+    return (
+        touched.groupBy(F.hour("h").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("session_hours"),
+            F.countDistinct(F.to_date("h")).cast("bigint").alias("n_days"),
+        )
+        .select(
+            "hour_of_day",
+            "session_hours",
+            "n_days",
+            (
+                F.col("session_hours").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("avg_concurrent"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+def peak_hour_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C107 — is the daily traffic peak stable? Per day, find the
+    argmax activity hour (ties to the earlier hour), then report the
+    distribution of peak hours across days with each hour's share.
+    C24's heatmap shows average shape; capacity planning needs to
+    know whether the peak MOVES (a fat peak-hour histogram = no
+    single provisioning window).
+
+    Exactness: argmax by exact counts with deterministic tie-break;
+    shares divide exact integers.
+
+    Plan: one (day, hour) count, one day-partitioned rank window
+    (days bound the partitions), one 24-row-max aggregate.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "hr")
+    peaks = hourly.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    wall = Window.partitionBy()
+    return (
+        peaks.groupBy(F.col("hr").alias("peak_hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+        .select(
+            "peak_hour",
+            "n_days",
+            (
+                F.col("n_days").cast("double")
+                / F.sum("n_days").over(wall).cast("double")
+            ).alias("day_share"),
+        )
+        .orderBy("peak_hour")
+    )
