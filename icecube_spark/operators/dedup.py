@@ -1166,3 +1166,99 @@ def shingle_stats(
     for p in per_size[1:]:
         out = out.unionAll(p)
     return out.orderBy("shingle_width")
+
+
+def minhash_band_tuning(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    grams: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+    threshold: float = 0.8,
+    configs: tuple[tuple[int, int], ...] = ((16, 4), (8, 8), (4, 16)),
+) -> DataFrame:
+    """D20 — LSH band-shape tuning: with the SAME 64-hash signatures,
+    compare band layouts (16x4 / 8x8 / 4x16) by candidate volume and
+    precision against exact Jaccard at the campaign threshold. More
+    rows per band = fewer, higher-precision candidates (the s-curve
+    steepens); this table is how a campaign picks the shape before
+    committing a 100 TB shuffle to it. Completes the tuning
+    triptych: D15 sweeps the threshold, D19 the shingle width, F18
+    the estimator accuracy.
+
+    Plan: per layout, band hashes explode from the staged signature
+    table (no re-hash of the corpus), candidates come from the
+    bucket self-join (bounded fanout), verification touches
+    candidate gram pairs only; three layouts union to 3 rows.
+    """
+    if grams is None:
+        grams = with_grams(df.select(id_col, text_col), text_col).select(
+            id_col, "grams"
+        )
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col)
+    ga = grams.select(
+        F.col(id_col).alias("doc_a"), F.col("grams").alias("ga")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("doc_b"), F.col("grams").alias("gb")
+    )
+    out = None
+    for _, br in configs:
+        exprs = _band_hashes(64, br)
+        nb = 64 // br
+        banded = sigs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.expr(h).alias("band_hash"),
+                        )
+                        for i, h in enumerate(exprs)
+                    ]
+                )
+            ).alias("s"),
+        ).select("doc_id", "s.band_id", "s.band_hash")
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+        )
+        cands = (
+            a.join(b, ["band_id", "band_hash"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+        union = (
+            F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+        )
+        verified = (
+            cands.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(
+                (
+                    inter.cast("double") / union.cast("double")
+                    >= F.lit(threshold)
+                ).alias("hit")
+            )
+        )
+        row = verified.agg(
+            F.lit(nb).alias("n_bands"),
+            F.lit(br).alias("rows_per_band"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.count_if(F.col("hit")).cast("bigint").alias("n_verified"),
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.count_if(F.col("hit")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("rows_per_band")

@@ -3259,3 +3259,76 @@ def flag_priority_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid.alias("std_residual"),
         (resid * resid).alias("chi2_contrib"),
     ).orderBy("returnflag", "priority")
+
+
+def purchase_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B70 — is the customer base speeding up? Per market segment,
+    regress each >= 4-order customer's inter-order gap on its order
+    index and report the mean gap trend plus the share of customers
+    accelerating (negative slope — gaps shrinking). B24 buckets
+    recency/frequency at a snapshot; this measures the DERIVATIVE of
+    frequency, the earliest signal a segment is heating up or
+    churning in slow motion.
+
+    Exactness: gaps are exact day integers and the per-customer
+    regression moments fold integers; the per-customer slope is
+    micro-quantized before the segment fold, so the segment mean is
+    an exact integer division.
+
+    Plan: one custkey window for gaps, one customer-level regression
+    fold, a broadcast customer→segment join, one segment aggregate.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gaps = orders.select(
+        "o_custkey",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    mom = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("i").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("i")).alias("sxx"),
+        F.sum("gap").alias("sy"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("gap")).alias("sxy"),
+    )
+    n = F.col("n_gaps").cast("double")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    sloped = mom.where(F.col("n_gaps") >= 3).select(
+        "o_custkey",
+        F.floor(slope * F.lit(1e6)).cast("bigint").alias("slq"),
+    )
+    return (
+        sloped.join(
+            F.broadcast(cust),
+            sloped.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (
+                F.sum("slq").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_gap_trend"),
+            (
+                F.count_if(F.col("slq") < 0).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accelerating_share"),
+        )
+        .orderBy("segment")
+    )

@@ -1584,3 +1584,39 @@ ORACLES["flag_priority_residuals"] = """
     CROSS JOIN tot t
     ORDER BY o.returnflag, o.priority
 """
+
+ORACLES["purchase_acceleration"] = """
+    WITH gaps AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY CAST(o_orderdate AS DATE),
+                                           o_orderkey) - 1 AS i,
+               date_diff('day',
+                         LAG(CAST(o_orderdate AS DATE))
+                             OVER (PARTITION BY o_custkey
+                                   ORDER BY CAST(o_orderdate AS DATE),
+                                            o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap
+        FROM orders),
+    mom AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               SUM(i) AS sx, SUM(CAST(i AS DECIMAL(38,0)) * i) AS sxx,
+               SUM(gap) AS sy, SUM(CAST(i AS DECIMAL(38,0)) * gap) AS sxy
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1),
+    sloped AS (
+        SELECT o_custkey,
+               CAST(FLOOR((CAST(n_gaps AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * 1e6) AS BIGINT) AS slq
+        FROM mom WHERE n_gaps >= 3)
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(slq) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+               AS mean_gap_trend,
+           CAST(count_if(slq < 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS accelerating_share
+    FROM sloped s JOIN customer c ON s.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY segment
+"""

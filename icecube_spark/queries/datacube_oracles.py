@@ -1455,3 +1455,40 @@ ORACLES["cube_inpaint"] = """
     FROM flagged h JOIN donors d ON h.x = d.tx AND h.y = d.ty
     WHERE h.is_hole AND d.n_donors >= 3 ORDER BY x, y
 """
+
+ORACLES["cube_velocity_field"] = """
+    WITH daily AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2, 3),
+    mom AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(d) AS sx, SUM(CAST(d AS DECIMAL(38,0)) * d) AS sxx,
+               SUM(q) AS sy, SUM(CAST(q AS DECIMAL(38,0)) * q) AS syy,
+               SUM(CAST(d AS DECIMAL(38,0)) * q) AS sxy
+        FROM daily GROUP BY 1, 2)
+    SELECT x, y, n_days,
+           (CAST(n_days AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+            - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6))
+           / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS velocity_per_day,
+           CASE WHEN CAST(n_days AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e12)
+                     - (CAST(sy AS DOUBLE) / 1e6)
+                       * (CAST(sy AS DOUBLE) / 1e6) > 0
+                THEN ((CAST(n_days AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                       - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6))
+                      * (CAST(n_days AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                         - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1e6)))
+                     / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE)
+                           * (CAST(syy AS DOUBLE) / 1e12)
+                           - (CAST(sy AS DOUBLE) / 1e6)
+                             * (CAST(sy AS DOUBLE) / 1e6)))
+                ELSE 0.0 END AS r2
+    FROM mom WHERE n_days >= 3 ORDER BY x, y
+"""

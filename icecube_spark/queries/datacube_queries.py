@@ -3088,3 +3088,60 @@ def cube_inpaint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+def cube_velocity_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60 — per-cell velocity map: least-squares slope of each cell's
+    daily mean value over time, with fit quality — the persistent-
+    scatterer "velocity field" an InSAR time-series processor derives
+    from a deformation stack (A55 flags WHEN a cell is anomalous;
+    this measures the RATE it drifts). Only cells observed on >= 3
+    days are scored.
+
+    Exactness: daily cell means are micro-quantized integers; every
+    regression moment is an exact integer fold; slope and r² are
+    fixed-order doubles from those integers.
+
+    Plan: one (cell, day) aggregate, one cell-level regression fold —
+    grid-bounded output, no windows, no joins.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    mom = daily.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("d").alias("sx"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sxx"),
+        F.sum("q").alias("sy"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("syy"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("q")).alias("sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    syy = F.col("syy").cast("double") / F.lit(1e12)
+    sxy = F.col("sxy").cast("double") / F.lit(1e6)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    return (
+        mom.where(F.col("n_days") >= 3)
+        .select(
+            "x",
+            "y",
+            "n_days",
+            (num / denx).alias("velocity_per_day"),
+            F.when(
+                deny > 0, (num * num) / (denx * deny)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("r2"),
+        )
+        .orderBy("x", "y")
+    )

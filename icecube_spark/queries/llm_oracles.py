@@ -3427,3 +3427,91 @@ ORACLES["shingle_stats"] = f"""
     {_shingle_arm(3)} UNION ALL {_shingle_arm(5)} UNION ALL {_shingle_arm(8)}
     ORDER BY shingle_width
 """
+
+
+ORACLES["minhash_band_tuning"] = f"""
+    WITH {{grams_ctes}},
+    eg AS (SELECT doc_id, UNNEST(g) AS gram FROM grams),
+    based AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                         & {{base_mask}} AS base
+              FROM eg),
+    sigs AS (SELECT doc_id, {{sig_cols}} FROM based GROUP BY doc_id)
+
+        SELECT 16 AS n_bands, 4 AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(count_if(hit) AS BIGINT) AS n_verified,
+               CASE WHEN COUNT(*) > 0
+                    THEN CAST(count_if(hit) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
+                    ELSE 0.0 END AS precision
+        FROM (
+            SELECT (CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                    / CAST(len(ga.g) + len(gb.g)
+                           - len(list_intersect(ga.g, gb.g)) AS DOUBLE))
+                       >= 0.8 AS hit
+            FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                      FROM (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3), md5('1' || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7), md5('2' || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11), md5('3' || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('4' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19), md5('5' || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23), md5('6' || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27), md5('7' || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('8' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35), md5('9' || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39), md5('10' || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43), md5('11' || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('12' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51), md5('13' || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55), md5('14' || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59), md5('15' || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands
+                            FROM sigs), range(16) t(i)) a
+                JOIN (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                      FROM (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3), md5('1' || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7), md5('2' || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11), md5('3' || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('4' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19), md5('5' || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23), md5('6' || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27), md5('7' || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('8' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35), md5('9' || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39), md5('10' || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43), md5('11' || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('12' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51), md5('13' || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55), md5('14' || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59), md5('15' || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands
+                            FROM sigs), range(16) t(i)) b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id) c
+            JOIN grams ga ON c.doc_a = ga.doc_id
+            JOIN grams gb ON c.doc_b = gb.doc_id) UNION ALL 
+        SELECT 8 AS n_bands, 8 AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(count_if(hit) AS BIGINT) AS n_verified,
+               CASE WHEN COUNT(*) > 0
+                    THEN CAST(count_if(hit) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
+                    ELSE 0.0 END AS precision
+        FROM (
+            SELECT (CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                    / CAST(len(ga.g) + len(gb.g)
+                           - len(list_intersect(ga.g, gb.g)) AS DOUBLE))
+                       >= 0.8 AS hit
+            FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                      FROM (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3 || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7), md5('1' || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11 || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('2' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19 || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23), md5('3' || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27 || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('4' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35 || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39), md5('5' || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43 || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('6' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51 || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55), md5('7' || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59 || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands
+                            FROM sigs), range(8) t(i)) a
+                JOIN (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                      FROM (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3 || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7), md5('1' || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11 || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('2' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19 || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23), md5('3' || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27 || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('4' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35 || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39), md5('5' || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43 || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('6' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51 || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55), md5('7' || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59 || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands
+                            FROM sigs), range(8) t(i)) b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id) c
+            JOIN grams ga ON c.doc_a = ga.doc_id
+            JOIN grams gb ON c.doc_b = gb.doc_id) UNION ALL 
+        SELECT 4 AS n_bands, 16 AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(count_if(hit) AS BIGINT) AS n_verified,
+               CASE WHEN COUNT(*) > 0
+                    THEN CAST(count_if(hit) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
+                    ELSE 0.0 END AS precision
+        FROM (
+            SELECT (CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                    / CAST(len(ga.g) + len(gb.g)
+                           - len(list_intersect(ga.g, gb.g)) AS DOUBLE))
+                       >= 0.8 AS hit
+            FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                      FROM (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3 || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7 || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11 || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('1' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19 || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23 || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27 || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('2' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35 || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39 || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43 || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('3' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51 || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55 || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59 || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands
+                            FROM sigs), range(4) t(i)) a
+                JOIN (SELECT doc_id, i AS band_id, bands[i+1] AS band_hash
+                      FROM (SELECT doc_id, [md5('0' || '|' || s0 || '|' || s1 || '|' || s2 || '|' || s3 || '|' || s4 || '|' || s5 || '|' || s6 || '|' || s7 || '|' || s8 || '|' || s9 || '|' || s10 || '|' || s11 || '|' || s12 || '|' || s13 || '|' || s14 || '|' || s15), md5('1' || '|' || s16 || '|' || s17 || '|' || s18 || '|' || s19 || '|' || s20 || '|' || s21 || '|' || s22 || '|' || s23 || '|' || s24 || '|' || s25 || '|' || s26 || '|' || s27 || '|' || s28 || '|' || s29 || '|' || s30 || '|' || s31), md5('2' || '|' || s32 || '|' || s33 || '|' || s34 || '|' || s35 || '|' || s36 || '|' || s37 || '|' || s38 || '|' || s39 || '|' || s40 || '|' || s41 || '|' || s42 || '|' || s43 || '|' || s44 || '|' || s45 || '|' || s46 || '|' || s47), md5('3' || '|' || s48 || '|' || s49 || '|' || s50 || '|' || s51 || '|' || s52 || '|' || s53 || '|' || s54 || '|' || s55 || '|' || s56 || '|' || s57 || '|' || s58 || '|' || s59 || '|' || s60 || '|' || s61 || '|' || s62 || '|' || s63)] AS bands
+                            FROM sigs), range(4) t(i)) b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id) c
+            JOIN grams ga ON c.doc_a = ga.doc_id
+            JOIN grams gb ON c.doc_b = gb.doc_id)
+    ORDER BY rows_per_band
+"""
+ORACLES["minhash_band_tuning"] = ORACLES["minhash_band_tuning"].format(
+    grams_ctes=_GRAMS_CTES, base_mask=_hashing.BASE_MASK, sig_cols=_sig_cols
+)

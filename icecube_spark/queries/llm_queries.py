@@ -1436,3 +1436,56 @@ def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinctness, and cross-corpus repeat share per width — the
     dedup-campaign knob D15/F18 don't cover."""
     return dedup.shingle_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 — LSH band-shape tuning (16x4 / 8x8 / 4x16 over the same
+    64-hash signatures): candidate volume and precision vs exact
+    Jaccard >= 0.8 per layout — the shape knob of the D15/D19/F18
+    tuning family."""
+    grams, sigs = staged_corpus(spark, sf_dir)
+    return dedup.minhash_band_tuning(
+        _docs(spark, sf_dir), "doc_id", "text", grams=grams, sigs=sigs
+    )
+
+
+def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44 — IVF nprobe tuning curve: recall@5 of the E4 index vs
+    brute-force cosine at nprobe 1/2/4/8 — the latency-recall ladder
+    an ANN deployment picks its operating point from. Rows-only
+    (MLlib KMeans is iterative); pytest pins recall monotonicity and
+    the nprobe=n_clusters=16 upper bound."""
+    from icecube_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") < 10, k=5
+    ).select("query_id", F.col("neighbor_id").alias("true_id"))
+    out = None
+    for nprobe in (1, 2, 4, 8):
+        got = ivf_topk(
+            emb, "vec_id", "embedding", F.col("vec_id") < 10,
+            k_neighbors=5, n_clusters=16, nprobe=nprobe,
+        ).select("query_id", F.col("neighbor_id").alias("got_id"))
+        hits = exact.join(
+            got,
+            (exact.query_id == got.query_id)
+            & (F.col("true_id") == F.col("got_id")),
+            "left_semi",
+        )
+        row = exact.agg(
+            F.lit(nprobe).alias("nprobe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        ).crossJoin(
+            hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        ).select(
+            "nprobe",
+            "n_truth",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_5"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")

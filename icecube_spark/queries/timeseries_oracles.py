@@ -2737,3 +2737,27 @@ ORACLES["peak_hour_stability"] = """
                / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS day_share
     FROM peaks GROUP BY 1 ORDER BY peak_hour
 """
+
+ORACLES["type_affinity"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    marg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY 1),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_all FROM ut),
+    co AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type != b.event_type
+        GROUP BY 1, 2)
+    SELECT ta AS type_a, tb AS type_b, n_both,
+           CAST(n_both AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS support,
+           CAST(n_both AS DOUBLE) * CAST(t.n_all AS DOUBLE)
+               / (CAST(ma.n_users AS DOUBLE) * CAST(mb.n_users AS DOUBLE))
+               AS lift
+    FROM co JOIN marg ma ON co.ta = ma.event_type
+    JOIN marg mb ON co.tb = mb.event_type
+    CROSS JOIN tot t
+    ORDER BY type_a, type_b
+"""

@@ -1999,3 +1999,58 @@ def peak_hour_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_hour")
     )
+
+
+def type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C108 — event-type affinity: for each ordered type pair, the
+    lift between "user does A" and "user does B" (observed co-users
+    over independence expectation). B29 computes lift on basket
+    items; this is the behavioral analogue over the event stream —
+    which activities travel together across USERS, the input to any
+    feature-bundling or cross-promotion call.
+
+    Exactness: all counts are exact distinct-user integers; lift and
+    support divide exact integers.
+
+    Plan: one distinct (user, type) frame, a type-keyed self-join
+    (types bound the fanout), two tiny broadcast marginals.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    marg = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = ut.agg(F.countDistinct("user_id").cast("bigint").alias("n_all"))
+    a = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("ta"))
+    b = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("tb"))
+    both = (
+        a.join(b, "u")
+        .where(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("ta"), F.col("n_users").alias("na"))
+    mb = marg.select(F.col("event_type").alias("tb"), F.col("n_users").alias("nb"))
+    return (
+        both.join(F.broadcast(ma), "ta")
+        .join(F.broadcast(mb), "tb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_all").cast("double")
+            ).alias("support"),
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_all").cast("double")
+                / (
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -399,3 +399,15 @@ def test_streaming_ingest_dedup_matches_batch(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert set(got["event_id"]) == set(want["event_id"])
     assert got["event_id"].is_unique
+
+
+def test_ivf_probe_curve_monotone(spark, sf_dir):
+    """E44 — recall@5 must be non-decreasing in nprobe and bounded."""
+    from icecube_spark.queries.llm_queries import ivf_probe_curve
+
+    pdf = ivf_probe_curve(spark, sf_dir).toPandas()
+    assert list(pdf.nprobe) == [1, 2, 4, 8]
+    rec = list(pdf.recall_at_5)
+    assert all(0.0 <= r <= 1.0 for r in rec)
+    assert all(b >= a - 1e-12 for a, b in zip(rec, rec[1:])), rec
+    assert rec[-1] >= 0.5, rec
