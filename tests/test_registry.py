@@ -23,6 +23,7 @@ def test_rows_only_keys_are_the_documented_set():
         "embed_pca_top",
         "part_pagerank",
         "mmr_diversify",
+        "ivf_probe_curve",
     }, f"unexpected rows-only keys: {sorted(rows_only)}"
 
 
