@@ -2794,3 +2794,73 @@ def curation_ablation(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("unique_share"),
     ).orderBy("gate")
+
+
+def chunking_plan(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    window: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """P71 — chunk-volume accounting for sliding-window chunking:
+    chunks = 1 + ceil((n - window) / stride) for docs longer than the
+    window (stride = window - overlap), else 1. Reports per group:
+    docs, tokens, chunks, chunks per doc, overlap overhead (extra
+    token slots re-embedded) and padding waste (empty slots in the
+    last chunk) as shares of raw tokens.
+
+    Exactness: pure integer chunk arithmetic; shares divide exact
+    integer sums.
+
+    Plan: one scan computes per-doc token counts and chunk counts in
+    codegen; one group aggregate.
+    """
+    stride = window - overlap
+    n = F.size(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+            " ",
+        )
+    ).cast("bigint")
+    chunks = F.when(
+        n <= window, F.lit(1).cast("bigint")
+    ).otherwise(
+        F.lit(1)
+        + F.ceil((n - F.lit(window)).cast("double") / F.lit(float(stride)))
+        .cast("bigint")
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        n.alias("n_tokens"),
+        chunks.alias("n_chunks"),
+    ).withColumn(
+        "slots", F.col("n_chunks") * F.lit(window)
+    )
+    return (
+        per_doc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            (
+                F.sum("n_chunks").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("chunks_per_doc"),
+            (
+                (
+                    F.sum("slots")
+                    - F.sum(F.col("n_chunks") - 1) * F.lit(overlap)
+                    - F.sum("n_tokens")
+                ).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("padding_waste_share"),
+            (
+                (F.sum(F.col("n_chunks") - 1) * F.lit(overlap)).cast(
+                    "double"
+                )
+                / F.sum("n_tokens").cast("double")
+            ).alias("overlap_overhead_share"),
+        )
+        .orderBy(group_col)
+    )

@@ -2461,3 +2461,43 @@ def casing_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
             ).alias("digit_share"),
         )
     )
+
+
+def langid_margin(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    """F55 — language-ID confidence calibration: per true language,
+    the mean margin between the top and runner-up marker scores and
+    the share of low-margin (<= 1 marker) calls. F12's confusion
+    matrix says WHERE the classifier errs; the margin says how close
+    every call was — the signal a routing pipeline thresholds before
+    trusting F1's label.
+
+    Plan: the same single-scan marker scoring as F1, one aggregate
+    per true language; margins are pure codegen integer arithmetic.
+    """
+    scores = [
+        F.expr(_marker_score(text_col, lang)).alias(f"{lang}_score")
+        for lang in MARKERS
+    ]
+    scored = df.select(F.col(lang_col).alias("lang"), *scores)
+    cols = [F.col(f"{lang}_score") for lang in MARKERS]
+    top = F.greatest(*cols)
+    total = cols[0] + cols[1] + cols[2] + cols[3]
+    second = F.sort_array(F.array(*cols), asc=False)[1]
+    margin = (top - second).cast("bigint")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(margin).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_margin"),
+            F.count_if(margin <= 1).cast("bigint").alias("n_low_margin"),
+            (
+                F.count_if(margin <= 1).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("low_margin_share"),
+            F.count_if(total == 0).cast("bigint").alias("n_no_signal"),
+        )
+        .orderBy("lang")
+    )

@@ -3332,3 +3332,69 @@ def purchase_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B71 — brand stickiness: per brand, how many customers bought
+    it, how many came back for it (>= 2 distinct orders containing
+    the brand), and the buyers' mean share-of-wallet (their brand
+    lineitems over all their lineitems). B27 correlates brands;
+    this measures whether a brand OWNS its customers — the planning
+    input behind assortment bets.
+
+    Exactness: counts are exact integers; wallet shares are
+    micro-quantized per customer before the brand fold.
+
+    Plan: one lineitem→orders join (custkey recovered), a broadcast
+    part join for brand, one (brand, customer) aggregate, a
+    customer-total aggregate joined back, one brand rollup.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    part = catalog.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    lines = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_cust_brand = lines.groupBy("o_custkey", "p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+    )
+    per_cust = lines.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_lines")
+    )
+    wallet = per_cust_brand.join(per_cust, "o_custkey").select(
+        "p_brand",
+        "n_orders",
+        F.floor(
+            F.col("n_lines").cast("double")
+            / F.col("total_lines").cast("double")
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    return (
+        wallet.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+            F.count_if(F.col("n_orders") >= 2)
+            .cast("bigint")
+            .alias("n_repeat_buyers"),
+            (
+                F.count_if(F.col("n_orders") >= 2).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("repeat_share"),
+            (
+                F.sum("wq").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_wallet_share"),
+        )
+        .orderBy("brand")
+    )

@@ -1620,3 +1620,33 @@ ORACLES["purchase_acceleration"] = """
     FROM sloped s JOIN customer c ON s.o_custkey = c.c_custkey
     GROUP BY 1 ORDER BY segment
 """
+
+ORACLES["brand_loyalty"] = """
+    WITH lines AS (
+        SELECT o.o_custkey, o.o_orderkey, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey),
+    per_cust_brand AS (
+        SELECT o_custkey, p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM lines GROUP BY 1, 2),
+    per_cust AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS total_lines
+        FROM lines GROUP BY 1),
+    wallet AS (
+        SELECT b.p_brand, b.n_orders,
+               CAST(FLOOR(CAST(b.n_lines AS DOUBLE)
+                          / CAST(c.total_lines AS DOUBLE) * 1e9)
+                    AS BIGINT) AS wq
+        FROM per_cust_brand b JOIN per_cust c
+          ON b.o_custkey = c.o_custkey)
+    SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(count_if(n_orders >= 2) AS BIGINT) AS n_repeat_buyers,
+           CAST(count_if(n_orders >= 2) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS repeat_share,
+           CAST(SUM(wq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+               AS mean_wallet_share
+    FROM wallet GROUP BY 1 ORDER BY brand
+"""

@@ -1492,3 +1492,51 @@ ORACLES["cube_velocity_field"] = """
                 ELSE 0.0 END AS r2
     FROM mom WHERE n_days >= 3 ORDER BY x, y
 """
+
+ORACLES["cube_box_counting"] = """
+    WITH mask AS (
+        SELECT x, y FROM (
+            SELECT event_id % 50 AS x,
+                   CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+                   CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8)))
+                                   AS DOUBLE)
+                              / COUNT(value) * 1e6) AS BIGINT) AS q
+            FROM events GROUP BY 1, 2)
+        WHERE q >= 50000000),
+    counts AS (
+        SELECT 1 AS scale, CAST(COUNT(*) AS BIGINT) AS n_boxes FROM (
+            SELECT DISTINCT CAST(FLOOR(x / 1) AS BIGINT),
+                            CAST(FLOOR(y / 1) AS BIGINT) FROM mask)
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT CAST(FLOOR(x / 2) AS BIGINT),
+                            CAST(FLOOR(y / 2) AS BIGINT) FROM mask)
+        UNION ALL
+        SELECT 4, CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT CAST(FLOOR(x / 4) AS BIGINT),
+                            CAST(FLOOR(y / 4) AS BIGINT) FROM mask)
+        UNION ALL
+        SELECT 8, CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT CAST(FLOOR(x / 8) AS BIGINT),
+                            CAST(FLOOR(y / 8) AS BIGINT) FROM mask)),
+    pts AS (
+        SELECT scale, n_boxes,
+               CAST(FLOOR(LN(1.0 * scale) * 1e6) AS BIGINT) AS lx,
+               CAST(FLOOR(LN(CAST(n_boxes AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS ly
+        FROM counts),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(lx) AS sx,
+               SUM(CAST(lx AS DECIMAL(38,0)) * lx) AS sxx,
+               SUM(ly) AS sy,
+               SUM(CAST(lx AS DECIMAL(38,0)) * ly) AS sxy
+        FROM pts)
+    SELECT p.scale, p.n_boxes,
+           -((CAST(m.n AS DOUBLE) * (CAST(m.sxy AS DOUBLE) / 1e12)
+              - (CAST(m.sx AS DOUBLE) / 1e6) * (CAST(m.sy AS DOUBLE) / 1e6))
+             / (CAST(m.n AS DOUBLE) * (CAST(m.sxx AS DOUBLE) / 1e12)
+                - (CAST(m.sx AS DOUBLE) / 1e6)
+                  * (CAST(m.sx AS DOUBLE) / 1e6))) AS fractal_dimension
+    FROM pts p CROSS JOIN mom m ORDER BY scale
+"""

@@ -3515,3 +3515,30 @@ ORACLES["minhash_band_tuning"] = f"""
 ORACLES["minhash_band_tuning"] = ORACLES["minhash_band_tuning"].format(
     grams_ctes=_GRAMS_CTES, base_mask=_hashing.BASE_MASK, sig_cols=_sig_cols
 )
+
+ORACLES["langid_margin"] = f"""
+    WITH toks AS (
+        SELECT lang, {_TOKS} AS t FROM documents),
+    scored AS (
+        SELECT lang,
+               len(list_filter(t, x -> list_contains({_MARKERS['en']}, x))) AS s_en,
+               len(list_filter(t, x -> list_contains({_MARKERS['de']}, x))) AS s_de,
+               len(list_filter(t, x -> list_contains({_MARKERS['fr']}, x))) AS s_fr,
+               len(list_filter(t, x -> list_contains({_MARKERS['es']}, x))) AS s_es
+        FROM toks),
+    marged AS (
+        SELECT lang,
+               CAST(list_reverse_sort([s_en, s_de, s_fr, s_es])[1]
+                    - list_reverse_sort([s_en, s_de, s_fr, s_es])[2]
+                    AS BIGINT) AS margin,
+               s_en + s_de + s_fr + s_es AS total
+        FROM scored)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(margin) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_margin,
+           CAST(count_if(margin <= 1) AS BIGINT) AS n_low_margin,
+           CAST(count_if(margin <= 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS low_margin_share,
+           CAST(count_if(total = 0) AS BIGINT) AS n_no_signal
+    FROM marged GROUP BY 1 ORDER BY lang
+"""

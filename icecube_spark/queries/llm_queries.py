@@ -1489,3 +1489,12 @@ def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("nprobe")
+
+
+def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F55 — language-ID margin calibration per true language: mean
+    top-vs-runner-up marker margin, low-margin share, no-signal
+    count — the confidence view beside F12's confusion matrix."""
+    from icecube_spark.operators import text as text_ops
+
+    return text_ops.langid_margin(_docs(spark, sf_dir), "text", "lang")

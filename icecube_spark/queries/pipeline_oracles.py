@@ -1621,3 +1621,29 @@ ORACLES["curation_ablation"] = """
                 ELSE 0.0 END AS unique_share
     FROM gates ORDER BY gate
 """
+
+ORACLES["chunking_plan"] = """
+    WITH per_doc AS (
+        SELECT source AS grp,
+               CAST(len(string_split(regexp_replace(lower(trim(text)),
+                                                    '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents),
+    chunked AS (
+        SELECT grp, n_tokens,
+               CASE WHEN n_tokens <= 512 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 + CEIL(CAST(n_tokens - 512 AS DOUBLE)
+                                       / 448.0) AS BIGINT) END AS n_chunks
+        FROM per_doc)
+    SELECT grp AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS chunks_per_doc,
+           CAST(SUM(n_chunks) * 512 - SUM(n_chunks - 1) * 64
+                - SUM(n_tokens) AS DOUBLE)
+               / CAST(SUM(n_tokens) AS DOUBLE) AS padding_waste_share,
+           CAST(SUM(n_chunks - 1) * 64 AS DOUBLE)
+               / CAST(SUM(n_tokens) AS DOUBLE) AS overlap_overhead_share
+    FROM chunked GROUP BY 1 ORDER BY source
+"""

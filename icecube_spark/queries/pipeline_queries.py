@@ -935,3 +935,16 @@ def curation_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icecube_spark.operators import pipeline as pipeline_ops
 
     return pipeline_ops.curation_ablation(_docs(spark, sf_dir))
+
+
+def chunking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P71 — RAG-side chunking plan: split every doc into 512-token
+    windows with 64-token overlap and report, per source, chunk
+    volume, overlap overhead, and last-chunk padding waste. P24
+    packs docs for pretraining; this is the retrieval-side twin that
+    sizes the vector store BEFORE anyone embeds 100 TB."""
+    from icecube_spark.operators import pipeline as pipeline_ops
+
+    return pipeline_ops.chunking_plan(
+        _docs(spark, sf_dir), "source", "text", window=512, overlap=64
+    )

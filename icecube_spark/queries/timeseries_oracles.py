@@ -2761,3 +2761,47 @@ ORACLES["type_affinity"] = """
     CROSS JOIN tot t
     ORDER BY type_a, type_b
 """
+
+ORACLES["anomaly_cooccurrence"] = """
+    WITH daily AS (
+        SELECT event_type AS et,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    mom AS (
+        SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(q) AS sx, SUM(CAST(q AS DECIMAL(38,0)) * q) AS sxx
+        FROM daily GROUP BY 1),
+    params AS (
+        SELECT et,
+               CAST(sx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mu,
+               SQRT(GREATEST(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                             - (CAST(sx AS DOUBLE) / 1e6)
+                               * (CAST(sx AS DOUBLE) / 1e6), 0.0))
+                   / CAST(n AS DOUBLE) AS sig
+        FROM mom),
+    flagged AS (
+        SELECT d.et, d.d
+        FROM daily d JOIN params p ON d.et = p.et
+        WHERE p.sig > 0
+          AND ((CAST(d.q AS DOUBLE) / 1e6 - p.mu) / p.sig > 2.0
+               OR (CAST(d.q AS DOUBLE) / 1e6 - p.mu) / p.sig < -2.0)),
+    sizes AS (
+        SELECT et, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM flagged GROUP BY 1),
+    inter AS (
+        SELECT a.et AS ta, b.et AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM flagged a JOIN flagged b
+          ON a.d = b.d AND a.et < b.et
+        GROUP BY 1, 2)
+    SELECT i.ta AS type_a, i.tb AS type_b, i.n_shared,
+           sa.n_days AS na, sb.n_days AS nb,
+           CAST(i.n_shared AS DOUBLE)
+               / CAST(sa.n_days + sb.n_days - i.n_shared AS DOUBLE)
+               AS jaccard
+    FROM inter i JOIN sizes sa ON i.ta = sa.et
+    JOIN sizes sb ON i.tb = sb.et
+    ORDER BY type_a, type_b
+"""

@@ -2054,3 +2054,87 @@ def type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def anomaly_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C109 — do anomalies travel together? For each event-type pair,
+    the Jaccard overlap of their |z| > 2 daily-anomaly day sets
+    (C11's flags). Shared anomaly days point at a common external
+    driver (outage, campaign); disjoint sets say the alerts are
+    independent and should page different owners.
+
+    Exactness: the flag sets replay C102's exact integer-moment
+    z-scores; overlaps and Jaccard divide exact counts.
+
+    Plan: one (type, day) aggregate + per-type moments (C102's
+    shape), then a day-keyed self-join of the small flagged frame
+    and a <=types² rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.floor(dsum("value") * F.lit(1e6)).cast("bigint").alias("q")
+    )
+    mom = daily.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / F.lit(1e6) / n
+    sig = (
+        F.sqrt(
+            F.greatest(
+                n * (F.col("sxx").cast("double") / F.lit(1e12))
+                - (F.col("sx").cast("double") / F.lit(1e6))
+                * (F.col("sx").cast("double") / F.lit(1e6)),
+                F.lit(0.0),
+            )
+        )
+        / n
+    )
+    z = (F.col("q").cast("double") / F.lit(1e6) - F.col("mu")) / F.col("sig")
+    flagged = (
+        daily.join(
+            F.broadcast(mom.select("et", mu.alias("mu"), sig.alias("sig"))),
+            "et",
+        )
+        .where(F.col("sig") > 0)
+        .where((z > 2.0) | (z < -2.0))
+        .select("et", "d")
+    )
+    sizes = flagged.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    a = flagged.select(F.col("et").alias("ta"), "d")
+    b = flagged.select(F.col("et").alias("tb"), "d")
+    inter = (
+        a.join(b, "d")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("et").alias("ta"), F.col("n_days").alias("na"))
+    sb = sizes.select(F.col("et").alias("tb"), F.col("n_days").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_shared",
+            "na",
+            "nb",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
