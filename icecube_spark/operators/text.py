@@ -2501,3 +2501,50 @@ def langid_margin(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def sentence_dedup_rate(
+    df: DataFrame, group_col: str, text_col: str, min_chars: int = 20
+) -> DataFrame:
+    """F56 — sentence-level boilerplate rate: per group, the share of
+    (>= min_chars) sentences that also occur in some OTHER document.
+    Catches the disclaimer/footer/injected-notice duplication that
+    document-level dedup (D1/D2) is blind to and prefix mining (F42)
+    only sees at the start of docs.
+
+    Plan: sentence explode → per-doc distinct → one sentence-count
+    shuffle (map-side combine absorbs the boilerplate head) → join
+    back on the sentence key → group rollup.
+    """
+    sents = (
+        df.select(
+            F.col(group_col),
+            F.col("doc_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\.\s+")
+            ).alias("sent"),
+        )
+        .select(
+            group_col, "doc_id", F.trim(F.col("sent")).alias("sent")
+        )
+        .where(F.length("sent") >= min_chars)
+        .distinct()
+    )
+    docfreq = sents.groupBy("sent").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    return (
+        sents.join(docfreq, "sent")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.count_if(F.col("df") > 1)
+            .cast("bigint")
+            .alias("n_shared"),
+            (
+                F.count_if(F.col("df") > 1).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("shared_share"),
+        )
+        .orderBy(group_col)
+    )

@@ -3398,3 +3398,55 @@ def brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B72 — order-size mix: the distribution of lineitems per order
+    (share, cumulative share) plus each size's value share. The
+    basket-depth profile behind B8's customer-order counts — fulfill
+    cost models and picking-wave planners key off exactly this
+    histogram.
+
+    Exactness: counts are exact; value folds micro-quantized price
+    integers; shares divide exact sums.
+
+    Plan: one orderkey aggregate, one bounded (size) rollup, share
+    windows over the <= 7-row histogram.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(1e6)
+            ).cast("bigint")
+        ).alias("vq"),
+    )
+    hist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("vq").alias("vq"),
+    )
+    wall = Window.partitionBy()
+    wcum = (
+        Window.partitionBy()
+        .orderBy("n_lines")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(wall).cast("double")
+        ).alias("order_share"),
+        (
+            F.sum("n_orders").over(wcum).cast("double")
+            / F.sum("n_orders").over(wall).cast("double")
+        ).alias("cum_order_share"),
+        (
+            F.col("vq").cast("double")
+            / F.sum("vq").over(wall).cast("double")
+        ).alias("value_share"),
+    ).orderBy("n_lines")

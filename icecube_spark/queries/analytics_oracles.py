@@ -1650,3 +1650,23 @@ ORACLES["brand_loyalty"] = """
                AS mean_wallet_share
     FROM wallet GROUP BY 1 ORDER BY brand
 """
+
+ORACLES["order_size_profile"] = """
+    WITH per_order AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e6)
+                        AS BIGINT)) AS vq
+        FROM lineitem GROUP BY 1),
+    hist AS (
+        SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(vq) AS vq
+        FROM per_order GROUP BY 1)
+    SELECT n_lines, n_orders,
+           CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
+               AS order_share,
+           CAST(SUM(n_orders) OVER (ORDER BY n_lines
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(n_orders) OVER () AS DOUBLE) AS cum_order_share,
+           CAST(vq AS DOUBLE) / CAST(SUM(vq) OVER () AS DOUBLE)
+               AS value_share
+    FROM hist ORDER BY n_lines
+"""

@@ -1540,3 +1540,38 @@ ORACLES["cube_box_counting"] = """
                   * (CAST(m.sx AS DOUBLE) / 1e6))) AS fractal_dimension
     FROM pts p CROSS JOIN mom m ORDER BY scale
 """
+
+ORACLES["cube_change_vector"] = """
+    WITH base AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS q
+        FROM events),
+    mid AS (SELECT CAST(FLOOR((MIN(d) + MAX(d)) / 2) AS BIGINT) AS mid
+            FROM base),
+    halves AS (
+        SELECT x, y, d <= mid AS h1, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(q) AS sx, SUM(CAST(q AS DECIMAL(38,0)) * q) AS sxx
+        FROM base CROSS JOIN mid GROUP BY 1, 2, 3),
+    feat AS (
+        SELECT x, y, h1,
+               CAST(sx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mu,
+               SQRT(GREATEST(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                             - (CAST(sx AS DOUBLE) / 1e6)
+                               * (CAST(sx AS DOUBLE) / 1e6), 0.0))
+                   / CAST(n AS DOUBLE) AS sig
+        FROM halves),
+    paired AS (
+        SELECT a.x, a.y, b.mu - a.mu AS dmu, b.sig - a.sig AS dsig
+        FROM feat a JOIN feat b
+          ON a.x = b.x AND a.y = b.y AND a.h1 AND NOT b.h1)
+    SELECT (CASE WHEN dmu >= 0 THEN 'brighter' ELSE 'darker' END || '_' ||
+            CASE WHEN dsig >= 0 THEN 'noisier' ELSE 'calmer' END)
+               AS change_class,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(FLOOR(SQRT(dmu * dmu + dsig * dsig) * 1e6)
+                         AS BIGINT)) AS DOUBLE) / 1e6
+               / CAST(COUNT(*) AS DOUBLE) AS mean_magnitude
+    FROM paired GROUP BY 1 ORDER BY change_class
+"""

@@ -3216,3 +3216,86 @@ def cube_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("scale", "n_boxes").crossJoin(
         F.broadcast(mom.select((-slope).alias("fractal_dimension")))
     ).orderBy("scale")
+
+
+def cube_change_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 — change-vector analysis between calendar halves: per cell,
+    the change vector in (mean, spread) feature space — magnitude
+    plus direction quadrant (brighter/noisier etc.) — then the
+    per-quadrant census. A16 thresholds a single ratio; CVA keeps
+    the 2-D geometry, the standard multi-band change classifier.
+
+    Exactness: per-half mean and std come from exact integer moments;
+    magnitude/quadrant derive from those doubles; census counts are
+    exact.
+
+    Plan: one (cell, half) aggregate, a grid-bounded cell self-join,
+    a <=4-row census.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("q"),
+    )
+    mid = base.agg(
+        F.floor((F.min("d") + F.max("d")) / F.lit(2)).alias("mid")
+    )
+    halves = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy("x", "y", (F.col("d") <= F.col("mid")).alias("h1"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").alias("sx"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias(
+                "sxx"
+            ),
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / F.lit(1e6) / n
+    sig = (
+        F.sqrt(
+            F.greatest(
+                n * (F.col("sxx").cast("double") / F.lit(1e12))
+                - (F.col("sx").cast("double") / F.lit(1e6))
+                * (F.col("sx").cast("double") / F.lit(1e6)),
+                F.lit(0.0),
+            )
+        )
+        / n
+    )
+    feat = halves.select("x", "y", "h1", mu.alias("mu"), sig.alias("sig"))
+    a = feat.where(F.col("h1")).select(
+        "x", "y", F.col("mu").alias("mu1"), F.col("sig").alias("sig1")
+    )
+    b = feat.where(~F.col("h1")).select(
+        "x", "y", F.col("mu").alias("mu2"), F.col("sig").alias("sig2")
+    )
+    dmu = F.col("mu2") - F.col("mu1")
+    dsig = F.col("sig2") - F.col("sig1")
+    quad = F.concat(
+        F.when(dmu >= 0, F.lit("brighter")).otherwise(F.lit("darker")),
+        F.lit("_"),
+        F.when(dsig >= 0, F.lit("noisier")).otherwise(F.lit("calmer")),
+    )
+    mag_q = F.floor(
+        F.sqrt(dmu * dmu + dsig * dsig) * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        a.join(b, ["x", "y"])
+        .select(quad.alias("change_class"), mag_q.alias("mq"))
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            (
+                F.sum("mq").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_magnitude"),
+        )
+        .orderBy("change_class")
+    )

@@ -3542,3 +3542,49 @@ ORACLES["langid_margin"] = f"""
            CAST(count_if(total = 0) AS BIGINT) AS n_no_signal
     FROM marged GROUP BY 1 ORDER BY lang
 """
+
+
+ORACLES["dup_pair_length_bias"] = f"""
+    WITH lsh_pairs AS ({ORACLES['dedup_minhash_lsh']}),
+    dup_ids AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM lsh_pairs
+            UNION ALL SELECT doc_b FROM lsh_pairs)),
+    corpus AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS corpus_mean_chars
+        FROM documents GROUP BY 1),
+    dup AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(d.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS dup_mean_chars
+        FROM documents d JOIN dup_ids i ON d.doc_id = i.doc_id
+        GROUP BY 1)
+    SELECT c.source, c.n_docs,
+           COALESCE(u.n_dup_docs, CAST(0 AS BIGINT)) AS n_dup_docs,
+           c.corpus_mean_chars, u.dup_mean_chars,
+           u.dup_mean_chars / c.corpus_mean_chars AS length_bias_ratio
+    FROM corpus c LEFT JOIN dup u ON c.source = u.source
+    ORDER BY c.source
+"""
+
+ORACLES["sentence_dedup_rate"] = """
+    WITH sents AS (
+        SELECT DISTINCT source, doc_id, trim(s) AS sent
+        FROM (
+            SELECT source, doc_id,
+                   UNNEST(regexp_split_to_array(lower(trim(text)),
+                                                '\\.\\s+')) AS s
+            FROM documents)
+        WHERE length(trim(s)) >= 20),
+    docfreq AS (
+        SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM sents GROUP BY 1)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(count_if(df > 1) AS BIGINT) AS n_shared,
+           CAST(count_if(df > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS shared_share
+    FROM sents s JOIN docfreq f ON s.sent = f.sent
+    GROUP BY 1 ORDER BY source
+"""

@@ -1498,3 +1498,62 @@ def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icecube_spark.operators import text as text_ops
 
     return text_ops.langid_margin(_docs(spark, sf_dir), "text", "lang")
+
+
+def dup_pair_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21 — is the dedup campaign eating short docs? Per source,
+    corpus mean length vs the mean length of docs that appear in at
+    least one verified near-dup pair, with the bias ratio. A ratio
+    far from 1 says the D2 threshold behaves differently across
+    length bands — re-tune before collapsing (pairs with dedup
+    campaigns' known short-doc false-positive failure mode)."""
+    pairs = staged_minhash_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    corpus = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("n_chars").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("corpus_mean_chars"),
+    )
+    dup = (
+        docs.join(dup_ids, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_mean_chars"),
+        )
+    )
+    return (
+        corpus.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("bigint")).alias(
+                "n_dup_docs"
+            ),
+            "corpus_mean_chars",
+            "dup_mean_chars",
+            (
+                F.col("dup_mean_chars") / F.col("corpus_mean_chars")
+            ).alias("length_bias_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F56 — per-source share of sentences that recur in other docs:
+    the sentence-granularity boilerplate detector between D1's
+    whole-doc hash and F42's prefix mining."""
+    from icecube_spark.operators import text as text_ops
+
+    return text_ops.sentence_dedup_rate(_docs(spark, sf_dir), "source", "text")

@@ -2805,3 +2805,21 @@ ORACLES["anomaly_cooccurrence"] = """
     JOIN sizes sb ON i.tb = sb.et
     ORDER BY type_a, type_b
 """
+
+ORACLES["value_concentration_trend"] = """
+    WITH du AS (
+        SELECT date_trunc('day', ts) AS day, user_id,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT day, q,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY q DESC, user_id) AS rk,
+               COUNT(*) OVER (PARTITION BY day) AS n_users
+        FROM du)
+    SELECT day, CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN rk <= n_users // 10 + 1 THEN q END)
+                AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS top_decile_share
+    FROM ranked GROUP BY 1 ORDER BY day
+"""

@@ -2138,3 +2138,46 @@ def anomaly_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def value_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C110 — whale concentration over time: per day, the share of
+    total event value produced by that day's top-10% users. A rising
+    line means the platform increasingly depends on a few heavy
+    accounts — the concentration-risk time series behind B30's
+    static Pareto snapshot.
+
+    Exactness: daily per-user sums are micro-quantized integers;
+    rank cuts are exact integer windows; shares divide exact sums.
+
+    Plan: one (day, user) aggregate, a day-partitioned rank window
+    (days bound partitions), one day rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    du = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("user_id")
+    ).agg(F.floor(dsum("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    w = Window.partitionBy("day").orderBy(F.col("q").desc(), "user_id")
+    wd = Window.partitionBy("day")
+    ranked = du.select(
+        "day",
+        "q",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wd).alias("n_users"),
+    )
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.max("n_users").cast("bigint").alias("n_users"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("rk") <= F.expr("n_users div 10 + 1"),
+                        F.col("q"),
+                    )
+                ).cast("double")
+                / F.sum("q").cast("double")
+            ).alias("top_decile_share"),
+        )
+        .orderBy("day")
+    )
