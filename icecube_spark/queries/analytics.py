@@ -3450,3 +3450,57 @@ def order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("vq").over(wall).cast("double")
         ).alias("value_share"),
     ).orderBy("n_lines")
+
+def volume_price_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B73 — month-over-month revenue bridge split into volume effect
+    (quantity change at last month's realized price) and price effect
+    (realized-price change at this month's quantity). B63 bridges
+    WITHIN a period (discount/tax give-backs); this explains the
+    DELTA between periods — the first slide of every revenue review.
+
+    Exactness: monthly quantity and revenue fold micro-quantized
+    integers; realized prices and effects are fixed-order doubles
+    over those exact sums; the residual (interaction) term closes
+    the bridge exactly by construction.
+
+    Plan: one (month) fact aggregate, one lag window over the
+    calendar-bounded frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_quantity") * F.lit(1e6)).cast("bigint")
+        ).alias("qq"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(1e6)
+            ).cast("bigint")
+        ).alias("rq"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "qq",
+        "rq",
+        F.lag("qq").over(w).alias("pqq"),
+        F.lag("rq").over(w).alias("prq"),
+    ).where(F.col("pqq").isNotNull())
+    qty = F.col("qq").cast("double") / F.lit(1e6)
+    rev = F.col("rq").cast("double") / F.lit(1e6)
+    pqty = F.col("pqq").cast("double") / F.lit(1e6)
+    prev = F.col("prq").cast("double") / F.lit(1e6)
+    pprice = prev / pqty
+    price = rev / qty
+    vol_eff = (qty - pqty) * pprice
+    price_eff = (price - pprice) * qty
+    return lagged.select(
+        "month",
+        rev.alias("revenue"),
+        (rev - prev).alias("revenue_delta"),
+        vol_eff.alias("volume_effect"),
+        price_eff.alias("price_effect"),
+    ).orderBy("month")

@@ -1670,3 +1670,28 @@ ORACLES["order_size_profile"] = """
                AS value_share
     FROM hist ORDER BY n_lines
 """
+
+ORACLES["volume_price_decomposition"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+               SUM(CAST(FLOOR(l_quantity * 1e6) AS BIGINT)) AS qq,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e6)
+                        AS BIGINT)) AS rq
+        FROM lineitem GROUP BY 1),
+    lagged AS (
+        SELECT month, qq, rq,
+               LAG(qq) OVER (ORDER BY month) AS pqq,
+               LAG(rq) OVER (ORDER BY month) AS prq
+        FROM monthly)
+    SELECT month,
+           CAST(rq AS DOUBLE) / 1e6 AS revenue,
+           CAST(rq AS DOUBLE) / 1e6 - CAST(prq AS DOUBLE) / 1e6
+               AS revenue_delta,
+           (CAST(qq AS DOUBLE) / 1e6 - CAST(pqq AS DOUBLE) / 1e6)
+               * ((CAST(prq AS DOUBLE) / 1e6) / (CAST(pqq AS DOUBLE) / 1e6))
+               AS volume_effect,
+           ((CAST(rq AS DOUBLE) / 1e6) / (CAST(qq AS DOUBLE) / 1e6)
+            - (CAST(prq AS DOUBLE) / 1e6) / (CAST(pqq AS DOUBLE) / 1e6))
+               * (CAST(qq AS DOUBLE) / 1e6) AS price_effect
+    FROM lagged WHERE pqq IS NOT NULL ORDER BY month
+"""

@@ -1575,3 +1575,48 @@ ORACLES["cube_change_vector"] = """
                / CAST(COUNT(*) AS DOUBLE) AS mean_magnitude
     FROM paired GROUP BY 1 ORDER BY change_class
 """
+
+ORACLES["cube_orientation_hist"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    roles AS (
+        SELECT * FROM (VALUES (-1, 0, 'e'), (1, 0, 'w'),
+                              (0, -1, 'n'), (0, 1, 's')) AS t(dx, dy, role)),
+    scatter AS (
+        SELECT c.x + r.dx AS tx, c.y + r.dy AS ty, r.role, c.q
+        FROM cells c CROSS JOIN roles r),
+    hood AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_roles,
+               MAX(CASE WHEN role = 'e' THEN q END) AS qe,
+               MAX(CASE WHEN role = 'w' THEN q END) AS qw,
+               MAX(CASE WHEN role = 'n' THEN q END) AS qn,
+               MAX(CASE WHEN role = 's' THEN q END) AS qs
+        FROM scatter GROUP BY 1, 2),
+    interior AS (
+        SELECT h.*,
+               CAST(h.qe - h.qw AS DOUBLE) / 2e6 AS gx,
+               CAST(h.qn - h.qs AS DOUBLE) / 2e6 AS gy
+        FROM hood h JOIN cells c ON h.tx = c.x AND h.ty = c.y
+        WHERE h.n_roles = 4),
+    binned AS (
+        SELECT CASE
+                 WHEN gx >= 0 AND gy >= 0 AND ABS(gx) >= ABS(gy) THEN 0
+                 WHEN gx >= 0 AND gy >= 0 THEN 1
+                 WHEN gx < 0 AND gy >= 0 AND ABS(gy) >= ABS(gx) THEN 2
+                 WHEN gx < 0 AND gy >= 0 THEN 3
+                 WHEN gx < 0 AND gy < 0 AND ABS(gx) >= ABS(gy) THEN 4
+                 WHEN gx < 0 AND gy < 0 THEN 5
+                 WHEN gx >= 0 AND gy < 0 AND ABS(gy) >= ABS(gx) THEN 6
+                 ELSE 7 END AS octant,
+               CAST(FLOOR(SQRT(gx * gx + gy * gy) * 1e6) AS BIGINT) AS mq
+        FROM interior)
+    SELECT octant, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(mq) AS DOUBLE) / 1e6 AS magnitude_sum,
+           CAST(SUM(mq) AS DOUBLE) / CAST(SUM(SUM(mq)) OVER () AS DOUBLE)
+               AS magnitude_share
+    FROM binned GROUP BY 1 ORDER BY octant
+"""

@@ -3299,3 +3299,95 @@ def cube_change_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_class")
     )
+
+
+def cube_orientation_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 — gradient-orientation histogram (HOG-style): bin each
+    complete-stencil cell's central-difference gradient direction
+    into 8 octants, weight by magnitude, and report the per-octant
+    census. A23 gives the raw derivative field; the orientation
+    histogram is the rotation summary (dominant ridge/striping
+    direction) every texture or wake-detection screen starts from.
+
+    Exactness: gradients derive from micro-quantized means; the
+    octant is an exact integer atan2-free comparison tree on (gx,
+    gy); the magnitude weight quantizes before folding.
+
+    Plan: one cell aggregate, one explode-scatter stencil groupBy
+    (no self-joins), one <= 8-row census.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    roles = [(-1, 0, "e"), (1, 0, "w"), (0, -1, "n"), (0, 1, "s")]
+    scatter = cells.select(
+        "q",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"),
+                        F.lit(dy).alias("dy"),
+                        F.lit(r).alias("role"),
+                    )
+                    for dx, dy, r in roles
+                ]
+            )
+        ).alias("o"),
+        "x",
+        "y",
+    ).select(
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        F.col("o.role").alias("role"),
+        "q",
+    )
+    hood = scatter.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_roles"),
+        F.max(F.when(F.col("role") == "e", F.col("q"))).alias("qe"),
+        F.max(F.when(F.col("role") == "w", F.col("q"))).alias("qw"),
+        F.max(F.when(F.col("role") == "n", F.col("q"))).alias("qn"),
+        F.max(F.when(F.col("role") == "s", F.col("q"))).alias("qs"),
+    )
+    interior = hood.join(
+        cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
+        ["tx", "ty"],
+    ).where(F.col("n_roles") == 4)
+    gx = (F.col("qe") - F.col("qw")).cast("double") / F.lit(2e6)
+    gy = (F.col("qn") - F.col("qs")).cast("double") / F.lit(2e6)
+    ax = F.abs(gx)
+    ay = F.abs(gy)
+    octant = (
+        F.when((gx >= 0) & (gy >= 0) & (ax >= ay), F.lit(0))
+        .when((gx >= 0) & (gy >= 0), F.lit(1))
+        .when((gx < 0) & (gy >= 0) & (ay >= ax), F.lit(2))
+        .when((gx < 0) & (gy >= 0), F.lit(3))
+        .when((gx < 0) & (gy < 0) & (ax >= ay), F.lit(4))
+        .when((gx < 0) & (gy < 0), F.lit(5))
+        .when((gx >= 0) & (gy < 0) & (ay >= ax), F.lit(6))
+        .otherwise(F.lit(7))
+    )
+    mq = F.floor(F.sqrt(gx * gx + gy * gy) * F.lit(1e6)).cast("bigint")
+    wall = Window.partitionBy()
+    return (
+        interior.select(octant.alias("octant"), mq.alias("mq"))
+        .groupBy("octant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("mq").alias("wq"),
+        )
+        .select(
+            "octant",
+            "n_cells",
+            (F.col("wq").cast("double") / F.lit(1e6)).alias(
+                "magnitude_sum"
+            ),
+            (
+                F.col("wq").cast("double")
+                / F.sum("wq").over(wall).cast("double")
+            ).alias("magnitude_share"),
+        )
+        .orderBy("octant")
+    )

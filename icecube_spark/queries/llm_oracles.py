@@ -3588,3 +3588,31 @@ ORACLES["sentence_dedup_rate"] = """
     FROM sents s JOIN docfreq f ON s.sent = f.sent
     GROUP BY 1 ORDER BY source
 """
+
+ORACLES["simhash_bit_balance"] = f"""
+    WITH toksd AS (SELECT doc_id, list_distinct({_TOKS}) AS tk
+                   FROM documents),
+    hs AS (SELECT doc_id,
+                  [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                   FOR t IN tk] AS hl
+           FROM toksd),
+    flat AS (SELECT doc_id, UNNEST(hl) AS h FROM hs),
+    bits AS (SELECT doc_id, b,
+                    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM flat, range(60) t(b) GROUP BY 1, 2),
+    sim AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s >= 0
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1),
+    perbit AS (
+        SELECT b AS bit,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST((simhash >> b) & 1 AS INT)) AS BIGINT) AS n_set
+        FROM sim, range(60) t(b) GROUP BY 1)
+    SELECT bit, n_docs, n_set,
+           CAST(n_set AS DOUBLE) / CAST(n_docs AS DOUBLE) AS set_share,
+           ABS(CAST(n_set AS DOUBLE) / CAST(n_docs AS DOUBLE) - 0.5)
+               AS skew
+    FROM perbit ORDER BY bit
+"""

@@ -1557,3 +1557,43 @@ def sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icecube_spark.operators import text as text_ops
 
     return text_ops.sentence_dedup_rate(_docs(spark, sf_dir), "source", "text")
+
+
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45/D — SimHash bit-balance audit: each of the 60 signature
+    bits should be set for ~50% of docs; a skewed bit carries less
+    entropy and weakens D4's Hamming separation (the SimHash twin of
+    E20's PQ code balance). Reports per-bit set share and absolute
+    skew, worst bits first in the skew column.
+
+    Exactness: pure integer bit counting; shares divide exact
+    counts."""
+    sims = dedup.simhash_docs(_docs(spark, sf_dir), "doc_id", "text")
+    bits = sims.select(
+        F.explode(F.expr("sequence(0, 59)")).alias("bit"),
+        F.col("simhash"),
+    ).select(
+        "bit",
+        F.expr("cast(shiftright(simhash, bit) & 1 as int)").alias("v"),
+    )
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("v").cast("bigint").alias("n_set"),
+        )
+        .select(
+            "bit",
+            "n_docs",
+            "n_set",
+            (
+                F.col("n_set").cast("double") / F.col("n_docs").cast("double")
+            ).alias("set_share"),
+            F.abs(
+                F.col("n_set").cast("double")
+                / F.col("n_docs").cast("double")
+                - F.lit(0.5)
+            ).alias("skew"),
+        )
+        .orderBy("bit")
+    )

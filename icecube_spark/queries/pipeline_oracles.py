@@ -1647,3 +1647,27 @@ ORACLES["chunking_plan"] = """
                / CAST(SUM(n_tokens) AS DOUBLE) AS overlap_overhead_share
     FROM chunked GROUP BY 1 ORDER BY source
 """
+
+ORACLES["dedup_token_savings"] = """
+    WITH base AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS h,
+               CAST(len(string_split(regexp_replace(lower(trim(text)),
+                                                    '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tok
+        FROM documents),
+    canon AS (
+        SELECT h, MIN(doc_id) AS canonical_id FROM base GROUP BY 1),
+    marked AS (
+        SELECT b.source, b.n_tok,
+               b.doc_id != c.canonical_id AS removable
+        FROM base b JOIN canon c ON b.h = c.h)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN removable THEN n_tok ELSE 0 END) AS BIGINT)
+               AS removable_tokens,
+           CAST(SUM(CASE WHEN removable THEN n_tok ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n_tok) AS DOUBLE) AS savings_share
+    FROM marked GROUP BY 1 ORDER BY source
+"""

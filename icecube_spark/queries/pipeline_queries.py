@@ -948,3 +948,42 @@ def chunking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_ops.chunking_plan(
         _docs(spark, sf_dir), "source", "text", window=512, overlap=64
     )
+
+
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P72 — what does exact dedup actually buy, in TOKENS? Per
+    source: total tokens, tokens sitting on non-canonical exact
+    duplicates (D1 semantics: min doc id keeps the group), and the
+    savings share. P32 counts dup DOCS; budget math runs on tokens,
+    and long duplicated docs dominate short ones."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("h"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tok"),
+    )
+    canon = base.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    marked = base.join(canon, "h").select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") != F.col("canonical_id")).alias("removable"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("removable"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("removable_tokens"),
+            (
+                F.sum(
+                    F.when(F.col("removable"), F.col("n_tok")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_tok").cast("double")
+            ).alias("savings_share"),
+        )
+        .orderBy("source")
+    )

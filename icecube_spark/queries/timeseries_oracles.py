@@ -2823,3 +2823,20 @@ ORACLES["value_concentration_trend"] = """
                 AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS top_decile_share
     FROM ranked GROUP BY 1 ORDER BY day
 """
+
+ORACLES["transition_latency"] = """
+    WITH pairs AS (
+        SELECT LAG(event_type) OVER w AS from_type,
+               event_type AS to_type,
+               date_diff('second', LAG(ts) OVER w, ts) AS lat
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(lat) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_latency_s,
+           CAST(MAX(lat) AS BIGINT) AS max_latency_s
+    FROM pairs
+    WHERE from_type IS NOT NULL AND from_type != to_type
+    GROUP BY 1, 2 ORDER BY from_type, to_type
+"""

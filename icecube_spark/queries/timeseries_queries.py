@@ -2181,3 +2181,44 @@ def value_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C111 — transition response time: for each consecutive
+    same-user event pair with a TYPE change, the latency from A to B
+    — count, mean, and max seconds per directed (from, to) pair.
+    C21 counts the transitions; this times them, which is what an
+    SLA or journey-optimization review actually needs.
+
+    Exactness: latencies are exact integer seconds from the same
+    user-window lag both engines order identically; the mean divides
+    exact integer sums.
+
+    Plan: one user-partitioned lag window, one bounded (from, to)
+    aggregate.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        (
+            F.unix_timestamp(F.col("ts"))
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("bigint").alias("lat"),
+    ).where(
+        F.col("from_type").isNotNull()
+        & (F.col("from_type") != F.col("to_type"))
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            (
+                F.sum("lat").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_latency_s"),
+            F.max("lat").cast("bigint").alias("max_latency_s"),
+        )
+        .orderBy("from_type", "to_type")
+    )
