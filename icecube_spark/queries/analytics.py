@@ -3504,3 +3504,51 @@ def volume_price_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         vol_eff.alias("volume_effect"),
         price_eff.alias("price_effect"),
     ).orderBy("month")
+
+
+def tax_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B74 — tax-rate hygiene audit: the distinct l_tax rates in the
+    book, each rate's line and revenue share, and the effective
+    blended rate. A rate outside the expected grid (or a drifting
+    mix) is the data-quality smell finance chases at close — the
+    rate-dimension twin of B52's discount-band audit.
+
+    Exactness: rates quantize to basis points (exact); revenue folds
+    micro-quantized integers; shares divide exact sums.
+
+    Plan: one (rate) aggregate (rate-grid-bounded), share windows
+    over the tiny frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    rated = li.groupBy(
+        F.floor(F.col("l_tax") * F.lit(1e4)).cast("bigint").alias("tax_bp")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(1e6)
+            ).cast("bigint")
+        ).alias("rq"),
+    )
+    wall = Window.partitionBy()
+    return rated.select(
+        "tax_bp",
+        "n_lines",
+        (
+            F.col("n_lines").cast("double")
+            / F.sum("n_lines").over(wall).cast("double")
+        ).alias("line_share"),
+        (
+            F.col("rq").cast("double")
+            / F.sum("rq").over(wall).cast("double")
+        ).alias("revenue_share"),
+        (
+            F.sum(
+                F.col("tax_bp").cast("decimal(38,0)") * F.col("rq")
+            ).over(wall).cast("double")
+            / F.lit(1e4)
+            / F.sum("rq").over(wall).cast("double")
+        ).alias("blended_rate"),
+    ).orderBy("tax_bp")

@@ -1695,3 +1695,20 @@ ORACLES["volume_price_decomposition"] = """
                * (CAST(qq AS DOUBLE) / 1e6) AS price_effect
     FROM lagged WHERE pqq IS NOT NULL ORDER BY month
 """
+
+ORACLES["tax_rate_profile"] = """
+    WITH rated AS (
+        SELECT CAST(FLOOR(l_tax * 1e4) AS BIGINT) AS tax_bp,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e6)
+                        AS BIGINT)) AS rq
+        FROM lineitem GROUP BY 1)
+    SELECT tax_bp, n_lines,
+           CAST(n_lines AS DOUBLE) / CAST(SUM(n_lines) OVER () AS DOUBLE)
+               AS line_share,
+           CAST(rq AS DOUBLE) / CAST(SUM(rq) OVER () AS DOUBLE)
+               AS revenue_share,
+           CAST(SUM(CAST(tax_bp AS DECIMAL(38,0)) * rq) OVER () AS DOUBLE)
+               / 1e4 / CAST(SUM(rq) OVER () AS DOUBLE) AS blended_rate
+    FROM rated ORDER BY tax_bp
+"""

@@ -1620,3 +1620,30 @@ ORACLES["cube_orientation_hist"] = """
                AS magnitude_share
     FROM binned GROUP BY 1 ORDER BY octant
 """
+
+ORACLES["cube_stretch_params"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY q, x, y) AS rk,
+               COUNT(*) OVER () AS n
+        FROM cells),
+    cuts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(CASE WHEN rk = GREATEST(1, (2 * n) // 100)
+                             THEN q END) AS DOUBLE) / 1e6 AS p2,
+               CAST(MAX(CASE WHEN rk = GREATEST(1, (98 * n) // 100)
+                             THEN q END) AS DOUBLE) / 1e6 AS p98,
+               CAST(SUM(CASE WHEN rk < GREATEST(1, (2 * n) // 100)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+               CAST(SUM(CASE WHEN rk > GREATEST(1, (98 * n) // 100)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
+        FROM ranked)
+    SELECT n_cells, p2, p98, 1.0 / (p98 - p2) AS stretch_gain,
+           n_clip_low, n_clip_high
+    FROM cuts
+"""

@@ -3391,3 +3391,57 @@ def cube_orientation_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octant")
     )
+
+
+def cube_stretch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 — percentile contrast-stretch parameters: the exact 2nd
+    and 98th percentile cell means (rank cut, ties by cell key), the
+    stretch gain, and how much of the grid clips at each end — the
+    display-scaling companion to A25's full equalization (every
+    quicklook renderer runs exactly this).
+
+    Exactness: cuts are exact integer rank picks on micro-quantized
+    means; clip shares divide exact counts.
+
+    Plan: one cell aggregate, one rank window over the grid-bounded
+    frame, a 1-row summary.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    wr = Window.partitionBy().orderBy("q", "x", "y")
+    wall = Window.partitionBy()
+    ranked = cells.select(
+        "q",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    lo_rk = F.expr("greatest(1, (2 * n) div 100)")
+    hi_rk = F.expr("greatest(1, (98 * n) div 100)")
+    cuts = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            F.max(F.when(F.col("rk") == lo_rk, F.col("q"))).cast("double")
+            / F.lit(1e6)
+        ).alias("p2"),
+        (
+            F.max(F.when(F.col("rk") == hi_rk, F.col("q"))).cast("double")
+            / F.lit(1e6)
+        ).alias("p98"),
+        F.sum(
+            F.when(F.col("rk") < lo_rk, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_clip_low"),
+        F.sum(
+            F.when(F.col("rk") > hi_rk, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_clip_high"),
+    )
+    return cuts.select(
+        "n_cells",
+        "p2",
+        "p98",
+        (F.lit(1.0) / (F.col("p98") - F.col("p2"))).alias("stretch_gain"),
+        "n_clip_low",
+        "n_clip_high",
+    )

@@ -3616,3 +3616,22 @@ ORACLES["simhash_bit_balance"] = f"""
                AS skew
     FROM perbit ORDER BY bit
 """
+
+ORACLES["dup_cluster_purity"] = f"""
+    WITH cc AS ({{cc_sql}}),
+    per_cluster AS (
+        SELECT cc.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+        GROUP BY 1)
+    SELECT n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS cluster_share
+    FROM per_cluster GROUP BY 1 ORDER BY n_sources
+"""
+from icecube_spark.queries.pipeline_oracles import ORACLES as _P_ORACLES
+ORACLES["dup_cluster_purity"] = ORACLES["dup_cluster_purity"].format(
+    cc_sql=_P_ORACLES["dedup_clusters"]
+)

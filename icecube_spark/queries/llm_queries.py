@@ -1597,3 +1597,46 @@ def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bit")
     )
+
+
+def dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22 — near-dup cluster source purity: group P6's
+    connected-component clusters by how many SOURCES they span.
+    Single-source clusters are re-posts the source owner can fix;
+    multi-source clusters are mirrors/scrapes with licensing and
+    double-counting consequences — the cluster-level rollup of
+    P23's pair matrix."""
+    from pyspark.sql import Window
+
+    from icecube_spark.operators import pipeline as pipeline_ops
+
+    labels = pipeline_ops.connected_components(
+        staged_minhash_pairs(spark, sf_dir), "doc_a", "doc_b"
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    per_cluster = (
+        labels.join(src, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        per_cluster.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "n_sources",
+            "n_clusters",
+            "n_docs",
+            (
+                F.col("n_clusters").cast("double")
+                / F.sum("n_clusters").over(wall).cast("double")
+            ).alias("cluster_share"),
+        )
+        .orderBy("n_sources")
+    )

@@ -1671,3 +1671,39 @@ ORACLES["dedup_token_savings"] = """
                / CAST(SUM(n_tok) AS DOUBLE) AS savings_share
     FROM marked GROUP BY 1 ORDER BY source
 """
+
+ORACLES["split_length_parity"] = f"""
+    WITH assigned AS (
+        SELECT n_chars,
+               CASE WHEN {_BUCKET} < 90 THEN 'train'
+                    WHEN {_BUCKET} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    banded AS (
+        SELECT split,
+               CASE WHEN n_chars < 100 THEN 'a_lt100'
+                    WHEN n_chars < 200 THEN 'b_100_199'
+                    WHEN n_chars < 300 THEN 'c_200_299'
+                    WHEN n_chars < 400 THEN 'd_300_399'
+                    ELSE 'e_ge400' END AS band
+        FROM assigned),
+    counts AS (
+        SELECT band, split, CAST(COUNT(*) AS BIGINT) AS n
+        FROM banded GROUP BY 1, 2),
+    shares AS (
+        SELECT band, split,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY split) AS DOUBLE)
+                   AS share
+        FROM counts),
+    pivoted AS (
+        SELECT band,
+               MAX(CASE WHEN split = 'train' THEN share END) AS train_share,
+               MAX(CASE WHEN split = 'val' THEN share END) AS val_share,
+               MAX(CASE WHEN split = 'test' THEN share END) AS test_share
+        FROM shares GROUP BY 1)
+    SELECT band, train_share, val_share, test_share,
+           GREATEST(train_share, val_share, test_share)
+               - LEAST(train_share, val_share, test_share) AS max_share_gap
+    FROM pivoted ORDER BY band
+"""

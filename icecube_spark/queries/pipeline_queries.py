@@ -987,3 +987,51 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def split_length_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P73 — length-distribution parity across the P1 hash split:
+    per fixed length band, each split's within-split share and the
+    max train/val/test share gap. P65 audits SOURCE balance; length
+    balance is the other axis an eval set silently skews on."""
+    from icecube_spark.operators import pipeline as pipeline_ops
+
+    docs = pipeline_ops.train_test_split(_docs(spark, sf_dir), "doc_id")
+    band = (
+        F.when(F.col("n_chars") < 100, F.lit("a_lt100"))
+        .when(F.col("n_chars") < 200, F.lit("b_100_199"))
+        .when(F.col("n_chars") < 300, F.lit("c_200_299"))
+        .when(F.col("n_chars") < 400, F.lit("d_300_399"))
+        .otherwise(F.lit("e_ge400"))
+    )
+    counts = docs.groupBy(band.alias("band"), "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ws = Window.partitionBy("split")
+    shares = counts.select(
+        "band",
+        "split",
+        (
+            F.col("n").cast("double") / F.sum("n").over(ws).cast("double")
+        ).alias("share"),
+    )
+    pivoted = shares.groupBy("band").agg(
+        F.max(F.when(F.col("split") == "train", F.col("share"))).alias(
+            "train_share"
+        ),
+        F.max(F.when(F.col("split") == "val", F.col("share"))).alias(
+            "val_share"
+        ),
+        F.max(F.when(F.col("split") == "test", F.col("share"))).alias(
+            "test_share"
+        ),
+    )
+    mx = F.greatest("train_share", "val_share", "test_share")
+    mn = F.least("train_share", "val_share", "test_share")
+    return pivoted.select(
+        "band",
+        "train_share",
+        "val_share",
+        "test_share",
+        (mx - mn).alias("max_share_gap"),
+    ).orderBy("band")

@@ -2840,3 +2840,22 @@ ORACLES["transition_latency"] = """
     WHERE from_type IS NOT NULL AND from_type != to_type
     GROUP BY 1, 2 ORDER BY from_type, to_type
 """
+
+ORACLES["lifecycle_value_curve"] = """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events GROUP BY 1),
+    aged AS (
+        SELECT e.user_id,
+               CAST(FLOOR(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7)
+                    AS BIGINT) AS week_age,
+               CAST(FLOOR(e.value * 1e6) AS BIGINT) AS q
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT week_age,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(q) AS DOUBLE) / 1e6 AS total_value,
+           CAST(SUM(q) AS DOUBLE) / 1e6
+               / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS value_per_user
+    FROM aged GROUP BY 1 ORDER BY week_age
+"""

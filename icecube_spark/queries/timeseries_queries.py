@@ -2222,3 +2222,42 @@ def transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def lifecycle_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C112 — value by account age: per week-since-first-event, how
+    many users are that old, total value produced, and per-user mean
+    — the activation-economics curve (does week-2 value hold up?)
+    that C16's retention counts can't show because it ignores value.
+
+    Exactness: per-week value folds micro-quantized integers; the
+    per-user mean divides exact sums.
+
+    Plan: one user-min aggregate, a broadcast-free join back on the
+    user key, one (week) rollup over the calendar-bounded frame.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    aged = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.col("d0")) / F.lit(7)
+        ).cast("bigint").alias("week_age"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("q"),
+    )
+    return (
+        aged.groupBy("week_age")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("q").cast("double") / F.lit(1e6)).alias("total_value"),
+            (
+                F.sum("q").cast("double")
+                / F.lit(1e6)
+                / F.countDistinct("user_id").cast("double")
+            ).alias("value_per_user"),
+        )
+        .orderBy("week_age")
+    )
