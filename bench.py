@@ -22,9 +22,12 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
+
+_concurrent_times: dict[str, float] = {}
 
 result: dict = {
     "metric": "icecube_spark_total_query_wall",
@@ -51,8 +54,12 @@ def main() -> None:
     # no driver collect.
     def run(item: tuple) -> None:
         name, fn = item
+        t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # contended wall time — only ever surfaces as the SIGTERM
+            # salvage fallback when the sequential pass never ran
+            _concurrent_times[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record, never re-raise
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -88,7 +95,31 @@ def main() -> None:
     spark.stop()
 
 
+def _emit() -> None:
+    # Key order matters (see below); shared by the normal exit path and
+    # the SIGTERM salvage path.
+    bulky = {"queries", "errors"}
+    out = {k: result[k] for k in result if k in bulky}
+    out.update({k: result[k] for k in result if k not in bulky})
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ANN001
+    # A harness timeout must still yield the round's perf signal:
+    # whatever completed so far is printed as a partial result. If the
+    # warm sequential pass never ran, fall back to the contended
+    # concurrent-pass walls rather than an empty map.
+    result["partial"] = True
+    if not result["queries"] and _concurrent_times:
+        result["queries"] = dict(_concurrent_times)
+        result["queries_are_contended_walls"] = True
+    _emit()
+    # skip the finally-block emit (ONE json line is the contract)
+    os._exit(0)
+
+
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_term)
     try:
         main()
     except Exception:
