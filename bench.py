@@ -1,21 +1,34 @@
 """Headline benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE
-JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": dir}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Two passes measure two different things, both reported:
-- value (headline): wall-clock to run ALL queries submitted
-  concurrently (8 driver threads, Spark's scheduler interleaves
-  stages across the 32 cores). This is engine throughput — how a
-  cluster actually runs a workload of independent queries.
-- queries: per-query steady-state latency from a sequential pass run
-  after the JVM/codegen is warm (JMH-style: excludes one-time Janino
-  compilation, measures the plan).
+Output contract (harness-proof by construction):
 
-Crash-proof by construction: every query runs inside its own
-try/except in both passes and failures land in an "errors" map; the
-JSON line is printed unconditionally (one broken query must never
-zero out the round's perf signal).
+- stdout, one line per completed query, flushed immediately:
+  ``{"q": name, "sec": warm_latency}``  (progress stream; a harness
+  that kills the process mid-run still has every completed timing on
+  stdout and in BENCH_FULL.json).
+- stdout, LAST line: ONE compact JSON summary
+  ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+  {<slowest keys, trimmed to fit>}, "sf": ...}`` kept under ~1900
+  chars so a harness that stores only the tail of the output can still
+  parse the whole line (the r1-r4 drivers stored a 2000-char tail and
+  never managed to parse the old 15 KB line).
+- ``BENCH_FULL.json`` in the repo root: the complete result — every
+  per-query warm latency, every error, both pass totals. Rewritten
+  incrementally every 20 queries and on SIGTERM, so a timeout cannot
+  lose more than a few seconds of signal.
+
+Two passes measure two different things:
+- sequential warm pass (FIRST, after a small JVM warmup): per-query
+  steady-state latency, JMH-style — this is the signal BASELINE.md
+  tracks per key, so it runs before anything can time out.
+- concurrent pass (8 driver threads): wall-clock for the whole
+  workload submitted at once — engine throughput, how a cluster runs
+  independent queries. Skipped (with totals preserved) if the
+  time budget is nearly spent.
+
+Every query runs inside its own try/except in both passes; failures
+land in an "errors" map and never zero out the round's perf signal.
 """
 
 from __future__ import annotations
@@ -27,7 +40,11 @@ import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 
-_concurrent_times: dict[str, float] = {}
+FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+# Stay safely under the harness kill window (r4's sequential pass alone
+# hit 600 s; the whole run must land with margin to spare).
+TIME_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
+_T_START = time.monotonic()
 
 result: dict = {
     "metric": "icecube_spark_total_query_wall",
@@ -39,6 +56,20 @@ result: dict = {
 }
 
 
+def _write_full() -> None:
+    try:
+        tmp = FULL_PATH + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(result, fh, indent=0)
+        os.replace(tmp, FULL_PATH)
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+
+
+def _budget_left() -> float:
+    return TIME_BUDGET - (time.monotonic() - _T_START)
+
+
 def main() -> None:
     sf_dir = result["sf"]
     import __spark_entry__ as entry_mod
@@ -48,73 +79,115 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
+    result["n_queries"] = len(qs)
     errors: dict[str, str] = result["errors"]
+    timings: dict[str, float] = result["queries"]
 
     # noop sink everywhere: materializes every column of every row,
     # no driver collect.
-    def run(item: tuple) -> None:
-        name, fn = item
+    def run_once(name, fn) -> float | None:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            # contended wall time — only ever surfaces as the SIGTERM
-            # salvage fallback when the sequential pass never ran
-            _concurrent_times[name] = round(time.perf_counter() - t0, 3)
+            return round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record, never re-raise
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
 
-    # warm the JVM + parquet footers once so the throughput pass doesn't
-    # fold first-touch classloading into query time.
-    if qs:
-        run(next(iter(qs.items())))
+    items = list(qs.items())
 
-    t_all = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(run, qs.items()))
-    result["value"] = round(time.perf_counter() - t_all, 3)
+    # JVM/codegen/parquet-footer warmup on a handful of queries so the
+    # first measured latencies don't fold in one-time Janino work.
+    for name, fn in items[:3]:
+        run_once(name, fn)
 
-    timings: dict[str, float] = result["queries"]
+    # --- pass 1 (the per-key signal BASELINE.md tracks): sequential warm ---
     t_seq = time.perf_counter()
-    for name, fn in qs.items():
-        if name in errors:
-            continue
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    for i, (name, fn) in enumerate(items):
+        if _budget_left() < 15:
+            result["seq_truncated_at"] = i
+            break
+        sec = run_once(name, fn)
+        if sec is not None:
+            timings[name] = sec
+            print(json.dumps({"q": name, "sec": sec}), flush=True)
+        if i % 20 == 19:
+            _write_full()
     result["sequential_total"] = round(time.perf_counter() - t_seq, 3)
-    result["n_queries"] = len(qs)
+    _write_full()
+
+    # --- pass 2: throughput (all queries submitted concurrently) ---
+    if _budget_left() > 90:
+        def run_conc(item) -> None:
+            name, fn = item
+            if name not in errors:
+                run_once(name, fn)
+
+        t_all = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(run_conc, items))
+        result["value"] = round(time.perf_counter() - t_all, 3)
+    else:
+        result["concurrent_skipped"] = "time budget"
+        result["value"] = result["sequential_total"]
     result["n_errors"] = len(errors)
     result["mode"] = (
-        "value = wall for all queries submitted concurrently"
-        " (8 threads, shared scheduler); queries = per-query"
-        " warm sequential latency"
+        "queries = per-query warm sequential latency (full map in"
+        " BENCH_FULL.json); value = wall for all queries submitted"
+        " concurrently (8 threads, shared scheduler)"
     )
+    _write_full()
     spark.stop()
 
 
+def _summary_line() -> str:
+    """One compact JSON line that survives tail-window truncation.
+
+    Headline scalars plus as many of the slowest per-query timings as
+    fit in ~1900 chars; the complete map lives in BENCH_FULL.json.
+    """
+    scalars = {
+        k: v for k, v in result.items() if k not in ("queries", "errors")
+    }
+    scalars["queries_full"] = "BENCH_FULL.json"
+    scalars["n_timed"] = len(result["queries"])
+    if result["errors"]:
+        scalars["error_keys"] = sorted(result["errors"])[:10]
+    ranked = sorted(result["queries"].items(), key=lambda kv: -kv[1])
+    out = dict(scalars)
+    out["queries"] = {}
+    line = json.dumps(out)
+    for name, sec in ranked:
+        trial = dict(out["queries"])
+        trial[name] = sec
+        cand = dict(scalars)
+        cand["queries"] = trial
+        s = json.dumps(cand)
+        if len(s) > 1900:
+            break
+        out["queries"] = trial
+        line = s
+    return line
+
+
+_emitted = False
+
+
 def _emit() -> None:
-    # Key order matters (see below); shared by the normal exit path and
-    # the SIGTERM salvage path.
-    bulky = {"queries", "errors"}
-    out = {k: result[k] for k in result if k in bulky}
-    out.update({k: result[k] for k in result if k not in bulky})
-    print(json.dumps(out), flush=True)
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    _write_full()
+    print(_summary_line(), flush=True)
 
 
 def _on_term(signum, frame):  # noqa: ANN001
     # A harness timeout must still yield the round's perf signal:
-    # whatever completed so far is printed as a partial result. If the
-    # warm sequential pass never ran, fall back to the contended
-    # concurrent-pass walls rather than an empty map.
+    # everything completed so far is already on stdout and in
+    # BENCH_FULL.json; emit the summary line and exit.
     result["partial"] = True
-    if not result["queries"] and _concurrent_times:
-        result["queries"] = dict(_concurrent_times)
-        result["queries_are_contended_walls"] = True
     _emit()
-    # skip the finally-block emit (ONE json line is the contract)
     os._exit(0)
 
 
@@ -125,10 +198,4 @@ if __name__ == "__main__":
     except Exception:
         result["fatal"] = traceback.format_exc()[-2000:]
     finally:
-        # Key order matters: harnesses that keep only the tail of the
-        # output line must still see the headline scalars, so the big
-        # per-query map goes first and every summary field goes last.
-        bulky = {"queries", "errors"}
-        out = {k: result[k] for k in result if k in bulky}
-        out.update({k: result[k] for k in result if k not in bulky})
-        print(json.dumps(out))
+        _emit()

@@ -1,60 +1,129 @@
 """IVF (inverted-file) approximate nearest neighbor (SURVEY §2 E2
-scale path).
+scale path, reference parity: the reference has no ANN operator — this
+is the LLM-pipeline extension surface).
 
-The 100 TB ANN design: cluster the corpus once with MLlib KMeans
-(the IVF "coarse quantizer"), store each vector bucketed by its
-nearest centroid, and at query time probe only the `nprobe` closest
-clusters — the corpus-side join touches nprobe/k of the data instead
-of all of it. KMeans is iterative (not SQL-expressible), so the
-driver records a rows-only check; tests assert recall against the
-brute-force oracle path instead.
+The 100 TB ANN design: cluster the corpus once with a coarse
+quantizer (k-means), store each vector bucketed by its nearest
+centroid, and at query time probe only the `nprobe` closest clusters —
+the corpus-side join touches nprobe/k of the data instead of all of
+it.
+
+The quantizer is an EXACT distributed Lloyd loop, not MLlib KMeans:
+seeds are the k lowest-id vectors, every assignment uses the
+quantized-integer squared distance (floor(d²·1e12) per element, BIGINT
+fold — bit-identical in any engine), and centroid means reduce through
+DECIMAL(18,8) — no order-dependent float math anywhere. That makes the
+entire index (and everything probed from it) reproducible bit-for-bit
+by a SQL oracle, so the driver can hash-check E4/E44 instead of
+recording a weaker rows-only grade. It also removes MLlib's seeded-
+random variance (the old KMeans build swung 3-11 s run-to-run).
+
+Each Lloyd iteration is one corpus pass: broadcast centroids (k·dim
+doubles) → map-side assignment → one (cluster, dim) partial-agg
+shuffle of quantized rows. The k·dim means come back to the driver
+(model-sized, ~1 KB) and re-broadcast — the canonical distributed
+k-means step; the corpus itself never shuffles.
 """
 
 from __future__ import annotations
 
-from pyspark.ml.clustering import KMeans
-from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from icecube_spark.operators.similarity import dot_expr, norm_expr
+from icecube_spark.operators.similarity import _QDIST, dot_expr, norm_expr
 
 
 def build_ivf_index(
-    vectors: DataFrame, id_col: str, vec_col: str, k: int = 16, seed: int = 42
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    n_iter: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
-    """Fit the coarse quantizer and assign every vector to a cluster.
+    """Fit the exact-Lloyd coarse quantizer and assign every vector.
 
-    Returns (assigned, centroids): `assigned` = vectors + cluster id
+    Returns (assigned, centroids): `assigned` = (id, vec, cluster)
     (at scale: write out partitioned/bucketed by cluster), `centroids`
-    = k rows broadcastable to every probe.
+    = k rows of array<double>, broadcastable to every probe.
+
+    Seeds = the k lowest-id vectors; `n_iter` fixed iterations (a
+    coarse quantizer doesn't need convergence detection — recall is
+    gated by the nprobe search, asserted in tests/test_scale_paths.py).
+    Empty clusters keep their previous centroid.
     """
-    ml = vectors.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    ml.persist()
-    # random init: k-means|| costs ~5 extra corpus passes and an IVF
-    # coarse quantizer doesn't need optimal centers — recall is gated
-    # by the nprobe search, asserted in tests/test_scale_paths.py;
-    # 4 iterations suffice for a coarse quantizer (each is a full
-    # corpus pass — the dominant cost of index build)
-    model = KMeans(
-        k=k, seed=seed, maxIter=4, initMode="random",
-        featuresCol="features", predictionCol="cluster",
-    ).fit(ml)
-    assigned = model.transform(ml).select(id_col, vec_col, "cluster")
-    centroids = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cluster", "centroid"],
+    spark = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    seed_rows = (
+        base.where(F.col("_id") < k)
+        .select(
+            F.col("_id").cast("int").alias("cluster"),
+            F.col("_v").cast("array<double>").alias("centroid"),
+        )
+        .collect()
+    )
+    cent: dict[int, list[float]] = {
+        r["cluster"]: list(r["centroid"]) for r in seed_rows
+    }
+    dim = len(next(iter(cent.values())))
+
+    def _cdf(c: dict[int, list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            sorted(c.items()), "cluster int, centroid array<double>"
+        )
+
+    def _assign(cdf: DataFrame) -> DataFrame:
+        qd = F.expr(_QDIST.format(x="_v", c="centroid"))
+        return (
+            base.crossJoin(F.broadcast(cdf))
+            .withColumn("qd", qd)
+            .groupBy("_id", "_v")
+            .agg(F.min(F.struct("qd", "cluster")).alias("best"))
+            .select("_id", "_v", F.col("best.cluster").alias("cluster"))
+        )
+
+    for _ in range(n_iter):
+        # one corpus pass; result is k*dim rows — model-sized collect
+        means = (
+            _assign(_cdf(cent))
+            .select("cluster", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(18,8)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("c")
+            )
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+        cent = {
+            c: [upd.get(c, {}).get(d, old[d]) for d in range(dim)]
+            for c, old in cent.items()
+        }
+
+    centroids = _cdf(cent)
+    assigned = _assign(centroids).select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        "cluster",
     )
     return assigned, centroids
 
 
-def ivf_topk(
+def probe_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     query_filter,
     k_neighbors: int = 5,
-    n_clusters: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
     """Probe the nprobe nearest clusters per query, exact cosine
@@ -62,8 +131,6 @@ def ivf_topk(
     then a broadcast hash join of queries onto ONLY their probed
     clusters — the corpus never shuffles and only nprobe/k of it is
     scanned per query."""
-    assigned, centroids = build_ivf_index(vectors, id_col, vec_col, k=n_clusters)
-
     queries = vectors.where(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -72,7 +139,9 @@ def ivf_topk(
     # rank clusters per query by centroid cosine
     qc = queries.crossJoin(
         F.broadcast(centroids.withColumn("c_nrm", norm_expr("centroid")))
-    ).withColumn("c_cos", dot_expr("qv", "centroid") / (F.col("qn") * F.col("c_nrm")))
+    ).withColumn(
+        "c_cos", dot_expr("qv", "centroid") / (F.col("qn") * F.col("c_nrm"))
+    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
     probes = (
         qc.withColumn("r", F.row_number().over(wq))
@@ -97,4 +166,115 @@ def ivf_topk(
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter,
+    k_neighbors: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Build the IVF index and probe it in one call (E4). For repeated
+    probes at different nprobe, build once with build_ivf_index and
+    call probe_topk per setting — the index is the expensive part."""
+    assigned, centroids = build_ivf_index(
+        vectors, id_col, vec_col, k=n_clusters, n_iter=n_iter
+    )
+    return probe_topk(
+        assigned, centroids, vectors, id_col, vec_col, query_filter,
+        k_neighbors=k_neighbors, nprobe=nprobe,
+    )
+
+
+def probe_recall_curve(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter,
+    exact: DataFrame,
+    k_neighbors: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """Recall@k of the IVF index vs an exact truth set at several
+    nprobe settings, in ONE plan: candidates are scored once with
+    their cluster rank attached, then a tiny broadcast nprobe table
+    fans each candidate into the settings it is visible at — the
+    corpus-side work (assignment join + cosine) runs once, not once
+    per curve point. `exact` = (query_id, true_id) ground truth.
+    """
+    spark = vectors.sparkSession
+    max_probe = max(nprobes)
+
+    queries = vectors.where(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+    )
+    qc = queries.crossJoin(
+        F.broadcast(centroids.withColumn("c_nrm", norm_expr("centroid")))
+    ).withColumn(
+        "c_cos", dot_expr("qv", "centroid") / (F.col("qn") * F.col("c_nrm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= max_probe)
+        .select("query_id", "qv", "qn", "cluster", F.col("r").alias("cluster_rank"))
+    )
+    cands = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+        "cluster",
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "cluster_rank",
+            (dot_expr("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    npdf = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int")
+    expl = scored.crossJoin(F.broadcast(npdf)).where(
+        F.col("cluster_rank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    got = (
+        expl.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("nprobe", "query_id", F.col("neighbor_id").alias("got_id"))
+    )
+    hits = (
+        exact.join(
+            got,
+            (exact["query_id"] == got["query_id"])
+            & (exact["true_id"] == got["got_id"]),
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    truth = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        npdf.join(hits, "nprobe", "left")
+        .crossJoin(truth)
+        .select(
+            "nprobe",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_5"),
+        )
+        .orderBy("nprobe")
     )

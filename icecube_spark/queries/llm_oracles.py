@@ -3635,3 +3635,147 @@ from icecube_spark.queries.pipeline_oracles import ORACLES as _P_ORACLES
 ORACLES["dup_cluster_purity"] = ORACLES["dup_cluster_purity"].format(
     cc_sql=_P_ORACLES["dedup_clusters"]
 )
+
+
+# --- IVF family (E4 embed_ann_ivf, E44 ivf_probe_curve) -------------
+# Exact-Lloyd coarse quantizer twin of operators/ivf.py: seeds = the
+# k lowest-id vectors, 4 fixed iterations of (quantized-integer
+# assignment -> DECIMAL(18,8) mean), empty clusters keep their
+# previous centroid, final assignment against the converged centroids.
+# Everything folds through floor(.*1e12) BIGINT sums, so the index is
+# bit-identical to the Spark build.
+
+def _ivf_ctes(k: int = 16, n_iter: int = 4, dim: int = 64) -> str:
+    parts = [
+        f"""vd AS (
+        SELECT vec_id, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, {dim + 1})) t(j)),
+    c0 AS (
+        SELECT CAST(vec_id AS INT) AS cluster, j - 1 AS dim,
+               CAST(embedding[j] AS DOUBLE) AS c
+        FROM embeddings, UNNEST(range(1, {dim + 1})) t(j)
+        WHERE vec_id < {k})"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""d{i} AS (
+        SELECT v.vec_id, cc.cluster,
+               SUM(CAST(floor((v.x - cc.c) * (v.x - cc.c) * 1e12)
+                        AS BIGINT)) AS qd
+        FROM vd v JOIN c{i - 1} cc ON v.dim = cc.dim
+        GROUP BY 1, 2),
+    a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY qd, cluster) AS rn
+            FROM d{i}) WHERE rn = 1),
+    m{i} AS (
+        SELECT a.cluster, v.dim,
+               CAST(SUM(CAST(v.x AS DECIMAL(18,8))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM a{i} a JOIN vd v USING (vec_id)
+        GROUP BY 1, 2),
+    c{i} AS (
+        SELECT p.cluster, p.dim, COALESCE(m.c, p.c) AS c
+        FROM c{i - 1} p LEFT JOIN m{i} m USING (cluster, dim))""")
+    parts.append(f"""dfin AS (
+        SELECT v.vec_id, cc.cluster,
+               SUM(CAST(floor((v.x - cc.c) * (v.x - cc.c) * 1e12)
+                        AS BIGINT)) AS qd
+        FROM vd v JOIN c{n_iter} cc ON v.dim = cc.dim
+        GROUP BY 1, 2),
+    afin AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY qd, cluster) AS rn
+            FROM dfin) WHERE rn = 1),
+    cnorm AS (
+        SELECT cluster,
+               sqrt(CAST(SUM(CAST(floor(c * c * 1e12) AS BIGINT))
+                         AS DOUBLE) / 1e12) AS c_nrm
+        FROM c{n_iter} GROUP BY 1),
+    qcdot AS (
+        SELECT v.vec_id AS query_id, cc.cluster,
+               CAST(SUM(CAST(floor(v.x * cc.c * 1e12) AS BIGINT))
+                    AS DOUBLE) / 1e12 AS cdot
+        FROM vd v JOIN c{n_iter} cc ON v.dim = cc.dim
+        WHERE v.vec_id < 10
+        GROUP BY 1, 2),
+    qrank AS (
+        SELECT query_id, cluster, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS r
+        FROM (SELECT q.query_id, q.cluster,
+                     q.cdot / (vq.nrm * cn.c_nrm) AS c_cos
+              FROM qcdot q
+              JOIN v vq ON vq.vec_id = q.query_id
+              JOIN cnorm cn ON cn.cluster = q.cluster))""")
+    return ",\n    ".join(parts)
+
+
+_IVF_SCORED = f"""scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.r AS cluster_rank,
+               {_PAIR_COS.format(a='q.embedding', b='c.embedding',
+                                 na='q.nrm', nb='c.nrm')} AS cosine
+        FROM qrank p
+        JOIN afin a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = a.vec_id)"""
+
+ORACLES["embed_ann_ivf"] = f"""
+    WITH {_VNORM},
+    {_ivf_ctes()},
+    {_IVF_SCORED}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored WHERE cluster_rank <= 4)
+    WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+_IVF_CURVE_POINT = """
+    SELECT CAST({np} AS INT) AS nprobe,
+           (SELECT COUNT(*) FROM exact) AS n_truth,
+           (SELECT COUNT(*) FROM exact e WHERE EXISTS (
+               SELECT 1 FROM got{np} g
+               WHERE g.query_id = e.query_id AND g.got_id = e.true_id
+           )) AS n_hit,
+           CAST((SELECT COUNT(*) FROM exact e WHERE EXISTS (
+               SELECT 1 FROM got{np} g
+               WHERE g.query_id = e.query_id AND g.got_id = e.true_id
+           )) AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+               AS recall_at_5
+"""
+
+_IVF_GOT = """got{np} AS (
+        SELECT query_id, neighbor_id AS got_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank
+            FROM scored WHERE cluster_rank <= {np})
+        WHERE rank <= 5)"""
+
+ORACLES["ivf_probe_curve"] = f"""
+    WITH {_VNORM},
+    {_ivf_ctes()},
+    {_IVF_SCORED},
+    exact AS (
+        SELECT query_id, neighbor_id AS true_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id ORDER BY
+                {_PAIR_COS.format(a='q.qv', b='c.embedding',
+                                  na='q.qn', nb='c.nrm')} DESC, c.vec_id
+            ) AS rank
+            FROM (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+                  FROM v WHERE vec_id < 10) q
+            JOIN v c ON c.vec_id != q.query_id)
+        WHERE rank <= 5),
+    {_IVF_GOT.format(np=1)},
+    {_IVF_GOT.format(np=2)},
+    {_IVF_GOT.format(np=4)},
+    {_IVF_GOT.format(np=8)}
+    {_IVF_CURVE_POINT.format(np=1)} UNION ALL
+    {_IVF_CURVE_POINT.format(np=2)} UNION ALL
+    {_IVF_CURVE_POINT.format(np=4)} UNION ALL
+    {_IVF_CURVE_POINT.format(np=8)}
+    ORDER BY nprobe
+"""

@@ -259,8 +259,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 scale path — IVF (KMeans-bucketed) ANN. Iterative clustering:
-    rows-only driver check; recall is tested against brute force in
+    """E2 scale path / E4 — IVF ANN on the exact-Lloyd coarse
+    quantizer (operators/ivf.py): deterministic seeds + quantized
+    integer distance folds make the whole index hash-checkable against
+    the DuckDB oracle; recall vs brute force is additionally pinned in
     tests/test_scale_paths.py."""
     from icecube_spark.operators.ivf import ivf_topk
 
@@ -1452,43 +1454,24 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E44 — IVF nprobe tuning curve: recall@5 of the E4 index vs
     brute-force cosine at nprobe 1/2/4/8 — the latency-recall ladder
-    an ANN deployment picks its operating point from. Rows-only
-    (MLlib KMeans is iterative); pytest pins recall monotonicity and
-    the nprobe=n_clusters=16 upper bound."""
-    from icecube_spark.operators.ivf import ivf_topk
+    an ANN deployment picks its operating point from. The exact-Lloyd
+    index (operators/ivf.py) is built ONCE and probed four times
+    (probes are the cheap part); deterministic folds make every point
+    on the curve oracle-checkable. pytest additionally pins recall
+    monotonicity and the nprobe=n_clusters upper bound."""
+    from icecube_spark.operators.ivf import build_ivf_index, probe_recall_curve
 
     emb = _emb(spark, sf_dir)
     exact = similarity.cosine_topk(
         emb, "vec_id", "embedding", F.col("vec_id") < 10, k=5
     ).select("query_id", F.col("neighbor_id").alias("true_id"))
-    out = None
-    for nprobe in (1, 2, 4, 8):
-        got = ivf_topk(
-            emb, "vec_id", "embedding", F.col("vec_id") < 10,
-            k_neighbors=5, n_clusters=16, nprobe=nprobe,
-        ).select("query_id", F.col("neighbor_id").alias("got_id"))
-        hits = exact.join(
-            got,
-            (exact.query_id == got.query_id)
-            & (F.col("true_id") == F.col("got_id")),
-            "left_semi",
-        )
-        row = exact.agg(
-            F.lit(nprobe).alias("nprobe"),
-            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
-        ).crossJoin(
-            hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-        ).select(
-            "nprobe",
-            "n_truth",
-            "n_hit",
-            (
-                F.col("n_hit").cast("double")
-                / F.col("n_truth").cast("double")
-            ).alias("recall_at_5"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("nprobe")
+    assigned, centroids = build_ivf_index(
+        emb, "vec_id", "embedding", k=16, n_iter=4
+    )
+    return probe_recall_curve(
+        assigned, centroids, emb, "vec_id", "embedding",
+        F.col("vec_id") < 10, exact, k_neighbors=5, nprobes=(1, 2, 4, 8),
+    )
 
 
 def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:

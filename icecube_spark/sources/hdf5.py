@@ -6,15 +6,16 @@ semantics (icecube/bin/sar_cube/slc_datacube.py:102-162: dataset
 
 Two decode paths, best available wins:
 
-- h5py, when importable (real ICEYE products: chunked + gzip'd
-  datasets) — the optional-dependency path;
+- h5py, when importable — the optional-dependency fast path;
 - a dependency-free minimal HDF5 reader for v0-superblock files with
-  v1 object headers, symbol-table groups and CONTIGUOUS uncompressed
-  datasets (fixed-point, float, fixed and variable-length strings via
-  the global heap). This fully decodes the reference's own SLC test
-  fixtures (tests/resources/slc_stack/*.h5) and any h5py-written
-  uncompressed product, so the SLC path is real — not a stub — even
-  in containers without h5py.
+  v1 object headers, symbol-table groups, CONTIGUOUS datasets
+  (fixed-point, float, fixed and variable-length strings via the
+  global heap) AND CHUNKED datasets with the deflate / shuffle /
+  fletcher32 filter pipeline (v1 chunk B-trees, zlib inflate — the
+  layout real gzip'd ICEYE SLC products use). This fully decodes the
+  reference's own SLC test fixtures (tests/resources/slc_stack/*.h5)
+  and h5py-written products, so the SLC path is real — not a stub —
+  even in containers without h5py.
 
 Distributed entry points run inside Arrow-batched mapInPandas over
 the binaryFile source: payload bytes stay on executors, no shuffle,
