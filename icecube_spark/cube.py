@@ -191,16 +191,25 @@ def create_cube_from_rasters(
 
 
 def create_cube_from_slc(
-    spark: SparkSession, slc_dir: str, config: CubeConfig | str | None
+    spark: SparkSession,
+    slc_dir: str,
+    config: CubeConfig | str | None,
+    with_rpc: bool = False,
 ) -> Datacube:
     """SLC twin of create_cube_from_rasters — the reference's
     SLCDatacube.create path (icecube/bin/sar_cube/slc_datacube.py:
     102-162): crawl .h5 metadata + decode the s_i/s_q channels
     (sources/hdf5.py, distributed Arrow maps; dependency-free for
-    contiguous files, h5py when present), then the same config
-    filters and temporal grid as the GRD path. Bands follow the
-    reference's naming: Real = s_i, Complex = s_q
-    (datacube_variables.py:16-17)."""
+    contiguous AND chunked/gzip'd files, h5py when present), then the
+    same config filters and temporal grid as the GRD path. Bands
+    follow the reference's naming: Real = s_i, Complex = s_q
+    (datacube_variables.py:16-17).
+
+    `with_rpc=True` additionally carries the product's rational-
+    polynomial geocoding coefficients as typed columns (sources/
+    rpc.py — reference parse_slc_rpc_to_meta_dict parity,
+    analytics_IO.py:280); products without an RPC group get NULLs,
+    matching the reference's RPC=None."""
     if not isinstance(config, CubeConfig):
         config = CubeConfig.load(config)
     from icecube_spark.sources.hdf5 import crawl_slc_metadata, decode_slc
@@ -217,6 +226,10 @@ def create_cube_from_slc(
         ),
         "path",
     )
+    if with_rpc:
+        from icecube_spark.sources.rpc import crawl_rpc_metadata
+
+        layers = layers.join(crawl_rpc_metadata(bdf), "path", "left")
     return build_cube(
         layers,
         config,

@@ -80,15 +80,122 @@ def _gheap_object(data: bytes, addr: int, idx: int) -> bytes:
     raise KeyError(f"global heap object {idx}")
 
 
-def _decode_dataset(data, shape, cls, dsize, byte0, layout, filtered):
+def _parse_filters(data: bytes, body: int) -> list[tuple[int, list[int]]]:
+    """Filter pipeline message (0x0B) → [(filter_id, client_data)] in
+    application order (v1 and v2 encodings)."""
+    ver = data[body]
+    nf = data[body + 1]
+    pos = body + (8 if ver == 1 else 2)
+    out: list[tuple[int, list[int]]] = []
+    for _ in range(nf):
+        fid = _u(data, pos, 2)
+        if ver == 1 or fid >= 256:
+            namelen = _u(data, pos + 2, 2)
+            ncl = _u(data, pos + 6, 2)
+            pos += 8
+            pos += ((namelen + 7) // 8) * 8 if ver == 1 else namelen
+        else:
+            namelen = 0
+            ncl = _u(data, pos + 4, 2)
+            pos += 6
+        cdata = [_u(data, pos + 4 * i, 4) for i in range(ncl)]
+        pos += 4 * ncl
+        if ver == 1 and ncl % 2:
+            pos += 4
+        out.append((fid, cdata))
+    return out
+
+
+def _defilter(raw: bytes, filters, fmask: int, itemsize: int) -> bytes:
+    """Undo the filter pipeline on one chunk (reverse application
+    order; fmask bit i set = filter i was skipped for this chunk)."""
+    import zlib
+
+    for idx in range(len(filters) - 1, -1, -1):
+        if fmask & (1 << idx):
+            continue
+        fid, _cdata = filters[idx]
+        if fid == 1:  # deflate
+            raw = zlib.decompress(raw)
+        elif fid == 2:  # shuffle: byte-transpose elem_size x n
+            arr = np.frombuffer(raw, dtype="u1")
+            n = len(raw) // itemsize
+            raw = (
+                arr[: n * itemsize].reshape(itemsize, n).T.tobytes()
+                + raw[n * itemsize :]
+            )
+        elif fid == 3:  # fletcher32: strip trailing checksum
+            raw = raw[:-4]
+        else:
+            raise NotImplementedError(f"filter {fid} needs h5py")
+    return raw
+
+
+def _iter_chunks(data: bytes, btree: int, rank: int):
+    """Walk a v1 raw-data-chunk B-tree (node type 1): yield
+    (chunk_offsets, stored_nbytes, filter_mask, data_address)."""
+    if data[btree : btree + 4] != b"TREE":
+        raise ValueError("bad chunk B-tree signature")
+    level = data[btree + 5]
+    nentries = _u(data, btree + 6, 2)
+    # key = chunk size(4) + filter mask(4) + (rank+1) u64 offsets
+    # (the +1 is the always-zero element-size dimension)
+    key_size = 8 + 8 * (rank + 1)
+    pos = btree + 24
+    for _ in range(nentries):
+        nbytes = _u(data, pos, 4)
+        fmask = _u(data, pos + 4, 4)
+        offs = tuple(_u(data, pos + 8 + 8 * i, 8) for i in range(rank))
+        child = _u(data, pos + key_size, 8)
+        pos += key_size + 8
+        if level > 0:
+            yield from _iter_chunks(data, child, rank)
+        else:
+            yield offs, nbytes, fmask, child
+
+
+def _numeric_dtype(cls, dsize, byte0):
+    little = (byte0 & 1) == 0
+    kind = "f" if cls == 1 else ("i" if (byte0 & 8) else "u")
+    return np.dtype(("<" if little else ">") + kind + str(dsize))
+
+
+def _decode_dataset(data, shape, cls, dsize, byte0, layout, filters):
     """Materialize one dataset given its parsed messages; returns an
     ndarray, a str, or raises NotImplementedError for layouts the
     minimal reader does not cover (h5py handles those)."""
     if layout is None or shape is None or cls is None:
         return None
     style, addr, size = layout
-    if filtered or style == "chunked":
-        raise NotImplementedError("chunked/filtered dataset needs h5py")
+    if style == "chunked":
+        if cls not in (0, 1):
+            raise NotImplementedError("chunked non-numeric dataset needs h5py")
+        dtype = _numeric_dtype(cls, dsize, byte0)
+        arr = np.zeros(shape, dtype)
+        chunk_dims = tuple(size[:-1])  # last entry = element size
+        n_chunk = 1
+        for c in chunk_dims:
+            n_chunk *= c
+        if addr == _UNDEF:  # no chunks written yet
+            return np.full(shape, np.nan) if cls == 1 else arr
+        for offs, nbytes, fmask, caddr in _iter_chunks(data, addr, len(shape)):
+            if any(o >= s for o, s in zip(offs, shape)):
+                continue
+            raw = _defilter(
+                data[caddr : caddr + nbytes], filters, fmask, dtype.itemsize
+            )
+            chunk = np.frombuffer(raw, dtype=dtype, count=n_chunk).reshape(
+                chunk_dims
+            )
+            dst = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offs, chunk_dims, shape)
+            )
+            src = tuple(slice(0, d.stop - d.start) for d in dst)
+            arr[dst] = chunk[src]
+        return arr
+    if filters:
+        raise NotImplementedError("filtered non-chunked dataset needs h5py")
     n = 1
     for s in shape:
         n *= s
@@ -121,7 +228,7 @@ def _decode_dataset(data, shape, cls, dsize, byte0, layout, filtered):
 def _read_object(data, objhdr, out, name, want):
     shape = layout = None
     cls = dsize = byte0 = None
-    filtered = False
+    filters: list = []
     for mtype, body, msize in _messages(data, objhdr):
         if mtype == 0x11:  # symbol table -> this object is a group
             _walk_group(data, body, out, name + "/", want)
@@ -142,14 +249,19 @@ def _read_object(data, objhdr, out, name, want):
                 layout = ("contiguous", _u(data, body + 2, 8), _u(data, body + 10, 8))
             elif lclass == 0:
                 layout = ("compact", body + 4, _u(data, body + 2, 2))
-            else:
-                layout = ("chunked", None, None)
+            else:  # chunked: dimensionality, btree addr, chunk dims
+                ndim = data[body + 2]
+                btree = _u(data, body + 3, 8)
+                cdims = tuple(
+                    _u(data, body + 11 + 4 * i, 4) for i in range(ndim)
+                )
+                layout = ("chunked", btree, cdims)
         elif mtype == 0x0B:  # filter pipeline
-            filtered = True
+            filters = _parse_filters(data, body)
     if want is not None and name not in want:
         return
     try:
-        val = _decode_dataset(data, shape, cls, dsize, byte0, layout, filtered)
+        val = _decode_dataset(data, shape, cls, dsize, byte0, layout, filters)
     except NotImplementedError as e:
         out[name] = e
         return

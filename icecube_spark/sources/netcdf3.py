@@ -196,30 +196,22 @@ def read_netcdf3(path: str):
     return dict(dims), variables, gattrs
 
 
-def cube_to_netcdf(
-    dc, path: str, height: int, width: int, max_layers: int = 4096
-) -> None:
-    """Export a raster Datacube (one pixels-array layer per time
-    slot, cube.create_cube_from_rasters shape) to a classic netCDF-3
-    file the reference's read_cube/xarray can open: intensity
-    (band, azimuth, range) + per-band product/date coordinate vars —
-    the to_file parity surface (datacube.py:203). The collect is the
-    same single-file materialization the reference performs.
-
-    Classic netCDF-3 is a single-node format, so this collects to
-    the driver by design — but only after a cheap count() guard:
-    exports above `max_layers` layers (or whose pixel payload would
-    exceed driver memory) must go through the parquet/partitioned
-    sinks instead of silently OOMing the driver."""
+def _materialize_cube(dc, height: int, width: int, max_layers: int):
+    """Driver-side materialization shared by every single-file export
+    format (the same single-file step the reference's to_file
+    performs), behind a cheap count() guard: exports above
+    `max_layers` layers (or whose pixel payload would exceed driver
+    memory) must go through the parquet/partitioned sinks instead of
+    silently OOMing the driver."""
     import numpy as np
 
     n_layers = dc.df.count()
     approx_bytes = n_layers * height * width * 8
     if n_layers > max_layers or approx_bytes > 4 << 30:
         raise ValueError(
-            f"refusing single-file netCDF-3 export of {n_layers} layers "
-            f"(~{approx_bytes / 2**30:.1f} GiB dense): the classic format "
-            f"is driver-materialized; raise max_layers explicitly or use "
+            f"refusing single-file netCDF export of {n_layers} layers "
+            f"(~{approx_bytes / 2**30:.1f} GiB dense): the format is "
+            f"driver-materialized; raise max_layers explicitly or use "
             f"the distributed parquet sink for cubes this large"
         )
     rows = dc.df.orderBy(dc.ts_col).collect()
@@ -231,14 +223,28 @@ def cube_to_netcdf(
         if p is not None:
             pix[i] = np.asarray(p, dtype="f8").reshape(height, width)
         names.append(getattr(r, dc.key_col) or "None")
+    dates = [str(getattr(r, dc.ts_col)) for r in rows]
+    return pix, names, dates
+
+
+def cube_to_netcdf(
+    dc, path: str, height: int, width: int, max_layers: int = 4096
+) -> None:
+    """Export a raster Datacube (one pixels-array layer per time
+    slot, cube.create_cube_from_rasters shape) to a classic netCDF-3
+    file the reference's read_cube/xarray can open: intensity
+    (band, azimuth, range) + per-band product/date coordinate vars —
+    the to_file parity surface (datacube.py:203)."""
+    import numpy as np
+
+    pix, names, date_strs = _materialize_cube(dc, height, width, max_layers)
+    band = len(names)
     name_len = max(1, max(len(n) for n in names))
     name_arr = np.zeros((band, name_len), dtype="S1")
     for i, n in enumerate(names):
         b = n.encode()
         name_arr[i, : len(b)] = np.frombuffer(b, dtype="S1")
-    dates = np.array(
-        [str(getattr(r, dc.ts_col)) for r in rows], dtype=f"S{10}"
-    ).view("S1").reshape(band, 10)
+    dates = np.array(date_strs, dtype="S10").view("S1").reshape(band, 10)
     write_netcdf3(
         path,
         dims={"band": band, "azimuth": height, "range": width, "strlen": name_len,
@@ -284,3 +290,55 @@ def netcdf_to_cube(spark, path: str):
         )
     df = spark.createDataFrame(rows)
     return Datacube(df, "product_file", "slot_date", ["pixels"])
+
+
+def cube_to_file(
+    dc,
+    path: str,
+    height: int,
+    width: int,
+    format: str = "netCDF4",
+    max_layers: int = 4096,
+) -> str:
+    """Reference `Datacube.to_file(output_fpath, format="netCDF4")`
+    parity (icecube/bin/datacube.py:203): format one of
+    {NETCDF4, NETCDF4_CLASSIC, NETCDF3_64BIT, NETCDF3_CLASSIC}.
+
+    netCDF4 formats are HDF5-based and need a netCDF4/h5py stack; when
+    the `netCDF4` library is importable the export is a true netCDF4
+    file (xarray-openable). Without it the export degrades to the
+    dependency-free classic netCDF-3 bridge (same variables and
+    coordinates — any netCDF reader, including xarray, opens that
+    too). Returns the format actually written so callers can tell.
+    """
+    fmt = format.upper().replace("-", "")
+    if fmt not in {"NETCDF4", "NETCDF4_CLASSIC", "NETCDF3_64BIT", "NETCDF3_CLASSIC"}:
+        raise ValueError(f"unknown netCDF format {format!r}")
+    if fmt in ("NETCDF3_CLASSIC", "NETCDF3_64BIT"):
+        cube_to_netcdf(dc, path, height, width, max_layers=max_layers)
+        return "NETCDF3_CLASSIC"
+    try:
+        import netCDF4  # noqa: F401
+    except ImportError:
+        cube_to_netcdf(dc, path, height, width, max_layers=max_layers)
+        return "NETCDF3_CLASSIC"
+
+    pix, names, dates = _materialize_cube(dc, height, width, max_layers)
+    ds = netCDF4.Dataset(path, "w", format=fmt)
+    try:
+        ds.createDimension("band", len(names))
+        ds.createDimension("azimuth", height)
+        ds.createDimension("range", width)
+        v = ds.createVariable("intensity", "f8", ("band", "azimuth", "range"))
+        v.long_name = "Intensity"
+        v[:] = pix
+        nv = ds.createVariable("product_file", str, ("band",))
+        dv = ds.createVariable("acquisition_date", str, ("band",))
+        for i, (n, d) in enumerate(zip(names, dates)):
+            nv[i] = n
+            dv[i] = d
+        ds.source = "icecube_spark"
+        ds.Conventions = "CF-1.6"
+    finally:
+        ds.close()
+    return fmt

@@ -214,3 +214,46 @@ def test_get_layer_array_roundtrip(spark):
         dc.get_layer_array("nope.tif", row.acquisition_date, 10, 10)
     with pytest.raises(ValueError):
         dc.get_layer_array(row.product_file, row.acquisition_date, 3, 3)
+
+
+def test_to_file_netcdf4_dispatch(spark, tmp_path):
+    """Reference Datacube.to_file(format=...) parity
+    (icecube/bin/datacube.py:203): netCDF4 when the lib is present,
+    dependency-free classic-3 fallback otherwise; NETCDF3_CLASSIC
+    always writes the bridge format. Either way the file re-imports
+    with identical layers."""
+    from icecube_spark.sources.netcdf3 import cube_to_file, netcdf_to_cube
+
+    dc = create_cube_from_rasters(spark, GRD, _cfg(5))
+    p4 = str(tmp_path / "cube4.nc")
+    fmt = cube_to_file(dc, p4, height=10, width=10, format="netCDF4")
+    try:
+        import netCDF4  # noqa: F401
+        assert fmt == "NETCDF4"
+        ds = netCDF4.Dataset(p4)
+        assert ds["intensity"].shape[1:] == (10, 10)
+        ds.close()
+    except ImportError:
+        assert fmt == "NETCDF3_CLASSIC"
+        back = netcdf_to_cube(spark, p4)
+        assert back.df.count() == dc.df.count()
+
+    p3 = str(tmp_path / "cube3.nc")
+    assert cube_to_file(
+        dc, p3, height=10, width=10, format="NETCDF3_CLASSIC"
+    ) == "NETCDF3_CLASSIC"
+    back = netcdf_to_cube(spark, p3)
+    orig = {
+        str(r.slot_date): (r.product_file,
+                           None if r.pixels is None else list(r.pixels))
+        for r in dc.df.collect()
+    }
+    got = {
+        str(r.slot_date): (r.product_file,
+                           None if r.pixels is None else list(r.pixels))
+        for r in back.df.collect()
+    }
+    assert got == orig
+
+    with pytest.raises(ValueError, match="unknown netCDF format"):
+        cube_to_file(dc, p3, height=10, width=10, format="zarr")
