@@ -141,22 +141,43 @@ def staged_jaccard_pairs(spark, sf_dir, threshold):
     return _STAGED_PAIRS[key]
 
 
+_STAGING_STORES = (
+    _STAGED, _STAGED_COLLAPSE, _STAGED_CANDS, _STAGED_PAIRS,
+    _STAGED_MH_PAIRS,
+)
+
+
+def _release_entry(val) -> None:
+    for df in val if isinstance(val, tuple) else (val,):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def release_staging(sf_dir: str) -> None:
+    """Release the staging tables of ONE corpus (grams, signatures,
+    collapse members, candidate/pair graphs). A long-lived session
+    that walks many corpora calls this when a campaign finishes so
+    the executor cache holds only live corpora — the per-corpus twin
+    of clear_staging()."""
+    for store in _STAGING_STORES:
+        for key in [
+            k for k in store
+            if k == sf_dir or (isinstance(k, tuple) and k and k[0] == sf_dir)
+        ]:
+            _release_entry(store.pop(key))
+
+
 def clear_staging() -> None:
     """Release every session-scoped staging table (grams, signatures,
     collapse members, candidate pairs). The ownership twin of the
     staged_* persists above: a long-lived session that switches
     corpora calls this between campaigns instead of leaking one
     cached table set per sf_dir."""
-    for store in (
-        _STAGED, _STAGED_COLLAPSE, _STAGED_CANDS, _STAGED_PAIRS,
-        _STAGED_MH_PAIRS,
-    ):
+    for store in _STAGING_STORES:
         for val in store.values():
-            for df in val if isinstance(val, tuple) else (val,):
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
+            _release_entry(val)
         store.clear()
 
 

@@ -1,0 +1,46 @@
+"""Staging-layer cache ownership (llm_queries.staged_* persists):
+per-corpus release and full clear return the executor cache to its
+baseline — a long-lived session walking many corpora must not accrete
+one persisted table set per sf_dir."""
+
+from icecube_spark.queries import llm_queries as lq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_release_staging_returns_cache_to_baseline(spark):
+    lq.clear_staging()
+    base = _n_persisted(spark)
+
+    grams, sigs = lq.staged_corpus(spark, SF)
+    grams.count()  # materialize the persists
+    pairs = lq.staged_minhash_pairs(spark, SF)
+    pairs.count()
+    assert _n_persisted(spark) > base
+    assert SF in lq._STAGED and SF in lq._STAGED_MH_PAIRS
+
+    lq.release_staging(SF)
+    assert SF not in lq._STAGED
+    assert SF not in lq._STAGED_COLLAPSE
+    assert SF not in lq._STAGED_MH_PAIRS
+    assert _n_persisted(spark) == base
+
+    # releasing one corpus must not touch another's entries
+    lq.staged_corpus(spark, SF)
+    lq.release_staging("/nonexistent/sfX")
+    assert SF in lq._STAGED
+    lq.clear_staging()
+    assert _n_persisted(spark) == base
+
+
+def test_release_staging_clears_threshold_keyed_pairs(spark):
+    lq.clear_staging()
+    lq.staged_jaccard_pairs(spark, SF, 0.8).count()
+    assert any(k[0] == SF for k in lq._STAGED_PAIRS)
+    lq.release_staging(SF)
+    assert not any(k[0] == SF for k in lq._STAGED_PAIRS)
+    lq.clear_staging()
