@@ -41,9 +41,11 @@ import traceback
 from concurrent.futures import ThreadPoolExecutor
 
 FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-# Stay safely under the harness kill window (r4's sequential pass alone
-# hit 600 s; the whole run must land with margin to spare).
-TIME_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
+# Stay under the harness kill window (r4 ran 836 s total and survived;
+# the SIGTERM salvage path emits whatever completed if we misjudge).
+# Sequential (the per-key signal) runs first and is never truncated
+# while budget remains; concurrent only starts with >90 s to spare.
+TIME_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "820"))
 _T_START = time.monotonic()
 
 result: dict = {

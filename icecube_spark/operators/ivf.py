@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from icecube_spark.operators.similarity import _QDIST, dot_expr, norm_expr
+from icecube_spark.operators.similarity import dot_expr, norm_expr, qdist_expr
 
 
 def build_ivf_index(
@@ -74,7 +74,7 @@ def build_ivf_index(
         )
 
     def _assign(cdf: DataFrame) -> DataFrame:
-        qd = F.expr(_QDIST.format(x="_v", c="centroid"))
+        qd = qdist_expr("_v", "centroid")
         return (
             base.crossJoin(F.broadcast(cdf))
             .withColumn("qd", qd)

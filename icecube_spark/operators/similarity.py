@@ -672,6 +672,23 @@ _QDIST = """
 """
 
 
+def qdist_expr(x: str, c: str, dim: int | None = EMBED_DIM) -> F.Column:
+    """Quantized squared distance sum(floor((x[j]-c[j])²·1e12)) as
+    BIGINT. With a known dim the fold unrolls into flat arithmetic
+    that stays in whole-stage codegen (the HOF fold is interpreted
+    and ~5x slower per row); both paths produce identical bits."""
+    if dim is None:
+        return F.expr(_QDIST.format(x=x, c=c))
+    terms = " + ".join(
+        f"cast(floor((cast(element_at({x}, {j}) as double)"
+        f" - cast(element_at({c}, {j}) as double))"
+        f" * (cast(element_at({x}, {j}) as double)"
+        f" - cast(element_at({c}, {j}) as double)) * 1e12) as bigint)"
+        for j in range(1, dim + 1)
+    )
+    return F.expr(f"({terms})")
+
+
 def kmeans_refine(
     vectors: DataFrame, id_col: str, vec_col: str, k: int = 8
 ) -> DataFrame:
@@ -699,7 +716,7 @@ def kmeans_refine(
         F.col(id_col).cast("int").alias("cluster"),
         F.col(vec_col).alias("centroid"),
     )
-    qd = F.expr(_QDIST.format(x=vec_col, c="centroid"))
+    qd = qdist_expr(vec_col, "centroid")
     assigned = (
         vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(seeds))
@@ -2445,3 +2462,64 @@ def distance_concentration(
         std.alias("std_dist"),
         (std / mean).alias("cv"),
     ).orderBy("dim")
+
+
+def anchor_margin_deciles(
+    vectors: DataFrame, id_col: str, vec_col: str, n_anchors: int = 8
+) -> DataFrame:
+    """E46 — quantization-confidence margins: for every vector, the
+    relative gap between its nearest and second-nearest anchor
+    (margin = (d2-d1)/(d1+d2), 0 = ambiguous, ->1 = decisive),
+    bucketed into deciles. The margin histogram is the health read an
+    IVF/PQ deployment checks before trusting a coarse quantizer: a
+    mass near 0 means assignments flip under noise and recall decays.
+
+    Exactness: distances are the quantized-integer folds (_QDIST);
+    the margin divides two exact BIGINTs in IEEE doubles; per-bucket
+    means fold floor(margin*1e6) integers.
+
+    Plan: anchors broadcast (n_anchors rows); one map-side distance
+    fan-out, one (id) min-2 window bounded by n_anchors, one 10-row
+    aggregate. The corpus never shuffles beyond its id groups.
+    """
+    anchors = vectors.where(F.col(id_col) < n_anchors).select(
+        F.col(id_col).cast("int").alias("aid"),
+        F.col(vec_col).alias("avec"),
+    )
+    qd = qdist_expr(vec_col, "avec")
+    d = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col(id_col) != F.col("aid"))
+        .withColumn("qd", qd)
+    )
+    w = Window.partitionBy(id_col).orderBy("qd", "aid")
+    best2 = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("qd"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("qd"))).alias("d2"),
+        )
+        .where(F.col("d2").isNotNull())
+    )
+    margin = (
+        (F.col("d2") - F.col("d1")).cast("double")
+        / F.greatest(F.col("d1") + F.col("d2"), F.lit(1)).cast("double")
+    )
+    scored = best2.select(
+        F.least(F.lit(9), F.floor(margin * F.lit(10.0))).cast("int").alias("decile"),
+        F.floor(margin * F.lit(1e6)).cast("bigint").alias("mq"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (
+                F.sum("mq").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+            ).alias("mean_margin"),
+        )
+        .orderBy("decile")
+    )

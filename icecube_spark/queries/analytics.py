@@ -3552,3 +3552,81 @@ def tax_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rq").over(wall).cast("double")
         ).alias("blended_rate"),
     ).orderBy("tax_bp")
+
+
+def line_position_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B75 — position-in-order profile: per l_linenumber, line count,
+    revenue share, and mean quantity/discount. First-position bias
+    (big items entered first) skews any per-line sampling scheme and
+    is the shape a picking-optimization study reads first. The
+    line-axis companion of B72's order-size mix.
+
+    Exactness: revenue folds micro-quantized integers (the B74
+    scheme); shares divide exact sums; means divide decimal folds.
+
+    Plan: ONE (l_linenumber) aggregate — 7 groups at any SF, map-side
+    combine does all the work; the share window runs on the 7-row
+    frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_linenumber").cast("int").alias("line_no")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+            ).cast("bigint")
+        ).alias("rev_c"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_discount").alias("avg_discount"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "line_no",
+        "n_lines",
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(wall).cast("double")
+        ).alias("revenue_share"),
+        "avg_qty",
+        "avg_discount",
+    ).orderBy("line_no")
+
+
+def part_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B76 — sourcing-redundancy histogram: parts bucketed by how many
+    distinct suppliers actually shipped them (observed in lineitem —
+    the testdata carries no partsupp), with each bucket's part count
+    and mean part revenue. Single-sourced high-revenue buckets are
+    the supply-chain risk B57 scores per supplier, read from the
+    part side.
+
+    Exactness: revenue folds micro-quantized integers; the bucket
+    mean divides exact sums.
+
+    Plan: one (part, supplier) distinct + one (part) aggregate
+    [same shuffle key — Catalyst keeps them in one exchange], then a
+    k-bounded rollup.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+            ).cast("bigint")
+        ).alias("rev_c"),
+    )
+    return (
+        per_part.groupBy("n_suppliers")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (
+                F.sum("rev_c").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(100.0)
+            ).alias("mean_part_revenue"),
+        )
+        .orderBy("n_suppliers")
+    )

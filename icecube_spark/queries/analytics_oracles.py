@@ -1712,3 +1712,36 @@ ORACLES["tax_rate_profile"] = """
                / 1e4 / CAST(SUM(rq) OVER () AS DOUBLE) AS blended_rate
     FROM rated ORDER BY tax_bp
 """
+
+ORACLES["line_position_effect"] = """
+    WITH per AS (
+        SELECT CAST(l_linenumber AS INT) AS line_no,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+                        AS BIGINT)) AS rev_c,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(l_discount) AS avg_discount
+        FROM lineitem GROUP BY 1)
+    SELECT line_no, n_lines,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE)
+               AS revenue_share,
+           avg_qty, avg_discount
+    FROM per ORDER BY line_no
+"""
+
+ORACLES["part_supplier_cardinality"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+                        AS BIGINT)) AS rev_c
+        FROM lineitem GROUP BY 1)
+    SELECT n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+               AS mean_part_revenue
+    FROM per_part GROUP BY 1 ORDER BY n_suppliers
+"""

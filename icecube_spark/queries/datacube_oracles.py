@@ -1647,3 +1647,55 @@ ORACLES["cube_stretch_params"] = """
            n_clip_low, n_clip_high
     FROM cuts
 """
+
+ORACLES["cube_parity_contrast"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    tagged AS (
+        SELECT CAST((x // 25) * 2 + (y // 25) AS INT) AS quadrant,
+               (x + y) % 2 = 0 AS even, q
+        FROM cells)
+    SELECT quadrant, n_even, n_odd, mean_even, mean_odd,
+           mean_even - mean_odd AS parity_gap
+    FROM (
+        SELECT quadrant,
+               CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+               CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+               CAST(SUM(CASE WHEN even THEN q END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN even THEN 1 END) AS DOUBLE)
+                   / 1e6 AS mean_even,
+               CAST(SUM(CASE WHEN NOT even THEN q END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN NOT even THEN 1 END) AS DOUBLE)
+                   / 1e6 AS mean_odd
+        FROM tagged GROUP BY 1)
+    ORDER BY quadrant
+"""
+
+ORACLES["cube_hist_modes"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    rng AS (SELECT MIN(q) AS qmin, MAX(q) AS qmax FROM cells),
+    hist AS (
+        SELECT CAST(LEAST(31, ((q - qmin) * 32) // (qmax - qmin + 1)) AS INT)
+                   AS bin,
+               qmin, qmax,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells CROSS JOIN rng
+        GROUP BY 1, 2, 3)
+    SELECT bin, n_cells,
+           CAST(qmin AS DOUBLE) / 1e6
+               + CAST(bin AS DOUBLE) * CAST(qmax - qmin + 1 AS DOUBLE)
+                 / 32.0 / 1e6 AS bin_lo,
+           n_cells > COALESCE(LAG(n_cells) OVER (ORDER BY bin), 0)
+           AND n_cells > COALESCE(LEAD(n_cells) OVER (ORDER BY bin), 0)
+               AS is_mode
+    FROM hist ORDER BY bin
+"""

@@ -3445,3 +3445,102 @@ def cube_stretch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clip_low",
         "n_clip_high",
     )
+
+
+def cube_parity_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65 — checkerboard-artifact detector: per grid quadrant, the
+    mean cell value on even vs odd (x+y) parity cells and their gap.
+    Interleaved-sampling and stripe artifacts show up as a systematic
+    parity gap long before they are visible in a quicklook — the
+    cell-level companion to A57's destripe (which fixes rows/columns,
+    not parity classes).
+
+    Exactness: cell means micro-quantize to BIGINT (the A64 scheme);
+    per-class means divide exact integer sums; the gap subtracts two
+    such doubles.
+
+    Plan: one (x, y) cell aggregate, then one 4-row quadrant
+    aggregate — shuffle bounded by the 50x50 grid at any SF.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    tagged = cells.select(
+        (
+            (F.col("x") / 25).cast("bigint") * 2
+            + (F.col("y") / 25).cast("bigint")
+        ).cast("int").alias("quadrant"),
+        ((F.col("x") + F.col("y")) % 2 == 0).alias("even"),
+        "q",
+    )
+    agg = tagged.groupBy("quadrant").agg(
+        F.sum(F.when(F.col("even"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_even"),
+        F.sum(F.when(~F.col("even"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_odd"),
+        (
+            F.sum(F.when(F.col("even"), F.col("q"))).cast("double")
+            / F.sum(F.when(F.col("even"), F.lit(1))).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_even"),
+        (
+            F.sum(F.when(~F.col("even"), F.col("q"))).cast("double")
+            / F.sum(F.when(~F.col("even"), F.lit(1))).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_odd"),
+    )
+    return agg.select(
+        "quadrant", "n_even", "n_odd", "mean_even", "mean_odd",
+        (F.col("mean_even") - F.col("mean_odd")).alias("parity_gap"),
+    ).orderBy("quadrant")
+
+
+def cube_hist_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66 — grid-value histogram modes: the 32-bin histogram of cell
+    means with local-maximum (mode) flags. Multi-modality is the
+    first read of a classification-readiness check (water/land split,
+    bimodal speckle) and picks thresholds A31's Otsu then refines.
+
+    Exactness: bins are pure integer arithmetic on micro-quantized
+    cell means ((q-min)*32 div (range+1), BIGINTs); mode flags
+    compare exact counts via lag/lead over the 32-row frame.
+
+    Plan: one cell aggregate (grid-bounded), one 1-row min/max
+    broadcast, one 32-row histogram + window. Nothing above the grid
+    size ever shuffles.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    rng = cells.agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax")
+    )
+    binned = cells.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            "cast(least(31, ((q - qmin) * 32) div (qmax - qmin + 1)) as int)"
+        ).alias("bin"),
+        "qmin", "qmax",
+    )
+    hist = binned.groupBy("bin", "qmin", "qmax").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells")
+    )
+    wb = Window.partitionBy().orderBy("bin")
+    flagged = hist.select(
+        "bin",
+        "n_cells",
+        (
+            F.col("qmin").cast("double") / F.lit(1e6)
+            + F.col("bin").cast("double")
+            * (F.col("qmax") - F.col("qmin") + 1).cast("double")
+            / F.lit(32.0) / F.lit(1e6)
+        ).alias("bin_lo"),
+        (
+            (F.col("n_cells") > F.coalesce(F.lag("n_cells").over(wb), F.lit(0)))
+            & (F.col("n_cells") > F.coalesce(F.lead("n_cells").over(wb), F.lit(0)))
+        ).alias("is_mode"),
+    )
+    return flagged.orderBy("bin")

@@ -3779,3 +3779,76 @@ ORACLES["ivf_probe_curve"] = f"""
     {_IVF_CURVE_POINT.format(np=8)}
     ORDER BY nprobe
 """
+
+ORACLES["anchor_margin_deciles"] = """
+    WITH anchors AS (
+        SELECT CAST(vec_id AS INT) AS aid, embedding AS avec
+        FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT v.vec_id, a.aid,
+               list_sum([CAST(floor(
+                   (CAST(v.embedding[j] AS DOUBLE) - CAST(a.avec[j] AS DOUBLE))
+                   * (CAST(v.embedding[j] AS DOUBLE) - CAST(a.avec[j] AS DOUBLE))
+                   * 1e12) AS BIGINT)
+                 FOR j IN range(1, 65)]) AS qd
+        FROM embeddings v CROSS JOIN anchors a
+        WHERE v.vec_id != a.aid),
+    best2 AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN qd END) AS d1,
+               MAX(CASE WHEN rn = 2 THEN qd END) AS d2
+        FROM (SELECT vec_id, qd, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY qd, aid) AS rn
+              FROM d)
+        WHERE rn <= 2 GROUP BY 1
+        HAVING MAX(CASE WHEN rn = 2 THEN qd END) IS NOT NULL),
+    scored AS (
+        SELECT CAST(LEAST(9, FLOOR(
+                   CAST(d2 - d1 AS DOUBLE)
+                   / CAST(GREATEST(d1 + d2, 1) AS DOUBLE) * 10.0)) AS INT)
+                   AS decile,
+               CAST(FLOOR(
+                   CAST(d2 - d1 AS DOUBLE)
+                   / CAST(GREATEST(d1 + d2, 1) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS mq
+        FROM best2)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(mq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS mean_margin
+    FROM scored GROUP BY 1 ORDER BY decile
+"""
+
+ORACLES["word_length_profile"] = """
+    WITH words AS (
+        SELECT lang, UNNEST(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents),
+    wl AS (SELECT lang, length(w) AS wl FROM words WHERE w != '')
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(wl AS DECIMAL(18,8))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_word_len,
+           CAST(SUM(CASE WHEN wl >= 8 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS long_word_share,
+           CAST(MAX(wl) AS BIGINT) AS max_word_len
+    FROM wl GROUP BY 1 ORDER BY lang
+"""
+
+ORACLES["media_chunk_dedup_rate"] = """
+    WITH t AS (
+        SELECT source,
+               regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
+        FROM documents),
+    chunks AS (
+        SELECT source,
+               md5(substr(t, i * 64 + 1, 64)) AS sig
+        FROM t, UNNEST(range(0,
+            GREATEST(0, CAST(FLOOR((length(t) - 1) / 64) AS INT)) + 1)) u(i))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT sig) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dedup_savings
+    FROM chunks GROUP BY 1 ORDER BY source
+"""

@@ -141,9 +141,34 @@ def staged_jaccard_pairs(spark, sf_dir, threshold):
     return _STAGED_PAIRS[key]
 
 
+_STAGED_IVF: dict[str, tuple] = {}
+
+
+def staged_ivf_index(spark, sf_dir):
+    """The exact-Lloyd IVF index (operators/ivf.py) built ONCE per
+    corpus and shared by every consumer (E4's top-k probe, E44's
+    nprobe curve, the scale-path tests). At 100 TB the index is a
+    materialized artifact (vectors written bucketed by cluster +
+    broadcastable centroids); staging it is the session-scale
+    equivalent. The assigned table persists MEMORY_AND_DISK; release
+    via release_staging/clear_staging like every staged_* table."""
+    from pyspark import StorageLevel
+
+    from icecube_spark.operators.ivf import build_ivf_index
+
+    if sf_dir not in _STAGED_IVF:
+        assigned, centroids = build_ivf_index(
+            _emb(spark, sf_dir), "vec_id", "embedding", k=16, n_iter=4
+        )
+        _STAGED_IVF[sf_dir] = (
+            assigned.persist(StorageLevel.MEMORY_AND_DISK), centroids
+        )
+    return _STAGED_IVF[sf_dir]
+
+
 _STAGING_STORES = (
     _STAGED, _STAGED_COLLAPSE, _STAGED_CANDS, _STAGED_PAIRS,
-    _STAGED_MH_PAIRS,
+    _STAGED_MH_PAIRS, _STAGED_IVF,
 )
 
 
@@ -285,11 +310,12 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer distance folds make the whole index hash-checkable against
     the DuckDB oracle; recall vs brute force is additionally pinned in
     tests/test_scale_paths.py."""
-    from icecube_spark.operators.ivf import ivf_topk
+    from icecube_spark.operators.ivf import probe_topk
 
-    return ivf_topk(
-        _emb(spark, sf_dir), "vec_id", "embedding", F.col("vec_id") < 10,
-        k_neighbors=5, n_clusters=16, nprobe=4,
+    assigned, centroids = staged_ivf_index(spark, sf_dir)
+    return probe_topk(
+        assigned, centroids, _emb(spark, sf_dir), "vec_id", "embedding",
+        F.col("vec_id") < 10, k_neighbors=5, nprobe=4,
     )
 
 
@@ -1480,15 +1506,18 @@ def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probes are the cheap part); deterministic folds make every point
     on the curve oracle-checkable. pytest additionally pins recall
     monotonicity and the nprobe=n_clusters upper bound."""
-    from icecube_spark.operators.ivf import build_ivf_index, probe_recall_curve
+    from icecube_spark.operators.ivf import probe_recall_curve
 
     emb = _emb(spark, sf_dir)
+    # the truth set is 50 rows but its brute-force lineage is a full
+    # corpus pass; the curve plan references it twice (hit join +
+    # truth count) — eager localCheckpoint pays the pass once
     exact = similarity.cosine_topk(
         emb, "vec_id", "embedding", F.col("vec_id") < 10, k=5
-    ).select("query_id", F.col("neighbor_id").alias("true_id"))
-    assigned, centroids = build_ivf_index(
-        emb, "vec_id", "embedding", k=16, n_iter=4
-    )
+    ).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    ).localCheckpoint(eager=True)
+    assigned, centroids = staged_ivf_index(spark, sf_dir)
     return probe_recall_curve(
         assigned, centroids, emb, "vec_id", "embedding",
         F.col("vec_id") < 10, exact, k_neighbors=5, nprobes=(1, 2, 4, 8),
@@ -1643,4 +1672,104 @@ def dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cluster_share"),
         )
         .orderBy("n_sources")
+    )
+
+
+def anchor_margin_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46 — coarse-quantizer confidence histogram: decile buckets of
+    the nearest-vs-second-anchor margin (operators/similarity.py).
+    The pre-deployment health read for the E4 IVF index."""
+    return similarity.anchor_margin_deciles(
+        _emb(spark, sf_dir), "vec_id", "embedding", n_anchors=8
+    )
+
+
+def word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F57 — word-length morphology per language: token count, mean
+    word length, long-word (>= 8 chars) share, and the longest word.
+    Length morphology separates scripts and registers cheaply
+    (agglutinative vs analytic, prose vs code-ish), and shifts in it
+    flag tokenizer-hostile content F32's fertility then prices.
+
+    Exactness: lengths are exact ints; the mean folds DECIMAL(18,8);
+    shares divide exact counts. length() is character-based in both
+    engines (UTF-8 aware), so non-ASCII parity is free.
+
+    Plan: one explode -> one (lang) aggregate, all map-side
+    combinable; only (lang, partial) rows shuffle.
+    """
+    from icecube_spark.operators.dedup import NORM
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr(f"split({NORM.format(col='text')}, ' ')")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        words.select("lang", F.length("w").alias("wl"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (
+                F.sum(F.col("wl").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_word_len"),
+            (
+                F.sum(
+                    F.when(F.col("wl") >= 8, F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("long_word_share"),
+            F.max("wl").cast("bigint").alias("max_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def media_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15 — content-defined chunk dedup savings per source: split
+    each payload into fixed 64-char chunks, count total vs distinct
+    chunk signatures, and report the storage-savings rate a
+    chunk-level CAS (content-addressed store) would achieve. The
+    storage-planning companion to G7's frame-level pair detection —
+    savings, not pairs.
+
+    Payloads use the ASCII projection of the text (the G7 discipline)
+    so the oracle's character grid is byte-exact on any corpus.
+
+    Plan: bounded fan-out explode (len/64 chunks per doc), one
+    (source, md5) distinct-count aggregate — only 32-char hashes
+    shuffle, never payloads.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.regexp_replace("text", r"[^\x00-\x7F]", "?").alias("t"),
+    )
+    chunks = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "sequence(0,"
+                " greatest(0, cast(floor((length(t) - 1) / 64) as int)))"
+            )
+        ).alias("i"),
+        "t",
+    ).select(
+        "source",
+        F.md5(F.expr("substring(t, i * 64 + 1, 64)")).alias("sig"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("sig").cast("bigint").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("sig").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dedup_savings"),
+        )
+        .orderBy("source")
     )

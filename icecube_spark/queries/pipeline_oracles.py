@@ -1707,3 +1707,21 @@ ORACLES["split_length_parity"] = f"""
                - LEAST(train_share, val_share, test_share) AS max_share_gap
     FROM pivoted ORDER BY band
 """
+
+ORACLES["prefix_collision_curve"] = """
+    WITH ks AS (SELECT UNNEST([8, 16, 32, 64]) AS k),
+    pref AS (
+        SELECT k, substr(text, 1, k) AS prefix
+        FROM documents CROSS JOIN ks),
+    grp AS (
+        SELECT k, prefix, COUNT(*) AS n_docs
+        FROM pref GROUP BY 1, 2)
+    SELECT k,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_docs_colliding,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_collision_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n_docs) AS DOUBLE) AS collision_rate
+    FROM grp GROUP BY 1 ORDER BY k
+"""

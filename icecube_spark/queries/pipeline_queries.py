@@ -1035,3 +1035,41 @@ def split_length_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "test_share",
         (mx - mn).alias("max_share_gap"),
     ).orderBy("band")
+
+
+def prefix_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P74 — prefix-dedup tuning curve: at prefix lengths 8/16/32/64
+    chars, how many documents collide with at least one other doc on
+    their prefix, in how many collision groups, and the collision
+    rate. Reads as "what would a prefix-hash dedup at k catch" — the
+    document twin of G5's media prefix dedup, computed for all four
+    k in one pass via a tiny broadcast fan-out.
+
+    Plan: docs x 4 literal rows -> (k, prefix) count aggregate ->
+    4-row rollup. Only (k, prefix-hash) pairs shuffle; Zipf-headed
+    boilerplate prefixes concentrate but stay one group each.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    ks = spark.createDataFrame([(8,), (16,), (32,), (64,)], "k int")
+    pref = docs.crossJoin(F.broadcast(ks)).select(
+        "k", F.expr("substring(text, 1, k)").alias("prefix")
+    )
+    groups = pref.groupBy("k", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        groups.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(F.lit(0)))
+            .cast("bigint").alias("n_docs_colliding"),
+            F.sum(F.when(F.col("n_docs") > 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint").alias("n_collision_groups"),
+            (
+                F.sum(
+                    F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("collision_rate"),
+        )
+        .orderBy("k")
+    )

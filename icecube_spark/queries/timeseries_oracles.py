@@ -2859,3 +2859,63 @@ ORACLES["lifecycle_value_curve"] = """
                / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS value_per_user
     FROM aged GROUP BY 1 ORDER BY week_age
 """
+
+ORACLES["weekend_lift"] = """
+    WITH tagged AS (
+        SELECT event_type,
+               dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6) AS wknd,
+               value
+        FROM events),
+    per AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN NOT wknd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_weekday,
+               CAST(SUM(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_weekend,
+               CAST(SUM(CASE WHEN NOT wknd
+                             THEN CAST(value AS DECIMAL(18,8)) END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN NOT wknd THEN 1 END) AS DOUBLE)
+                   AS weekday_mean,
+               CAST(SUM(CASE WHEN wknd
+                             THEN CAST(value AS DECIMAL(18,8)) END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN wknd THEN 1 END) AS DOUBLE)
+                   AS weekend_mean
+        FROM tagged GROUP BY 1)
+    SELECT event_type, n_weekday, n_weekend, weekday_mean, weekend_mean,
+           weekend_mean / weekday_mean AS weekend_lift
+    FROM per ORDER BY event_type
+"""
+
+ORACLES["type_mix_entropy_trend"] = """
+    WITH per AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    daily AS (
+        SELECT day, SUM(n) AS total,
+               SUM(CASE WHEN n > 1
+                        THEN CAST(FLOOR(CAST(n AS DOUBLE)
+                                        * ln(CAST(n AS DOUBLE)) * 1e6)
+                                  AS BIGINT)
+                        ELSE 0 END) AS s
+        FROM per GROUP BY 1),
+    q AS (
+        SELECT datediff('day', DATE '2024-01-01', day) AS x,
+               CAST(FLOOR((ln(CAST(total AS DOUBLE))
+                           - CAST(s AS DOUBLE) / CAST(total AS DOUBLE) / 1e6)
+                          * 1e6) AS BIGINT) AS qh
+        FROM daily),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(qh) AS BIGINT) AS sy,
+               CAST(SUM(x * qh) AS BIGINT) AS sxy
+        FROM q)
+    SELECT n_days,
+           CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 AS mean_entropy,
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+               / CAST(n_days * sxx - sx * sx AS DOUBLE) / 1e6
+               AS entropy_slope_per_day
+    FROM stats
+"""

@@ -2261,3 +2261,105 @@ def lifecycle_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_age")
     )
+
+
+def weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113 — weekend engagement lift per event type: weekday vs
+    weekend event counts and mean values, and the weekend/weekday
+    value ratio. The day-class contrast every traffic-shaping and
+    capacity plan starts from — coarser than C99's full dow-hour
+    surface, but directly actionable (one number per type).
+
+    Exactness: conditional means fold DECIMAL(18,8) sums over exact
+    counts; the lift divides two such doubles.
+
+    Plan: ONE (event_type) aggregate with conditional folds — no
+    second pass, no join; groups bounded by the type vocabulary.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    wknd = F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7)
+    dec = F.col("value").cast("decimal(18,8)")
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.when(~wknd, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_weekday"),
+        F.sum(F.when(wknd, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_weekend"),
+        (
+            F.sum(F.when(~wknd, dec)).cast("double")
+            / F.sum(F.when(~wknd, F.lit(1))).cast("double")
+        ).alias("weekday_mean"),
+        (
+            F.sum(F.when(wknd, dec)).cast("double")
+            / F.sum(F.when(wknd, F.lit(1))).cast("double")
+        ).alias("weekend_mean"),
+    )
+    return per.select(
+        "event_type", "n_weekday", "n_weekend", "weekday_mean",
+        "weekend_mean",
+        (F.col("weekend_mean") / F.col("weekday_mean")).alias("weekend_lift"),
+    ).orderBy("event_type")
+
+
+def type_mix_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C114 — is the event-type mix homogenizing or diversifying?
+    Daily Shannon entropy of the type distribution (micro-nat
+    quantized) and its OLS slope over the day axis, one summary row.
+    A collapsing mix (negative slope) usually means one producer is
+    drowning the stream — the temporal twin of P10's static source
+    mix.
+
+    Exactness: per-day entropy uses the F45/G11 integer scheme
+    (floor(n·ln n·1e6) folds, H = ln(total) − s/total/1e6, floored to
+    micro-nats); the slope runs the C15 normal-equation integer folds
+    on (day index, micro-nat) pairs — no decimal casts anywhere.
+
+    Plan: one (day, type) aggregate, one day rollup (31 rows), one
+    1-row summary.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = per.groupBy("day").agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.floor(
+                    F.col("n").cast("double")
+                    * F.log(F.col("n").cast("double")) * F.lit(1e6)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("s"),
+    )
+    q = daily.select(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),
+        F.floor(
+            (
+                F.log(F.col("total").cast("double"))
+                - F.col("s").cast("double") / F.col("total").cast("double")
+                / F.lit(1e6)
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("qh"),
+    )
+    stats = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("qh").alias("sy"),
+        F.sum(F.col("x") * F.col("qh")).alias("sxy"),
+    )
+    n = F.col("n_days")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "n_days",
+        (
+            F.col("sy").cast("double") / n.cast("double") / F.lit(1e6)
+        ).alias("mean_entropy"),
+        (
+            num.cast("double") / den.cast("double") / F.lit(1e6)
+        ).alias("entropy_slope_per_day"),
+    )
