@@ -3630,3 +3630,83 @@ def part_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_suppliers")
     )
+
+
+def order_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B77 — order-intake day-of-week profile: orders, revenue, and
+    revenue share per weekday. The intake-calendar read a fulfillment
+    capacity plan starts from — the order-date twin of C113's
+    event-side weekend lift.
+
+    Exactness: revenue folds micro-quantized o_totalprice cents;
+    shares divide exact sums; dow is Sunday-first 1-7 in both
+    engines.
+
+    Plan: ONE 7-group aggregate, map-side combined; the share window
+    runs on the 7-row frame.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.dayofweek(F.col("o_orderdate").cast("timestamp")).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+        ).alias("rev_c"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_orders",
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(wall).cast("double")
+        ).alias("revenue_share"),
+    ).orderBy("dow")
+
+
+def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B78 — price realization per brand: the mean realized unit
+    price (discounted extendedprice / quantity) against the brand's
+    mean list (retail) price, and the realization ratio. Brands
+    realizing well below list are over-discounted — the commercial
+    lever B41's elasticity quantifies, read per brand.
+
+    Exactness: unit prices quantize per line to micro-units before
+    folding; retail means fold DECIMAL(18,8); the ratio divides two
+    exact-fold doubles.
+
+    Plan: lineitem joins part on partkey (one shuffle each side —
+    at scale, bucket both by partkey to make it co-located), then
+    ONE brand aggregate.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    j = li.join(
+        part.select("p_partkey", "p_brand", "p_retailprice"),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    qunit = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        / F.col("l_quantity") * F.lit(1e6)
+    ).cast("bigint")
+    per = j.select(
+        "p_brand", qunit.alias("qu"),
+        F.col("p_retailprice").cast("decimal(18,8)").alias("rp"),
+    ).groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        (
+            F.sum("qu").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+        ).alias("mean_unit_price"),
+        (
+            F.sum("rp").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_retail_price"),
+    )
+    return per.select(
+        "p_brand", "n_lines", "mean_unit_price", "mean_retail_price",
+        (
+            F.col("mean_unit_price") / F.col("mean_retail_price")
+        ).alias("realization_ratio"),
+    ).orderBy("p_brand")

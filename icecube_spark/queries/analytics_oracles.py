@@ -1745,3 +1745,37 @@ ORACLES["part_supplier_cardinality"] = """
                AS mean_part_revenue
     FROM per_part GROUP BY 1 ORDER BY n_suppliers
 """
+
+ORACLES["order_dow_profile"] = """
+    WITH per AS (
+        SELECT CAST(dayofweek(CAST(o_orderdate AS TIMESTAMP)) + 1 AS INT)
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1)
+    SELECT dow, n_orders,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE)
+               AS revenue_share
+    FROM per ORDER BY dow
+"""
+
+ORACLES["brand_price_realization"] = """
+    WITH j AS (
+        SELECT p.p_brand,
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                          / l.l_quantity * 1e6) AS BIGINT) AS qu,
+               CAST(p.p_retailprice AS DECIMAL(18,8)) AS rp
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    per AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(qu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                   AS mean_unit_price,
+               CAST(SUM(rp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_retail_price
+        FROM j GROUP BY 1)
+    SELECT p_brand, n_lines, mean_unit_price, mean_retail_price,
+           mean_unit_price / mean_retail_price AS realization_ratio
+    FROM per ORDER BY p_brand
+"""

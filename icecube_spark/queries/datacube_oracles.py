@@ -1699,3 +1699,66 @@ ORACLES["cube_hist_modes"] = """
                AS is_mode
     FROM hist ORDER BY bin
 """
+
+ORACLES["cube_row_runs"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    med AS (
+        SELECT q AS median_q FROM (
+            SELECT q, ROW_NUMBER() OVER (ORDER BY q, x, y) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM cells)
+        WHERE rk = (n + 1) // 2),
+    above AS (
+        SELECT x, y FROM cells CROSS JOIN med WHERE q > median_q),
+    islands AS (
+        SELECT y, x - ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) AS grp
+        FROM above),
+    runs AS (
+        SELECT y, grp, COUNT(*) AS run_len FROM islands GROUP BY 1, 2)
+    SELECT y,
+           CAST(SUM(run_len) AS BIGINT) AS n_above,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY 1 ORDER BY y
+"""
+
+ORACLES["cube_anisotropy"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY 1, 2),
+    contrib AS (
+        SELECT x + r.dx AS tx, y + r.dy AS ty, r.role, v
+        FROM cells, (VALUES (1, 0, 'west'), (-1, 0, 'east'),
+                            (0, 1, 'south'), (0, -1, 'north'))
+             r(dx, dy, role)),
+    nb AS (
+        SELECT tx, ty,
+               MAX(CASE WHEN role = 'west' THEN v END) AS w,
+               MAX(CASE WHEN role = 'east' THEN v END) AS e,
+               MAX(CASE WHEN role = 'south' THEN v END) AS s,
+               MAX(CASE WHEN role = 'north' THEN v END) AS n
+        FROM contrib GROUP BY 1, 2
+        HAVING MAX(CASE WHEN role = 'west' THEN v END) IS NOT NULL
+           AND MAX(CASE WHEN role = 'east' THEN v END) IS NOT NULL
+           AND MAX(CASE WHEN role = 'south' THEN v END) IS NOT NULL
+           AND MAX(CASE WHEN role = 'north' THEN v END) IS NOT NULL),
+    tagged AS (
+        SELECT CAST((tx // 25) * 2 + (ty // 25) AS INT) AS quadrant,
+               CAST(FLOOR(abs((e - w) / 2.0) * 1e6) AS BIGINT) AS qgx,
+               CAST(FLOOR(abs((n - s) / 2.0) * 1e6) AS BIGINT) AS qgy
+        FROM nb)
+    SELECT quadrant,
+           CAST(COUNT(*) AS BIGINT) AS n_interior,
+           CAST(SUM(qgx) AS DOUBLE) / 1e6 AS h_energy,
+           CAST(SUM(qgy) AS DOUBLE) / 1e6 AS v_energy,
+           CAST(SUM(qgx) AS DOUBLE) / CAST(GREATEST(SUM(qgy), 1) AS DOUBLE)
+               AS anisotropy
+    FROM tagged GROUP BY 1 ORDER BY quadrant
+"""

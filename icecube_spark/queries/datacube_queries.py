@@ -3544,3 +3544,126 @@ def cube_hist_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_mode"),
     )
     return flagged.orderBy("bin")
+
+
+def cube_row_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67 — per-row bright-streak profile: for every grid row, the
+    count of above-median cells and the LONGEST CONSECUTIVE run of
+    them. Long contiguous runs along the range axis are the azimuth-
+    ambiguity / RFI streak signature a QC pass flags before the row
+    enters a composite (A57 destripe removes smooth gain bands, not
+    streaks).
+
+    Exactness: the global median is an exact rank pick on the
+    micro-quantized cell means (the A64 scheme); run detection is
+    gaps-and-islands integer arithmetic (x - row_number), no floats.
+
+    Plan: one cell aggregate, one rank window for the median
+    (grid-bounded), one per-row islands window, one 50-row rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    wr = Window.partitionBy().orderBy("q", "x", "y")
+    wall = Window.partitionBy()
+    med = (
+        cells.select(
+            "q",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select(F.col("q").alias("median_q"))
+    )
+    above = (
+        cells.crossJoin(F.broadcast(med))
+        .where(F.col("q") > F.col("median_q"))
+        .select("x", "y")
+    )
+    wy = Window.partitionBy("y").orderBy("x")
+    islands = above.select(
+        "y", (F.col("x") - F.row_number().over(wy)).alias("grp")
+    )
+    runs = islands.groupBy("y", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_row = runs.groupBy("y").agg(
+        F.sum("run_len").cast("bigint").alias("n_above"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    )
+    return per_row.orderBy("y")
+
+
+def cube_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68 — directional texture anisotropy per quadrant: total
+    horizontal vs vertical central-difference gradient energy and
+    their ratio. Range-direction energy dominating azimuth (or vice
+    versa) is the layover/foreshortening texture signature; isotropy
+    ~1 means the quadrant is texture-neutral. Complements A63's
+    orientation histogram with a single physical number per region.
+
+    Exactness: per-cell |gradient| halves quantize to BIGINT
+    micro-units; quadrant sums are exact integer folds; one final
+    IEEE division.
+
+    Plan: the shared 4-role stencil (cell collapse → directed
+    contributions → one role pivot → center join), then a 4-row
+    aggregate. Shuffle = 4 x grid cells at any SF.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(davg("value").alias("v"))
+    roles = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("west").alias("role")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit("east").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                 F.lit("south").alias("role")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy"),
+                 F.lit("north").alias("role")),
+    )
+    contrib = cells.select(
+        "x", "y", "v", F.explode(roles).alias("r")
+    ).select(
+        (F.col("x") + F.col("r.dx")).alias("tx"),
+        (F.col("y") + F.col("r.dy")).alias("ty"),
+        F.col("r.role").alias("role"),
+        "v",
+    )
+    nb = contrib.groupBy("tx", "ty").agg(
+        F.max(F.when(F.col("role") == "west", F.col("v"))).alias("w"),
+        F.max(F.when(F.col("role") == "east", F.col("v"))).alias("e"),
+        F.max(F.when(F.col("role") == "south", F.col("v"))).alias("s"),
+        F.max(F.when(F.col("role") == "north", F.col("v"))).alias("n"),
+    ).where(
+        F.col("w").isNotNull() & F.col("e").isNotNull()
+        & F.col("s").isNotNull() & F.col("n").isNotNull()
+    )
+    qgx = F.floor(F.abs((F.col("e") - F.col("w")) / F.lit(2.0)) * F.lit(1e6)).cast("bigint")
+    qgy = F.floor(F.abs((F.col("n") - F.col("s")) / F.lit(2.0)) * F.lit(1e6)).cast("bigint")
+    tagged = nb.select(
+        (
+            (F.col("tx") / 25).cast("bigint") * 2
+            + (F.col("ty") / 25).cast("bigint")
+        ).cast("int").alias("quadrant"),
+        qgx.alias("qgx"),
+        qgy.alias("qgy"),
+    )
+    return (
+        tagged.groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_interior"),
+            (F.sum("qgx").cast("double") / F.lit(1e6)).alias("h_energy"),
+            (F.sum("qgy").cast("double") / F.lit(1e6)).alias("v_energy"),
+            (
+                F.sum("qgx").cast("double")
+                / F.greatest(F.sum("qgy"), F.lit(1)).cast("double")
+            ).alias("anisotropy"),
+        )
+        .orderBy("quadrant")
+    )

@@ -3852,3 +3852,70 @@ ORACLES["media_chunk_dedup_rate"] = """
                / CAST(COUNT(*) AS DOUBLE) AS dedup_savings
     FROM chunks GROUP BY 1 ORDER BY source
 """
+
+ORACLES["normalization_dup_gain"] = """
+    WITH raw AS (
+        SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS raw_dup_docs,
+               CAST(COUNT(*) AS BIGINT) AS raw_groups
+        FROM (SELECT md5(text) AS h, COUNT(*) AS c
+              FROM documents GROUP BY 1)),
+    norm AS (
+        SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS norm_dup_docs,
+               CAST(COUNT(*) AS BIGINT) AS norm_groups
+        FROM (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                         AS h,
+                     COUNT(*) AS c
+              FROM documents GROUP BY 1)),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT n_docs, raw_dup_docs, norm_dup_docs,
+           CAST(norm_dup_docs - raw_dup_docs AS BIGINT)
+               AS normalization_gain,
+           raw_groups, norm_groups
+    FROM total CROSS JOIN raw CROSS JOIN norm
+"""
+
+ORACLES["label_quantization_distortion"] = """
+    WITH anchors AS (
+        SELECT CAST(vec_id AS INT) AS aid, embedding AS avec
+        FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT v.vec_id, v.label,
+               list_sum([CAST(floor(
+                   (CAST(v.embedding[j] AS DOUBLE) - CAST(a.avec[j] AS DOUBLE))
+                   * (CAST(v.embedding[j] AS DOUBLE) - CAST(a.avec[j] AS DOUBLE))
+                   * 1e12) AS BIGINT)
+                 FOR j IN range(1, 65)]) AS qd
+        FROM embeddings v CROSS JOIN anchors a
+        WHERE v.vec_id != a.aid),
+    best AS (
+        SELECT vec_id, label, MIN(qd) AS d1 FROM d GROUP BY 1, 2)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(d1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12
+               AS mean_distortion,
+           CAST(MAX(d1) AS DOUBLE) / 1e12 AS max_distortion
+    FROM best GROUP BY 1 ORDER BY label
+"""
+
+ORACLES["media_size_profile"] = """
+    WITH ranked AS (
+        SELECT source, b,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY b, doc_id)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM (SELECT source, doc_id,
+                     CAST(strlen(text) AS BIGINT) AS b
+              FROM documents))
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS total_bytes,
+           CAST(MAX(CASE WHEN rk = GREATEST(1, (50 * n) // 100)
+                         THEN b END) AS BIGINT) AS p50_bytes,
+           CAST(MAX(CASE WHEN rk = GREATEST(1, (90 * n) // 100)
+                         THEN b END) AS BIGINT) AS p90_bytes,
+           CAST(SUM(CASE WHEN b > 4096 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS oversize_share
+    FROM ranked GROUP BY 1 ORDER BY source
+"""

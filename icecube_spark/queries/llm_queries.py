@@ -3,7 +3,7 @@ embeddings."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icecube_spark import catalog
@@ -1770,6 +1770,135 @@ def media_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.countDistinct("sig").cast("double")
                 / F.count(F.lit(1)).cast("double")
             ).alias("dedup_savings"),
+        )
+        .orderBy("source")
+    )
+
+
+def normalization_dup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D23 — what does text normalization buy the exact-dup pass?
+    Duplicate-doc counts under raw md5(text) vs md5(normalized text)
+    (lowercase + whitespace collapse, the D1 pipeline's NORM), and
+    the gain. If the gain is large, the corpus is full of
+    near-identical casing/spacing variants and the campaign should
+    normalize BEFORE hashing; if ~0, raw hashing suffices and the
+    normalize pass can be dropped.
+
+    Plan: two digest-only aggregates over the corpus (32-byte hashes
+    shuffle, never text), one 1-row summary.
+    """
+    from icecube_spark.operators.dedup import NORM
+
+    docs = _docs(spark, sf_dir)
+    raw = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint").alias("raw_dup_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("raw_groups"),
+        )
+    )
+    norm = (
+        docs.groupBy(
+            F.md5(F.expr(NORM.format(col="text"))).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint").alias("norm_dup_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("norm_groups"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        total.crossJoin(raw).crossJoin(norm)
+        .select(
+            "n_docs", "raw_dup_docs", "norm_dup_docs",
+            (F.col("norm_dup_docs") - F.col("raw_dup_docs"))
+            .cast("bigint").alias("normalization_gain"),
+            "raw_groups", "norm_groups",
+        )
+    )
+
+
+def label_quantization_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47 — per-label quantization distortion: the mean quantized
+    squared distance from each vector to its nearest anchor (the E46
+    anchor set), per label. A label whose members sit far from every
+    anchor is under-represented by the coarse quantizer and will
+    probe poorly — the class-level fairness read beside E46's global
+    margin histogram.
+
+    Plan: broadcast anchors, map-side distance fan-in (min over 8
+    folds per vector), one label aggregate.
+    """
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("aid"),
+        F.col("embedding").alias("avec"),
+    )
+    d = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("aid"))
+        .select(
+            "vec_id", "label",
+            similarity.qdist_expr("embedding", "avec").alias("qd"),
+        )
+    )
+    best = d.groupBy("vec_id", "label").agg(F.min("qd").alias("d1"))
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (
+                F.sum("d1").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e12)
+            ).alias("mean_distortion"),
+            (F.max("d1").cast("double") / F.lit(1e12)).alias("max_distortion"),
+        )
+        .orderBy("label")
+    )
+
+
+def media_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16 — payload size profile per source: exact p50/p90 byte
+    sizes (rank picks on UTF-8 byte lengths) and the oversize share
+    (> 4 KiB). The shard-packing and transfer-budget read an ingest
+    plan needs per source before moving any actual media bytes.
+
+    Plan: byte lengths only (never payloads); one rank window per
+    source, one source rollup.
+    """
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("b", "doc_id")
+    sized = docs.select(
+        "source", "doc_id", F.octet_length("text").cast("bigint").alias("b")
+    )
+    ranked = sized.select(
+        "source", "b",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.sum("b").cast("bigint").alias("total_bytes"),
+            F.max(
+                F.when(F.col("rk") == F.expr("greatest(1, (50 * n) div 100)"),
+                       F.col("b"))
+            ).cast("bigint").alias("p50_bytes"),
+            F.max(
+                F.when(F.col("rk") == F.expr("greatest(1, (90 * n) div 100)"),
+                       F.col("b"))
+            ).cast("bigint").alias("p90_bytes"),
+            (
+                F.sum(
+                    F.when(F.col("b") > 4096, F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oversize_share"),
         )
         .orderBy("source")
     )

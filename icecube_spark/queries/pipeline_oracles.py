@@ -1725,3 +1725,20 @@ ORACLES["prefix_collision_curve"] = """
                / CAST(SUM(n_docs) AS DOUBLE) AS collision_rate
     FROM grp GROUP BY 1 ORDER BY k
 """
+
+ORACLES["length_band_dup_rate"] = """
+    WITH grp AS (
+        SELECT CASE WHEN n_chars < 500 THEN 0
+                    WHEN n_chars < 2000 THEN 1
+                    WHEN n_chars < 8000 THEN 2
+                    ELSE 3 END AS band,
+               md5(text) AS h, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2)
+    SELECT band,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS dup_rate
+    FROM grp GROUP BY 1 ORDER BY band
+"""

@@ -1073,3 +1073,41 @@ def prefix_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def length_band_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P75 — exact-dup rate per document-length band (<500 / <2000 /
+    <8000 / >=8000 chars): doc counts, duplicated-doc counts, and the
+    band dup rate. Templates and boilerplate concentrate in specific
+    length bands; this tells the campaign WHERE the dup mass lives
+    (D21 answers the pair-level length-bias question; this is the
+    corpus-level rate view).
+
+    Plan: one digest aggregate keyed on (band, md5) — hashes only —
+    then a 4-row rollup.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 500, F.lit(0))
+        .when(F.col("n_chars") < 2000, F.lit(1))
+        .when(F.col("n_chars") < 8000, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    groups = docs.select(band.alias("band"), F.md5("text").alias("h")).groupBy(
+        "band", "h"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        groups.groupBy("band")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint").alias("dup_docs"),
+            (
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("band")
+    )

@@ -2919,3 +2919,53 @@ ORACLES["type_mix_entropy_trend"] = """
                AS entropy_slope_per_day
     FROM stats
 """
+
+ORACLES["gap_regularity"] = """
+    WITH gaps AS (
+        SELECT event_type, user_id,
+               (epoch_us(lead(ts) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id))
+                - epoch_us(ts)) // 60000000 AS g
+        FROM events),
+    mom AS (
+        SELECT event_type, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2 AND SUM(g) > 0),
+    scored AS (
+        SELECT event_type,
+               CAST(FLOOR(sqrt(GREATEST(0e0,
+                   CAST(n * sgg - sg * sg AS DOUBLE)))
+                   / CAST(sg AS DOUBLE) * 1e6) AS BIGINT) AS qcv
+        FROM mom)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(qcv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS mean_cv,
+           CAST(SUM(CASE WHEN qcv < 500000 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS regular_share
+    FROM scored GROUP BY 1 ORDER BY event_type
+"""
+
+ORACLES["daily_new_returning"] = """
+    WITH days AS (
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events),
+    first AS (
+        SELECT user_id, MIN(day) AS first_day FROM days GROUP BY 1),
+    tagged AS (
+        SELECT d.day, d.day = f.first_day AS is_new
+        FROM days d JOIN first f USING (user_id))
+    SELECT day,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_user_events,
+           CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_events,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS new_share
+    FROM tagged GROUP BY 1 ORDER BY day
+"""

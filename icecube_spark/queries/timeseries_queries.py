@@ -2363,3 +2363,115 @@ def type_mix_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double") / F.lit(1e6)
         ).alias("entropy_slope_per_day"),
     )
+
+
+def gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C115 — per-type arrival regularity: for users with >= 3 events
+    of a type, the coefficient of variation of their inter-arrival
+    gaps (minutes), averaged per type, plus the share of "regular"
+    users (CV < 0.5). Regular arrivals are schedulers/bots; bursty
+    ones are humans — the per-user companion to C86's global
+    interarrival fit.
+
+    Exactness: gaps floor to whole minutes (exact BIGINTs); CV uses
+    the integer normal-equation moments (n·Σg² − (Σg)², minute scale
+    keeps every product < 2^63 at any SF) with one sqrt/div at the
+    end; per-type means fold floor(CV·1e6) integers.
+
+    Plan: one (type, user) ordered window for gaps, one (type, user)
+    moment aggregate, one type rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt = F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+    gaps = (
+        ev.select(
+            "event_type", "user_id",
+            F.expr(
+                "(({nxt}) - ({us})) div 60000000".format(
+                    nxt="unix_micros(cast(lead(ts) over "
+                        "(partition by event_type, user_id "
+                        "order by ts, event_id) as timestamp))",
+                    us="unix_micros(cast(ts as timestamp))",
+                )
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    mom = gaps.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    ).where((F.col("n") >= 2) & (F.col("sg") > 0))
+    qcv = F.floor(
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg"))
+                .cast("double"),
+            )
+        )
+        / F.col("sg").cast("double") * F.lit(1e6)
+    ).cast("bigint")
+    scored = mom.select("event_type", qcv.alias("qcv"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.sum("qcv").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+            ).alias("mean_cv"),
+            (
+                F.sum(
+                    F.when(F.col("qcv") < 500000, F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("regular_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C116 — growth quality per day: events attributable to users on
+    their FIRST active day vs returning users, and the new share.
+    A stream whose traffic is mostly first-day users is acquisition-
+    driven; mostly-returning is engagement-driven — the daily
+    decomposition behind C16's cohort matrix.
+
+    Exactness: counts only; the share divides exact counts.
+
+    Plan: one (user) min-day aggregate joined back on user (same
+    key — co-located at scale via bucketing), one day rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    # date_trunc (timestamp) not cast-to-DATE: Spark DATE comes back
+    # as pandas object dtype and hash-mismatches the oracle's datetime64
+    days = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = days.join(first, "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).alias("is_new")
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("is_new"), F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint").alias("new_user_events"),
+            F.sum(F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint").alias("returning_events"),
+            (
+                F.sum(
+                    F.when(F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
