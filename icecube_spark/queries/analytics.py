@@ -3710,3 +3710,48 @@ def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_unit_price") / F.col("mean_retail_price")
         ).alias("realization_ratio"),
     ).orderBy("p_brand")
+
+
+def priority_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B79 — order-value skew per priority class: order count, mean
+    value, exact p90 value (rank pick), and the p90/mean skew ratio.
+    Urgent classes carrying outsized order values change expedite
+    economics — the order-header view beside B69's line-level
+    residuals.
+
+    Exactness: values fold micro-quantized cents; p90 is an exact
+    rank pick with deterministic ties (value, orderkey).
+
+    Plan: one rank window per priority class, one 5-row rollup.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "qv", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias("qv"),
+    ).select(
+        "o_orderpriority", "qv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    per = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (
+            F.sum("qv").cast("double")
+            / F.max("n").cast("double") / F.lit(100.0)
+        ).alias("mean_value"),
+        (
+            F.max(
+                F.when(F.col("rk") == F.expr("greatest(1, (90 * n) div 100)"),
+                       F.col("qv"))
+            ).cast("double") / F.lit(100.0)
+        ).alias("p90_value"),
+    )
+    return per.select(
+        "o_orderpriority", "n_orders", "mean_value", "p90_value",
+        (F.col("p90_value") / F.col("mean_value")).alias("skew_ratio"),
+    ).orderBy("o_orderpriority")

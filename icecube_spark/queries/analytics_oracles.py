@@ -1779,3 +1779,25 @@ ORACLES["brand_price_realization"] = """
            mean_unit_price / mean_retail_price AS realization_ratio
     FROM per ORDER BY p_brand
 """
+
+ORACLES["priority_value_skew"] = """
+    WITH ranked AS (
+        SELECT o_orderpriority, qv,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY qv, o_orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM (SELECT o_orderpriority, o_orderkey,
+                     CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS qv
+              FROM orders)),
+    per AS (
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               CAST(SUM(qv) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) / 100.0
+                   AS mean_value,
+               CAST(MAX(CASE WHEN rk = GREATEST(1, (90 * n) // 100)
+                             THEN qv END) AS DOUBLE) / 100.0 AS p90_value
+        FROM ranked GROUP BY 1)
+    SELECT o_orderpriority, n_orders, mean_value, p90_value,
+           p90_value / mean_value AS skew_ratio
+    FROM per ORDER BY o_orderpriority
+"""

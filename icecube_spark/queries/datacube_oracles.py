@@ -1762,3 +1762,21 @@ ORACLES["cube_anisotropy"] = """
                AS anisotropy
     FROM tagged GROUP BY 1 ORDER BY quadrant
 """
+
+ORACLES["cube_symmetry_profile"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    top AS (SELECT x, y, q AS qa FROM cells WHERE y < 25),
+    bot AS (SELECT x, 49 - y AS y, q AS qb FROM cells WHERE y >= 25),
+    pairs AS (SELECT t.y, t.qa, b.qb
+              FROM top t JOIN bot b ON t.x = b.x AND t.y = b.y)
+    SELECT y,
+           CAST(COUNT(*) AS BIGINT) AS n_aligned,
+           CAST(SUM(abs(qa - qb)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS mean_abs_diff
+    FROM pairs GROUP BY 1 ORDER BY y
+"""

@@ -3667,3 +3667,40 @@ def cube_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quadrant")
     )
+
+
+def cube_symmetry_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A69 — vertical-mirror symmetry profile: for every row pair
+    (y, 49-y), the mean absolute difference of micro-quantized cell
+    means over aligned columns, plus the pair's aligned-cell count.
+    A strongly symmetric grid is a processing-artifact signature
+    (mirrored ghosting); the profile localizes WHICH rows mirror.
+
+    Exactness: |q_a - q_b| on exact BIGINTs; means divide exact sums.
+
+    Plan: the cell table self-joins on (x, mirrored y) — grid-bounded
+    both sides — then one 25-row rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    top = cells.where(F.col("y") < 25).select(
+        "x", "y", F.col("q").alias("qa")
+    )
+    bot = cells.where(F.col("y") >= 25).select(
+        "x", (F.lit(49) - F.col("y")).alias("y"), F.col("q").alias("qb")
+    )
+    pairs = top.join(bot, ["x", "y"])
+    return (
+        pairs.groupBy("y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_aligned"),
+            (
+                F.sum(F.abs(F.col("qa") - F.col("qb"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+            ).alias("mean_abs_diff"),
+        )
+        .orderBy("y")
+    )

@@ -3919,3 +3919,24 @@ ORACLES["media_size_profile"] = """
                / CAST(COUNT(*) AS DOUBLE) AS oversize_share
     FROM ranked GROUP BY 1 ORDER BY source
 """
+
+ORACLES["url_email_density"] = """
+    WITH per AS (
+        SELECT source,
+               CAST(length(regexp_extract_all(text, 'https?://[^ ]+'))
+                    AS BIGINT) AS u,
+               CAST(length(regexp_extract_all(text,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+'))
+                    AS BIGINT) AS e,
+               CAST(length(text) AS BIGINT) AS nc
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(u) AS BIGINT) AS n_urls,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(u + e) AS DOUBLE) * 1000.0 / CAST(SUM(nc) AS DOUBLE)
+               AS density_per_kchar,
+           CAST(SUM(CASE WHEN u > 0 OR e > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS doc_hit_share
+    FROM per GROUP BY 1 ORDER BY source
+"""

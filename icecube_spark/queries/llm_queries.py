@@ -1902,3 +1902,43 @@ def media_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def url_email_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F58 — link/contact density per source: URL-ish and email-ish
+    match counts per kilochar, and the share of docs containing any.
+    Link farms and scraped contact pages are quality-gate targets a
+    plain stopword/length filter misses; PII-bearing sources need the
+    P3 redaction pass first.
+
+    Plan: regexp_count arithmetic in codegen, one source aggregate.
+    Both engines' regex dialects treat these character-class patterns
+    identically (pinned by the 3-SF oracle sweep).
+    """
+    docs = _docs(spark, sf_dir)
+    urls = F.expr(r"regexp_count(text, 'https?://[^ ]+')")
+    emails = F.expr(
+        r"regexp_count(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+')"
+    )
+    per = docs.select(
+        "source",
+        urls.cast("bigint").alias("u"),
+        emails.cast("bigint").alias("e"),
+        F.length("text").cast("bigint").alias("nc"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("u").cast("bigint").alias("n_urls"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        (
+            F.sum(F.col("u") + F.col("e")).cast("double") * F.lit(1000.0)
+            / F.sum("nc").cast("double")
+        ).alias("density_per_kchar"),
+        (
+            F.sum(
+                F.when((F.col("u") > 0) | (F.col("e") > 0), F.lit(1))
+                .otherwise(F.lit(0))
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("doc_hit_share"),
+    )
+    return per.orderBy("source")

@@ -1742,3 +1742,15 @@ ORACLES["length_band_dup_rate"] = """
                / CAST(SUM(c) AS DOUBLE) AS dup_rate
     FROM grp GROUP BY 1 ORDER BY band
 """
+
+ORACLES["id_continuity_audit"] = """
+    WITH per AS (
+        SELECT doc_id // 1000 AS block, doc_id FROM documents)
+    SELECT CAST(block AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(MAX(doc_id) - MIN(doc_id) + 1 - COUNT(DISTINCT doc_id)
+                AS BIGINT) AS n_gaps,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_ids
+    FROM per GROUP BY 1 ORDER BY block
+"""

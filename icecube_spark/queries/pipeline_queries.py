@@ -1111,3 +1111,31 @@ def length_band_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def id_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P76 — identifier continuity audit over the corpus id space:
+    per 1000-id block, expected vs present ids, gap count, and
+    duplicate-id count. Silent upstream drops and double-writes show
+    up as sparse or over-full blocks — the cheap ingest invariant a
+    pipeline asserts before anything downstream trusts doc_id joins.
+
+    Plan: one (block) aggregate over ids only; map-side combined;
+    block count bounded by id-space/1000.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    per = docs.select(
+        (F.col("doc_id") / 1000).cast("bigint").alias("block"),
+        "doc_id",
+    ).groupBy("block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_ids"),
+        F.min("doc_id").cast("bigint").alias("id_lo"),
+        F.max("doc_id").cast("bigint").alias("id_hi"),
+    )
+    return per.select(
+        "block", "n_rows", "n_ids",
+        (F.col("id_hi") - F.col("id_lo") + 1 - F.col("n_ids"))
+        .cast("bigint").alias("n_gaps"),
+        (F.col("n_rows") - F.col("n_ids")).cast("bigint").alias("n_dup_ids"),
+    ).orderBy("block")

@@ -2969,3 +2969,23 @@ ORACLES["daily_new_returning"] = """
                / CAST(COUNT(*) AS DOUBLE) AS new_share
     FROM tagged GROUP BY 1 ORDER BY day
 """
+
+ORACLES["round_value_bias"] = """
+    WITH per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(CASE WHEN c % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mult10,
+               CAST(SUM(CASE WHEN c % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mult100
+        FROM (SELECT event_type,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS c
+              FROM events)
+        GROUP BY 1)
+    SELECT event_type, n_values, n_mult10, n_mult100,
+           CAST(n_mult10 AS DOUBLE) / CAST(n_values AS DOUBLE)
+               AS mult10_share,
+           CAST(n_mult100 AS DOUBLE) / CAST(n_values AS DOUBLE)
+               AS mult100_share
+    FROM per ORDER BY event_type
+"""

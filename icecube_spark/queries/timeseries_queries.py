@@ -2475,3 +2475,37 @@ def daily_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def round_value_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C117 — round-number bias per event type: the share of values
+    landing exactly on multiples of 10 and of 100 (cent precision).
+    Human-entered and synthetic values cluster on round numbers;
+    organic measurements don't — the complement to C67's Benford
+    first-digit test for fraud/synthetic-data triage.
+
+    Exactness: values quantize to exact cents; multiples are integer
+    modulo tests; shares divide exact counts.
+
+    Plan: ONE map-side-combinable aggregate per type.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0)).cast("bigint")
+    per = ev.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(
+            F.when(F.col("c") % 1000 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_mult10"),
+        F.sum(
+            F.when(F.col("c") % 10000 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_mult100"),
+    )
+    return per.select(
+        "event_type", "n_values", "n_mult10", "n_mult100",
+        (
+            F.col("n_mult10").cast("double") / F.col("n_values").cast("double")
+        ).alias("mult10_share"),
+        (
+            F.col("n_mult100").cast("double") / F.col("n_values").cast("double")
+        ).alias("mult100_share"),
+    ).orderBy("event_type")
