@@ -933,9 +933,13 @@ def pagerank(
     across iterations (one repartition up front makes every ranks
     join a local co-partitioned join).
 
-    Rows-only key: iterative fixpoints have no single-query SQL twin;
-    the pytest twin replays the same fold in numpy and matches to
-    1e-12.
+    Exactness (the exact-Lloyd discipline, operators/ivf.py): ranks
+    live as pico-unit BIGINTs (floor(rank·1e12)); every per-edge
+    contribution floors frac·qrank into an integer before the dst
+    aggregation, so the reduction is order-free and the whole
+    fixpoint is bit-reproducible by an unrolled SQL twin — the
+    DuckDB oracle replays all iterations as CTEs. Masses stay ≤ 1e12
+    so every BIGINT→DOUBLE conversion is exact in both engines.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -960,31 +964,42 @@ def pagerank(
     dangling_nodes = nodes.join(
         out_w, nodes.node == out_w.src, "left_anti"
     ).persist()
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    import math
+
+    # pico-unit integer ranks; base/damping literals are single
+    # Python doubles so both engines see one unambiguous op order
+    base = (1.0 - damping) / n_nodes * 1e12
+    ranks = nodes.select(
+        "node", F.lit(int(math.floor(1e12 / n_nodes))).cast("bigint").alias("qr")
+    )
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .select("dst", (F.col("frac") * F.col("rank")).alias("c"))
+            .select(
+                "dst",
+                F.floor(F.col("frac") * F.col("qr").cast("double"))
+                .cast("bigint").alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("received"))
         )
         # dangling mass: rank held by nodes with no out-edges
         dangling = ranks.join(F.broadcast(dangling_nodes), "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            F.coalesce(F.sum("qr"), F.lit(0)).cast("bigint").alias("dm")
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
+                F.floor(
+                    F.lit(base)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("received"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n_nodes))
+                        F.coalesce(F.col("received"), F.lit(0)).cast("double")
+                        + F.col("dm").cast("double") / F.lit(float(n_nodes))
                     )
-                ).alias("rank"),
+                ).cast("bigint").alias("qr"),
             )
         )
         # truncate lineage each pass: without this the final plan is
@@ -992,7 +1007,10 @@ def pagerank(
         # dominates wall time (the standard iterative-algorithm
         # checkpoint; at 100 TB this is a reliable-checkpoint to HDFS)
         ranks = ranks.localCheckpoint(eager=True)
-    return ranks.orderBy(F.desc("rank"), "node")
+    out = ranks.select(
+        "node", (F.col("qr").cast("double") / F.lit(1e12)).alias("rank")
+    )
+    return out.orderBy(F.desc("rank"), "node")
 
 
 def distributed_depth_cuts(

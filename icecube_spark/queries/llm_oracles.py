@@ -3631,10 +3631,15 @@ ORACLES["dup_cluster_purity"] = f"""
                / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS cluster_share
     FROM per_cluster GROUP BY 1 ORDER BY n_sources
 """
-from icecube_spark.queries.pipeline_oracles import ORACLES as _P_ORACLES
-ORACLES["dup_cluster_purity"] = ORACLES["dup_cluster_purity"].format(
-    cc_sql=_P_ORACLES["dedup_clusters"]
-)
+try:
+    from icecube_spark.queries.pipeline_oracles import ORACLES as _P_ORACLES
+    ORACLES["dup_cluster_purity"] = ORACLES["dup_cluster_purity"].format(
+        cc_sql=_P_ORACLES["dedup_clusters"]
+    )
+except ImportError:
+    # circular-import entry through pipeline_oracles: its module body
+    # is mid-initialization; its tail finishes this format instead
+    pass
 
 
 # --- IVF family (E4 embed_ann_ivf, E44 ivf_probe_curve) -------------

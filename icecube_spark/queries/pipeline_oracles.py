@@ -1754,3 +1754,65 @@ ORACLES["id_continuity_audit"] = """
            CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_ids
     FROM per GROUP BY 1 ORDER BY block
 """
+
+
+# --- P33 part_pagerank: unrolled quantized PageRank twin ------------
+# Mirrors operators/pipeline.pagerank's pico-unit integer fold
+# (floor(frac*qrank) per edge, exact BIGINT sums, one IEEE double
+# expression per update) so all 5 iterations are bit-reproducible.
+
+def _pagerank_ctes(iterations: int = 5) -> str:
+    parts = ["""lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+        FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+    ed AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM prs
+           UNION ALL SELECT pb, pa, w FROM prs),
+    outw AS MATERIALIZED (SELECT src, SUM(CAST(w AS DOUBLE)) AS out_w
+             FROM ed GROUP BY 1),
+    en AS MATERIALIZED (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.out_w AS frac
+           FROM ed e JOIN outw o USING (src)),
+    nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, CAST(FLOOR(1e12 / nn.n) AS BIGINT) AS qr
+           FROM nodes, nn)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+        SELECT e.dst,
+               SUM(CAST(FLOOR(e.frac * CAST(r.qr AS DOUBLE)) AS BIGINT))
+                   AS received
+        FROM en e JOIN r{i - 1} r ON e.src = r.node GROUP BY 1),
+    dm{i} AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(r.qr), 0) AS BIGINT) AS dm
+        FROM r{i - 1} r
+        WHERE r.node NOT IN (SELECT src FROM outw)),
+    r{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(FLOOR(((1e0 - 85e-2) / nn.n) * 1e12
+                    + 85e-2 * (CAST(COALESCE(c.received, 0) AS DOUBLE)
+                               + CAST(d.dm AS DOUBLE) / nn.n))
+                    AS BIGINT) AS qr
+        FROM nodes n
+        LEFT JOIN c{i} c ON n.node = c.dst, nn, dm{i} d)""")
+    return ",\n    ".join(parts)
+
+
+ORACLES["part_pagerank"] = f"""
+    WITH {_pagerank_ctes(5)}
+    SELECT node, CAST(qr AS DOUBLE) / 1e12 AS rank
+    FROM r5 ORDER BY rank DESC, node LIMIT 100
+"""
+
+
+# Close the llm_oracles <-> pipeline_oracles cycle: when THIS module
+# is imported first, llm_oracles could not format dup_cluster_purity
+# (dedup_clusters was not defined yet) — finish it here.
+from icecube_spark.queries import llm_oracles as _llm_mod  # noqa: E402
+
+if "{cc_sql}" in _llm_mod.ORACLES["dup_cluster_purity"]:
+    _llm_mod.ORACLES["dup_cluster_purity"] = (
+        _llm_mod.ORACLES["dup_cluster_purity"].format(
+            cc_sql=ORACLES["dedup_clusters"]
+        )
+    )

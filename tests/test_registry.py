@@ -14,15 +14,15 @@ def test_every_oracle_key_is_registered():
 def test_rows_only_keys_are_the_documented_set():
     qs = set(entry.queries())
     rows_only = qs - set(entry.oracle_sql())
-    # embed_ann_ivf / ivf_probe_curve left this set in round 5: the
-    # exact-Lloyd quantizer made the whole IVF family oracle-able.
+    # embed_ann_ivf / ivf_probe_curve / part_pagerank left this set
+    # in round 5: the exact-Lloyd/quantized-fold discipline made them
+    # oracle-able (unrolled CTE twins).
     assert rows_only == {
         "approx_quantiles",
         "text_features",
         "approx_profile",
         "multimodal_features",
         "embed_pca_top",
-        "part_pagerank",
         "mmr_diversify",
     }, f"unexpected rows-only keys: {sorted(rows_only)}"
     # every rows-only key must sit in the _NO_ORACLE tier so the
