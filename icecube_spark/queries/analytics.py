@@ -3755,3 +3755,37 @@ def priority_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "n_orders", "mean_value", "p90_value",
         (F.col("p90_value") / F.col("mean_value")).alias("skew_ratio"),
     ).orderBy("o_orderpriority")
+
+
+def discount_tax_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B80 — pricing-dimension independence audit: the joint
+    (discount band x tax band) line-count matrix with each cell's
+    lift over the independence expectation. Correlated rates mean the
+    two levers are being set together (one policy masquerading as
+    two) — the bigram-lift idea (F10) applied to pricing dimensions.
+
+    Exactness: bands are exact integer floors (percent / basis
+    points); lift divides exact counts via one double expression.
+
+    Plan: ONE (band, band) aggregate (grid-bounded groups), margins
+    via windows over the tiny frame.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.floor(F.col("l_discount") * F.lit(100.0)).cast("bigint").alias("disc_pct"),
+        F.floor(F.col("l_tax") * F.lit(100.0)).cast("bigint").alias("tax_pct"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    wd = Window.partitionBy("disc_pct")
+    wt = Window.partitionBy("tax_pct")
+    wall = Window.partitionBy()
+    return per.select(
+        "disc_pct", "tax_pct", "n_lines",
+        (
+            F.col("n_lines").cast("double")
+            * F.sum("n_lines").over(wall).cast("double")
+            / (
+                F.sum("n_lines").over(wd).cast("double")
+                * F.sum("n_lines").over(wt).cast("double")
+            )
+        ).alias("lift"),
+    ).orderBy("disc_pct", "tax_pct")

@@ -1801,3 +1801,18 @@ ORACLES["priority_value_skew"] = """
            p90_value / mean_value AS skew_ratio
     FROM per ORDER BY o_orderpriority
 """
+
+ORACLES["discount_tax_interaction"] = """
+    WITH per AS (
+        SELECT CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS disc_pct,
+               CAST(FLOOR(l_tax * 100.0) AS BIGINT) AS tax_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1, 2)
+    SELECT disc_pct, tax_pct, n_lines,
+           CAST(n_lines AS DOUBLE)
+               * CAST(SUM(n_lines) OVER () AS DOUBLE)
+               / (CAST(SUM(n_lines) OVER (PARTITION BY disc_pct) AS DOUBLE)
+                  * CAST(SUM(n_lines) OVER (PARTITION BY tax_pct) AS DOUBLE))
+               AS lift
+    FROM per ORDER BY disc_pct, tax_pct
+"""

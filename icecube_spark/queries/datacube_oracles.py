@@ -1780,3 +1780,32 @@ ORACLES["cube_symmetry_profile"] = """
                AS mean_abs_diff
     FROM pairs GROUP BY 1 ORDER BY y
 """
+
+ORACLES["cube_quadrant_quartiles"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT CAST((x // 25) * 2 + (y // 25) AS INT) AS quadrant, q,
+               ROW_NUMBER() OVER (
+                   PARTITION BY (x // 25) * 2 + (y // 25)
+                   ORDER BY q, x, y) AS rk,
+               COUNT(*) OVER (
+                   PARTITION BY (x // 25) * 2 + (y // 25)) AS n
+        FROM cells),
+    per AS (
+        SELECT quadrant,
+               CAST(MAX(n) AS BIGINT) AS n_cells,
+               CAST(MAX(CASE WHEN rk = GREATEST(1, (25 * n) // 100)
+                             THEN q END) AS DOUBLE) / 1e6 AS p25,
+               CAST(MAX(CASE WHEN rk = GREATEST(1, (50 * n) // 100)
+                             THEN q END) AS DOUBLE) / 1e6 AS p50,
+               CAST(MAX(CASE WHEN rk = GREATEST(1, (75 * n) // 100)
+                             THEN q END) AS DOUBLE) / 1e6 AS p75
+        FROM ranked GROUP BY 1)
+    SELECT quadrant, n_cells, p25, p50, p75, p75 - p25 AS iqr
+    FROM per ORDER BY quadrant
+"""

@@ -3704,3 +3704,52 @@ def cube_symmetry_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y")
     )
+
+
+def cube_quadrant_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70 — local value distribution map: exact p25/p50/p75 of cell
+    means per quadrant (rank picks) plus the interquartile range.
+    The per-region distribution read behind A64's global stretch —
+    a quadrant whose IQR collapses is flat/water; one whose median
+    drifts from its neighbors has a radiometric step.
+
+    Exactness: quartiles are exact integer rank picks on the
+    micro-quantized cell means with (q, x, y) tie order.
+
+    Plan: one cell aggregate, one rank window per quadrant
+    (grid-bounded), one 4-row rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    tagged = cells.select(
+        (
+            (F.col("x") / 25).cast("bigint") * 2
+            + (F.col("y") / 25).cast("bigint")
+        ).cast("int").alias("quadrant"),
+        "q", "x", "y",
+    )
+    w = Window.partitionBy("quadrant").orderBy("q", "x", "y")
+    wc = Window.partitionBy("quadrant")
+    ranked = tagged.select(
+        "quadrant", "q",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    def pick(pct):
+        return F.max(
+            F.when(F.col("rk") == F.expr(f"greatest(1, ({pct} * n) div 100)"),
+                   F.col("q"))
+        ).cast("double") / F.lit(1e6)
+    per = ranked.groupBy("quadrant").agg(
+        F.max("n").cast("bigint").alias("n_cells"),
+        pick(25).alias("p25"),
+        pick(50).alias("p50"),
+        pick(75).alias("p75"),
+    )
+    return per.select(
+        "quadrant", "n_cells", "p25", "p50", "p75",
+        (F.col("p75") - F.col("p25")).alias("iqr"),
+    ).orderBy("quadrant")

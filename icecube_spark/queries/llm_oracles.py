@@ -3945,3 +3945,37 @@ ORACLES["url_email_density"] = """
                / CAST(COUNT(*) AS DOUBLE) AS doc_hit_share
     FROM per GROUP BY 1 ORDER BY source
 """
+
+ORACLES["dup_group_span"] = """
+    WITH grp AS (
+        SELECT md5(text) AS h, COUNT(*) AS c,
+               CAST(MAX(doc_id) - MIN(doc_id) AS BIGINT) AS span
+        FROM documents GROUP BY 1
+        HAVING COUNT(*) > 1)
+    SELECT CAST(length(CAST(span AS VARCHAR)) AS INT) AS span_magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(MAX(span) AS BIGINT) AS max_span
+    FROM grp GROUP BY 1 ORDER BY span_magnitude
+"""
+
+ORACLES["norm_percentiles_by_label"] = f"""
+    WITH {_VNORM},
+    ranked AS (
+        SELECT label,
+               CAST(FLOOR(nrm * 1e6) AS BIGINT) AS qn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY CAST(FLOOR(nrm * 1e6) AS BIGINT), vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM v)
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           CAST(MAX(CASE WHEN rk = GREATEST(1, (10 * n) // 100)
+                         THEN qn END) AS DOUBLE) / 1e6 AS p10_norm,
+           CAST(MAX(CASE WHEN rk = GREATEST(1, (50 * n) // 100)
+                         THEN qn END) AS DOUBLE) / 1e6 AS p50_norm,
+           CAST(MAX(CASE WHEN rk = GREATEST(1, (90 * n) // 100)
+                         THEN qn END) AS DOUBLE) / 1e6 AS p90_norm
+    FROM ranked GROUP BY 1 ORDER BY label
+"""

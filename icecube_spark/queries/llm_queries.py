@@ -1942,3 +1942,68 @@ def url_email_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_hit_share"),
     )
     return per.orderBy("source")
+
+
+def dup_group_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D24 — are exact duplicates ingest-adjacent or cross-snapshot?
+    For every exact-dup group, the doc_id span (max-min) bucketed by
+    decade of magnitude: small spans = same crawl batch (fix the
+    ingest), large spans = recurring content across snapshots (fix
+    with dedup). Span histogram + per-bucket doc mass.
+
+    Plan: one digest aggregate (md5, hashes only), one span bucket
+    rollup; log-magnitude buckets are exact integer length() of the
+    span's decimal representation.
+    """
+    docs = _docs(spark, sf_dir)
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("c"),
+        (F.max("doc_id") - F.min("doc_id")).cast("bigint").alias("span"),
+    ).where(F.col("c") > 1)
+    bucket = F.length(F.col("span").cast("string")).cast("int")
+    return (
+        groups.select(bucket.alias("span_magnitude"), "c", "span")
+        .groupBy("span_magnitude")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.max("span").cast("bigint").alias("max_span"),
+        )
+        .orderBy("span_magnitude")
+    )
+
+
+def norm_percentiles_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48 — vector-norm distribution per label: exact p10/p50/p90
+    rank picks on micro-quantized norms. Per-class norm drift breaks
+    dot-product rankers even when cosines look healthy — the
+    class-sliced view of E9's global outlier scan.
+
+    Plan: norms map-side, one rank window per label, 10-row rollup.
+    """
+    emb = _emb(spark, sf_dir)
+    qn = F.floor(
+        similarity.norm_expr("embedding") * F.lit(1e6)
+    ).cast("bigint")
+    w = Window.partitionBy("label").orderBy("qn", "vec_id")
+    wc = Window.partitionBy("label")
+    ranked = emb.select("label", "vec_id", qn.alias("qn")).select(
+        "label", "qn",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    def pick(pct):
+        return F.max(
+            F.when(F.col("rk") == F.expr(f"greatest(1, ({pct} * n) div 100)"),
+                   F.col("qn"))
+        ).cast("double") / F.lit(1e6)
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            pick(10).alias("p10_norm"),
+            pick(50).alias("p50_norm"),
+            pick(90).alias("p90_norm"),
+        )
+        .orderBy("label")
+    )

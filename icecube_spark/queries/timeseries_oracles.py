@@ -2989,3 +2989,26 @@ ORACLES["round_value_bias"] = """
                AS mult100_share
     FROM per ORDER BY event_type
 """
+
+ORACLES["interarrival_hazard"] = """
+    WITH gaps AS (
+        SELECT (epoch_us(lead(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                - epoch_us(ts)) // 60000000 AS g
+        FROM events),
+    per AS (
+        SELECT CAST(LEAST(g // 5, 12) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+        FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+    SELECT bucket, n_in_bucket,
+           CAST(SUM(n_in_bucket) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_at_risk,
+           CAST(n_in_bucket AS DOUBLE)
+               / CAST(SUM(n_in_bucket) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS DOUBLE) AS hazard
+    FROM per ORDER BY bucket
+"""

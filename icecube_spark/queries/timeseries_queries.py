@@ -2509,3 +2509,42 @@ def round_value_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_mult100").cast("double") / F.col("n_values").cast("double")
         ).alias("mult100_share"),
     ).orderBy("event_type")
+
+
+def interarrival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118 — empirical hazard curve of event inter-arrivals: for
+    wait-time buckets (minutes), P(next event arrives in this bucket
+    | waited this long) = bucket count / at-risk count. A flat hazard
+    is memoryless (Poisson); a rising one means overdue events
+    cluster — the actionable transform of C86's distribution fit.
+
+    Exactness: gaps floor to whole minutes; the at-risk denominator
+    is a suffix sum of exact counts; one division per bucket.
+
+    Plan: one ordered window for gaps (per user), one bucket
+    aggregate, one suffix window over the bucket-bounded frame.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    g = F.expr(
+        "(unix_micros(cast(lead(ts) over (partition by user_id"
+        " order by ts, event_id) as timestamp))"
+        " - unix_micros(cast(ts as timestamp))) div 60000000"
+    )
+    gaps = ev.select("user_id", g.alias("g")).where(F.col("g").isNotNull())
+    # bucket = min(g div 5, 12): 5-minute buckets, 1h+ tail pooled
+    b = F.least(F.expr("g div 5"), F.lit(12)).cast("int")
+    per = gaps.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_bucket")
+    )
+    w = Window.partitionBy().orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return per.select(
+        "bucket",
+        "n_in_bucket",
+        F.sum("n_in_bucket").over(w).cast("bigint").alias("n_at_risk"),
+        (
+            F.col("n_in_bucket").cast("double")
+            / F.sum("n_in_bucket").over(w).cast("double")
+        ).alias("hazard"),
+    ).orderBy("bucket")
