@@ -3789,3 +3789,48 @@ def discount_tax_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lift"),
     ).orderBy("disc_pct", "tax_pct")
+
+
+def balance_sign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B81 — customer credit-state profile: customers bucketed by
+    account-balance sign (negative / zero-to-small / positive), with
+    each bucket's customer count, order count, and mean order value.
+    Negative-balance customers still ordering at full value is the
+    credit-exposure read behind B24's RFM segmentation.
+
+    Exactness: order values fold micro-quantized cents; means divide
+    exact sums; bucket bounds are exact comparisons.
+
+    Plan: customer-side bucket map, one join to orders on custkey
+    (bucket both by custkey at scale), one 3-row rollup.
+    """
+    cust = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 1000, F.lit("low"))
+        .otherwise(F.lit("healthy"))
+    )
+    c = cust.select(F.col("c_custkey").alias("ck"), band.alias("credit_band"))
+    j = c.join(
+        orders.select(
+            F.col("o_custkey").alias("ck"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0))
+            .cast("bigint").alias("qv"),
+        ),
+        "ck",
+        "left",
+    )
+    return (
+        j.groupBy("credit_band")
+        .agg(
+            F.countDistinct("ck").cast("bigint").alias("n_customers"),
+            F.count("qv").cast("bigint").alias("n_orders"),
+            (
+                F.sum("qv").cast("double")
+                / F.greatest(F.count("qv"), F.lit(1)).cast("double")
+                / F.lit(100.0)
+            ).alias("mean_order_value"),
+        )
+        .orderBy("credit_band")
+    )

@@ -1816,3 +1816,23 @@ ORACLES["discount_tax_interaction"] = """
                AS lift
     FROM per ORDER BY disc_pct, tax_pct
 """
+
+ORACLES["balance_sign_profile"] = """
+    WITH c AS (
+        SELECT c_custkey AS ck,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    ELSE 'healthy' END AS credit_band
+        FROM customer),
+    j AS (
+        SELECT c.credit_band, c.ck,
+               CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS qv
+        FROM c LEFT JOIN orders o ON o.o_custkey = c.ck)
+    SELECT credit_band,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+           CAST(COUNT(qv) AS BIGINT) AS n_orders,
+           CAST(SUM(qv) AS DOUBLE)
+               / CAST(GREATEST(COUNT(qv), 1) AS DOUBLE) / 100.0
+               AS mean_order_value
+    FROM j GROUP BY 1 ORDER BY credit_band
+"""

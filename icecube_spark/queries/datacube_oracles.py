@@ -1809,3 +1809,35 @@ ORACLES["cube_quadrant_quartiles"] = """
     SELECT quadrant, n_cells, p25, p50, p75, p75 - p25 AS iqr
     FROM per ORDER BY quadrant
 """
+
+ORACLES["cube_column_defects"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    cols AS (
+        SELECT x,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    AS BIGINT) AS qcol
+        FROM cells GROUP BY 1),
+    colsm AS (SELECT *, qcol // 1000 AS qm FROM cols),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+               CAST(SUM(qm) AS BIGINT) AS s1,
+               CAST(SUM(qm * qm) AS BIGINT) AS s2
+        FROM colsm),
+    flagged AS (
+        SELECT x, n_cells,
+               CAST(qcol AS DOUBLE) / 1e6 AS col_mean,
+               (CAST(qm AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nc AS DOUBLE))
+                   * CAST(nc AS DOUBLE)
+                   / sqrt(GREATEST(1e0,
+                       CAST(nc * s2 - s1 * s1 AS DOUBLE))) AS z_score
+        FROM colsm, mom)
+    SELECT x, n_cells, col_mean, z_score,
+           abs(z_score) > 2e0 AS is_defect
+    FROM flagged ORDER BY x
+"""

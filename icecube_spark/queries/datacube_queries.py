@@ -3753,3 +3753,65 @@ def cube_quadrant_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quadrant", "n_cells", "p25", "p50", "p75",
         (F.col("p75") - F.col("p25")).alias("iqr"),
     ).orderBy("quadrant")
+
+
+def cube_column_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A71 — column-defect detector: per grid column, the mean cell
+    value and a flag for columns whose mean deviates from the global
+    column-mean average by more than 2 column-std — the bad-detector-
+    column screen (A57's destripe smooths gain bands; this LOCATES
+    dead/hot columns first). Output: one row per column with its
+    z-scored deviation flag.
+
+    Exactness: column means are exact integer folds of micro-
+    quantized cell means; the global moment uses the integer
+    normal-equation scheme (n·Σq² − (Σq)² over column means) with
+    one sqrt at the end; the flag compares quantized integers scaled
+    through one IEEE expression.
+
+    Plan: cell aggregate → 50-row column aggregate → 1-row global
+    moment broadcast → map-side flag.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    cols = cells.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.floor(
+            F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("bigint").alias("qcol"),
+    )
+    # moments run on MILLI-unit column means (qcol div 1000): micro
+    # units would overflow int64 in nc*s2 for large-magnitude values
+    colsm = cols.withColumn("qm", F.expr("qcol div 1000"))
+    mom = colsm.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("qm").alias("s1"),
+        F.sum(F.col("qm") * F.col("qm")).alias("s2"),
+    )
+    flagged = colsm.crossJoin(F.broadcast(mom)).select(
+        "x",
+        "n_cells",
+        (F.col("qcol").cast("double") / F.lit(1e6)).alias("col_mean"),
+        (
+            (
+                F.col("qm").cast("double")
+                - F.col("s1").cast("double") / F.col("nc").cast("double")
+            )
+            * F.col("nc").cast("double")
+            / F.sqrt(
+                F.greatest(
+                    F.lit(1.0),
+                    (
+                        F.col("nc") * F.col("s2") - F.col("s1") * F.col("s1")
+                    ).cast("double"),
+                )
+            )
+        ).alias("z_score"),
+    )
+    return flagged.select(
+        "x", "n_cells", "col_mean", "z_score",
+        (F.abs(F.col("z_score")) > F.lit(2.0)).alias("is_defect"),
+    ).orderBy("x")

@@ -3979,3 +3979,27 @@ ORACLES["norm_percentiles_by_label"] = f"""
                          THEN qn END) AS DOUBLE) / 1e6 AS p90_norm
     FROM ranked GROUP BY 1 ORDER BY label
 """
+
+ORACLES["numeric_token_rate"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               UNNEST(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS w
+        FROM documents),
+    per_doc AS (
+        SELECT doc_id, source,
+               COUNT(*) AS n_tok,
+               SUM(CASE WHEN regexp_matches(w, '^[0-9]+([.,][0-9]+)?$')
+                        THEN 1 ELSE 0 END) AS n_num
+        FROM toks WHERE w != '' GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_num) AS BIGINT) AS n_numeric,
+           CAST(SUM(n_num) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+               AS numeric_share,
+           CAST(SUM(CASE WHEN n_num * 5 > n_tok THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS numeric_heavy_doc_share
+    FROM per_doc GROUP BY 1 ORDER BY source
+"""

@@ -2007,3 +2007,49 @@ def norm_percentiles_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def numeric_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F59 — numeric-token share per source: tokens that are pure
+    numbers (integer or decimal), their share of all tokens, and the
+    share of docs above 20% numeric. Tables, logs, and price lists
+    masquerade as prose and poison LM batches — char-level digit
+    ratios (F14) miss them when digits clump into few long tokens.
+
+    Plan: one explode -> per-doc counts (map-side) -> one source
+    rollup; the numeric test is a single anchored regex in codegen.
+    """
+    from icecube_spark.operators.dedup import NORM
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(f"split({NORM.format(col='text')}, ' ')")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    is_num = F.col("w").rlike(r"^[0-9]+([.,][0-9]+)?$")
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(is_num, F.lit(1)).otherwise(F.lit(0))).alias("n_num"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_num").cast("bigint").alias("n_numeric"),
+            (
+                F.sum("n_num").cast("double") / F.sum("n_tok").cast("double")
+            ).alias("numeric_share"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("n_num") * 5 > F.col("n_tok"), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("numeric_heavy_doc_share"),
+        )
+        .orderBy("source")
+    )

@@ -1816,3 +1816,27 @@ if "{cc_sql}" in _llm_mod.ORACLES["dup_cluster_purity"]:
             cc_sql=ORACLES["dedup_clusters"]
         )
     )
+
+ORACLES["split_hash_uniformity"] = f"""
+    WITH per AS (
+        SELECT {duck_hex2int('CAST(doc_id AS VARCHAR)')} % 100 AS b,
+               COUNT(*) AS obs
+        FROM documents GROUP BY 1),
+    dev AS (
+        SELECT obs,
+               SUM(obs) OVER () AS n,
+               COUNT(*) OVER () AS n_buckets,
+               CAST(CAST(100 * obs - SUM(obs) OVER () AS DOUBLE)
+                    * CAST(100 * obs - SUM(obs) OVER () AS DOUBLE)
+                    AS DECIMAL(38,4)) AS sq
+        FROM per)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
+           CAST(MIN(obs) AS BIGINT) AS min_bucket,
+           CAST(MAX(obs) AS BIGINT) AS max_bucket,
+           CAST(SUM(sq) AS DOUBLE) / (100.0 * CAST(MAX(n) AS DOUBLE))
+               AS chi2,
+           CAST(MAX(obs) AS DOUBLE) / CAST(MIN(obs) AS DOUBLE)
+               AS max_min_ratio
+    FROM dev
+"""

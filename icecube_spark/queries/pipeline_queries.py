@@ -1139,3 +1139,56 @@ def id_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_gaps"),
         (F.col("n_rows") - F.col("n_ids")).cast("bigint").alias("n_dup_ids"),
     ).orderBy("block")
+
+
+def split_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P77 — split-hash fairness audit: occupancy of the 100 md5
+    split buckets (the P1 assignment) with the chi-square statistic
+    against uniformity, min/max bucket sizes, and the max/min ratio.
+    A skewed hash (or a doctored id space) silently biases every
+    split-based experiment — this is the one-row invariant a split
+    pipeline asserts.
+
+    Exactness: chi2 = sum((100*obs - n)^2) / (100*n) — the numerator
+    folds exact BIGINTs (obs <= n <= 1e9 at any SF keeps the square
+    below 2^63 after the 100x scale only if n < ~3e7; the numerator
+    therefore folds (100*obs - n) as DOUBLE squares of exact ints —
+    each square is one IEEE multiply of a < 2^53 value, identical in
+    both engines, summed in DECIMAL for order freedom).
+
+    Plan: one (bucket) aggregate over ids, one 1-row rollup.
+    """
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"{spark_hex2int('cast(doc_id as string)')} % 100"
+    )
+    per = docs.select(bucket.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    wall = Window.partitionBy()
+    dev = per.select(
+        "obs",
+        F.sum("obs").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wall).alias("n_buckets"),
+    ).select(
+        "obs", "n", "n_buckets",
+        (
+            (F.lit(100) * F.col("obs") - F.col("n")).cast("double")
+            * (F.lit(100) * F.col("obs") - F.col("n")).cast("double")
+        ).cast("decimal(38,4)").alias("sq"),
+    )
+    return dev.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("n_buckets").cast("bigint").alias("n_buckets"),
+        F.min("obs").cast("bigint").alias("min_bucket"),
+        F.max("obs").cast("bigint").alias("max_bucket"),
+        (
+            F.sum("sq").cast("double")
+            / (F.lit(100.0) * F.max("n").cast("double"))
+        ).alias("chi2"),
+        (
+            F.max("obs").cast("double") / F.min("obs").cast("double")
+        ).alias("max_min_ratio"),
+    )

@@ -3012,3 +3012,34 @@ ORACLES["interarrival_hazard"] = """
                    AS DOUBLE) AS hazard
     FROM per ORDER BY bucket
 """
+
+ORACLES["session_depth_histogram"] = """
+    WITH flags AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 30 * 60 * 1000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flags),
+    depth AS (
+        SELECT user_id, sid, COUNT(*) AS depth
+        FROM sess GROUP BY 1, 2),
+    per AS (
+        SELECT CAST(LEAST(depth, 10) AS INT) AS depth_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(depth) AS BIGINT) AS n_events
+        FROM depth GROUP BY 1)
+    SELECT depth_bucket, n_sessions, n_events,
+           CAST(n_sessions AS DOUBLE)
+               / CAST(SUM(n_sessions) OVER () AS DOUBLE) AS session_share,
+           CAST(n_events AS DOUBLE)
+               / CAST(SUM(n_events) OVER () AS DOUBLE) AS event_share
+    FROM per ORDER BY depth_bucket
+"""

@@ -2548,3 +2548,56 @@ def interarrival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_in_bucket").over(w).cast("double")
         ).alias("hazard"),
     ).orderBy("bucket")
+
+
+def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C119 — session depth distribution: sessions (30-minute
+    inactivity gap, the C2 rule) bucketed by event count, with the
+    share of sessions and of events each depth bucket carries.
+    Depth-1 bounce mass vs long-tail marathon sessions is the
+    engagement-shape read behind C63's bounce rate.
+
+    Exactness: sessionization is integer gap logic (the C2 window);
+    buckets are exact integer caps; shares divide exact counts.
+
+    Plan: one per-user ordered window (new-session flags), a running
+    session-id sum over the same window, one (session) count, one
+    bucket rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    depth = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    bucket = F.least(F.col("depth"), F.lit(10)).cast("int")
+    per = depth.select(bucket.alias("depth_bucket"), "depth").groupBy(
+        "depth_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("depth").cast("bigint").alias("n_events"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "depth_bucket", "n_sessions", "n_events",
+        (
+            F.col("n_sessions").cast("double")
+            / F.sum("n_sessions").over(wall).cast("double")
+        ).alias("session_share"),
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wall).cast("double")
+        ).alias("event_share"),
+    ).orderBy("depth_bucket")
