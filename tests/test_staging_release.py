@@ -27,14 +27,18 @@ def test_release_staging_returns_cache_to_baseline(spark):
     assert SF not in lq._STAGED
     assert SF not in lq._STAGED_COLLAPSE
     assert SF not in lq._STAGED_MH_PAIRS
-    assert _n_persisted(spark) == base
+    # <= not ==: Spark's async ContextCleaner may concurrently drop
+    # checkpoint RDDs left by OTHER tests in the shared session, so
+    # the count can fall below the measured baseline — what matters
+    # is that OUR staged persists are gone (no growth survives)
+    assert _n_persisted(spark) <= base
 
     # releasing one corpus must not touch another's entries
     lq.staged_corpus(spark, SF)
     lq.release_staging("/nonexistent/sfX")
     assert SF in lq._STAGED
     lq.clear_staging()
-    assert _n_persisted(spark) == base
+    assert _n_persisted(spark) <= base
 
 
 def test_release_staging_clears_threshold_keyed_pairs(spark):
