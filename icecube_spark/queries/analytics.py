@@ -3834,3 +3834,50 @@ def balance_sign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("credit_band")
     )
+
+
+def order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B82 — cross-table integrity audit: does o_totalprice equal the
+    sum of its lineitems' extendedprice*(1-discount)*(1+tax)? Orders
+    bucketed by relative mismatch (exact-to-0.01%, <1%, >=1%,
+    no-lineitems), with counts and the worst absolute gap per bucket.
+    The referential-integrity invariant every warehouse load asserts
+    before trusting revenue rollups.
+
+    Exactness: both sides quantize to exact cents before comparing;
+    the relative gap is one IEEE division of exact integers.
+
+    Plan: one (orderkey) lineitem aggregate joined to orders on the
+    same key (bucket-colocatable at scale), one 4-row rollup.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax")) * F.lit(100.0)
+            ).cast("bigint")
+        ).alias("li_c")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias("o_c"),
+    ).join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+    gap = F.abs(F.col("o_c") - F.coalesce(F.col("li_c"), F.lit(0)))
+    rel = gap.cast("double") / F.col("o_c").cast("double")
+    band = (
+        F.when(F.col("li_c").isNull(), F.lit("no_lineitems"))
+        .when(rel <= 0.0001, F.lit("exact"))
+        .when(rel < 0.01, F.lit("under_1pct"))
+        .otherwise(F.lit("over_1pct"))
+    )
+    return (
+        j.select(band.alias("consistency_band"), gap.alias("gap_c"))
+        .groupBy("consistency_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.max("gap_c").cast("double") / F.lit(100.0)).alias("max_abs_gap"),
+        )
+        .orderBy("consistency_band")
+    )

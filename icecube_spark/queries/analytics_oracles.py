@@ -1836,3 +1836,28 @@ ORACLES["balance_sign_profile"] = """
                AS mean_order_value
     FROM j GROUP BY 1 ORDER BY credit_band
 """
+
+ORACLES["order_total_consistency"] = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                              * (1.0 + l_tax) * 100.0) AS BIGINT)) AS li_c
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS o_c,
+               p.li_c
+        FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey),
+    banded AS (
+        SELECT CASE WHEN li_c IS NULL THEN 'no_lineitems'
+                    WHEN CAST(abs(o_c - COALESCE(li_c, 0)) AS DOUBLE)
+                         / CAST(o_c AS DOUBLE) <= 0.0001 THEN 'exact'
+                    WHEN CAST(abs(o_c - COALESCE(li_c, 0)) AS DOUBLE)
+                         / CAST(o_c AS DOUBLE) < 0.01 THEN 'under_1pct'
+                    ELSE 'over_1pct' END AS consistency_band,
+               abs(o_c - COALESCE(li_c, 0)) AS gap_c
+        FROM j)
+    SELECT consistency_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(gap_c) AS DOUBLE) / 100.0 AS max_abs_gap
+    FROM banded GROUP BY 1 ORDER BY consistency_band
+"""

@@ -1841,3 +1841,24 @@ ORACLES["cube_column_defects"] = """
            abs(z_score) > 2e0 AS is_defect
     FROM flagged ORDER BY x
 """
+
+ORACLES["cube_border_gradient"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    per AS (
+        SELECT CAST(CASE WHEN LEAST(x, y, 49 - x, 49 - y) <= 2 THEN 0
+                         WHEN LEAST(x, y, 49 - x, 49 - y) <= 5 THEN 1
+                         ELSE 2 END AS INT) AS ring,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                   AS ring_mean
+        FROM cells GROUP BY 1)
+    SELECT ring, n_cells, ring_mean,
+           ring_mean - MAX(CASE WHEN ring = 2 THEN ring_mean END) OVER ()
+               AS dev_from_interior
+    FROM per ORDER BY ring
+"""

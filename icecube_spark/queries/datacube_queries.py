@@ -3815,3 +3815,47 @@ def cube_column_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", "n_cells", "col_mean", "z_score",
         (F.abs(F.col("z_score")) > F.lit(2.0)).alias("is_defect"),
     ).orderBy("x")
+
+
+def cube_border_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A72 — edge-vignetting detector: mean cell value by distance-
+    to-border ring (0-2, 3-5, 6+ cells from the nearest grid edge)
+    and each ring's deviation from the interior mean. Antenna-pattern
+    falloff and resampling halos live at the swath edge; a flat
+    profile clears the product for mosaicking (A17).
+
+    Exactness: ring ids are exact integer min-distances; ring means
+    divide exact integer folds; deviations subtract two such doubles.
+
+    Plan: one cell aggregate, one 3-ring rollup, interior mean via a
+    window over the 3-row frame.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    dist = F.least(
+        F.col("x"), F.col("y"), F.lit(49) - F.col("x"), F.lit(49) - F.col("y")
+    )
+    ring = (
+        F.when(dist <= 2, F.lit(0))
+        .when(dist <= 5, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
+    per = cells.select(ring.alias("ring"), "q").groupBy("ring").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("ring_mean"),
+    )
+    wall = Window.partitionBy()
+    interior = F.max(
+        F.when(F.col("ring") == 2, F.col("ring_mean"))
+    ).over(wall)
+    return per.select(
+        "ring", "n_cells", "ring_mean",
+        (F.col("ring_mean") - interior).alias("dev_from_interior"),
+    ).orderBy("ring")

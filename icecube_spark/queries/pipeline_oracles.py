@@ -1840,3 +1840,28 @@ ORACLES["split_hash_uniformity"] = f"""
                AS max_min_ratio
     FROM dev
 """
+
+ORACLES["sample_overlap_audit"] = f"""
+    WITH flagged AS (
+        SELECT {duck_hex2int("concat('saltA:', CAST(doc_id AS VARCHAR))")}
+                   % 10 = 0 AS in_a,
+               {duck_hex2int("concat('saltB:', CAST(doc_id AS VARCHAR))")}
+                   % 10 = 0 AS in_b
+        FROM documents),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sample_a,
+               CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sample_b,
+               CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overlap
+        FROM flagged)
+    SELECT n_docs, n_sample_a, n_sample_b, n_overlap,
+           CAST(n_sample_a AS DOUBLE) * CAST(n_sample_b AS DOUBLE)
+               / CAST(n_docs AS DOUBLE) AS expected_overlap,
+           CAST(n_overlap AS DOUBLE)
+               / (CAST(n_sample_a AS DOUBLE) * CAST(n_sample_b AS DOUBLE)
+                  / CAST(n_docs AS DOUBLE)) AS overlap_ratio
+    FROM agg
+"""

@@ -1192,3 +1192,50 @@ def split_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("obs").cast("double") / F.min("obs").cast("double")
         ).alias("max_min_ratio"),
     )
+
+
+def sample_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P78 — sampling-salt independence audit: two 10% hash samples
+    drawn with different salts must overlap at ~1% of the corpus; a
+    correlated overlap means the salts don't decorrelate the hash and
+    every 'independent' sample downstream shares bias. One row:
+    sample sizes, observed overlap, expected overlap, and the ratio.
+
+    Plan: two map-side hash flags, one 1-row aggregate — ids only.
+    """
+    from icecube_spark.functions.hashing import spark_hex2int
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    ha = spark_hex2int("concat('saltA:', cast(doc_id as string))")
+    hb = spark_hex2int("concat('saltB:', cast(doc_id as string))")
+    s1 = F.expr(f"({ha}) % 10") == 0
+    s2 = F.expr(f"({hb}) % 10") == 0
+    flagged = docs.select(
+        s1.alias("in_a"), s2.alias("in_b")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("in_a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_sample_a"),
+        F.sum(F.when(F.col("in_b"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_sample_b"),
+        F.sum(
+            F.when(F.col("in_a") & F.col("in_b"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_overlap"),
+    )
+    return agg.select(
+        "n_docs", "n_sample_a", "n_sample_b", "n_overlap",
+        (
+            F.col("n_sample_a").cast("double")
+            * F.col("n_sample_b").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("expected_overlap"),
+        (
+            F.col("n_overlap").cast("double")
+            / (
+                F.col("n_sample_a").cast("double")
+                * F.col("n_sample_b").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+        ).alias("overlap_ratio"),
+    )

@@ -3043,3 +3043,34 @@ ORACLES["session_depth_histogram"] = """
                / CAST(SUM(n_events) OVER () AS DOUBLE) AS event_share
     FROM per ORDER BY depth_bucket
 """
+
+ORACLES["gap_autocorrelation"] = """
+    WITH gaps AS (
+        SELECT event_type, user_id, ts, event_id,
+               (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 60000000 AS g
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, user_id
+                     ORDER BY ts, event_id)),
+    pairs AS (
+        SELECT event_type, g AS x,
+               lead(g) OVER (PARTITION BY event_type, user_id
+                             ORDER BY ts, event_id) AS y
+        FROM gaps),
+    mom AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+        GROUP BY 1)
+    SELECT event_type,
+           n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(GREATEST(1e0, CAST(n * sxx - sx * sx AS DOUBLE)))
+               / sqrt(GREATEST(1e0, CAST(n * syy - sy * sy AS DOUBLE)))
+               AS gap_autocorr_r1
+    FROM mom ORDER BY event_type
+"""

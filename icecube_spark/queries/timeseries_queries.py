@@ -2601,3 +2601,52 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_events").over(wall).cast("double")
         ).alias("event_share"),
     ).orderBy("depth_bucket")
+
+
+def gap_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C120 — do bursts follow bursts? Lag-1 autocorrelation of
+    consecutive inter-arrival gaps per event type (pairs (g_i,
+    g_{i+1}) within a user's stream). Positive r1 = clustered/bursty
+    arrivals, ~0 = memoryless — the sequential complement of C115's
+    per-user regularity.
+
+    Exactness: gaps floor to whole minutes; Pearson r folds the five
+    integer moments (n, Σx, Σy, Σxy, Σx², Σy²) exactly (minute scale
+    keeps every product < 2^63) and converts once at the end.
+
+    Plan: two chained per-user windows (gap, then its successor),
+    one type aggregate.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = "partition by event_type, user_id order by ts, event_id"
+    g = F.expr(
+        f"(unix_micros(cast(lead(ts) over ({w}) as timestamp))"
+        " - unix_micros(cast(ts as timestamp))) div 60000000"
+    )
+    gaps = ev.select("event_type", "user_id", "ts", "event_id", g.alias("g"))
+    w2 = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    pairs = gaps.select(
+        "event_type",
+        F.col("g").alias("x"),
+        F.lead("g").over(w2).alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            num
+            / F.sqrt(F.greatest(F.lit(1.0), denx))
+            / F.sqrt(F.greatest(F.lit(1.0), deny))
+        ).alias("gap_autocorr_r1"),
+    ).orderBy("event_type")
