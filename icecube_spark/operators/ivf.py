@@ -9,7 +9,7 @@ the corpus-side join touches nprobe/k of the data instead of all of
 it.
 
 The quantizer is an EXACT distributed Lloyd loop, not MLlib KMeans:
-seeds are the k lowest-id vectors, every assignment uses the
+seeds are the vectors with id 0..k-1, every assignment uses the
 quantized-integer squared distance (floor(d²·1e12) per element, BIGINT
 fold — bit-identical in any engine), and centroid means reduce through
 DECIMAL(18,8) — no order-dependent float math anywhere. That makes the
@@ -46,10 +46,12 @@ def build_ivf_index(
     (at scale: write out partitioned/bucketed by cluster), `centroids`
     = k rows of array<double>, broadcastable to every probe.
 
-    Seeds = the k lowest-id vectors; `n_iter` fixed iterations (a
-    coarse quantizer doesn't need convergence detection — recall is
-    gated by the nprobe search, asserted in tests/test_scale_paths.py).
-    Empty clusters keep their previous centroid.
+    Seeds = the vectors with id < k (ids must cover 0..k-1 —
+    validated, matching the DuckDB oracle twin's seed CTE); `n_iter`
+    fixed iterations (a coarse quantizer doesn't need convergence
+    detection — recall is gated by the nprobe search, asserted in
+    tests/test_scale_paths.py). Empty clusters keep their previous
+    centroid.
     """
     spark = vectors.sparkSession
     base = vectors.select(
@@ -66,6 +68,11 @@ def build_ivf_index(
     cent: dict[int, list[float]] = {
         r["cluster"]: list(r["centroid"]) for r in seed_rows
     }
+    if len(cent) != k:
+        raise ValueError(
+            f"IVF seeding needs ids 0..{k - 1} present "
+            f"(got {len(cent)} of {k} seed vectors); reindex ids first"
+        )
     dim = len(next(iter(cent.values())))
 
     def _cdf(c: dict[int, list[float]]) -> DataFrame:
@@ -74,7 +81,7 @@ def build_ivf_index(
         )
 
     def _assign(cdf: DataFrame) -> DataFrame:
-        qd = qdist_expr("_v", "centroid")
+        qd = qdist_expr("_v", "centroid", dim=dim)
         return (
             base.crossJoin(F.broadcast(cdf))
             .withColumn("qd", qd)

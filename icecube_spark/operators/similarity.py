@@ -2465,7 +2465,11 @@ def distance_concentration(
 
 
 def anchor_margin_deciles(
-    vectors: DataFrame, id_col: str, vec_col: str, n_anchors: int = 8
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_anchors: int = 8,
+    dim: int | None = EMBED_DIM,
 ) -> DataFrame:
     """E46 — quantization-confidence margins: for every vector, the
     relative gap between its nearest and second-nearest anchor
@@ -2481,12 +2485,15 @@ def anchor_margin_deciles(
     Plan: anchors broadcast (n_anchors rows); one map-side distance
     fan-out, one (id) min-2 window bounded by n_anchors, one 10-row
     aggregate. The corpus never shuffles beyond its id groups.
+
+    `dim` is the unrolled fold width and MUST equal the vector width
+    (pass dim=None for the generic HOF fold on unknown widths).
     """
     anchors = vectors.where(F.col(id_col) < n_anchors).select(
         F.col(id_col).cast("int").alias("aid"),
         F.col(vec_col).alias("avec"),
     )
-    qd = qdist_expr(vec_col, "avec")
+    qd = qdist_expr(vec_col, "avec", dim=dim)
     d = (
         vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(anchors))

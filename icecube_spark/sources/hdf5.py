@@ -176,8 +176,8 @@ def _decode_dataset(data, shape, cls, dsize, byte0, layout, filters):
         n_chunk = 1
         for c in chunk_dims:
             n_chunk *= c
-        if addr == _UNDEF:  # no chunks written yet
-            return np.full(shape, np.nan) if cls == 1 else arr
+        if addr == _UNDEF:  # no chunks written: HDF5 default fill is 0
+            return arr
         for offs, nbytes, fmask, caddr in _iter_chunks(data, addr, len(shape)):
             if any(o >= s for o, s in zip(offs, shape)):
                 continue
@@ -199,7 +199,9 @@ def _decode_dataset(data, shape, cls, dsize, byte0, layout, filters):
     n = 1
     for s in shape:
         n *= s
-    if addr == _UNDEF:
+    if addr == _UNDEF:  # unallocated: HDF5 default fill is 0 for numerics
+        if cls in (0, 1):
+            return np.zeros(shape, _numeric_dtype(cls, dsize, byte0))
         return np.full(shape, np.nan)
     if cls in (0, 1):  # fixed-point / float
         little = (byte0 & 1) == 0

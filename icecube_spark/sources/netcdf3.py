@@ -67,14 +67,20 @@ def write_netcdf3(
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], "object", dict]],
     global_attrs: dict | None = None,
+    version: int = 1,
 ) -> None:
     """Write a classic netCDF-3 file. `variables` maps name ->
     (dim_names, numpy array, attrs). No record (unlimited) dims —
-    cubes are fixed-shape."""
+    cubes are fixed-shape. `version` 1 = CDF-1 (classic), 2 = CDF-2
+    (64-bit data offsets, the NETCDF3_64BIT on-disk format)."""
     import numpy as np
 
+    if version not in (1, 2):
+        raise ValueError(f"netCDF-3 version must be 1 or 2, got {version}")
+    off_fmt = ">i" if version == 1 else ">q"
+    off_size = 4 if version == 1 else 8
     dim_ids = {d: i for i, d in enumerate(dims)}
-    header = b"CDF\x01" + struct.pack(">i", 0)  # numrecs = 0
+    header = b"CDF" + bytes([version]) + struct.pack(">i", 0)  # numrecs = 0
     header += struct.pack(">ii", _NC_DIMENSION, len(dims)) + b"".join(
         _name(d) + struct.pack(">i", n) for d, n in dims.items()
     )
@@ -103,13 +109,13 @@ def write_netcdf3(
         vh += struct.pack(">ii", nct, len(data))
         var_headers.append(vh)
 
-    # var_list tag (8 bytes) + each var header + its 4-byte begin offset
-    base = len(header) + 8 + sum(len(vh) + 4 for vh in var_headers)
+    # var_list tag (8 bytes) + each var header + its begin offset
+    base = len(header) + 8 + sum(len(vh) + off_size for vh in var_headers)
     out = header + struct.pack(">ii", _NC_VARIABLE if entries else 0, len(entries))
     offset = base
     blobs = []
     for (vname, vdims, attrs, nct, data), vh in zip(entries, var_headers):
-        out += vh + struct.pack(">i", offset)
+        out += vh + struct.pack(off_fmt, offset)
         blobs.append(data)
         offset += len(data)
     with open(path, "wb") as f:
@@ -228,13 +234,19 @@ def _materialize_cube(dc, height: int, width: int, max_layers: int):
 
 
 def cube_to_netcdf(
-    dc, path: str, height: int, width: int, max_layers: int = 4096
+    dc,
+    path: str,
+    height: int,
+    width: int,
+    max_layers: int = 4096,
+    version: int = 1,
 ) -> None:
     """Export a raster Datacube (one pixels-array layer per time
     slot, cube.create_cube_from_rasters shape) to a classic netCDF-3
     file the reference's read_cube/xarray can open: intensity
     (band, azimuth, range) + per-band product/date coordinate vars —
-    the to_file parity surface (datacube.py:203)."""
+    the to_file parity surface (datacube.py:203). `version` 2 writes
+    the CDF-2 (64-bit-offset) variant, i.e. NETCDF3_64BIT."""
     import numpy as np
 
     pix, names, date_strs = _materialize_cube(dc, height, width, max_layers)
@@ -256,6 +268,7 @@ def cube_to_netcdf(
             "acquisition_date": (("band", "datelen"), dates, {}),
         },
         global_attrs={"source": "icecube_spark", "Conventions": "CF-1.6"},
+        version=version,
     )
 
 
@@ -309,14 +322,21 @@ def cube_to_file(
     file (xarray-openable). Without it the export degrades to the
     dependency-free classic netCDF-3 bridge (same variables and
     coordinates — any netCDF reader, including xarray, opens that
-    too). Returns the format actually written so callers can tell.
+    too). NETCDF3_64BIT always writes a true CDF-2 (64-bit-offset)
+    file via the bridge — no library needed. Returns the format
+    actually written so callers can tell.
     """
     fmt = format.upper().replace("-", "")
     if fmt not in {"NETCDF4", "NETCDF4_CLASSIC", "NETCDF3_64BIT", "NETCDF3_CLASSIC"}:
         raise ValueError(f"unknown netCDF format {format!r}")
-    if fmt in ("NETCDF3_CLASSIC", "NETCDF3_64BIT"):
+    if fmt == "NETCDF3_CLASSIC":
         cube_to_netcdf(dc, path, height, width, max_layers=max_layers)
         return "NETCDF3_CLASSIC"
+    if fmt == "NETCDF3_64BIT":
+        cube_to_netcdf(
+            dc, path, height, width, max_layers=max_layers, version=2
+        )
+        return "NETCDF3_64BIT"
     try:
         import netCDF4  # noqa: F401
     except ImportError:

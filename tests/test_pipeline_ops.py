@@ -228,7 +228,7 @@ def test_pagerank_matches_numpy(spark, sf_dir):
     assert abs(sum(got.values()) - 1.0) < (len(ep) + n) * 5 * 1e-12 + 1e-12
 
     import math
-    frac = np.divide(M, outw, where=outw > 0)
+    frac = np.divide(M, outw, out=np.zeros_like(M), where=outw > 0)
     qr = np.full(n, float(math.floor(1e12 / n)))
     base = (1.0 - 0.85) / n * 1e12
     for _ in range(5):
