@@ -90,6 +90,73 @@ class Datacube:
             )
         return arr.reshape(height, width)
 
+    def get_all_products(self) -> list:
+        """Reference Datacube.get_all_products (datacube.py:86): every
+        product file in time order; KeyError when the cube holds only
+        dummy (gap) layers, matching the reference's all-"None" check."""
+        vals = [
+            r[0]
+            for r in self.df.orderBy(self.ts_col).select(self.key_col).collect()
+        ]
+        if all(v is None for v in vals):
+            raise KeyError("product files metadata is missing from the cube")
+        return vals
+
+    def get_metadata_by_product(self, product_file) -> dict:
+        """Reference get_metadata_by_product (datacube.py:122): the
+        metadata (non-band) columns of one product's layer as a dict.
+        One pruned lookup — the scan never touches other products'
+        pixels."""
+        meta_cols = [c for c in self.df.columns if c not in self.band_cols]
+        rows = (
+            self.df.where(F.col(self.key_col) == F.lit(product_file))
+            .select(*meta_cols)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"product_file {product_file!r} not in cube")
+        return rows[0].asDict()
+
+    def get_product_values(
+        self, product_file, height: int | None = None, width: int | None = None
+    ):
+        """Reference get_product_values (datacube.py:139): one
+        product's band payload. Returns an ndarray for a single-band
+        cube (2-D when height/width are given), else {band: ndarray}.
+        """
+        import numpy as np
+
+        rows = (
+            self.df.where(F.col(self.key_col) == F.lit(product_file))
+            .select(*self.band_cols)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"product_file {product_file!r} not in cube")
+
+        def _arr(v):
+            if v is None:
+                return None
+            arr = np.asarray(v, dtype="f8")
+            if height is not None and width is not None:
+                arr = arr.reshape(height, width)
+            return arr
+
+        if len(self.band_cols) == 1:
+            return _arr(rows[0][self.band_cols[0]])
+        return {b: _arr(rows[0][b]) for b in self.band_cols}
+
+    def get_index_values(self, index: str) -> list:
+        """Reference get_index_values (datacube.py:161): one column's
+        values across layers in time order."""
+        if index not in self.df.columns:
+            raise KeyError(f"no column {index!r} in cube")
+        return [
+            r[0] for r in self.df.orderBy(self.ts_col).select(index).collect()
+        ]
+
     def merge(self, other: "Datacube") -> "Datacube":
         """Union two cubes; on (key, ts) conflict the left cube wins
         (reference merge_xrdatasets combine_attrs='drop_conflicts')."""
@@ -137,11 +204,19 @@ def create_cube_from_rasters(
     """
     if not isinstance(config, CubeConfig):
         config = CubeConfig.load(config)
-    from icecube_spark.sources.raster import crawl_iceye_metadata, decode_rasters
-
     bdf = spark.read.format("binaryFile").option(
         "pathGlobFilter", "*.tif*"
     ).load(raster_dir)
+    return _grd_cube(spark, bdf, config)
+
+
+def _grd_cube(
+    spark: SparkSession, bdf: DataFrame, config: CubeConfig
+) -> Datacube:
+    """GRD build body shared by the directory-crawl and explicit-list
+    entry points: crawl + decode + config filters + temporal grid."""
+    from icecube_spark.sources.raster import crawl_iceye_metadata, decode_rasters
+
     meta = crawl_iceye_metadata(bdf)
     layers = meta.join(decode_rasters(bdf).select("path", "pixels"), "path")
     layers = layers.where(
@@ -212,11 +287,19 @@ def create_cube_from_slc(
     matching the reference's RPC=None."""
     if not isinstance(config, CubeConfig):
         config = CubeConfig.load(config)
-    from icecube_spark.sources.hdf5 import crawl_slc_metadata, decode_slc
-
     bdf = spark.read.format("binaryFile").option(
         "pathGlobFilter", "*.h5"
     ).load(slc_dir)
+    return _slc_cube(spark, bdf, config, with_rpc)
+
+
+def _slc_cube(
+    spark: SparkSession, bdf: DataFrame, config: CubeConfig, with_rpc: bool
+) -> Datacube:
+    """SLC build body shared by the directory-crawl and explicit-list
+    entry points."""
+    from icecube_spark.sources.hdf5 import crawl_slc_metadata, decode_slc
+
     meta = crawl_slc_metadata(bdf)
     layers = meta.join(
         decode_slc(bdf).select(
@@ -237,6 +320,39 @@ def create_cube_from_slc(
         ts_col="acquisition_date",
         angle_col="incidence_center",
         band_cols=["Real", "Complex"],
+    )
+
+
+def create_cube_from_list(
+    spark: SparkSession,
+    paths: list,
+    config: CubeConfig | str | None,
+    with_rpc: bool = False,
+) -> Datacube:
+    """Build a cube from an explicit raster list — the reference's
+    IceyeProcessGenerateCube.create_cube_from_list
+    (generate_cube.py:94-117): the first entry's extension picks the
+    product family (.tif/.tiff -> GRD, .h5 -> SLC); anything else
+    raises, matching the reference's inconsistent-extension error.
+    The list lands in ONE binaryFile scan, so decode parallelism and
+    pushdown are identical to the directory-crawl path."""
+    from pathlib import Path
+
+    if not paths:
+        raise ValueError("impossible to pre-process an empty raster list")
+    paths = [str(p) for p in paths]
+    if not isinstance(config, CubeConfig):
+        config = CubeConfig.load(config)
+    ext = Path(paths[0]).suffix.lower()
+    if ext in (".tif", ".tiff"):
+        bdf = spark.read.format("binaryFile").load(paths)
+        return _grd_cube(spark, bdf, config)
+    if ext == ".h5":
+        bdf = spark.read.format("binaryFile").load(paths)
+        return _slc_cube(spark, bdf, config, with_rpc)
+    raise ValueError(
+        f"cannot proceed: extension {ext!r} of the first file is not"
+        " .tif/.tiff or .h5"
     )
 
 

@@ -211,19 +211,31 @@ def _decode_dataset(data, shape, cls, dsize, byte0, layout, filters):
             data[addr : addr + n * dtype.itemsize], dtype=dtype, count=n
         )
         return arr.reshape(shape)
-    if cls == 3:  # fixed-length string (scalar)
-        return data[addr : addr + dsize].split(b"\x00")[0].decode(
-            "utf-8", errors="replace"
-        )
+    if cls == 3:  # fixed-length string (scalar or array)
+        vals = [
+            data[addr + i * dsize : addr + (i + 1) * dsize]
+            .split(b"\x00")[0]
+            .decode("utf-8", errors="replace")
+            for i in range(n)
+        ]
+        if n == 1:
+            return vals[0]
+        return np.array(vals, dtype=object).reshape(shape)
     if cls == 9:  # variable-length (string): len(4) + gheap(8) + idx(4)
-        if n != 1:
-            raise NotImplementedError("vlen arrays need h5py")
-        ln = _u(data, addr, 4)
-        gaddr = _u(data, addr + 4, 8)
-        gidx = _u(data, addr + 12, 4)
-        return _gheap_object(data, gaddr, gidx)[:ln].decode(
-            "utf-8", errors="replace"
-        )
+        vals = []
+        for i in range(n):
+            off = addr + 16 * i
+            ln = _u(data, off, 4)
+            gaddr = _u(data, off + 4, 8)
+            gidx = _u(data, off + 12, 4)
+            vals.append(
+                _gheap_object(data, gaddr, gidx)[:ln].decode(
+                    "utf-8", errors="replace"
+                )
+            )
+        if n == 1:
+            return vals[0]
+        return np.array(vals, dtype=object).reshape(shape)
     raise NotImplementedError(f"datatype class {cls} needs h5py")
 
 

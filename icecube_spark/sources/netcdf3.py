@@ -272,22 +272,63 @@ def cube_to_netcdf(
     )
 
 
+def _read_netcdf4_vars(path: str):
+    """Pull the cube variables out of an HDF5-backed netCDF4 file:
+    h5py when present, else the in-repo minimal HDF5 reader
+    (sources/hdf5.py) — no library needed for numeric + string vars."""
+    import numpy as np
+
+    try:
+        import h5py
+
+        with h5py.File(path, "r") as h:
+            pix = np.asarray(h["intensity"][...], dtype="f8")
+            names = [
+                v.decode() if isinstance(v, bytes) else str(v)
+                for v in h["product_file"][...]
+            ]
+            dates = [
+                v.decode() if isinstance(v, bytes) else str(v)
+                for v in h["acquisition_date"][...]
+            ]
+        return pix, names, dates
+    except ImportError:
+        pass
+    from icecube_spark.sources.hdf5 import load_h5
+
+    with open(path, "rb") as f:
+        h5 = load_h5(
+            f.read(), want={"intensity", "product_file", "acquisition_date"}
+        )
+    pix = np.asarray(h5["intensity"], dtype="f8")
+    names = [str(v) for v in np.asarray(h5["product_file"]).ravel()]
+    dates = [str(v) for v in np.asarray(h5["acquisition_date"]).ravel()]
+    return pix, names, dates
+
+
 def netcdf_to_cube(spark, path: str):
-    """Import a classic netCDF-3 cube (written by cube_to_netcdf or a
-    reference export in classic format) back into a Datacube."""
+    """Import a cube file back into a Datacube — reference read_cube
+    (icecube/bin/datacube.py:30) parity: sniffs the magic bytes and
+    opens classic netCDF-3 (CDF-1/CDF-2, bridge reader) and
+    HDF5-backed netCDF4 files transparently."""
     import numpy as np
 
     from icecube_spark.cube import Datacube
 
-    dims, variables, _ = read_netcdf3(path)
-    vdims, pix, _ = variables["intensity"]
-    names = [
-        b"".join(row).decode().rstrip("\x00")
-        for row in variables["product_file"][1]
-    ]
-    dates = [
-        b"".join(row).decode() for row in variables["acquisition_date"][1]
-    ]
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"\x89HDF":
+        pix, names, dates = _read_netcdf4_vars(path)
+    else:
+        dims, variables, _ = read_netcdf3(path)
+        pix = variables["intensity"][1]
+        names = [
+            b"".join(row).decode().rstrip("\x00")
+            for row in variables["product_file"][1]
+        ]
+        dates = [
+            b"".join(row).decode() for row in variables["acquisition_date"][1]
+        ]
     rows = []
     for i in range(pix.shape[0]):
         layer = pix[i]

@@ -70,15 +70,13 @@ def compact_parquet(
     that also rebalances skewed input files. Returns the file count.
     """
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        f.length
-        for f in spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("length")
-        .collect()
-    )
+    # size from the FileSystem content summary — a pure namenode
+    # metadata call; a binaryFile executor scan would be a full file
+    # listing job at 100 TB
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
