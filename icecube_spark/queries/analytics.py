@@ -3881,3 +3881,43 @@ def order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("consistency_band")
     )
+
+
+def order_ship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B83 — fulfilment-span profile: days between an order's first
+    and last line shipment, banded 0..6 and 7+. Wide spans are split
+    shipments; the per-band line counts and revenue say whether
+    splitting concentrates in large orders (ops read B37's gap stats
+    can't give — that one is between-order, this is within-order).
+
+    Exactness: spans are whole-day DATEDIFFs on DATE casts; per-order
+    revenue floors to integer micro-units before the band rollup, so
+    every mean divides exact integer sums.
+
+    Plan: one order aggregate (shuffle on l_orderkey), one ≤8-row
+    band rollup.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per = li.groupBy("l_orderkey").agg(
+        F.datediff(
+            F.to_date(F.max("l_shipdate")), F.to_date(F.min("l_shipdate"))
+        ).alias("span"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.floor(dsum(rev) * F.lit(1e6)).cast("bigint").alias("qrev"),
+    )
+    return (
+        per.groupBy(F.least(F.col("span"), F.lit(7)).cast("int").alias("span_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (
+                F.sum("n_lines").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_lines"),
+            (
+                F.sum("qrev").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+            ).alias("mean_revenue"),
+        )
+        .orderBy("span_band")
+    )

@@ -1861,3 +1861,22 @@ ORACLES["order_total_consistency"] = """
            CAST(MAX(gap_c) AS DOUBLE) / 100.0 AS max_abs_gap
     FROM banded GROUP BY 1 ORDER BY consistency_band
 """
+
+ORACLES["order_ship_span"] = """
+    WITH per AS (
+        SELECT l_orderkey,
+               date_diff('day', CAST(MIN(l_shipdate) AS DATE),
+                         CAST(MAX(l_shipdate) AS DATE)) AS span,
+               COUNT(*) AS n_lines,
+               CAST(FLOOR(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                        AS DECIMAL(18,8))) AS DOUBLE) * 1e6)
+                    AS BIGINT) AS qrev
+        FROM lineitem GROUP BY 1)
+    SELECT CAST(LEAST(span, 7) AS INT) AS span_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_lines,
+           CAST(SUM(qrev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS mean_revenue
+    FROM per GROUP BY 1 ORDER BY 1
+"""

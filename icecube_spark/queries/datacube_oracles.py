@@ -1862,3 +1862,28 @@ ORACLES["cube_border_gradient"] = """
                AS dev_from_interior
     FROM per ORDER BY ring
 """
+
+ORACLES["cube_diagonal_banding"] = """
+    WITH cells AS (
+        SELECT event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          / COUNT(value) * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2),
+    per AS (
+        SELECT CAST((x + y) % 8 AS INT) AS phase,
+               CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(q) AS sq
+        FROM cells GROUP BY 1),
+    dev AS (
+        SELECT phase, n_cells,
+               CAST(sq AS DOUBLE) / CAST(n_cells AS DOUBLE) / 1e6
+                   AS phase_mean,
+               CAST(sq AS DOUBLE) / CAST(n_cells AS DOUBLE) / 1e6
+                 - CAST(SUM(sq) OVER () AS DOUBLE)
+                   / CAST(SUM(n_cells) OVER () AS DOUBLE) / 1e6
+                   AS dev_from_grid
+        FROM per)
+    SELECT phase, n_cells, phase_mean, dev_from_grid,
+           MAX(ABS(dev_from_grid)) OVER () AS max_abs_dev
+    FROM dev ORDER BY phase
+"""

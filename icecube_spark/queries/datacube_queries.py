@@ -3859,3 +3859,49 @@ def cube_border_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ring", "n_cells", "ring_mean",
         (F.col("ring_mean") - interior).alias("dev_from_interior"),
     ).orderBy("ring")
+
+
+def cube_diagonal_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A73 — anti-diagonal banding profile: cell means grouped by the
+    (x+y) mod 8 diagonal phase, each phase's deviation from the grid
+    mean, and the worst absolute deviation attached to every row.
+    Periodic diagonal banding is the classic SAR azimuth-ramp /
+    interference artifact that row (A67) and column (A71) profiles
+    both miss; a flat phase profile clears the product.
+
+    Exactness: phase ids are integer arithmetic; phase means divide
+    exact integer folds; the grid mean divides two whole-grid integer
+    sums; all window frames span only the 8 phase rows.
+
+    Plan: one cell aggregate, one 8-phase rollup, grid mean + worst
+    deviation via unpartitioned windows over 8 rows.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    per = cells.groupBy(
+        ((F.col("x") + F.col("y")) % 8).cast("int").alias("phase")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("q").alias("sq"),
+    )
+    wall = Window.partitionBy()
+    phase_mean = (
+        F.col("sq").cast("double") / F.col("n_cells").cast("double")
+        / F.lit(1e6)
+    )
+    grid_mean = (
+        F.sum("sq").over(wall).cast("double")
+        / F.sum("n_cells").over(wall).cast("double") / F.lit(1e6)
+    )
+    dev = per.select(
+        "phase", "n_cells",
+        phase_mean.alias("phase_mean"),
+        (phase_mean - grid_mean).alias("dev_from_grid"),
+    )
+    return dev.select(
+        "phase", "n_cells", "phase_mean", "dev_from_grid",
+        F.max(F.abs(F.col("dev_from_grid"))).over(wall).alias("max_abs_dev"),
+    ).orderBy("phase")

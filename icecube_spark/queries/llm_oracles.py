@@ -4003,3 +4003,29 @@ ORACLES["numeric_token_rate"] = """
                / CAST(COUNT(*) AS DOUBLE) AS numeric_heavy_doc_share
     FROM per_doc GROUP BY 1 ORDER BY source
 """
+
+ORACLES["whitespace_profile"] = """
+    WITH per AS (
+        SELECT source,
+               CAST(contains(text, '  ') AS INT) AS dbl,
+               CAST(contains(text, chr(9)) AS INT) AS tab,
+               CAST(contains(text, chr(13)) AS INT) AS cr,
+               CAST(text LIKE ' %' OR text LIKE '% ' AS INT) AS edge,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS BIGINT) AS n_spaces
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dbl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS multi_space_share,
+           CAST(SUM(tab) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS tab_share,
+           CAST(SUM(cr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS cr_share,
+           CAST(SUM(edge) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS edge_ws_share,
+           CAST(SUM(n_spaces) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+               AS space_density
+    FROM per GROUP BY 1 ORDER BY 1
+"""

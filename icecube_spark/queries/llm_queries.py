@@ -2058,3 +2058,51 @@ def numeric_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def whitespace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F60 — whitespace-hygiene audit per source: shares of docs with
+    multi-space runs, hard tabs, carriage returns, and leading/
+    trailing edge whitespace. Scraper and OCR paths leave distinct
+    whitespace fingerprints; the per-source shares say which
+    ingestion path needs a normalization pass before tokenization
+    (multi-space runs also inflate the D-family shingle inventories
+    that D23 measures after the fact).
+
+    Plan: one projection of contains/startswith/endswith predicates
+    (all codegen string ops, no regex), one source rollup.
+    """
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source",
+        F.col("text").contains("  ").cast("int").alias("dbl"),
+        F.col("text").contains("\t").cast("int").alias("tab"),
+        F.col("text").contains("\r").cast("int").alias("cr"),
+        (
+            F.col("text").startswith(" ") | F.col("text").endswith(" ")
+        ).cast("int").alias("edge"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        ).cast("bigint").alias("n_spaces"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        per.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            (F.sum("dbl").cast("double") / n.cast("double"))
+            .alias("multi_space_share"),
+            (F.sum("tab").cast("double") / n.cast("double"))
+            .alias("tab_share"),
+            (F.sum("cr").cast("double") / n.cast("double"))
+            .alias("cr_share"),
+            (F.sum("edge").cast("double") / n.cast("double"))
+            .alias("edge_ws_share"),
+            (
+                F.sum("n_spaces").cast("double")
+                / F.sum("n_chars").cast("double")
+            ).alias("space_density"),
+        )
+        .orderBy("source")
+    )

@@ -1865,3 +1865,20 @@ ORACLES["sample_overlap_audit"] = f"""
                   / CAST(n_docs AS DOUBLE)) AS overlap_ratio
     FROM agg
 """
+
+ORACLES["id_hash_collisions"] = """
+    WITH pre AS (
+        SELECT w, substring(md5(CAST(doc_id AS VARCHAR)), 1, w) AS b
+        FROM documents, UNNEST([4, 6, 8]) t(w)),
+    agg AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_ids,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS n_buckets
+        FROM pre GROUP BY 1)
+    SELECT CAST(w * 4 AS INT) AS bits, n_ids, n_buckets,
+           CAST(n_ids - n_buckets AS BIGINT) AS n_colliding,
+           CAST(n_ids AS DOUBLE) * CAST(n_ids - 1 AS DOUBLE)
+               / (2.0 * CASE w WHEN 4 THEN 65536.0 WHEN 6 THEN 16777216.0
+                               ELSE 4294967296.0 END)
+               AS expected_collisions
+    FROM agg ORDER BY 1
+"""

@@ -1239,3 +1239,44 @@ def sample_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("overlap_ratio"),
     )
+
+
+def id_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P79 — truncated-hash collision audit: colliding-id counts when
+    doc ids key on the first 4/6/8 hex chars (16/24/32 bits) of
+    md5(id), against the n(n-1)/2m birthday estimate. Pipelines love
+    short hash prefixes for shard names and cache keys; the birthday
+    bound bites long before intuition says so — this is the go/no-go
+    read before a prefix width ships (P28 checks the SPLIT hash's
+    uniformity; this checks the width's capacity).
+
+    Plan: one md5 projection (codegen), a 3-row literal explode, one
+    rollup per width — ids never shuffle at full width.
+    """
+    docs = _docs(spark, sf_dir).select(
+        F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    pre = docs.select(
+        F.explode(F.array(F.lit(4), F.lit(6), F.lit(8))).alias("w"), "h"
+    ).select("w", F.expr("substring(h, 1, w)").alias("b"))
+    agg = pre.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+        F.countDistinct("b").cast("bigint").alias("n_buckets"),
+    )
+    buckets = (
+        F.when(F.col("w") == 4, F.lit(65536.0))
+        .when(F.col("w") == 6, F.lit(16777216.0))
+        .otherwise(F.lit(4294967296.0))
+    )
+    return agg.select(
+        (F.col("w") * 4).cast("int").alias("bits"),
+        "n_ids",
+        "n_buckets",
+        (F.col("n_ids") - F.col("n_buckets")).cast("bigint")
+        .alias("n_colliding"),
+        (
+            F.col("n_ids").cast("double")
+            * (F.col("n_ids") - F.lit(1)).cast("double")
+            / (F.lit(2.0) * buckets)
+        ).alias("expected_collisions"),
+    ).orderBy("bits")

@@ -3074,3 +3074,25 @@ ORACLES["gap_autocorrelation"] = """
                AS gap_autocorr_r1
     FROM mom ORDER BY event_type
 """
+
+ORACLES["revenue_run_lengths"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8)))
+                               AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        FROM orders GROUP BY 1),
+    flagged AS (
+        SELECT d, qd * COUNT(*) OVER () > SUM(qd) OVER () AS above
+        FROM daily),
+    runs AS (
+        SELECT above,
+               ROW_NUMBER() OVER (ORDER BY d)
+                 - ROW_NUMBER() OVER (PARTITION BY above ORDER BY d) AS grp
+        FROM flagged),
+    per_run AS (
+        SELECT above, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2)
+    SELECT CASE WHEN above THEN 'above' ELSE 'below' END AS direction,
+           CAST(run_len AS BIGINT) AS run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM per_run GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -2650,3 +2650,50 @@ def gap_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.greatest(F.lit(1.0), deny))
         ).alias("gap_autocorr_r1"),
     ).orderBy("event_type")
+
+
+def revenue_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C121 — persistence spectrum of daily revenue: lengths of
+    consecutive-observed-day runs above/below the global mean
+    (gaps-and-islands), histogrammed by direction. Long above-mean
+    runs are demand regimes, not noise — C88's runs_test z-score only
+    counts runs; this is the full length distribution that shows
+    WHERE the persistence lives.
+
+    Exactness: daily revenue floors to micro-units; above/below uses
+    the integer cross-product test qd·n > Σq (no float mean); run ids
+    are differences of two ROW_NUMBERs.
+
+    Plan: one day aggregate, two windows over the bounded day
+    sequence (day count, not row count), two tiny rollups.
+    """
+    od = catalog.load(spark, sf_dir, "orders")
+    daily = od.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.floor(dsum("o_totalprice") * F.lit(1e6)).cast("bigint").alias("qd")
+    )
+    wall = Window.partitionBy()
+    flagged = daily.select(
+        "d",
+        (F.col("qd") * F.count(F.lit(1)).over(wall) > F.sum("qd").over(wall))
+        .alias("above"),
+    )
+    w1 = Window.partitionBy().orderBy("d")
+    w2 = Window.partitionBy("above").orderBy("d")
+    runs = flagged.select(
+        "above",
+        (F.row_number().over(w1) - F.row_number().over(w2)).alias("grp"),
+    )
+    per_run = runs.groupBy("above", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        per_run.groupBy("above", "run_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+        .select(
+            F.when(F.col("above"), F.lit("above"))
+            .otherwise(F.lit("below")).alias("direction"),
+            F.col("run_len").cast("bigint").alias("run_len"),
+            "n_runs",
+        )
+        .orderBy("direction", "run_len")
+    )
