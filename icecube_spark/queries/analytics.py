@@ -3921,3 +3921,36 @@ def order_ship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("span_band")
     )
+
+
+def quantity_integrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B84 — order-quantity domain audit per line status: quantities
+    should be whole numbers in [1, 50]; this reports non-integer and
+    out-of-range counts, the distinct-value cardinality, and the
+    observed min/max. The schema-on-read twin of B82's totals audit:
+    that one checks cross-table arithmetic, this one checks a single
+    column's value domain before anyone trusts GROUP BYs on it.
+
+    Plan: one map-side predicate projection, one status rollup
+    (2-3 groups); countDistinct is exact and bounded by the domain.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    per = li.select(
+        "l_linestatus",
+        q,
+        (q != F.floor(q).cast("double")).cast("int").alias("nonint"),
+        ((q < F.lit(1.0)) | (q > F.lit(50.0))).cast("int").alias("oob"),
+    )
+    return (
+        per.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("nonint").cast("bigint").alias("n_noninteger"),
+            F.sum("oob").cast("bigint").alias("n_out_of_range"),
+            F.countDistinct("l_quantity").cast("bigint").alias("n_distinct"),
+            F.min("l_quantity").alias("min_quantity"),
+            F.max("l_quantity").alias("max_quantity"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1880,3 +1880,20 @@ ORACLES["order_ship_span"] = """
                AS mean_revenue
     FROM per GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["quantity_integrality"] = """
+    WITH per AS (
+        SELECT l_linestatus, l_quantity,
+               CAST(l_quantity != CAST(FLOOR(l_quantity) AS DOUBLE) AS INT)
+                   AS nonint,
+               CAST(l_quantity < 1.0 OR l_quantity > 50.0 AS INT) AS oob
+        FROM lineitem)
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(nonint) AS BIGINT) AS n_noninteger,
+           CAST(SUM(oob) AS BIGINT) AS n_out_of_range,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           MIN(l_quantity) AS min_quantity,
+           MAX(l_quantity) AS max_quantity
+    FROM per GROUP BY 1 ORDER BY 1
+"""

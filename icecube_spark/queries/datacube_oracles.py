@@ -1887,3 +1887,28 @@ ORACLES["cube_diagonal_banding"] = """
            MAX(ABS(dev_from_grid)) OVER () AS max_abs_dev
     FROM dev ORDER BY phase
 """
+
+ORACLES["cube_center_of_mass"] = """
+    WITH cells AS (
+        SELECT event_type AS band,
+               event_id % 50 AS x,
+               CAST(FLOOR(event_id / 50) AS BIGINT) % 50 AS y,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS q
+        FROM events GROUP BY 1, 2, 3),
+    m AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(q) AS m0, SUM(q * x) AS mx, SUM(q * y) AS my,
+               SUM(q * x * x) AS mxx, SUM(q * y * y) AS myy
+        FROM cells GROUP BY 1)
+    SELECT band, n_cells,
+           CAST(m0 AS DOUBLE) / 1e6 AS total_value,
+           CAST(mx AS DOUBLE) / CAST(m0 AS DOUBLE) AS cx,
+           CAST(my AS DOUBLE) / CAST(m0 AS DOUBLE) AS cy,
+           CAST(mxx + myy AS DOUBLE) / CAST(m0 AS DOUBLE)
+             - (CAST(mx AS DOUBLE) / CAST(m0 AS DOUBLE))
+               * (CAST(mx AS DOUBLE) / CAST(m0 AS DOUBLE))
+             - (CAST(my AS DOUBLE) / CAST(m0 AS DOUBLE))
+               * (CAST(my AS DOUBLE) / CAST(m0 AS DOUBLE)) AS dispersion
+    FROM m ORDER BY band
+"""

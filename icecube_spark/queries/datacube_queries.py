@@ -3905,3 +3905,49 @@ def cube_diagonal_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase", "n_cells", "phase_mean", "dev_from_grid",
         F.max(F.abs(F.col("dev_from_grid"))).over(wall).alias("max_abs_dev"),
     ).orderBy("phase")
+
+
+def cube_center_of_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74 — per-band intensity centroid and dispersion: the
+    value-weighted center of mass (cx, cy) of each event_type's 50x50
+    layer plus its second-moment dispersion. Layer-to-layer centroid
+    drift is the cheap registration check a stack runs before A23's
+    full coregistration search; dispersion separates point-source
+    layers from diffuse ones.
+
+    Exactness: all five moments (m0, mx, my, mxx, myy) are BIGINT
+    sums of integer products (cell weights floor to micro-units
+    first); the centroid and dispersion divide/multiply those exact
+    integers in a fixed double expression.
+
+    Plan: one (band, cell) aggregate, one band rollup — two shuffles,
+    both on bounded keys.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("band"),
+        (F.col("event_id") % 50).alias("x"),
+        ((F.col("event_id") / 50).cast("bigint") % 50).alias("y"),
+    ).agg(F.floor(dsum("value") * F.lit(1e6)).cast("bigint").alias("q"))
+    m = cells.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("q").alias("m0"),
+        F.sum(F.col("q") * F.col("x")).alias("mx"),
+        F.sum(F.col("q") * F.col("y")).alias("my"),
+        F.sum(F.col("q") * F.col("x") * F.col("x")).alias("mxx"),
+        F.sum(F.col("q") * F.col("y") * F.col("y")).alias("myy"),
+    )
+    cx = F.col("mx").cast("double") / F.col("m0").cast("double")
+    cy = F.col("my").cast("double") / F.col("m0").cast("double")
+    return m.select(
+        "band",
+        "n_cells",
+        (F.col("m0").cast("double") / F.lit(1e6)).alias("total_value"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+        (
+            (F.col("mxx") + F.col("myy")).cast("double")
+            / F.col("m0").cast("double")
+            - cx * cx - cy * cy
+        ).alias("dispersion"),
+    ).orderBy("band")

@@ -4029,3 +4029,27 @@ ORACLES["whitespace_profile"] = """
                AS space_density
     FROM per GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["anchor_coverage_curve"] = """
+    WITH d1 AS (
+        SELECT v.vec_id,
+               MIN(list_sum([CAST(floor(
+                   (CAST(v.embedding[j] AS DOUBLE) - CAST(a.avec[j] AS DOUBLE))
+                   * (CAST(v.embedding[j] AS DOUBLE) - CAST(a.avec[j] AS DOUBLE))
+                   * 1e12) AS BIGINT)
+                 FOR j IN range(1, 65)])) AS d1
+        FROM embeddings v CROSS JOIN
+             (SELECT CAST(vec_id AS INT) AS aid, embedding AS avec
+              FROM embeddings WHERE vec_id < 8) a
+        WHERE v.vec_id != a.aid
+        GROUP BY 1),
+    deciled AS (
+        SELECT d1, NTILE(10) OVER (ORDER BY d1, vec_id) AS decile
+        FROM d1)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(d1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12
+               AS mean_dist,
+           CAST(MAX(d1) AS DOUBLE) / 1e12 AS max_dist
+    FROM deciled GROUP BY 1 ORDER BY 1
+"""

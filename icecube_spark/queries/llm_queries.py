@@ -2106,3 +2106,52 @@ def whitespace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def anchor_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49 — coverage-radius curve of the anchor set: every vector's
+    quantized squared distance to its NEAREST of 8 anchors, split
+    into deciles with per-decile mean and max. The tail deciles are
+    the vectors a coarse quantizer covers worst — a fat max in decile
+    10 means more anchors (or reseeding) before an IVF build, the
+    capacity read beside E46's ambiguity margins and E44's recall
+    curve.
+
+    Exactness: distances are the quantized-integer folds; decile ids
+    come from NTILE over the deterministic (distance, id) order;
+    means divide exact BIGINT sums.
+
+    Plan: anchors broadcast (8 rows), map-side min-of-8 distance
+    fold, one bounded NTILE window, one 10-row rollup.
+    """
+    from icecube_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("aid"),
+        F.col("embedding").alias("avec"),
+    )
+    d1 = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("aid"))
+        .select(
+            "vec_id",
+            similarity.qdist_expr("embedding", "avec").alias("qd"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("qd").alias("d1"))
+    )
+    w = Window.partitionBy().orderBy("d1", "vec_id")
+    return (
+        d1.select("d1", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (
+                F.sum("d1").cast("double") / F.count(F.lit(1)).cast("double")
+                / F.lit(1e12)
+            ).alias("mean_dist"),
+            (F.max("d1").cast("double") / F.lit(1e12)).alias("max_dist"),
+        )
+        .orderBy("decile")
+    )

@@ -1882,3 +1882,26 @@ ORACLES["id_hash_collisions"] = """
                AS expected_collisions
     FROM agg ORDER BY 1
 """
+
+ORACLES["temperature_sweep"] = """
+    WITH src AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+    pre AS (
+        SELECT tau, lang, n_docs,
+               CAST(FLOOR(CASE tau
+                   WHEN 0.25 THEN sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+                   WHEN 0.5 THEN sqrt(CAST(n_docs AS DOUBLE))
+                   WHEN 0.75 THEN sqrt(CAST(n_docs AS DOUBLE))
+                                 * sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+                   ELSE CAST(n_docs AS DOUBLE) END * 1e6) AS BIGINT) AS q
+        FROM src, UNNEST([0.25, 0.5, 0.75, 1.0]) t(tau))
+    SELECT tau, lang, n_docs,
+           CAST(q AS DOUBLE) / CAST(SUM(q) OVER (PARTITION BY tau) AS DOUBLE)
+               AS weight,
+           CAST(q AS DOUBLE)
+             * CAST(SUM(n_docs) OVER (PARTITION BY tau) AS DOUBLE)
+             / (CAST(SUM(q) OVER (PARTITION BY tau) AS DOUBLE)
+                * CAST(n_docs AS DOUBLE)) AS boost
+    FROM pre ORDER BY tau, lang
+"""

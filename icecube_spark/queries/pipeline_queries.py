@@ -1280,3 +1280,56 @@ def id_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * buckets)
         ).alias("expected_collisions"),
     ).orderBy("bits")
+
+
+def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P80 — sampling-temperature planning curve: per-language
+    mixture weights at tau in {0.25, 0.5, 0.75, 1.0} (weight
+    proportional to n^tau) and each language's boost factor vs
+    natural sampling — the mC4-style balancing sweep a data-mixture
+    review reads before picking a temperature (P31 resamples at ONE
+    tau; this shows which low-resource tails get promoted, and by how
+    much, as tau cools).
+
+    Exactness: n^tau comes from exact IEEE sqrt chains (0.25 = double
+    sqrt, 0.75 = their product), floored to micro-units before the
+    per-tau normalization, so every weight divides exact BIGINTs.
+
+    Plan: one lang rollup, a broadcast 4-row tau table, windows over
+    (tau) partitions of language cardinality.
+    """
+    docs = _docs(spark, sf_dir)
+    src = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    taus = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (1.0,)], "tau double"
+    )
+    nd = F.col("n_docs").cast("double")
+    r2 = F.sqrt(nd)
+    r4 = F.sqrt(r2)
+    f = (
+        F.when(F.col("tau") == 0.25, r4)
+        .when(F.col("tau") == 0.5, r2)
+        .when(F.col("tau") == 0.75, r2 * r4)
+        .otherwise(nd)
+    )
+    pre = src.crossJoin(F.broadcast(taus)).select(
+        "tau", "lang", "n_docs",
+        F.floor(f * F.lit(1e6)).cast("bigint").alias("q"),
+    )
+    wt = Window.partitionBy("tau")
+    return pre.select(
+        "tau", "lang", "n_docs",
+        (
+            F.col("q").cast("double") / F.sum("q").over(wt).cast("double")
+        ).alias("weight"),
+        (
+            F.col("q").cast("double")
+            * F.sum("n_docs").over(wt).cast("double")
+            / (
+                F.sum("q").over(wt).cast("double")
+                * F.col("n_docs").cast("double")
+            )
+        ).alias("boost"),
+    ).orderBy("tau", "lang")

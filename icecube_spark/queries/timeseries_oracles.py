@@ -3096,3 +3096,38 @@ ORACLES["revenue_run_lengths"] = """
            CAST(COUNT(*) AS BIGINT) AS n_runs
     FROM per_run GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+ORACLES["month_end_effect"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8)))
+                               AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        FROM orders GROUP BY 1),
+    per AS (
+        SELECT date_trunc('month', d) AS month,
+               SUM(CASE WHEN date_diff('day', CAST(d AS DATE),
+                                       last_day(CAST(d AS DATE))) <= 2
+                        THEN qd END) AS q_end,
+               COUNT(CASE WHEN date_diff('day', CAST(d AS DATE),
+                                         last_day(CAST(d AS DATE))) <= 2
+                          THEN 1 END) AS n_end,
+               SUM(CASE WHEN date_diff('day', CAST(d AS DATE),
+                                       last_day(CAST(d AS DATE))) > 2
+                        THEN qd END) AS q_rest,
+               COUNT(CASE WHEN date_diff('day', CAST(d AS DATE),
+                                         last_day(CAST(d AS DATE))) > 2
+                          THEN 1 END) AS n_rest
+        FROM daily GROUP BY 1)
+    SELECT month,
+           CAST(n_end AS BIGINT) AS n_end_days,
+           CAST(n_rest AS BIGINT) AS n_rest_days,
+           CAST(q_end AS DOUBLE) / CAST(n_end AS DOUBLE) / 1e6
+               AS mean_end_revenue,
+           CAST(q_rest AS DOUBLE) / CAST(n_rest AS DOUBLE) / 1e6
+               AS mean_rest_revenue,
+           CASE WHEN n_end > 0 AND n_rest > 0 THEN
+               (CAST(q_end AS DOUBLE) / CAST(n_end AS DOUBLE) / 1e6)
+               / (CAST(q_rest AS DOUBLE) / CAST(n_rest AS DOUBLE) / 1e6)
+           END AS end_lift
+    FROM per ORDER BY month
+"""

@@ -2697,3 +2697,43 @@ def revenue_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("direction", "run_len")
     )
+
+
+def month_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C122 — calendar-edge demand artifact: per month, mean daily
+    revenue over the last 3 calendar days vs the rest of the month,
+    and their ratio. Quota-driven order batching shows up exactly
+    here and contaminates any month-seasonality fit (C76/C91) that
+    assumes within-month uniformity; C113's weekend lift can't see it
+    because month edges move through the week.
+
+    Exactness: daily revenue floors to micro-units; both means divide
+    exact integer sums; the ratio is guarded so an end- or rest-empty
+    month yields NULL identically in both engines.
+
+    Plan: one day aggregate, one month rollup — both bounded keys.
+    """
+    od = catalog.load(spark, sf_dir, "orders")
+    daily = od.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.floor(dsum("o_totalprice") * F.lit(1e6)).cast("bigint").alias("qd")
+    )
+    is_end = F.datediff(F.last_day(F.to_date("d")), F.to_date("d")) <= 2
+    per = daily.groupBy(F.date_trunc("month", F.col("d")).alias("month")).agg(
+        F.sum(F.when(is_end, F.col("qd"))).alias("q_end"),
+        F.count(F.when(is_end, F.lit(1))).alias("n_end"),
+        F.sum(F.when(~is_end, F.col("qd"))).alias("q_rest"),
+        F.count(F.when(~is_end, F.lit(1))).alias("n_rest"),
+    )
+    mean_end = F.col("q_end").cast("double") / F.col("n_end").cast("double") / F.lit(1e6)
+    mean_rest = F.col("q_rest").cast("double") / F.col("n_rest").cast("double") / F.lit(1e6)
+    return per.select(
+        "month",
+        F.col("n_end").cast("bigint").alias("n_end_days"),
+        F.col("n_rest").cast("bigint").alias("n_rest_days"),
+        mean_end.alias("mean_end_revenue"),
+        mean_rest.alias("mean_rest_revenue"),
+        F.when(
+            (F.col("n_end") > 0) & (F.col("n_rest") > 0),
+            mean_end / mean_rest,
+        ).alias("end_lift"),
+    ).orderBy("month")
