@@ -127,6 +127,7 @@ def main() -> None:
         _stage("minhash_pairs", lambda: _lq.staged_minhash_pairs(spark, sf_dir).count())
         _stage("jaccard_pairs", lambda: _lq.staged_jaccard_pairs(spark, sf_dir, 0.3).count())
         _stage("ivf_index", lambda: _lq.staged_ivf_index(spark, sf_dir)[0].count())
+        _stage("tfidf_fit", lambda: _lq.staged_tfidf_fit(spark, sf_dir))
     except Exception as exc:  # staging must never kill the bench
         errors["staging"] = f"{type(exc).__name__}: {exc}"[:200]
     result["staging_s"] = staging
