@@ -4053,3 +4053,16 @@ ORACLES["anchor_coverage_curve"] = """
            CAST(MAX(d1) AS DOUBLE) / 1e12 AS max_dist
     FROM deciled GROUP BY 1 ORDER BY 1
 """
+
+# text_features graduated from rows-only in round 6: the stats columns
+# now come from a native tokenizer projection (the MLlib IDF fit is a
+# staged side artifact), so a SQL twin exists.
+ORACLES["text_features"] = """
+    SELECT doc_id,
+           CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(length(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x != '')))
+               AS BIGINT) AS n_distinct_terms
+    FROM documents
+"""

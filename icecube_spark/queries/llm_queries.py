@@ -336,9 +336,11 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib TF-IDF features (rows-only: HashingTF is engine-internal).
-    Returns stable stats columns rather than raw ml vectors so the
-    driver can hash the schema.
+    """MLlib TF-IDF features. Returns stable stats columns rather
+    than raw ml vectors so the driver can hash the schema — and since
+    round 6 those stats come from a native tokenizer projection, the
+    key is fully oracle-checked (the engine-internal HashingTF/IDF
+    vectors never leave the fit).
 
     The IDF fit is the exercised MLlib operator (one corpus pass),
     cached per corpus like every staged_* artifact (at 100 TB the IDF
@@ -351,8 +353,9 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_terms"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint")
+        .alias("n_distinct_terms"),
     )
 
 

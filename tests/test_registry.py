@@ -15,11 +15,11 @@ def test_rows_only_keys_are_the_documented_set():
     qs = set(entry.queries())
     rows_only = qs - set(entry.oracle_sql())
     # embed_ann_ivf / ivf_probe_curve / part_pagerank left this set
-    # in round 5: the exact-Lloyd/quantized-fold discipline made them
-    # oracle-able (unrolled CTE twins).
+    # in round 5 (exact-Lloyd/quantized-fold discipline);
+    # text_features left in round 6 (stats from a native tokenizer
+    # projection, the IDF fit staged as a side artifact).
     assert rows_only == {
         "approx_quantiles",
-        "text_features",
         "approx_profile",
         "multimodal_features",
         "embed_pca_top",
