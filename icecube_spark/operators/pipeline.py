@@ -2902,3 +2902,60 @@ def chunking_plan(
         )
         .orderBy(group_col)
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact NTILE over a TOTAL order without a single-partition
+    window: RANGE-repartition on the order columns, local row_numbers
+    within each sorted range, per-partition counts (tiny) prefix-
+    summed and broadcast back as offsets → the global rank; the NTILE
+    group id is then pure integer arithmetic on (rank, n). Output is
+    bit-identical to ``F.ntile(n).over(Window.orderBy(*order_cols))``
+    — which is what the SQL oracles keep using — but the data never
+    funnels through one task: this is the 100 TB shape of a global
+    quantile split (same pattern as distributed_depth_cuts above).
+
+    ``order_cols`` must be a total order (include a unique id) so the
+    rank is unambiguous in any engine.
+    """
+    p = df.repartitionByRange(32, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    loc = p.withColumn("__lrn", F.row_number().over(wloc))
+    ptot = loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptot"))
+    woff = Window.partitionBy().orderBy("__pid")
+    off = ptot.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__ptot").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__ptot").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    rn = F.col("__lrn") + F.col("__off")
+    # NTILE semantics: the first n % k groups get one extra row
+    q = F.floor(F.col("__n") / F.lit(float(n_tiles))).cast("bigint")
+    r = F.col("__n") % n_tiles
+    head = (q + F.lit(1)) * r
+    tile = F.when(
+        rn <= head, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((rn - head - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        loc.join(F.broadcast(off), "__pid")
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("__pid", "__lrn", "__off", "__n")
+    )

@@ -2137,13 +2137,16 @@ def anchor_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve.
 
     Exactness: distances are the quantized-integer folds; decile ids
-    come from NTILE over the deterministic (distance, id) order;
-    means divide exact BIGINT sums.
+    come from exact NTILE semantics over the deterministic
+    (distance, id) total order; means divide exact BIGINT sums.
 
     Plan: anchors broadcast (8 rows), map-side min-of-8 distance
-    fold, one bounded NTILE window, one 10-row rollup.
+    fold, then distributed_ntile (range repartition + prefix-summed
+    offsets — NO single-partition window; the oracle's plain NTILE is
+    bit-identical), one 10-row rollup.
     """
     from icecube_spark.operators import similarity
+    from icecube_spark.operators.pipeline import distributed_ntile
 
     emb = _emb(spark, sf_dir)
     anchors = emb.where(F.col("vec_id") < 8).select(
@@ -2160,9 +2163,8 @@ def anchor_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("qd").alias("d1"))
     )
-    w = Window.partitionBy().orderBy("d1", "vec_id")
     return (
-        d1.select("d1", F.ntile(10).over(w).alias("decile"))
+        distributed_ntile(d1, ["d1", "vec_id"], 10, tile_col="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),

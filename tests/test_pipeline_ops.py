@@ -238,3 +238,30 @@ def test_pagerank_matches_numpy(spark, sf_dir):
     want = {nodes[i]: qr[i] / 1e12 for i in range(n)}
     for node, val in got.items():
         assert val == want[node], (node, val, want[node])
+
+
+def test_distributed_ntile_matches_global_window(spark):
+    """distributed_ntile must be bit-identical to F.ntile over a
+    global window for every n % k remainder case — it is the 100 TB
+    replacement for the single-partition NTILE sort and the oracles
+    keep using plain NTILE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import distributed_ntile
+
+    for n_rows in (1, 7, 10, 23, 100, 101):
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            (F.col("id") * 37 % 11).alias("v"),  # ties on v; id breaks them
+        ).repartition(8)
+        got = {
+            r.id: r.tile
+            for r in distributed_ntile(df, ["v", "id"], 10).collect()
+        }
+        w = Window.partitionBy().orderBy("v", "id")
+        want = {
+            r.id: r.t
+            for r in df.select("id", F.ntile(10).over(w).alias("t")).collect()
+        }
+        assert got == want, (n_rows, got, want)
