@@ -1059,9 +1059,13 @@ def distributed_depth_cuts(
         "pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("pid").orderBy("v")
+    # materialize ONCE before branching: the cum branch and the ptot
+    # branch must see the same range bounds (spark_partition_id is
+    # nondeterministic; see distributed_ntile below for the failure
+    # mode this prevents)
     hl = hp.withColumn(
         "lcum", F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    ).localCheckpoint(eager=True)
     ptot = hl.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
     woff = Window.partitionBy().orderBy("pid")
     off = ptot.select(
@@ -2927,7 +2931,16 @@ def distributed_ntile(
         "__pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("__pid").orderBy(*order_cols)
-    loc = p.withColumn("__lrn", F.row_number().over(wloc))
+    # materialize ONCE: the offsets branch and the rows branch below
+    # must see the SAME range bounds — spark_partition_id is
+    # nondeterministic and the range sampler can pick different bounds
+    # per subtree evaluation when the input's own row order is
+    # nondeterministic (e.g. a join), silently corrupting the offsets
+    # (at 100 TB this is a reliable-checkpoint, same as the iterative
+    # operators)
+    loc = p.withColumn("__lrn", F.row_number().over(wloc)).localCheckpoint(
+        eager=True
+    )
     ptot = loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptot"))
     woff = Window.partitionBy().orderBy("__pid")
     off = ptot.select(

@@ -2287,8 +2287,9 @@ def norm_quality_deciles(
         F.col(label_col).alias("label"),
         norm_expr(vec_col).alias("nrm"),
     )
-    w = Window.orderBy(F.col("nrm").asc(), F.col("id").asc())
-    deciled = normed.withColumn("decile", F.ntile(10).over(w))
+    from icecube_spark.operators.pipeline import distributed_ntile
+
+    deciled = distributed_ntile(normed, ["nrm", "id"], 10, tile_col="decile")
     cells = deciled.groupBy("decile", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

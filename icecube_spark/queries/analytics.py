@@ -2094,8 +2094,11 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("decimal(28,0)")
         ).alias("qrev")
     )
-    w = Window.orderBy(F.col("qrev"), F.col("o_custkey"))
-    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    from icecube_spark.operators.pipeline import distributed_ntile
+
+    deciled = distributed_ntile(
+        per_cust, ["qrev", "o_custkey"], 10, tile_col="decile"
+    )
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("qrev").alias("drev"),
@@ -2643,8 +2646,9 @@ def acctbal_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * F.lit(1e2)).cast("bigint")
         ).alias("cents"),
     )
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    joined = (
+    from icecube_spark.operators.pipeline import distributed_ntile
+
+    joined = distributed_ntile(
         cust.join(
             per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
         )
@@ -2653,8 +2657,8 @@ def acctbal_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
             F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
             F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
-        )
-        .withColumn("decile", F.ntile(10).over(w))
+        ),
+        ["c_acctbal", "c_custkey"], 10, tile_col="decile",
     )
     return (
         joined.groupBy("decile")

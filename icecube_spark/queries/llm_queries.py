@@ -867,10 +867,13 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc id."""
     from pyspark.sql import Window
 
+    from icecube_spark.operators.pipeline import distributed_ntile
+
     scored = text.bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
-    w = Window.partitionBy().orderBy("mean_logprob", "doc_id")
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    b = scored.withColumn("decile", F.ntile(10).over(w)).join(docs, "doc_id")
+    b = distributed_ntile(
+        scored, ["mean_logprob", "doc_id"], 10, tile_col="decile"
+    ).join(docs, "doc_id")
     return (
         b.groupBy("decile")
         .agg(
