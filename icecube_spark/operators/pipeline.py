@@ -891,15 +891,14 @@ def curriculum_shards(
     anti-curriculum schedules) and each worker must see the full
     difficulty spectrum.
 
-    Plan: one global rank. A total sort is fine at report scale; at
-    100 TB swap row_number for the two-pass histogram rank used by
-    length_deciles (bucket cutpoints + within-bucket offset) — the
-    round-robin deal is rank % n, which only needs rank, not order.
-    Tiebreak on the id makes the rank total and deterministic.
+    Plan: one exact global rank via distributed_rank (range
+    repartition + prefix-summed offsets — no single-partition sort;
+    the round-robin deal is rank % n, which only needs rank, not
+    order). Tiebreak on the id makes the rank total and
+    deterministic, so the oracle's plain ROW_NUMBER is bit-identical.
     """
-    w = Window.orderBy(F.col(score_col), F.col(id_col))
-    ranked = df.select(id_col, score_col).withColumn(
-        "rank", F.row_number().over(w)
+    ranked = distributed_rank(
+        df.select(id_col, score_col), [score_col, id_col], rank_col="rank"
     )
     return ranked.select(
         id_col,
@@ -2908,24 +2907,23 @@ def chunking_plan(
     )
 
 
-def distributed_ntile(
+def distributed_rank(
     df: DataFrame,
     order_cols: list[str],
-    n_tiles: int,
-    tile_col: str = "tile",
+    rank_col: str = "rank",
+    n_col: str | None = None,
 ) -> DataFrame:
-    """Exact NTILE over a TOTAL order without a single-partition
-    window: RANGE-repartition on the order columns, local row_numbers
-    within each sorted range, per-partition counts (tiny) prefix-
-    summed and broadcast back as offsets → the global rank; the NTILE
-    group id is then pure integer arithmetic on (rank, n). Output is
-    bit-identical to ``F.ntile(n).over(Window.orderBy(*order_cols))``
-    — which is what the SQL oracles keep using — but the data never
-    funnels through one task: this is the 100 TB shape of a global
-    quantile split (same pattern as distributed_depth_cuts above).
+    """Exact global ROW_NUMBER over a TOTAL order without a single-
+    partition window: RANGE-repartition on the order columns, local
+    row_numbers within each sorted range, per-partition counts (tiny)
+    prefix-summed and broadcast back as offsets → the global rank.
+    Bit-identical to ``F.row_number().over(Window.orderBy(*cols))``
+    (which is what the SQL oracles keep using) but the data never
+    funnels through one task — the 100 TB shape of a global rank.
 
     ``order_cols`` must be a total order (include a unique id) so the
-    rank is unambiguous in any engine.
+    rank is unambiguous in any engine. Pass ``n_col`` to also attach
+    the total row count to every row.
     """
     p = df.repartitionByRange(32, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -2955,10 +2953,36 @@ def distributed_ntile(
             Window.partitionBy().rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
-        ).alias("__n"),
+        ).alias("__ntot"),
     )
-    rn = F.col("__lrn") + F.col("__off")
-    # NTILE semantics: the first n % k groups get one extra row
+    out = (
+        loc.join(F.broadcast(off), "__pid")
+        .withColumn(rank_col, F.col("__lrn") + F.col("__off"))
+    )
+    if n_col is not None and n_col != "__ntot":
+        out = out.withColumn(n_col, F.col("__ntot"))
+    temps = [
+        c for c in ("__pid", "__lrn", "__off", "__ntot")
+        if c not in (rank_col, n_col)
+    ]
+    return out.drop(*temps)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact NTILE over a TOTAL order without a single-partition
+    window: the distributed_rank above plus the NTILE group formula
+    (pure integer arithmetic on (rank, n) — the first n % k groups
+    get one extra row). Output is bit-identical to
+    ``F.ntile(n).over(Window.orderBy(*order_cols))``, which is what
+    the SQL oracles keep using.
+    """
+    ranked = distributed_rank(df, order_cols, rank_col="__rn", n_col="__n")
+    rn = F.col("__rn")
     q = F.floor(F.col("__n") / F.lit(float(n_tiles))).cast("bigint")
     r = F.col("__n") % n_tiles
     head = (q + F.lit(1)) * r
@@ -2967,8 +2991,59 @@ def distributed_ntile(
     ).otherwise(
         r + F.floor((rn - head - 1) / F.greatest(q, F.lit(1))) + 1
     )
-    return (
-        loc.join(F.broadcast(off), "__pid")
-        .withColumn(tile_col, tile.cast("int"))
-        .drop("__pid", "__lrn", "__off", "__n")
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__rn", "__n")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact running total over a TOTAL order without a single-
+    partition window: RANGE-repartition on the order columns, local
+    cumulative sums within each sorted range, per-partition value
+    totals (tiny) prefix-summed and broadcast back as offsets.
+    Bit-identical to ``F.sum(v).over(Window.orderBy(*cols).rowsBetween
+    (unboundedPreceding, 0))`` for exact (integer/decimal) values —
+    which is what the SQL oracles keep using — but the data never
+    funnels through one task. Order columns may be Column expressions
+    (e.g. ``F.col("rev").desc()``); they must form a total order.
+    Pass ``total_col`` to also attach the grand total to every row.
+    """
+    p = df.repartitionByRange(32, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # materialize ONCE before branching (see distributed_rank)
+    loc = p.withColumn("__lcum", F.sum(value_col).over(wloc)).localCheckpoint(
+        eager=True
+    )
+    ptot = loc.groupBy("__pid").agg(F.sum(value_col).alias("__ptot"))
+    woff = Window.partitionBy().orderBy("__pid")
+    off = ptot.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__ptot").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__ptot").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__tot"),
+    )
+    out = (
+        loc.join(F.broadcast(off), "__pid")
+        .withColumn(cum_col, F.col("__lcum") + F.col("__off"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__pid", "__lcum", "__off", "__tot")

@@ -494,11 +494,11 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
     OLS moments are exact integer sums; the final slope/intercept
     are identical double expressions in both engines.
 
-    Plan: one explode + token-count agg (vocab-sized output), a
-    single-partition window for ranking (vocab is ~1e5-1e6 rows even
-    at 100 TB — one reducer holds it; if vocab ever exceeded that,
-    swap row_number for a two-pass histogram rank), then a scalar
-    aggregate.
+    Plan: one explode + token-count agg (vocab-sized output), then
+    distributed_rank for the Zipf rank (range repartition +
+    prefix-summed offsets — whitespace "vocab" at 100 TB is unbounded
+    junk-token territory, so no single reducer ever holds it), then a
+    scalar aggregate.
     """
     vocab = (
         df.select(F.explode(F.expr(_toks(text_col))).alias("tok"))
@@ -506,9 +506,10 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = vocab.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok"))),
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    ranked = distributed_rank(
+        vocab, [F.col("cnt").desc(), F.col("tok")], rank_col="rank"
     ).select(
         F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6))
         .cast("bigint")

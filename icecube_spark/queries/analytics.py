@@ -631,12 +631,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-profile analogue, generalized to customers).
 
     Plan: one shuffle aggregates orders per customer; the anchor date
-    is a scalar aggregate broadcast back (no rescan). The three NTILE
-    windows run over the customer-sized aggregate (orders of magnitude
-    below the fact table) — at extreme scale swap for percent_rank
-    binning, which partial-aggregates. Ties break on custkey so the
-    quartile assignment is total-order deterministic; `monetary` is a
-    decimal fold, so both engines sort identical doubles.
+    is a scalar aggregate broadcast back (no rescan). The three
+    quartile assignments run through distributed_ntile (range
+    repartition + prefix-summed offsets — no single-partition window
+    even at billion-customer scale); the oracle keeps plain NTILE,
+    which is bit-identical. Ties break on custkey so the quartile
+    assignment is total-order deterministic; `monetary` is a decimal
+    fold, so both engines sort identical doubles.
     """
     orders = catalog.load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -651,17 +652,32 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    nt = lambda *order: F.ntile(4).over(  # noqa: E731
-        Window.partitionBy().orderBy(*order)
+    from icecube_spark.operators.pipeline import distributed_ntile
+
+    scored = distributed_ntile(
+        distributed_ntile(
+            distributed_ntile(
+                per,
+                [F.asc("recency_days"), F.asc("o_custkey")],
+                4,
+                tile_col="r_score",
+            ),
+            [F.desc("frequency"), F.asc("o_custkey")],
+            4,
+            tile_col="f_score",
+        ),
+        [F.desc("monetary"), F.asc("o_custkey")],
+        4,
+        tile_col="m_score",
     )
-    return per.select(
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        nt(F.asc("recency_days"), F.asc("o_custkey")).alias("r_score"),
-        nt(F.desc("frequency"), F.asc("o_custkey")).alias("f_score"),
-        nt(F.desc("monetary"), F.asc("o_custkey")).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).orderBy("o_custkey")
 
 
@@ -914,10 +930,11 @@ def pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    ranked = per_cust.select(
-        "rev", F.row_number().over(w).alias("rn")
-    ).crossJoin(
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    ranked = distributed_rank(
+        per_cust, [F.col("rev").desc(), F.col("o_custkey")], rank_col="rn"
+    ).select("rev", "rn").crossJoin(
         F.broadcast(
             per_cust.agg(
                 F.count(F.lit(1)).alias("n_cust"),
@@ -1848,18 +1865,16 @@ def abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qty_m").cast(dec)).alias("s"),
         F.sum(F.col("qty_m").cast(dec) * F.col("qty_m")).alias("ss"),
     )
-    wcum = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = per_part.select(
-        "l_partkey",
+    from icecube_spark.operators.pipeline import distributed_cumsum
+
+    ranked = distributed_cumsum(
+        per_part,
+        [F.col("rev").desc(), F.col("l_partkey")],
         "rev",
-        "n_months",
-        "s",
-        "ss",
-        F.sum("rev").over(wcum).alias("cum_rev"),
-        F.sum("rev").over(wall).alias("total_rev"),
+        cum_col="cum_rev",
+        total_col="total_rev",
+    ).select(
+        "l_partkey", "rev", "n_months", "s", "ss", "cum_rev", "total_rev"
     )
     abc = (
         F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, F.lit("A"))
@@ -3166,16 +3181,17 @@ def customer_pareto_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revq"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
-    wr = Window.partitionBy().orderBy(F.col("revq").desc(), "o_custkey")
-    wc = Window.partitionBy().orderBy(
-        F.col("n_orders").desc(), "o_custkey"
-    )
-    ranked = per_cust.select(
-        "o_custkey",
-        "revq",
-        F.row_number().over(wr).alias("rrank"),
-        F.row_number().over(wc).alias("crank"),
-    )
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    ranked = distributed_rank(
+        distributed_rank(
+            per_cust,
+            [F.col("revq").desc(), F.col("o_custkey")],
+            rank_col="rrank",
+        ),
+        [F.col("n_orders").desc(), F.col("o_custkey")],
+        rank_col="crank",
+    ).select("o_custkey", "revq", "rrank", "crank")
     tot = per_cust.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("revq").alias("total_revq"),

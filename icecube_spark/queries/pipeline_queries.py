@@ -330,22 +330,22 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, rank-selected median, INT/INT divisions — oracle-exact
     by construction.
 
-    Scale note: the exact median uses a global rank (one single-
-    partition sort of (n_chars, doc_id) pairs — the 2-column
-    projection, not the corpus). At 100 TB swap that term for the
-    P18 histogram-cutpoint quantile or C18b's sketch; the rest of the
-    card is partial-agg only."""
+    Scale note: the exact median rank comes from distributed_rank
+    (range repartition + prefix-summed offsets — no single-partition
+    sort); the rest of the card is partial-agg only."""
     docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window
 
-    w = Window.orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "source",
-        "lang",
-        "n_chars",
-        F.md5(F.expr(pipeline.normalized_expr("text"))).alias("h"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    ranked = pipeline.distributed_rank(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.md5(F.expr(pipeline.normalized_expr("text"))).alias("h"),
+        ),
+        ["n_chars", "doc_id"],
+        rank_col="rn",
+        n_col="n_total",
     )
     dup = ranked.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup_total = dup.agg(
