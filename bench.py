@@ -128,10 +128,66 @@ def main() -> None:
         _stage("jaccard_pairs", lambda: _lq.staged_jaccard_pairs(spark, sf_dir, 0.3).count())
         _stage("ivf_index", lambda: _lq.staged_ivf_index(spark, sf_dir)[0].count())
         _stage("tfidf_fit", lambda: _lq.staged_tfidf_fit(spark, sf_dir))
+
+        from icecube_spark.queries import analytics as _an
+
+        _stage(
+            "copurchase",
+            lambda: [d.count() for d in _an.staged_copurchase(spark, sf_dir)],
+        )
     except Exception as exc:  # staging must never kill the bench
         errors["staging"] = f"{type(exc).__name__}: {exc}"[:200]
     result["staging_s"] = staging
     result["staging_total"] = round(time.perf_counter() - t_stage, 3)
+
+    # Cache ownership for the measurement pass: record the staged
+    # tables' RDD ids, then after each key drop every OTHER persisted
+    # RDD (per-key persists and prefix-sum localCheckpoint blocks).
+    # Without this the leaks accumulate over 481 keys, executor
+    # storage fills, and tail-of-registry keys read 3-6x their
+    # isolated latency (the r5 part_triangles shadow, which the
+    # periodic System.gc alone did not fix — Python-side references
+    # keep the JVM blocks alive until the driver GCs both sides).
+    def _persisted_rdds():
+        return spark.sparkContext._jsc.getPersistentRDDs()
+
+    staged_ids = set(_persisted_rdds().keySet().toArray())
+
+    def _store_fingerprint() -> tuple:
+        # staged tables can also appear lazily mid-run (a
+        # threshold-keyed pair store a key builds on first touch);
+        # detect store growth so the sweep never evicts a live one
+        try:
+            from icecube_spark.queries import analytics as _ana
+            from icecube_spark.queries import llm_queries as _llm
+
+            stores = list(_llm._STAGING_STORES) + [
+                _ana._STAGED_COPURCHASE, _llm._STAGED_TFIDF,
+            ]
+            return tuple(sorted(str(k) for s in stores for k in s))
+        except Exception:
+            return ()
+
+    store_fp = [_store_fingerprint()]
+
+    def sweep_cache() -> None:
+        try:
+            jmap = _persisted_rdds()
+            live = list(jmap.keySet().toArray())
+            fp = _store_fingerprint()
+            if fp != store_fp[0]:
+                # this key lazily built a staged table: adopt the
+                # whole current persist set as protected (conservative
+                # — also spares this one key's leaks) instead of
+                # guessing which RDD backs the new store entry
+                store_fp[0] = fp
+                staged_ids.update(live)
+                return
+            for rid in live:
+                if rid not in staged_ids:
+                    jmap.get(rid).unpersist(False)
+        except Exception:
+            pass
 
     # --- pass 1 (the per-key signal BASELINE.md tracks): sequential warm ---
     t_seq = time.perf_counter()
@@ -143,12 +199,17 @@ def main() -> None:
         if sec is not None:
             timings[name] = sec
             print(json.dumps({"q": name, "sec": sec}), flush=True)
+        sweep_cache()
         if i % 20 == 19:
             _write_full()
-            # periodic full GC: without it, heap pressure from the
-            # staged persists shadows tail-of-registry keys with 2-3x
-            # GC-inflated readings (the r5 part_triangles artifact)
+            # periodic full GC (Python first so ContextCleaner can see
+            # dead JVM references, then the JVM): with the per-key
+            # sweep above this is belt-and-braces against heap-pressure
+            # shadows on tail-of-registry keys
             try:
+                import gc as _gc
+
+                _gc.collect()
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass

@@ -207,6 +207,9 @@ def release_staging(sf_dir: str) -> None:
         ]:
             _release_entry(store.pop(key))
     _STAGED_TFIDF.pop(sf_dir, None)
+    from icecube_spark.queries.analytics import release_copurchase_staging
+
+    release_copurchase_staging(sf_dir)
 
 
 def clear_staging() -> None:
@@ -220,6 +223,9 @@ def clear_staging() -> None:
             _release_entry(val)
         store.clear()
     _STAGED_TFIDF.clear()
+    from icecube_spark.queries.analytics import release_copurchase_staging
+
+    release_copurchase_staging()
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -452,22 +452,17 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P33 — weighted PageRank over the part co-purchase graph
-    (undirected: both edge directions from distinct per-order pairs).
-    Rows-only: iterative fixpoint; pytest replays the fold in numpy.
+    (undirected: both edge directions from the staged co-purchase
+    pair table, analytics.staged_copurchase — one bounded self-join
+    shared by B26/B29/B36/P33). Quantized integer fixpoint; the
+    DuckDB oracle replays all iterations as CTEs.
     """
     from pyspark.sql import functions as F
 
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.withColumnRenamed("l_partkey", "pa")
-    b = li.withColumnRenamed("l_partkey", "pb")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    from icecube_spark.queries.analytics import staged_copurchase
+
+    _, pairs = staged_copurchase(spark, sf_dir)
+    pairs = pairs.withColumnRenamed("n_orders", "w")
     edges = pairs.select("pa", "pb", "w").union(
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "w")
     )

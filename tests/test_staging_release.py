@@ -41,6 +41,27 @@ def test_release_staging_returns_cache_to_baseline(spark):
     assert _n_persisted(spark) <= base
 
 
+def test_release_staging_clears_copurchase_store(spark):
+    from icecube_spark.queries import analytics as an
+
+    lq.clear_staging()
+    base = _n_persisted(spark)
+    li, pairs = an.staged_copurchase(spark, SF)
+    pairs.count()
+    assert SF in an._STAGED_COPURCHASE
+    assert _n_persisted(spark) > base
+
+    # the llm-side entry points own this store too
+    lq.release_staging(SF)
+    assert SF not in an._STAGED_COPURCHASE
+    assert _n_persisted(spark) <= base
+
+    an.staged_copurchase(spark, SF)
+    lq.clear_staging()
+    assert not an._STAGED_COPURCHASE
+    assert _n_persisted(spark) <= base
+
+
 def test_release_staging_clears_threshold_keyed_pairs(spark):
     lq.clear_staging()
     lq.staged_jaccard_pairs(spark, SF, 0.8).count()
