@@ -140,52 +140,21 @@ def main() -> None:
     result["staging_s"] = staging
     result["staging_total"] = round(time.perf_counter() - t_stage, 3)
 
-    # Cache ownership for the measurement pass: record the staged
-    # tables' RDD ids, then after each key drop every OTHER persisted
-    # RDD (per-key persists and prefix-sum localCheckpoint blocks).
-    # Without this the leaks accumulate over 481 keys, executor
-    # storage fills, and tail-of-registry keys read 3-6x their
-    # isolated latency (the r5 part_triangles shadow, which the
-    # periodic System.gc alone did not fix — Python-side references
-    # keep the JVM blocks alive until the driver GCs both sides).
-    def _persisted_rdds():
-        return spark.sparkContext._jsc.getPersistentRDDs()
-
-    staged_ids = set(_persisted_rdds().keySet().toArray())
-
-    def _store_fingerprint() -> tuple:
-        # staged tables can also appear lazily mid-run (a
-        # threshold-keyed pair store a key builds on first touch);
-        # detect store growth so the sweep never evicts a live one
-        try:
-            from icecube_spark.queries import analytics as _ana
-            from icecube_spark.queries import llm_queries as _llm
-
-            stores = list(_llm._STAGING_STORES) + [
-                _ana._STAGED_COPURCHASE, _llm._STAGED_TFIDF,
-            ]
-            return tuple(sorted(str(k) for s in stores for k in s))
-        except Exception:
-            return ()
-
-    store_fp = [_store_fingerprint()]
-
+    # Cache ownership for the measurement pass: each key's DataFrames
+    # die when run_once returns, but reference cycles keep their py4j
+    # handles (and so the JVM-side persisted/checkpoint blocks) alive
+    # until a full Python GC. A per-key gc.collect() releases them so
+    # Spark's ContextCleaner unpersists leaked blocks through its own
+    # throttled async path — staged tables stay cached because the
+    # staging stores hold live references. (Tried and reverted:
+    # force-unpersisting every non-staged RDD id after each key —
+    # the synchronous block-removal storm contended with the Arrow
+    # worker keys and cost more than the leaks did.)
     def sweep_cache() -> None:
         try:
-            jmap = _persisted_rdds()
-            live = list(jmap.keySet().toArray())
-            fp = _store_fingerprint()
-            if fp != store_fp[0]:
-                # this key lazily built a staged table: adopt the
-                # whole current persist set as protected (conservative
-                # — also spares this one key's leaks) instead of
-                # guessing which RDD backs the new store entry
-                store_fp[0] = fp
-                staged_ids.update(live)
-                return
-            for rid in live:
-                if rid not in staged_ids:
-                    jmap.get(rid).unpersist(False)
+            import gc as _gc
+
+            _gc.collect()
         except Exception:
             pass
 
@@ -202,14 +171,10 @@ def main() -> None:
         sweep_cache()
         if i % 20 == 19:
             _write_full()
-            # periodic full GC (Python first so ContextCleaner can see
-            # dead JVM references, then the JVM): with the per-key
-            # sweep above this is belt-and-braces against heap-pressure
-            # shadows on tail-of-registry keys
+            # periodic full JVM GC on top of the per-key Python GC:
+            # clears heap-pressure shadows on tail-of-registry keys
+            # (the r5 part_triangles artifact)
             try:
-                import gc as _gc
-
-                _gc.collect()
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass

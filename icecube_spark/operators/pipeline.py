@@ -1021,12 +1021,16 @@ def pagerank(
                 ).cast("bigint").alias("qr"),
             )
         )
-        # lineage stays constant-depth without a second checkpoint:
-        # ranks is one join off the eagerly-checkpointed contribs (an
-        # RDD leaf), so each iteration's plan bottoms out there — the
-        # contribs checkpoint is the per-iteration lineage cut (at
-        # 100 TB, a reliable-checkpoint to HDFS). Checkpointing ranks
-        # too just paid an extra materialize+serialize job per pass.
+        # truncate lineage each pass: without this the final plan is
+        # iterations² joins deep and the optimizer, not the data,
+        # dominates wall time (the standard iterative-algorithm
+        # checkpoint; at 100 TB this is a reliable-checkpoint to
+        # HDFS). Tried and reverted: dropping this in favor of the
+        # contribs checkpoint alone — ranks feeds the next iteration
+        # TWICE (edge join + dangling union), so without its own
+        # materialization every pass re-plans and re-runs the ranks
+        # join per consumer and wall time triples even at sf0.001.
+        ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select(
         "node", (F.col("qr").cast("double") / F.lit(1e12)).alias("rank")
     )
