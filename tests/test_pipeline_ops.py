@@ -265,3 +265,67 @@ def test_distributed_ntile_matches_global_window(spark):
             for r in df.select("id", F.ntile(10).over(w).alias("t")).collect()
         }
         assert got == want, (n_rows, got, want)
+
+
+def test_distributed_rank_matches_row_number(spark):
+    """distributed_rank must be bit-identical to ROW_NUMBER over a
+    global window, including heavy ties and a shuffled
+    (nondeterministically ordered) input — the range-sampler
+    hazard the eager checkpoint guards against."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("v"),  # 3 distinct values: tie-heavy
+    ).repartition(16)
+    got = {
+        r.id: (r.rnk, r.n)
+        for r in distributed_rank(
+            df, [F.desc("v"), F.asc("id")], rank_col="rnk", n_col="n"
+        ).collect()
+    }
+    w = Window.partitionBy().orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r.id: (r.rnk, 500)
+        for r in df.select(
+            "id", F.row_number().over(w).alias("rnk")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_cumsum_matches_running_window(spark):
+    """distributed_cumsum must be bit-identical to the global
+    running-sum + total windows the oracles keep using."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import distributed_cumsum
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 101).cast("bigint").alias("x"),
+    ).repartition(8)
+    got = {
+        r.id: (r.cum, r.tot)
+        for r in distributed_cumsum(
+            df, [F.desc("x"), F.asc("id")], "x",
+            cum_col="cum", total_col="tot",
+        ).collect()
+    }
+    wcum = Window.partitionBy().orderBy(F.desc("x"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    want = {
+        r.id: (r.cum, r.tot)
+        for r in df.select(
+            "id",
+            F.sum("x").over(wcum).alias("cum"),
+            F.sum("x").over(wall).alias("tot"),
+        ).collect()
+    }
+    assert got == want
