@@ -2409,29 +2409,41 @@ def distance_concentration(
     chain in this repo.
 
     Plan: one bounded sample self-join (i < j), a 4-way dim fanout in
-    the same projection (no re-join), one aggregate per dim.
+    the same projection (no re-join), one aggregate per dim. The
+    per-width quantized distances are projected as PLAIN COLUMNS
+    before the explode: folding all four unrolled dot/norm chains
+    (~360 multiply terms at widths 8+16+32+64) into the Generate's
+    input expression grows its generated doConsume past Janino's
+    64 KB method limit and the whole stage silently falls back to
+    interpreted mode — per-column projection lets codegen split one
+    method per width, keeping the hot path compiled.
     """
     sample = vectors.where(sample_pred).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
     b = sample.select(F.col("vid").alias("wid"), F.col("v").alias("w"))
     pairs = sample.join(F.broadcast(b), F.col("vid") < F.col("wid"))
-    per_dim = pairs.select(
+    dq = {
+        d: F.floor(
+            (
+                F.lit(1.0)
+                - dot_expr("v", "w", d)
+                / (norm_expr("v", d) * norm_expr("w", d))
+            )
+            * F.lit(1e9)
+        ).cast("bigint")
+        for d in dims
+    }
+    scored = pairs.select(
+        *[dq[d].alias(f"__dq_{d}") for d in dims]
+    )
+    per_dim = scored.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("dim"),
-                        F.floor(
-                            (
-                                F.lit(1.0)
-                                - dot_expr("v", "w", d)
-                                / (norm_expr("v", d) * norm_expr("w", d))
-                            )
-                            * F.lit(1e9)
-                        )
-                        .cast("bigint")
-                        .alias("dq"),
+                        F.col(f"__dq_{d}").alias("dq"),
                     )
                     for d in dims
                 ]

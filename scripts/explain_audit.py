@@ -17,6 +17,7 @@ from icecube_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional key subset (plan-attribution runs)
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -29,6 +30,11 @@ def main() -> None:
         "",
     ]
     for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        # marker interleaves with JVM log lines so codegen-fallback
+        # ERRORs attribute to a key (see round-6 Janino hunt)
+        print(f"== {name}", file=sys.stderr, flush=True)
         df = fn(spark, sf_dir)
         # execute first: under AQE the pre-execution plan is a stub
         # (isFinalPlan=false) with no codegen annotation — only the
@@ -55,9 +61,11 @@ def main() -> None:
         if wsc == 0:
             checks.append("WARN no codegen")
         lines += [f"## {name}", "", f"_{'; '.join(checks)}_", "", "```", plan.rstrip(), "```", ""]
-    with open("PLANS.md", "w") as f:
+    out = "PLANS_partial.md" if only else "PLANS.md"
+    with open(out, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote PLANS.md ({len(entry_mod.queries())} queries)")
+    n = len(only) if only else len(entry_mod.queries())
+    print(f"wrote {out} ({n} queries)")
 
 
 if __name__ == "__main__":
