@@ -2917,23 +2917,33 @@ def distributed_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     n_col: str | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact global ROW_NUMBER over a TOTAL order without a single-
-    partition window: RANGE-repartition on the order columns, local
-    row_numbers within each sorted range, per-partition counts (tiny)
-    prefix-summed and broadcast back as offsets → the global rank.
-    Bit-identical to ``F.row_number().over(Window.orderBy(*cols))``
-    (which is what the SQL oracles keep using) but the data never
-    funnels through one task — the 100 TB shape of a global rank.
+    """Exact ROW_NUMBER over a TOTAL order without a single-partition
+    window: RANGE-repartition on the order columns, local row_numbers
+    within each sorted range, per-partition counts (tiny) prefix-summed
+    and broadcast back as offsets → the global rank. Bit-identical to
+    ``F.row_number().over(Window.orderBy(*cols))`` (which is what the
+    SQL oracles keep using) but the data never funnels through one
+    task — the 100 TB shape of a global rank.
 
-    ``order_cols`` must be a total order (include a unique id) so the
-    rank is unambiguous in any engine. Pass ``n_col`` to also attach
-    the total row count to every row.
+    With ``key_cols`` (plain column names, non-null), the rank is
+    per key — bit-identical to ``row_number().over(Window.partitionBy(
+    *key_cols).orderBy(*order_cols))`` — but WITHOUT the low-cardinality
+    funnel: a plain keyed window sorts each key's entire corpus-grain
+    slice in ONE task, so parallelism == |keys| no matter the cluster;
+    here the range partitioner splits big keys across many tasks and the
+    per-(key, partition) offset table (≤ |keys|·32 rows) broadcasts
+    back. ``n_col`` then attaches the per-key row count.
+
+    ``order_cols`` must be a total order within each key (include a
+    unique id) so the rank is unambiguous in any engine.
     """
-    p = df.repartitionByRange(32, *order_cols).withColumn(
+    keys = list(key_cols or [])
+    p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
     # materialize ONCE: the offsets branch and the rows branch below
     # must see the SAME range bounds — spark_partition_id is
     # nondeterministic and the range sampler can pick different bounds
@@ -2944,26 +2954,42 @@ def distributed_rank(
     loc = p.withColumn("__lrn", F.row_number().over(wloc)).localCheckpoint(
         eager=True
     )
-    ptot = loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptot"))
-    woff = Window.partitionBy().orderBy("__pid")
+    ptot = loc.groupBy("__pid", *keys).agg(F.count(F.lit(1)).alias("__ptot"))
+    woff = Window.partitionBy(*keys).orderBy("__pid")
+    wall = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     off = ptot.select(
         "__pid",
+        *keys,
         F.coalesce(
             F.sum("__ptot").over(
                 woff.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("__off"),
-        F.sum("__ptot").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
+        F.sum("__ptot").over(wall).alias("__ntot"),
+    )
+    if keys:
+        # null-safe manual join: a name-join would silently drop
+        # null-key rows that groupBy kept as their own group
+        o = F.broadcast(
+            off.select(
+                F.col("__pid").alias("__opid"),
+                *[F.col(k).alias(f"__k_{k}") for k in keys],
+                "__off",
+                "__ntot",
             )
-        ).alias("__ntot"),
-    )
-    out = (
-        loc.join(F.broadcast(off), "__pid")
-        .withColumn(rank_col, F.col("__lrn") + F.col("__off"))
-    )
+        )
+        cond = F.col("__pid") == F.col("__opid")
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        out = loc.join(o, cond).drop(
+            "__opid", *[f"__k_{k}" for k in keys]
+        )
+    else:
+        out = loc.join(F.broadcast(off), "__pid")
+    out = out.withColumn(rank_col, F.col("__lrn") + F.col("__off"))
     if n_col is not None and n_col != "__ntot":
         out = out.withColumn(n_col, F.col("__ntot"))
     temps = [
@@ -3005,6 +3031,7 @@ def distributed_cumsum(
     value_col: str,
     cum_col: str = "cum",
     total_col: str | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact running total over a TOTAL order without a single-
     partition window: RANGE-repartition on the order columns, local
@@ -3016,12 +3043,17 @@ def distributed_cumsum(
     funnels through one task. Order columns may be Column expressions
     (e.g. ``F.col("rev").desc()``); they must form a total order.
     Pass ``total_col`` to also attach the grand total to every row.
+
+    With ``key_cols`` (plain column names), the running total is per
+    key — bit-identical to the ``partitionBy(*key_cols)`` window form
+    — without the low-cardinality funnel (see distributed_rank).
     """
-    p = df.repartitionByRange(32, *order_cols).withColumn(
+    keys = list(key_cols or [])
+    p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", *keys)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -3029,26 +3061,40 @@ def distributed_cumsum(
     loc = p.withColumn("__lcum", F.sum(value_col).over(wloc)).localCheckpoint(
         eager=True
     )
-    ptot = loc.groupBy("__pid").agg(F.sum(value_col).alias("__ptot"))
-    woff = Window.partitionBy().orderBy("__pid")
+    ptot = loc.groupBy("__pid", *keys).agg(F.sum(value_col).alias("__ptot"))
+    woff = Window.partitionBy(*keys).orderBy("__pid")
+    wall = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     off = ptot.select(
         "__pid",
+        *keys,
         F.coalesce(
             F.sum("__ptot").over(
                 woff.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("__off"),
-        F.sum("__ptot").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
+        F.sum("__ptot").over(wall).alias("__tot"),
+    )
+    if keys:
+        o = F.broadcast(
+            off.select(
+                F.col("__pid").alias("__opid"),
+                *[F.col(k).alias(f"__k_{k}") for k in keys],
+                "__off",
+                "__tot",
             )
-        ).alias("__tot"),
-    )
-    out = (
-        loc.join(F.broadcast(off), "__pid")
-        .withColumn(cum_col, F.col("__lcum") + F.col("__off"))
-    )
+        )
+        cond = F.col("__pid") == F.col("__opid")
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        out = loc.join(o, cond).drop(
+            "__opid", *[f"__k_{k}" for k in keys]
+        )
+    else:
+        out = loc.join(F.broadcast(off), "__pid")
+    out = out.withColumn(cum_col, F.col("__lcum") + F.col("__off"))
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__tot"))
     return out.drop("__pid", "__lcum", "__off", "__tot")

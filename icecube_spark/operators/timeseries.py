@@ -278,19 +278,22 @@ def percentile_disc(
     rank selection never interpolates: the answer is an actual data
     value, so float parity is trivial.
 
-    Plan: one shuffle on the key feeds both windows (the ordered
-    row_number and the unordered count), then the groupBy reuses the
-    same partitioning — a single exchange end to end. At 100 TB the
-    sort is the cost; it parallelizes per key-partition and spills
-    cleanly, unlike a driver-side quantile collect.
+    Plan: per-key ranks come from the keyed distributed_rank (range-
+    partition on (key, value, tiebreak), per-(key, partition) local
+    ranks, broadcast offsets) — bit-identical to the keyed window form
+    the SQL oracle uses, but a low-cardinality key (e.g. 5 event
+    types) no longer serializes each key's whole corpus-grain slice
+    into one task: big keys split across the 32 ranges, so the sort
+    parallelizes with the cluster, not with |keys|.
     """
-    wp = Window.partitionBy(*key_cols)
-    wo = wp.orderBy(F.col(value_col), F.col(tiebreak_col))
-    ranked = df.select(
-        *key_cols,
-        F.col(value_col),
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    ranked = distributed_rank(
+        df.select(*key_cols, F.col(value_col), F.col(tiebreak_col)),
+        [value_col, tiebreak_col],
+        rank_col="rn",
+        n_col="n",
+        key_cols=list(key_cols),
     )
     aggs = [
         F.max(
@@ -1525,19 +1528,21 @@ def mad_outliers(
     no float folds — so the threshold compare is exact in both
     engines.
 
-    Plan: two rank passes (median of x, then median of |x − med|)
-    over the SAME key partitioning — the shuffle happens once and
-    both sorts reuse it; output is flagged rows only.
+    Plan: two rank passes (median of x, then median of |x − med|),
+    each a keyed distributed_rank — range-partitioned per-(key,
+    partition) local ranks with broadcast offsets, bit-identical to
+    the keyed window form but without serializing each key's whole
+    slice into one task when the key has a handful of values.
     """
-    wp = Window.partitionBy(key_col)
-    wo = wp.orderBy(F.col(value_col), F.col(id_col))
+    from icecube_spark.operators.pipeline import distributed_rank
+
     med = (
-        df.select(
-            key_col,
-            id_col,
-            F.col(value_col),
-            F.row_number().over(wo).alias("rn"),
-            F.count(F.lit(1)).over(wp).alias("n"),
+        distributed_rank(
+            df.select(key_col, id_col, F.col(value_col)),
+            [value_col, id_col],
+            rank_col="rn",
+            n_col="n",
+            key_cols=[key_col],
         )
         .groupBy(key_col)
         .agg(
@@ -1551,13 +1556,13 @@ def mad_outliers(
     dev = df.join(F.broadcast(med), key_col).withColumn(
         "absdev", F.abs(F.col(value_col) - F.col("median"))
     )
-    wo2 = wp.orderBy(F.col("absdev"), F.col(id_col))
     mad = (
-        dev.select(
-            key_col,
-            "absdev",
-            F.row_number().over(wo2).alias("rn"),
-            F.count(F.lit(1)).over(wp).alias("n"),
+        distributed_rank(
+            dev.select(key_col, id_col, "absdev"),
+            ["absdev", id_col],
+            rank_col="rn",
+            n_col="n",
+            key_cols=[key_col],
         )
         .groupBy(key_col)
         .agg(

@@ -854,11 +854,15 @@ def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     report behind Q12's bucket counts — full distribution instead of
     two buckets.
 
-    Plan: the fact-fact join shuffles once on the order key; the
-    quantile pass reuses the (priority) clustering for both the rank
-    window and the aggregate. Latencies are integer days; quantiles
-    are rank-selected — no interpolation, engine-exact.
+    Plan: the fact-fact join shuffles once on the order key; per-
+    priority ranks come from the keyed distributed_rank (range-
+    partitioned local ranks + broadcast offsets) — bit-identical to
+    the 5-partition window the oracle uses, but the 5 priority
+    classes no longer cap parallelism at 5 tasks. Latencies are
+    integer days; quantiles are rank-selected — engine-exact.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = catalog.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -869,14 +873,12 @@ def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_shipdate",
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "lat_days", "l_orderkey", "l_shipdate"
-    )
-    ranked = lat.select(
-        "o_orderpriority",
-        "lat_days",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    ranked = distributed_rank(
+        lat,
+        ["lat_days", "l_orderkey", "l_shipdate"],
+        rank_col="rn",
+        n_col="n",
+        key_cols=["o_orderpriority"],
     )
     at = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("lat_days"))
@@ -1468,10 +1470,14 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-selected actual values (PERCENTILE_DISC convention); the
     mean is one exact integer division.
 
-    Plan: one shuffle on the customer for the lag window, one on the
-    segment for the rank windows — both map-side-combinable
-    aggregates; no joins beyond the broadcast customer dim.
+    Plan: one shuffle on the customer for the lag window; the per-
+    segment ranks come from the keyed distributed_rank (range-
+    partitioned local ranks + broadcast offsets) — bit-identical to
+    the 5-partition window the oracle uses, without capping the sort
+    parallelism at the 5 market segments.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     cust = catalog.load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -1493,13 +1499,8 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_mktsegment", F.col("gap").cast("bigint").alias("gap"))
     )
-    ws = Window.partitionBy("c_mktsegment")
-    wo = ws.orderBy("gap")
-    ranked = gaps.select(
-        "c_mktsegment",
-        "gap",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(ws).alias("n"),
+    ranked = distributed_rank(
+        gaps, ["gap"], rank_col="rn", n_col="n", key_cols=["c_mktsegment"]
     )
     at = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("gap"))
@@ -2299,9 +2300,13 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical element — no engine median()/interpolation drift.
 
     Plan: custkey-partitioned lag window (one shuffle), broadcast
-    dim joins, then a nation-partitioned rank window over the gap
-    rows (25 calendar-bounded groups). No global sort.
+    dim joins, then per-nation ranks via the keyed distributed_rank
+    (range-partitioned local ranks + broadcast offsets) — bit-
+    identical to the 25-partition window the oracle uses, without
+    capping the sort parallelism at the 25 nations. No global sort.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     orders = catalog.load(spark, sf_dir, "orders")
     cust = catalog.load(spark, sf_dir, "customer")
     nation = catalog.load(spark, sf_dir, "nation")
@@ -2316,13 +2321,12 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "gap", "o_custkey", "d")
     )
-    wn = Window.partitionBy("n_name").orderBy("gap", "o_custkey", "d")
-    cn = Window.partitionBy("n_name")
-    ranked = gaps.select(
-        "n_name",
-        "gap",
-        F.row_number().over(wn).alias("rn"),
-        F.count(F.lit(1)).over(cn).alias("n"),
+    ranked = distributed_rank(
+        gaps,
+        ["gap", "o_custkey", "d"],
+        rank_col="rn",
+        n_col="n",
+        key_cols=["n_name"],
     )
     return (
         ranked.groupBy("n_name")
@@ -3774,21 +3778,26 @@ def priority_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: values fold micro-quantized cents; p90 is an exact
     rank pick with deterministic ties (value, orderkey).
 
-    Plan: one rank window per priority class, one 5-row rollup.
+    Plan: per-priority ranks via the keyed distributed_rank (range-
+    partitioned local ranks + broadcast offsets — bit-identical to
+    the 5-partition window the oracle uses, without capping the sort
+    at 5 tasks), then one 5-row rollup.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     orders = catalog.load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "qv", "o_orderkey"
-    )
-    wc = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias("qv"),
-    ).select(
-        "o_orderpriority", "qv",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    ranked = distributed_rank(
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0))
+            .cast("bigint")
+            .alias("qv"),
+        ),
+        ["qv", "o_orderkey"],
+        rank_col="rk",
+        n_col="n",
+        key_cols=["o_orderpriority"],
     )
     per = ranked.groupBy("o_orderpriority").agg(
         F.max("n").cast("bigint").alias("n_orders"),

@@ -329,3 +329,75 @@ def test_distributed_cumsum_matches_running_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_keyed_distributed_rank_matches_keyed_window(spark):
+    """distributed_rank(key_cols=...) must be bit-identical to
+    ROW_NUMBER over Window.partitionBy(key) — it is the 100 TB
+    replacement for low-cardinality keyed rank windows (parallelism
+    capped at |keys|) and the oracles keep using the window form.
+    Covers ties, null keys, and a shuffled input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    df = spark.range(600).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 4, F.lit(None)).otherwise(
+            (F.col("id") % 5).cast("string")
+        ).alias("k"),
+        (F.col("id") * 37 % 7).alias("v"),  # tie-heavy within key
+    ).repartition(16)
+    got = {
+        r.id: (r.rnk, r.n)
+        for r in distributed_rank(
+            df, ["v", "id"], rank_col="rnk", n_col="n", key_cols=["k"]
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("v", "id")
+    wc = Window.partitionBy("k")
+    want = {
+        r.id: (r.rnk, r.n)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_keyed_distributed_cumsum_matches_keyed_window(spark):
+    """distributed_cumsum(key_cols=...) must be bit-identical to the
+    per-key running-sum + per-key total windows the oracles use."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import distributed_cumsum
+
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") * 7919 % 101).cast("bigint").alias("x"),
+    ).repartition(8)
+    got = {
+        r.id: (r.cum, r.tot)
+        for r in distributed_cumsum(
+            df, [F.desc("x"), F.asc("id")], "x",
+            cum_col="cum", total_col="tot", key_cols=["k"],
+        ).collect()
+    }
+    wcum = Window.partitionBy("k").orderBy(
+        F.desc("x"), F.asc("id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("k")
+    want = {
+        r.id: (r.cum, r.tot)
+        for r in df.select(
+            "id",
+            F.sum("x").over(wcum).alias("cum"),
+            F.sum("x").over(wall).alias("tot"),
+        ).collect()
+    }
+    assert got == want

@@ -99,16 +99,23 @@ def test_calendar_lags_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_percentiles_single_exchange(spark, sf_dir):
-    """Both windows and the groupBy must reuse ONE event_type
-    exchange (plus the final orderBy range exchange)."""
+def test_percentiles_no_keyed_rank_funnel(spark, sf_dir):
+    """The per-key rank must come from the keyed distributed_rank
+    (range partition, __pid-local row_numbers behind the checkpoint,
+    broadcast offsets) — never a rank window partitioned by the bare
+    low-cardinality key, which caps the sort at |event_types| tasks.
+    Pinned: no row_number in the visible plan, and every remaining
+    window runs over the tiny per-(key, partition) offset table."""
     plan = (
         tq.value_percentiles(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "row_number" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__ptot" in line or "__pid" in line, line
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
