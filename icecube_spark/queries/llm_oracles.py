@@ -1700,7 +1700,7 @@ ORACLES["pq_recall_eval"] = """
     FROM hits ORDER BY query_id
 """
 
-ORACLES["perplexity_buckets"] = """
+ORACLES["perplexity_buckets"] = r"""
     WITH scored AS (SELECT * FROM (
     WITH toks AS (
         SELECT doc_id, UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok FROM documents),
@@ -1744,7 +1744,7 @@ ORACLES["perplexity_buckets"] = """
     FROM b GROUP BY decile ORDER BY decile
 """
 
-ORACLES["lsh_bucket_profile"] = """
+ORACLES["lsh_bucket_profile"] = r"""
     WITH reps AS (
         SELECT MIN(doc_id) AS doc_id FROM (
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS th FROM documents)

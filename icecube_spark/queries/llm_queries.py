@@ -19,6 +19,19 @@ def _emb(spark, sf_dir):
     return catalog.load(spark, sf_dir, "embeddings")
 
 
+def _fresh(store: dict, key, spark):
+    """Get a staging-store entry, invalidating (release + rebuild
+    signal) any entry bound to a stopped-and-recreated SparkSession —
+    consumers of a stale entry fail with opaque py4j errors."""
+    from icecube_spark.session import staging_stale
+
+    cached = store.get(key)
+    if cached is not None and staging_stale(cached, spark):
+        _release_entry(store.pop(key))
+        cached = None
+    return cached
+
+
 _STAGED: dict[str, tuple] = {}
 
 
@@ -32,7 +45,7 @@ def staged_corpus(spark, sf_dir):
     operators directly."""
     from pyspark import StorageLevel
 
-    if sf_dir not in _STAGED:
+    if _fresh(_STAGED, sf_dir, spark) is None:
         docs = _docs(spark, sf_dir)
         grams = dedup.with_grams(docs.select("doc_id", "text"), "text").select(
             "doc_id", "grams"
@@ -57,7 +70,7 @@ def staged_collapse(spark, sf_dir):
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    if sf_dir not in _STAGED_COLLAPSE:
+    if _fresh(_STAGED_COLLAPSE, sf_dir, spark) is None:
         grams, sigs = staged_corpus(spark, sf_dir)
         members = dedup.exact_group_members(
             _docs(spark, sf_dir), "doc_id", "text"
@@ -87,7 +100,7 @@ def staged_candidates(spark, sf_dir):
     dedup campaign writes candidates once, every verifier reads them."""
     from pyspark import StorageLevel
 
-    if sf_dir not in _STAGED_CANDS:
+    if _fresh(_STAGED_CANDS, sf_dir, spark) is None:
         grams, _ = staged_corpus(spark, sf_dir)
         _STAGED_CANDS[sf_dir] = dedup.capped_gram_candidates(
             grams, "doc_id", max_df=64
@@ -108,7 +121,7 @@ def staged_minhash_pairs(spark, sf_dir):
     report reads it."""
     from pyspark import StorageLevel
 
-    if sf_dir not in _STAGED_MH_PAIRS:
+    if _fresh(_STAGED_MH_PAIRS, sf_dir, spark) is None:
         members, grams, sigs = staged_collapse(spark, sf_dir)
         _STAGED_MH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
             _docs(spark, sf_dir), "doc_id", "text", threshold=0.8,
@@ -132,7 +145,7 @@ def staged_jaccard_pairs(spark, sf_dir, threshold):
     from pyspark import StorageLevel
 
     key = (sf_dir, threshold)
-    if key not in _STAGED_PAIRS:
+    if _fresh(_STAGED_PAIRS, key, spark) is None:
         _STAGED_PAIRS[key] = dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), "doc_id", "text", threshold=threshold,
             grams=staged_corpus(spark, sf_dir)[0],
@@ -156,7 +169,7 @@ def staged_ivf_index(spark, sf_dir):
 
     from icecube_spark.operators.ivf import build_ivf_index
 
-    if sf_dir not in _STAGED_IVF:
+    if _fresh(_STAGED_IVF, sf_dir, spark) is None:
         assigned, centroids = build_ivf_index(
             _emb(spark, sf_dir), "vec_id", "embedding", k=16, n_iter=4
         )

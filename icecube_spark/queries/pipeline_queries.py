@@ -461,7 +461,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from icecube_spark.queries.analytics import staged_copurchase
 
-    _, pairs = staged_copurchase(spark, sf_dir)
+    pairs = staged_copurchase(spark, sf_dir).pairs
     pairs = pairs.withColumnRenamed("n_orders", "w")
     edges = pairs.select("pa", "pb", "w").union(
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "w")

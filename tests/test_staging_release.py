@@ -46,8 +46,9 @@ def test_release_staging_clears_copurchase_store(spark):
 
     lq.clear_staging()
     base = _n_persisted(spark)
-    li, pairs = an.staged_copurchase(spark, SF)
-    pairs.count()
+    staged = an.staged_copurchase(spark, SF)
+    staged.pairs.count()
+    staged.edges2.count()
     assert SF in an._STAGED_COPURCHASE
     assert _n_persisted(spark) > base
 
@@ -69,3 +70,17 @@ def test_release_staging_clears_threshold_keyed_pairs(spark):
     lq.release_staging(SF)
     assert not any(k[0] == SF for k in lq._STAGED_PAIRS)
     lq.clear_staging()
+
+
+def test_staging_stale_detects_foreign_session(spark):
+    """A cached entry bound to another SparkSession (or holding no
+    usable handle at all) must read as stale so the stores rebuild
+    instead of handing consumers dead py4j references."""
+    from icecube_spark.session import staging_stale
+
+    df = spark.range(3)
+    assert staging_stale(df, spark) is False
+    assert staging_stale((df, df), spark) is False  # tuple entries
+    other = spark.newSession()
+    assert staging_stale(df, other) is True
+    assert staging_stale(object(), spark) is True  # no session handle
