@@ -26,6 +26,10 @@ def get_spark(app_name: str = "icecube-spark", master: str | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.sql.session.timeZone", "UTC")
+        # ContextCleaner default only drives a full JVM GC every 30min;
+        # long query campaigns leak unpersisted shuffle/broadcast blocks
+        # between keys until then (the r6 single-key GC-shadow spikes).
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read as long and convert in catalog.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
