@@ -102,6 +102,26 @@ class Datacube:
             raise KeyError("product files metadata is missing from the cube")
         return vals
 
+    def get_product_index(self, product_file) -> int:
+        """Reference Datacube.get_product_index (datacube.py:100): the
+        positional index of one product file in the cube's time-ordered
+        product list. ValueError on an empty cube (the reference's
+        empty-attrs check), KeyError when the product is missing —
+        matching the reference's exception contract. Metadata-sized
+        collect: only the product-name column leaves the executors."""
+        vals = [
+            r[0]
+            for r in self.df.orderBy(self.ts_col).select(self.key_col).collect()
+        ]
+        if not vals:
+            raise ValueError("no metadata found against this cube")
+        try:
+            return int(vals.index(product_file))
+        except ValueError:
+            raise KeyError(
+                f"product_file: {product_file!r} is missing from cube metadata"
+            )
+
     def get_metadata_by_product(self, product_file) -> dict:
         """Reference get_metadata_by_product (datacube.py:122): the
         metadata (non-band) columns of one product's layer as a dict.

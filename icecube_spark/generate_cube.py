@@ -148,5 +148,82 @@ def cli(argv: list[str] | None = None, spark=None) -> "object":
             spark.stop()
 
 
+_REF_RESOURCES = "/root/reference/tests/resources"
+
+
+def sample_labels_workflow(
+    resource_dir: str = _REF_RESOURCES,
+    cube_save_fpath: str = "/tmp/test_cube_raster_labels.nc",
+    spark=None,
+):
+    """Reference sample_labels_workflow (generate_cube.py:121-143):
+    build a GRD cube from the grd_stack fixtures, merge the vector
+    labels JSON, save as netCDF. Returns the Datacube."""
+    grd_raster_dir = os.path.join(resource_dir, "grd_stack")
+    vector_labels_fpath = os.path.join(
+        resource_dir, "labels/dummy_vector_labels.json"
+    )
+    cube_config_fpath = os.path.join(
+        resource_dir, "json_config/config_use_case5.json"
+    )
+    return cli(
+        [
+            grd_raster_dir,
+            "--config", cube_config_fpath,
+            "--labels-fpath", vector_labels_fpath,
+            "--cube-save", cube_save_fpath,
+        ],
+        spark=spark,
+    )
+
+
+def sample_raster_workflow(
+    resource_dir: str = _REF_RESOURCES,
+    save_path: str = "/tmp/test_slc_stack1.nc",
+    spark=None,
+):
+    """Reference sample_raster_workflow (generate_cube.py:146-152):
+    build an SLC cube from the slc_stack fixtures and save it as
+    netCDF. Returns the Datacube."""
+    raster_dir = os.path.join(resource_dir, "slc_stack")
+    return cli([raster_dir, "--cube-save", save_path], spark=spark)
+
+
+def sample_list_workflow(
+    resource_dir: str = _REF_RESOURCES,
+    save_path: str = "/tmp/test_stack1.nc",
+    spark=None,
+):
+    """Reference sample_list_workflow (generate_cube.py:155-184):
+    build a GRD cube from an EXPLICIT two-raster list
+    (create_cube_from_list) and save it as netCDF. Returns the
+    Datacube."""
+    from pyspark.sql import functions as F
+
+    from icecube_spark.cube import create_cube_from_list
+    from icecube_spark.sources.netcdf3 import cube_to_file
+
+    grd = os.path.join(resource_dir, "grd_stack")
+    names = sorted(
+        n for n in os.listdir(grd) if n.lower().endswith((".tif", ".tiff"))
+    )[:2]
+    list_path = [os.path.join(grd, n) for n in names]
+    own_session = spark is None
+    if own_session:
+        from icecube_spark.session import get_spark
+
+        spark = get_spark("icecube-sample-list-workflow")
+    try:
+        dc = create_cube_from_list(spark, list_path, None)
+        row = dc.df.agg(
+            F.max("height").alias("h"), F.max("width").alias("w")
+        ).collect()[0]
+        cube_to_file(dc, save_path, height=int(row.h), width=int(row.w))
+        return dc
+    finally:
+        if own_session:
+            spark.stop()
+
+
 if __name__ == "__main__":
     cli()

@@ -266,7 +266,8 @@ def test_per_product_accessors(spark):
     dc = create_cube_from_rasters(spark, GRD, _cfg("_default"))
     products = dc.get_all_products()
     assert products == ORDER_BY_ACQ
-    for pf in products:
+    for i, pf in enumerate(products):
+        assert dc.get_product_index(pf) == i
         meta = dc.get_metadata_by_product(pf)
         assert meta["product_file"] == pf
         assert meta["width"] == 10 and meta["height"] == 10
@@ -279,6 +280,8 @@ def test_per_product_accessors(spark):
     dates = dc.get_index_values("acquisition_date")
     assert [str(d) for d in dates] == sorted(str(d) for d in dates)
     assert len(dates) == 3
+    with pytest.raises(KeyError):
+        dc.get_product_index("not_a_product.tif")
     with pytest.raises(KeyError):
         dc.get_metadata_by_product("not_a_product.tif")
     with pytest.raises(KeyError):
@@ -420,3 +423,30 @@ def test_to_file_netcdf3_64bit_roundtrip(spark, tmp_path):
         for r in back.df.collect()
     }
     assert got == orig
+
+
+def test_sample_workflows(spark, tmp_path):
+    """Reference generate_cube.py:121-184 parity: the three demo
+    recipes (labels, raster/SLC, explicit list) run end-to-end against
+    the reference fixtures and write readable netCDF cubes."""
+    from icecube_spark.generate_cube import (
+        sample_labels_workflow,
+        sample_list_workflow,
+        sample_raster_workflow,
+    )
+    from icecube_spark.sources.netcdf3 import netcdf_to_cube
+
+    p1 = str(tmp_path / "labels.nc")
+    dc1 = sample_labels_workflow(cube_save_fpath=p1, spark=spark)
+    assert dc1.df.count() > 0
+    assert netcdf_to_cube(spark, p1).df.count() == dc1.df.count()
+
+    p2 = str(tmp_path / "slc.nc")
+    dc2 = sample_raster_workflow(save_path=p2, spark=spark)
+    assert dc2.df.count() == 3
+    assert netcdf_to_cube(spark, p2).df.count() == 3
+
+    p3 = str(tmp_path / "list.nc")
+    dc3 = sample_list_workflow(save_path=p3, spark=spark)
+    assert dc3.df.count() == 2
+    assert netcdf_to_cube(spark, p3).df.count() == 2
