@@ -3032,6 +3032,7 @@ def distributed_cumsum(
     cum_col: str = "cum",
     total_col: str | None = None,
     key_cols: list[str] | None = None,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact running total over a TOTAL order without a single-
     partition window: RANGE-repartition on the order columns, local
@@ -3047,6 +3048,9 @@ def distributed_cumsum(
     With ``key_cols`` (plain column names), the running total is per
     key — bit-identical to the ``partitionBy(*key_cols)`` window form
     — without the low-cardinality funnel (see distributed_rank).
+    With ``rank_col``, the same pass also emits the ROW_NUMBER over the
+    same (key, order) — one repartition serves consumers that need
+    both the running total and the sequence number (e.g. OHLC bars).
     """
     keys = list(key_cols or [])
     p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
@@ -3058,10 +3062,19 @@ def distributed_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # materialize ONCE before branching (see distributed_rank)
-    loc = p.withColumn("__lcum", F.sum(value_col).over(wloc)).localCheckpoint(
-        eager=True
+    loc = p.withColumn("__lcum", F.sum(value_col).over(wloc))
+    if rank_col is not None:
+        loc = loc.withColumn(
+            "__lrn",
+            F.row_number().over(
+                Window.partitionBy("__pid", *keys).orderBy(*order_cols)
+            ),
+        )
+    loc = loc.localCheckpoint(eager=True)
+    ptot = loc.groupBy("__pid", *keys).agg(
+        F.sum(value_col).alias("__ptot"),
+        F.count(F.lit(1)).alias("__pcnt"),
     )
-    ptot = loc.groupBy("__pid", *keys).agg(F.sum(value_col).alias("__ptot"))
     woff = Window.partitionBy(*keys).orderBy("__pid")
     wall = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -3076,6 +3089,12 @@ def distributed_cumsum(
             F.lit(0),
         ).alias("__off"),
         F.sum("__ptot").over(wall).alias("__tot"),
+        F.coalesce(
+            F.sum("__pcnt").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__coff"),
     )
     if keys:
         o = F.broadcast(
@@ -3084,6 +3103,7 @@ def distributed_cumsum(
                 *[F.col(k).alias(f"__k_{k}") for k in keys],
                 "__off",
                 "__tot",
+                "__coff",
             )
         )
         cond = F.col("__pid") == F.col("__opid")
@@ -3095,6 +3115,8 @@ def distributed_cumsum(
     else:
         out = loc.join(F.broadcast(off), "__pid")
     out = out.withColumn(cum_col, F.col("__lcum") + F.col("__off"))
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__lrn") + F.col("__coff"))
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__tot"))
-    return out.drop("__pid", "__lcum", "__off", "__tot")
+    return out.drop("__pid", "__lcum", "__lrn", "__off", "__tot", "__coff")

@@ -830,11 +830,14 @@ def brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson's raw-double moment sums can't be made engine-exact at
     price magnitudes (see functions/parity.py).
 
-    Plan: one exchange on the brand key reused by BOTH rank windows
-    (same partition key, two in-partition sorts) and the final
-    aggregate. Ties break on (orderkey, linenumber) so ranks are
-    total-order deterministic.
+    Plan: two chained keyed distributed_rank passes (range-
+    partitioned local ranks + broadcast offsets — bit-identical to
+    the brand-partitioned windows the oracle uses, without holding a
+    whole brand's line-grain rows in one task at 100 TB). Ties break
+    on (orderkey, linenumber) so ranks are total-order deterministic.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     li = catalog.load(spark, sf_dir, "lineitem")
     part = catalog.load(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
@@ -849,15 +852,21 @@ def brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (orderkey, linenumber) is NOT unique in this data — the full
     # (orderkey, linenumber, partkey, suppkey) quad is the row identity
     tie = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
-    wq = Window.partitionBy("p_brand").orderBy(
-        "l_quantity", *tie, "l_extendedprice"
+    rq = distributed_rank(
+        j,
+        ["l_quantity", *tie, "l_extendedprice"],
+        rank_col="__rq",
+        key_cols=["p_brand"],
     )
-    wp = Window.partitionBy("p_brand").orderBy(
-        "l_extendedprice", *tie, "l_quantity"
+    rp = distributed_rank(
+        rq,
+        ["l_extendedprice", *tie, "l_quantity"],
+        rank_col="__rp",
+        key_cols=["p_brand"],
     )
-    ranked = j.select(
+    ranked = rp.select(
         "p_brand",
-        (F.row_number().over(wq) - F.row_number().over(wp)).cast("bigint").alias("d"),
+        (F.col("__rq") - F.col("__rp")).cast("bigint").alias("d"),
     )
     agg = ranked.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2436,9 +2445,15 @@ def lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(0.95 n) of the (delay, orderkey, linenumber) total order).
 
     Plan: one co-partitioned orderkey join (both sides shuffle on
-    the join key — bucketing makes it exchange-free), then a
-    month-partitioned rank window; months are calendar-bounded.
+    the join key — bucketing makes it exchange-free), then per-month
+    ranks via the keyed distributed_rank — months are calendar-
+    bounded, so a month-partitioned window would hold a whole month's
+    line-grain rows in ONE task at 100 TB; the range-partitioned form
+    splits big months across tasks (bit-identical to the window the
+    oracle uses).
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     li = catalog.load(spark, sf_dir, "lineitem")
     orders = catalog.load(spark, sf_dir, "orders")
     j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
@@ -2449,15 +2464,12 @@ def lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    wm = Window.partitionBy("month").orderBy(
-        "delay", "l_orderkey", "l_linenumber"
-    )
-    cm = Window.partitionBy("month")
-    ranked = j.select(
-        "month",
-        "delay",
-        F.row_number().over(wm).alias("rn"),
-        F.count(F.lit(1)).over(cm).alias("n"),
+    ranked = distributed_rank(
+        j,
+        ["delay", "l_orderkey", "l_linenumber"],
+        rank_col="rn",
+        n_col="n",
+        key_cols=["month"],
     )
     return (
         ranked.groupBy("month")

@@ -1913,18 +1913,18 @@ def media_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (> 4 KiB). The shard-packing and transfer-budget read an ingest
     plan needs per source before moving any actual media bytes.
 
-    Plan: byte lengths only (never payloads); one rank window per
-    source, one source rollup.
+    Plan: byte lengths only (never payloads); per-source ranks via the
+    keyed distributed_rank (range-partitioned local ranks + broadcast
+    offsets — bit-identical to the source-partitioned window the
+    oracle uses, without capping the sort at |sources| tasks), one
+    source rollup.
     """
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("b", "doc_id")
     sized = docs.select(
         "source", "doc_id", F.octet_length("text").cast("bigint").alias("b")
     )
-    ranked = sized.select(
-        "source", "b",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    ranked = pipeline_ops.distributed_rank(
+        sized, ["b", "doc_id"], rank_col="rk", n_col="n", key_cols=["source"]
     )
     return (
         ranked.groupBy("source")
@@ -2025,18 +2025,20 @@ def norm_percentiles_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot-product rankers even when cosines look healthy — the
     class-sliced view of E9's global outlier scan.
 
-    Plan: norms map-side, one rank window per label, 10-row rollup.
+    Plan: norms map-side, per-label ranks via the keyed
+    distributed_rank (range-partitioned local ranks + broadcast
+    offsets — no |labels|-task sort cap), 10-row rollup.
     """
     emb = _emb(spark, sf_dir)
     qn = F.floor(
         similarity.norm_expr("embedding") * F.lit(1e6)
     ).cast("bigint")
-    w = Window.partitionBy("label").orderBy("qn", "vec_id")
-    wc = Window.partitionBy("label")
-    ranked = emb.select("label", "vec_id", qn.alias("qn")).select(
-        "label", "qn",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    ranked = pipeline_ops.distributed_rank(
+        emb.select("label", "vec_id", qn.alias("qn")),
+        ["qn", "vec_id"],
+        rank_col="rk",
+        n_col="n",
+        key_cols=["label"],
     )
     def pick(pct):
         return F.max(

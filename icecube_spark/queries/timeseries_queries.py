@@ -1039,10 +1039,17 @@ def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("gap_us").alias("s"),
     )
-    wr = Window.partitionBy("event_type").orderBy("gap_us", "ts", "event_id")
-    ranked = gaps.withColumn("i", F.row_number().over(wr)).join(
-        F.broadcast(agg), "event_type"
-    )
+    from icecube_spark.operators.pipeline import distributed_rank
+
+    # per-type gap ranks via the keyed distributed_rank — bit-identical
+    # to the type-partitioned window the oracle uses, without holding a
+    # whole type's gap rows in one task at 100 TB
+    ranked = distributed_rank(
+        gaps,
+        ["gap_us", "ts", "event_id"],
+        rank_col="i",
+        key_cols=["event_type"],
+    ).join(F.broadcast(agg), "event_type")
     # fitted CDF at each gap, quantized once per row to a 1e-9 grid
     fexp = F.floor(
         (
@@ -1719,30 +1726,30 @@ def volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bar threshold are pure integer arithmetic, so bar membership
     is engine-exact; OHLC picks raw doubles by exact integer rank.
 
-    Plan: one type-partitioned window for the running sum and rank
-    (types bound the partition count), one (type, bar) aggregate;
-    open/close via min_by/max_by on the exact rank — no second
-    window.
+    Plan: ONE keyed distributed_cumsum pass emits both the per-type
+    running sum and sequence number (range-partitioned local
+    prefix sums + broadcast offsets — bit-identical to the type-
+    partitioned window form, without holding a whole type's events in
+    one task at 100 TB), then one (type, bar) aggregate; open/close
+    via min_by/max_by on the exact rank — no second window.
     """
+    from icecube_spark.operators.pipeline import distributed_cumsum
+
     ev = catalog.load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    base = ev.select(
-        "event_type",
-        "ts",
-        "event_id",
-        "value",
-        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("q"),
-    ).withColumns(
-        {
-            "rn": F.row_number().over(w),
-            "cum_before": F.coalesce(
-                F.sum("q").over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        }
-    )
+    base = distributed_cumsum(
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("q"),
+        ),
+        ["ts", "event_id"],
+        "q",
+        cum_col="cum",
+        key_cols=["event_type"],
+        rank_col="rn",
+    ).withColumn("cum_before", F.col("cum") - F.col("q"))
     totals = base.groupBy("event_type").agg(
         F.greatest(
             F.expr("sum(q) div 20").cast("bigint"), F.lit(1).cast("bigint")
@@ -2150,20 +2157,23 @@ def value_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: daily per-user sums are micro-quantized integers;
     rank cuts are exact integer windows; shares divide exact sums.
 
-    Plan: one (day, user) aggregate, a day-partitioned rank window
-    (days bound partitions), one day rollup.
+    Plan: one (day, user) aggregate, then per-day ranks via the keyed
+    distributed_rank — a day-partitioned window would hold a whole
+    day's user rows in ONE task at 100 TB; the range-partitioned form
+    splits big days across tasks (bit-identical to the window form).
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     ev = catalog.load(spark, sf_dir, "events")
     du = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), F.col("user_id")
     ).agg(F.floor(dsum("value") * F.lit(1e6)).cast("bigint").alias("q"))
-    w = Window.partitionBy("day").orderBy(F.col("q").desc(), "user_id")
-    wd = Window.partitionBy("day")
-    ranked = du.select(
-        "day",
-        "q",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wd).alias("n_users"),
+    ranked = distributed_rank(
+        du,
+        [F.col("q").desc(), F.col("user_id").asc()],
+        rank_col="rk",
+        n_col="n_users",
+        key_cols=["day"],
     )
     return (
         ranked.groupBy("day")

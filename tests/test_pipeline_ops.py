@@ -382,22 +382,22 @@ def test_keyed_distributed_cumsum_matches_keyed_window(spark):
         (F.col("id") * 7919 % 101).cast("bigint").alias("x"),
     ).repartition(8)
     got = {
-        r.id: (r.cum, r.tot)
+        r.id: (r.cum, r.tot, r.rn)
         for r in distributed_cumsum(
             df, [F.desc("x"), F.asc("id")], "x",
-            cum_col="cum", total_col="tot", key_cols=["k"],
+            cum_col="cum", total_col="tot", key_cols=["k"], rank_col="rn",
         ).collect()
     }
-    wcum = Window.partitionBy("k").orderBy(
-        F.desc("x"), F.asc("id")
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    wo = Window.partitionBy("k").orderBy(F.desc("x"), F.asc("id"))
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy("k")
     want = {
-        r.id: (r.cum, r.tot)
+        r.id: (r.cum, r.tot, r.rn)
         for r in df.select(
             "id",
             F.sum("x").over(wcum).alias("cum"),
             F.sum("x").over(wall).alias("tot"),
+            F.row_number().over(wo).alias("rn"),
         ).collect()
     }
     assert got == want
