@@ -666,8 +666,11 @@ def sequence_packing(
     trainer needs to build packed batches without a driver loop.
 
     Plan: token counts are map-only column math; the cumulative offset
-    is one window over the group key (one shuffle); the bin report is
-    a second partial agg on (group, bin). All arithmetic INT64-exact.
+    is a keyed distributed_cumsum (range-partitioned local prefix sums
+    + broadcast offsets — bit-identical to the source-partitioned
+    window form, without holding a whole source's docs in one task at
+    100 TB); the bin report is a partial agg on (group, bin). All
+    arithmetic INT64-exact.
     """
     toks = df.select(
         F.col(group_col).alias("source"),
@@ -676,14 +679,14 @@ def sequence_packing(
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    binned = (
+        distributed_cumsum(
+            toks, [id_col], "n_tokens", cum_col="__cum", key_cols=["source"]
+        )
+        .withColumn("offset", F.col("__cum") - F.col("n_tokens"))
+        .drop("__cum")
+        .withColumn("bin", F.floor(F.col("offset") / bin_tokens))
     )
-    binned = toks.withColumn(
-        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    ).withColumn("bin", F.floor(F.col("offset") / bin_tokens))
     return binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
@@ -2016,13 +2019,14 @@ def packing_curve(
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = toks.withColumn(
-        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # keyed distributed_cumsum (exclusive prefix) — same funnel-free
+    # shape as sequence_packing; the candidate sizes all reuse it
+    off = (
+        distributed_cumsum(
+            toks, [id_col], "n_tokens", cum_col="__cum", key_cols=["source"]
+        )
+        .withColumn("offset", F.col("__cum") - F.col("n_tokens"))
+        .drop("__cum")
     )
     outs = []
     for size in sizes:
@@ -3120,3 +3124,59 @@ def distributed_cumsum(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__tot"))
     return out.drop("__pid", "__lcum", "__lrn", "__off", "__tot", "__coff")
+
+
+def distributed_lag(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    lag_col: str = "lag",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact LAG(value, 1) over a total order without the keyed-window
+    funnel: RANGE-repartition on (key, order), local lag within each
+    sorted range, then each range's FIRST row of a key takes the
+    previous range's LAST value of the same key from a tiny
+    (partitions x keys) boundary table broadcast back. Bit-identical
+    to ``F.lag(v).over(Window.partitionBy(*keys).orderBy(*order))``
+    — which is what the SQL oracles keep using — but a handful-valued
+    key no longer serializes its whole corpus-grain slice into one
+    task. ``order_cols`` must be plain ascending column names forming
+    a total order within each key (the boundary pick uses max_by over
+    their struct).
+    """
+    keys = list(key_cols or [])
+    p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
+    # materialize ONCE before branching (see distributed_rank)
+    loc = (
+        p.withColumn("__llag", F.lag(value_col).over(wloc))
+        .withColumn("__lrn", F.row_number().over(wloc))
+        .localCheckpoint(eager=True)
+    )
+    bnd = loc.groupBy("__pid", *keys).agg(
+        F.max_by(F.col(value_col), F.struct(*order_cols)).alias("__last")
+    )
+    o = F.broadcast(
+        bnd.select(
+            (F.col("__pid") + 1).alias("__opid"),
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            "__last",
+        )
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+    out = (
+        loc.join(o, cond, "left")
+        .withColumn(
+            lag_col,
+            F.when(F.col("__lrn") == 1, F.col("__last")).otherwise(
+                F.col("__llag")
+            ),
+        )
+        .drop("__opid", *[f"__k_{k}" for k in keys])
+    )
+    return out.drop("__pid", "__llag", "__lrn", "__last")

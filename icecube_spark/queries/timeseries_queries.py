@@ -1027,11 +1027,26 @@ def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from icecube_spark.operators.timeseries import _us
 
+    from icecube_spark.operators.pipeline import (
+        distributed_lag,
+        distributed_rank,
+    )
+
     ev = catalog.load(spark, sf_dir, "events")
-    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # per-type previous-timestamp via the keyed distributed_lag —
+    # bit-identical to the type-partitioned lag window the oracle
+    # uses, without holding a whole type's events in one task
     gaps = (
-        ev.select("event_type", "ts", "event_id")
-        .withColumn("gap_us", _us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(wo))
+        distributed_lag(
+            ev.select(
+                "event_type", "ts", "event_id", _us(F.col("ts")).alias("__us")
+            ),
+            ["ts", "event_id"],
+            "__us",
+            lag_col="__prev",
+            key_cols=["event_type"],
+        )
+        .withColumn("gap_us", F.col("__us") - F.col("__prev"))
         .where(F.col("gap_us").isNotNull())
         .select("event_type", "ts", "event_id", "gap_us")
     )
@@ -1039,7 +1054,6 @@ def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("gap_us").alias("s"),
     )
-    from icecube_spark.operators.pipeline import distributed_rank
 
     # per-type gap ranks via the keyed distributed_rank — bit-identical
     # to the type-partitioned window the oracle uses, without holding a

@@ -401,3 +401,47 @@ def test_keyed_distributed_cumsum_matches_keyed_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_keyed_distributed_lag_matches_keyed_window(spark):
+    """distributed_lag(key_cols=...) must be bit-identical to
+    LAG(v, 1) over Window.partitionBy(key).orderBy(...) — including
+    null keys, keys spanning range-partition boundaries, and the
+    first-row-per-key null. The oracles keep using the window form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import distributed_lag
+
+    df = spark.range(700).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 3, F.lit(None)).otherwise(
+            (F.col("id") % 4).cast("string")
+        ).alias("k"),
+        (F.col("id") * 131 % 97).alias("t"),
+        (F.col("id") * 7.5).alias("v"),
+    ).repartition(16)
+    got = {
+        r.id: r.lg
+        for r in distributed_lag(
+            df, ["t", "id"], "v", lag_col="lg", key_cols=["k"]
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("t", "id")
+    want = {
+        r.id: r.lg
+        for r in df.select("id", F.lag("v").over(w).alias("lg")).collect()
+    }
+    assert got == want
+
+    # global form (no key): one total order, same contract
+    gotg = {
+        r.id: r.lg
+        for r in distributed_lag(df, ["t", "id"], "v", lag_col="lg").collect()
+    }
+    wg = Window.partitionBy().orderBy("t", "id")
+    wantg = {
+        r.id: r.lg
+        for r in df.select("id", F.lag("v").over(wg).alias("lg")).collect()
+    }
+    assert gotg == wantg
