@@ -449,10 +449,14 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
     ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     lm = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        # grand total via a 1-row aggregate crossJoined back — a bare
+        # global window would stream the whole Heaps-scale vocab table
+        # through ONE task just to attach a constant
+        counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("cnt").alias("total")))
+        )
         .withColumn(
             "qlp_micro",
             F.floor(
@@ -1207,8 +1211,11 @@ def stopword_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     Exactness: integer counts and one int-ratio division; the top
     stopword is rank-selected with lexicographic tiebreak.
 
-    Plan: one token explode + (group, tok) count, then two small
-    aggregates on the same exchange.
+    Plan: one token explode + (group, tok) count, one group rollup;
+    the dominant-stopword rank runs ONLY over the stopword rows (a
+    list-bounded ≤ |STOPWORDS| rows per group forever — the previous
+    form ranked the group's whole vocabulary in one task) and
+    broadcast-joins back onto the rollup.
     """
     sw_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     toks = df.select(
@@ -1218,29 +1225,27 @@ def stopword_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     counts = toks.groupBy("g", "tok").agg(
         F.count(F.lit(1)).alias("n")
     ).withColumn("is_sw", F.expr(f"tok IN ({sw_list})"))
-    w = Window.partitionBy("g").orderBy(
-        F.desc(F.when(F.col("is_sw"), F.col("n")).otherwise(F.lit(None))),
-        F.asc("tok"),
+    wtop = Window.partitionBy("g").orderBy(F.desc("n"), F.asc("tok"))
+    top_sw = (
+        counts.where(F.col("is_sw"))
+        .withColumn("sw_rank", F.row_number().over(wtop))
+        .where(F.col("sw_rank") == 1)
+        .select("g", F.col("tok").alias("top_stopword"))
     )
-    ranked = counts.withColumn(
-        "sw_rank", F.row_number().over(w)
+    stats = counts.groupBy("g").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("is_sw"), F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_stopword_tokens"),
+        F.sum(F.when(F.col("is_sw"), 1).otherwise(0))
+        .cast("bigint").alias("n_distinct_stopwords"),
+        (
+            F.sum(F.when(F.col("is_sw"), F.col("n")).otherwise(0))
+            .cast("double")
+            / F.sum("n").cast("double")
+        ).alias("stopword_ratio"),
     )
     return (
-        ranked.groupBy("g")
-        .agg(
-            F.sum("n").cast("bigint").alias("n_tokens"),
-            F.sum(F.when(F.col("is_sw"), F.col("n")).otherwise(0))
-            .cast("bigint").alias("n_stopword_tokens"),
-            F.sum(F.when(F.col("is_sw"), 1).otherwise(0))
-            .cast("bigint").alias("n_distinct_stopwords"),
-            F.max(F.when((F.col("sw_rank") == 1) & F.col("is_sw"), F.col("tok")))
-            .alias("top_stopword"),
-            (
-                F.sum(F.when(F.col("is_sw"), F.col("n")).otherwise(0))
-                .cast("double")
-                / F.sum("n").cast("double")
-            ).alias("stopword_ratio"),
-        )
+        stats.join(F.broadcast(top_sw), "g", "left")
         .select(
             F.col("g").alias(group_col),
             "n_tokens", "n_stopword_tokens", "n_distinct_stopwords",
@@ -1618,10 +1623,13 @@ def boilerplate_prefixes(
         .groupBy("src", "ph")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    wsrc = Window.partitionBy("src")
+    # per-source totals via groupBy + broadcast join — a
+    # partitionBy(src) sum window would stream every (src, prefix)
+    # row of a source through one task just to attach a constant
+    totals = g.groupBy("src").agg(F.sum("n_docs").alias("n_src"))
     wr = Window.partitionBy("src").orderBy(F.col("n_docs").desc(), "ph")
     return (
-        g.withColumn("n_src", F.sum("n_docs").over(wsrc))
+        g.join(F.broadcast(totals), "src")
         .withColumn("r", F.row_number().over(wr))
         .where(F.col("r") <= top_k)
         .select(
