@@ -487,16 +487,22 @@ def group_gini(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Da
     Gini = Σ((2·rank − n − 1)·x) / (n·Σx) over the ascending-sorted
     sizes. With integer x the numerator and denominator are exact
     BIGINT sums — both engines do identical integer arithmetic and
-    one final double division. One shuffle on the group key, shared
-    by the rank window and the aggregate; ties sort by id so ranks
-    are total-order deterministic.
+    one final double division. Per-group ranks via the keyed
+    distributed_rank (range-partitioned local ranks + broadcast
+    offsets — bit-identical to the group-partitioned window the
+    oracle uses, without holding a whole group's corpus-grain rows in
+    one task); ties sort by id so ranks are total-order deterministic.
     """
-    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
-    ranked = df.select(
-        F.col(group_col),
-        F.col(value_col).cast("bigint").alias("x"),
-        F.row_number().over(w).cast("bigint").alias("rn"),
-    )
+    ranked = distributed_rank(
+        df.select(
+            F.col(group_col),
+            F.col(value_col).cast("bigint").alias("x"),
+            F.col(id_col),
+        ),
+        ["x", id_col],
+        rank_col="rn",
+        key_cols=[group_col],
+    ).withColumn("rn", F.col("rn").cast("bigint"))
     return (
         ranked.groupBy(group_col)
         .agg(
@@ -1708,14 +1714,12 @@ def quantile_normalize(
     vals = df.select(
         F.col(id_col), F.col(group_col), F.col(value_col).alias("v")
     )
-    wg = Window.partitionBy(group_col).orderBy("v", id_col)
-    ranked = vals.select(
-        id_col,
-        group_col,
-        "v",
-        F.row_number().over(wg).cast("bigint").alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("ns"),
-    )
+    # per-group ranks via the keyed distributed_rank — bit-identical
+    # to the group-partitioned window the oracle uses, without holding
+    # a whole group's corpus-grain rows in one task
+    ranked = distributed_rank(
+        vals, ["v", id_col], rank_col="r", n_col="ns", key_cols=[group_col]
+    ).withColumn("r", F.col("r").cast("bigint"))
     pooled = (
         vals.groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
