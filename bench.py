@@ -114,6 +114,15 @@ def main() -> None:
     run_seq = int(prev.get("run_seq") or 0) + 1
     result["run_seq"] = run_seq
     result["last_timed"] = dict(prev_last)
+    # per-key best (min) reading across runs: the spike detector
+    # compares against this, not the last reading, so a stored spike
+    # can't poison its own baseline
+    best: dict[str, float] = {
+        k: v for k, v in (prev.get("best") or prev_timings).items() if k in qs
+    }
+    for k, v in prev_timings.items():
+        best[k] = min(best.get(k, v), v)
+    result["best"] = best
     carried = set(prev_timings)
     timings.update(prev_timings)
 
@@ -228,11 +237,15 @@ def main() -> None:
             break
         sec = run_once(name, fn)
         if sec is not None:
-            prevv = prev_timings.get(name)
+            prevv = best.get(name)
+            spiked = (
+                (prevv is not None and sec > 3 * prevv and sec - prevv > 1.5)
+                # no baseline yet: anything this slow warrants one
+                # confirmation shot before it becomes the baseline
+                or (prevv is None and sec > 8)
+            )
             if (
-                prevv is not None
-                and sec > 3 * prevv
-                and sec - prevv > 1.5
+                spiked
                 and respike_budget > 0
                 and _budget_left() > conc_reserve + 30 + sec
             ):
@@ -247,6 +260,7 @@ def main() -> None:
                     n_respiked += 1
                     sec = min(sec, second)
             timings[name] = sec
+            best[name] = min(best.get(name, sec), sec)
             result["last_timed"][name] = run_seq
             carried.discard(name)
             print(json.dumps({"q": name, "sec": sec}), flush=True)
@@ -301,7 +315,7 @@ def _summary_line() -> str:
     scalars = {
         k: v
         for k, v in result.items()
-        if k not in ("queries", "errors", "last_timed", "carried")
+        if k not in ("queries", "errors", "last_timed", "carried", "best")
     }
     scalars["queries_full"] = "BENCH_FULL.json"
     n_carried = len(result.get("carried") or ())
