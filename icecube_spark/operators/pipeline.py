@@ -1047,7 +1047,7 @@ def pagerank(
 
 
 def distributed_depth_cuts(
-    df: DataFrame, value_col: str, n_bins: int = 10
+    df: DataFrame, value_col: str, n_bins: int = 10, with_stats: bool = False
 ) -> DataFrame:
     """Exact global quantile cuts over a NEAR-CONTINUOUS column
     without a single-partition window: the distributed prefix-sum
@@ -1063,7 +1063,9 @@ def distributed_depth_cuts(
     the cuts engine-exact regardless of partitioning.
 
     Returns a 1-row DataFrame with `cut_list` (n_bins-1 ascending
-    values) for broadcast assignment.
+    values) for broadcast assignment. With ``with_stats=True`` the
+    row also carries `vmin`/`vmax` (read off the same histogram —
+    saves consumers a separate min/max scan of the column).
     """
     h = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -1103,7 +1105,11 @@ def distributed_depth_cuts(
         .groupBy("d")
         .agg(F.min("v").alias("cut"))
     )
-    return cuts.agg(F.sort_array(F.collect_list("cut")).alias("cut_list"))
+    out = cuts.agg(F.sort_array(F.collect_list("cut")).alias("cut_list"))
+    if with_stats:
+        stats = hl.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        out = out.crossJoin(F.broadcast(stats))
+    return out
 
 
 def feature_binning(
@@ -1121,48 +1127,45 @@ def feature_binning(
     fixed-shape floor expression (width); means fold in decimal.
 
     Plan: two broadcast-scale side tables (min/max row; cut list),
-    assignment entirely map-side, one final (method, bin) aggregate —
-    the column shuffles once per method at any scale.
+    then ONE scan assigns both bins per row and a map-side stack()
+    duplicates each row into its (method, bin) pair — the column is
+    read once for assignment instead of once per method; one final
+    (method, bin) aggregate.
     """
     from icecube_spark.functions.parity import davg
 
     v = F.col(value_col).cast("double")
-    stats = df.agg(
-        F.min(v).alias("vmin"), F.max(v).alias("vmax")
-    )
-    width = (
-        df.crossJoin(F.broadcast(stats))
-        .select(
-            F.lit("width").alias("method"),
-            # constant column: vmax == vmin divides by zero — every
-            # row belongs in bin 0, not NaN
-            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(n_bins - 1),
-                    F.floor(
-                        (v - F.col("vmin")) * n_bins
-                        / (F.col("vmax") - F.col("vmin"))
-                    ),
-                )
-            ).cast("int").alias("bin"),
-            v.alias("v"),
+    # cut list AND min/max come off ONE histogram pass (with_stats)
+    cut_arr = distributed_depth_cuts(df, value_col, n_bins, with_stats=True)
+    vmin = F.col("vmin").cast("double")
+    vmax = F.col("vmax").cast("double")
+    # constant column: vmax == vmin divides by zero — every row
+    # belongs in bin 0, not NaN
+    wbin = (
+        F.when(vmax == vmin, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((v - vmin) * n_bins / (vmax - vmin)),
+            )
         )
+        .cast("int")
     )
-    cut_arr = distributed_depth_cuts(df, value_col, n_bins)
-    depth = (
+    dbin = F.size(F.filter("cut_list", lambda c: c < v)).cast("int")
+    both = (
         df.crossJoin(F.broadcast(cut_arr))
         .select(
-            F.lit("depth").alias("method"),
-            F.size(F.filter("cut_list", lambda c: c < v)).cast("int").alias(
-                "bin"
+            v.alias("v"), wbin.alias("wbin"), dbin.alias("dbin")
+        )
+        .select(
+            F.expr("stack(2, 'width', wbin, 'depth', dbin)").alias(
+                "method", "bin"
             ),
-            v.alias("v"),
+            "v",
         )
     )
     return (
-        width.unionAll(depth)
-        .groupBy("method", "bin")
+        both.groupBy("method", "bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("v").alias("lo"),

@@ -1440,10 +1440,13 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments are integer comparisons; shares are one exact
     division.
 
-    Plan: one (customer, year) aggregate from the fact scan; each
-    year's cut list is a broadcast 1-row side; assignment is
-    map-side; the final matrix is a ≤25-row aggregate after one
-    customer-key join of two year slices.
+    Plan: one (customer, year) aggregate from the fact scan,
+    materialized ONCE (eager localCheckpoint) — four consumers read
+    it (two cut builds, two assignment branches), and without the
+    checkpoint each re-runs the fact scan and aggregate; each year's
+    cut list is a broadcast 1-row side; assignment is map-side; the
+    final matrix is a ≤25-row aggregate after one customer-key join
+    of two year slices.
     """
     from icecube_spark.operators.pipeline import distributed_depth_cuts
 
@@ -1459,6 +1462,7 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("yr").isin(1996, 1997))
         .groupBy("o_custkey", "yr")
         .agg(F.sum("cents").alias("spend_cents"))
+        .localCheckpoint(eager=True)
     )
 
     def quintiles(yr: int, out: str):
