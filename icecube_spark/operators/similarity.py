@@ -812,13 +812,19 @@ def mmr_diversify(
     redundancy when assembling diverse training batches or retrieval
     contexts.
 
-    rows-only: greedy selection has no SQL twin; the pytest twin
-    replays the greedy in pure numpy and checks exact equality.
+    Engine-exact and oracle-checked: every float the greedy compares
+    is reproducible bit-for-bit in ANSI SQL — relevance and pairwise
+    similarities use the pico-quantized dot scheme (floor(a·b·1e12)
+    per dim, exact integer sum, one division) with Spark-computed
+    norms carried into the pandas group, and the selection itself is
+    8 unrolled argmax steps the DuckDB twin replays as chained CTEs
+    (ties: score DESC, candidate rank ASC — the strict-> iteration
+    order of the loop below).
 
     Plan: relevance scoring is the broadcast-centroid brute-force
     pass (corpus map-only, one rank shuffle on the label key);
     the inherently-sequential greedy runs inside applyInPandas per
-    label group over ONLY n_candidates vectors — O(k*n) numpy on 32
+    label group over ONLY n_candidates vectors — O(k*n²) numpy on 32
     rows — while label groups parallelize across executors. The
     corpus-sized work is all declarative; the sequential tail is
     bounded and per-group.
@@ -852,7 +858,7 @@ def mmr_diversify(
         .withColumn("rel", dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")))
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= n_candidates)
-        .select("qlabel", "vec_id", "rel", "cv", "r")
+        .select("qlabel", "vec_id", "rel", "cv", "cn", "r")
     )
 
     schema = (
@@ -863,10 +869,16 @@ def mmr_diversify(
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("r", ignore_index=True)
         V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0] = 1.0
-        Vn = V / norms[:, None]
-        S = Vn @ Vn.T
+        cn = pdf["cn"].to_numpy(dtype=np.float64)
+        cn = np.where(cn == 0, 1.0, cn)
+        # pairwise cosines via the SAME pico-quantized dot the
+        # declarative side uses — (a·b) and ·1e12 as two separate
+        # roundings, floor, EXACT int64 fold — so every sim is
+        # bit-identical to the SQL oracle's list_zip form
+        P = np.floor((V[:, None, :] * V[None, :, :]) * 1e12).astype(
+            np.int64
+        ).sum(axis=2)
+        S = (P.astype(np.float64) / 1e12) / np.outer(cn, cn)
         rel = pdf["rel"].to_numpy()
         n = len(pdf)
         picked: list[int] = []

@@ -4066,3 +4066,88 @@ ORACLES["text_features"] = """
                AS BIGINT) AS n_distinct_terms
     FROM documents
 """
+
+
+def _mmr_oracle(k: int = 8, n_candidates: int = 32, dim: int = 64) -> str:
+    """mmr_diversify graduated from rows-only in round 7: every float
+    the greedy compares is pico-quantized (floor(a*b*1e12) per dim,
+    exact integer fold), so the k selection steps unroll into chained
+    argmax CTEs — score DESC, candidate-rank ASC ties mirror the
+    operator's strict-> loop in r order. lam literals are written in
+    scientific notation (parity.py: DuckDB fractional literals are
+    DECIMAL and double-round); 3.0000000000000004e-1 is Python's
+    1.0 - 0.7."""
+
+    def qd(a: str, b: str) -> str:
+        return (
+            "(CAST(list_sum([CAST(floor(CAST(x[1] AS DOUBLE)"
+            " * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT)"
+            f" FOR x IN list_zip({a}, {b})]) AS DOUBLE) / 1e12)"
+        )
+
+    lam, one_minus = "7e-1", "3.0000000000000004e-1"
+    parts = [
+        f"""
+    WITH cdims AS MATERIALIZED (
+        SELECT label, gs AS dim,
+               CAST(SUM(CAST(CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+                             AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM embeddings CROSS JOIN generate_series(1, {dim}) AS t(gs)
+        GROUP BY 1, 2),
+    cent0 AS MATERIALIZED (
+        SELECT label AS qlabel, list(c ORDER BY dim) AS qv
+        FROM cdims GROUP BY label),
+    cent AS MATERIALIZED (SELECT qlabel, qv, sqrt({qd('qv', 'qv')}) AS qn FROM cent0),
+    rels AS MATERIALIZED (
+        SELECT c.qlabel, e.vec_id,
+               {qd('c.qv', 'e.embedding')}
+                   / (c.qn * sqrt({qd('e.embedding', 'e.embedding')})) AS rel,
+               sqrt({qd('e.embedding', 'e.embedding')}) AS cn,
+               e.embedding
+        FROM embeddings e CROSS JOIN cent c),
+    top AS MATERIALIZED (
+        SELECT qlabel, vec_id, rel, cn, embedding,
+               ROW_NUMBER() OVER (PARTITION BY qlabel
+                                  ORDER BY rel DESC, vec_id ASC) AS r
+        FROM rels QUALIFY r <= {n_candidates}),
+    sims AS MATERIALIZED (
+        SELECT a.qlabel, a.vec_id AS ia, b.vec_id AS ib,
+               {qd('a.embedding', 'b.embedding')} / (a.cn * b.cn) AS s
+        FROM top a JOIN top b
+            ON a.qlabel = b.qlabel AND a.vec_id <> b.vec_id),
+    p1 AS MATERIALIZED (
+        SELECT qlabel, vec_id, r, rel, rel AS score, 1 AS sel_rank FROM top
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qlabel
+                                   ORDER BY rel DESC, r ASC) = 1),
+    picked1 AS MATERIALIZED (SELECT * FROM p1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+    cand{t} AS MATERIALIZED (
+        SELECT tt.qlabel, tt.vec_id, tt.r, tt.rel,
+               {lam} * tt.rel - {one_minus} * MAX(s.s) AS score
+        FROM top tt
+        JOIN sims s ON s.qlabel = tt.qlabel AND s.ia = tt.vec_id
+        JOIN picked{t - 1} pk
+            ON pk.qlabel = s.qlabel AND pk.vec_id = s.ib
+        WHERE NOT EXISTS (SELECT 1 FROM picked{t - 1} x
+                          WHERE x.qlabel = tt.qlabel
+                            AND x.vec_id = tt.vec_id)
+        GROUP BY 1, 2, 3, 4),
+    p{t} AS MATERIALIZED (
+        SELECT qlabel, vec_id, r, rel, score, {t} AS sel_rank FROM cand{t}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qlabel
+                                   ORDER BY score DESC, r ASC) = 1),
+    picked{t} AS MATERIALIZED (SELECT * FROM picked{t - 1} UNION ALL SELECT * FROM p{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT qlabel, CAST(sel_rank AS INT) AS sel_rank, vec_id, rel,
+           score AS mmr_score
+    FROM picked{k} ORDER BY qlabel, sel_rank"""
+    )
+    return "".join(parts)
+
+
+ORACLES["mmr_diversify"] = _mmr_oracle()

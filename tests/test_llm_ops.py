@@ -257,9 +257,11 @@ def test_pca_matches_numpy(spark, sf_dir):
 
 
 def test_mmr_diversify_matches_numpy(spark, sf_dir):
-    """E16 (rows-only): the distributed greedy MMR equals the same
-    greedy replayed densely in numpy (exact selection + exact ids),
-    and per-label picks are unique."""
+    """E16: the distributed greedy MMR equals the same greedy replayed
+    densely in numpy with the operator's pico-quantized dot scheme
+    (exact selection + exact ids), and per-label picks are unique.
+    (The hard gate is the DuckDB oracle — graduated from rows-only in
+    round 7; this twin pins the pandas-side greedy independently.)"""
     import numpy as np
 
     got = lq.mmr_diversify(spark, sf_dir).toPandas()
@@ -272,27 +274,32 @@ def test_mmr_diversify_matches_numpy(spark, sf_dir):
     ids = emb["vec_id"].to_numpy()
     labels = emb["label"].to_numpy()
     lam, k, n_cand = 0.7, 8, 32
+
+    # the operator's pico-quantized dot: floor((a*b)*1e12) per dim,
+    # EXACT integer fold, one division back
+    def qdot(a, b):
+        return np.floor((a * b) * 1e12).astype(np.int64).sum() / 1e12
+
     for lab in np.unique(labels):
         # centroid with the operator's decimal(18,8)-fold parity:
         # per-dim mean of values; plain float64 mean is close enough
         # for rank equality on this data
         q = V[labels == lab].mean(axis=0)
-        qn = np.linalg.norm(q)
-        norms = np.linalg.norm(V, axis=1)
-        # operator quantizes each elementwise product at 1e-12 before
-        # the fold; replicate to keep borderline ranks identical
-        def qdot(a, b):
-            return np.floor(a * b * 1e12).sum() / 1e12
-
+        cn = np.array([np.sqrt(qdot(V[i], V[i])) for i in range(len(V))])
         rel = np.array(
-            [qdot(q, V[i]) / (np.sqrt(qdot(q, q)) * np.sqrt(qdot(V[i], V[i])))
+            [qdot(q, V[i]) / (np.sqrt(qdot(q, q)) * cn[i])
              for i in range(len(V))]
         )
         order = np.lexsort((ids, -rel))[:n_cand]
         cand_rel = rel[order]
-        Vc = V[order] / norms[order][:, None]
-        S = Vc @ Vc.T
-        picked, avail = [], list(range(len(order)))
+        Vc = V[order]
+        cnc = cn[order]
+        n = len(order)
+        S = np.array(
+            [[qdot(Vc[i], Vc[j]) / (cnc[i] * cnc[j]) for j in range(n)]
+             for i in range(n)]
+        )
+        picked, avail = [], list(range(n))
         while avail and len(picked) < k:
             if not picked:
                 best = max(avail, key=lambda i: (cand_rel[i], -ids[order][i]))

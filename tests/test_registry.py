@@ -17,13 +17,14 @@ def test_rows_only_keys_are_the_documented_set():
     # embed_ann_ivf / ivf_probe_curve / part_pagerank left this set
     # in round 5 (exact-Lloyd/quantized-fold discipline);
     # text_features left in round 6 (stats from a native tokenizer
-    # projection, the IDF fit staged as a side artifact).
+    # projection, the IDF fit staged as a side artifact);
+    # mmr_diversify left in round 7 (pico-quantized sims make the
+    # 8-step greedy replayable as chained argmax CTEs).
     assert rows_only == {
         "approx_quantiles",
         "approx_profile",
         "multimodal_features",
         "embed_pca_top",
-        "mmr_diversify",
     }, f"unexpected rows-only keys: {sorted(rows_only)}"
     # every rows-only key must sit in the _NO_ORACLE tier so the
     # driver's head sample never burns a hard-evidence slot on one
