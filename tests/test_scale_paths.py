@@ -364,6 +364,64 @@ def test_rank_topk_has_window_group_limit(spark, sf_dir, name):
     assert "WindowGroupLimit" in plan, f"{name} lost its rank-filter pruning"
 
 
+# Keys rerouted (rounds 6-7) through the keyed/global distributed
+# rank/cumsum/lag primitives: their executed plans must never again
+# contain a row_number/lag/running-sum window partitioned by the old
+# low-cardinality key over corpus-grain rows — that window caps
+# parallelism at |keys| tasks. The rank lives behind the primitives'
+# checkpoint (partitioned by __pid); only bounded-grain windows (the
+# tiny per-(key, partition) offset tables) may remain, and those
+# always reference __ptot/__pcnt/__pid.
+FUNNEL_FREE_KEYS = {
+    "value_percentiles": "event_type",
+    "winsorize_values": "event_type",
+    "mad_outliers": "event_type",
+    "ship_latency_quantiles": "o_orderpriority",
+    "order_gap_stats": "c_mktsegment",
+    "priority_value_skew": "o_orderpriority",
+    "reorder_intervals": "n_name",
+    "media_size_profile": "source",
+    "norm_percentiles_by_label": "label",
+    "lead_time_sla": "month",
+    "brand_spearman": "p_brand",
+    "volume_bars": "event_type",
+    "value_concentration_trend": "day",
+    "source_balance_gini": "source",
+    "quantile_normalize": "source",
+    "sequence_packing": "source",
+    "packing_curve": "source",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(FUNNEL_FREE_KEYS), ids=sorted(FUNNEL_FREE_KEYS)
+)
+def test_no_low_cardinality_window_funnel(spark, sf_dir, name):
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    key = FUNNEL_FREE_KEYS[name]
+    plan = (
+        entry_mod.queries()[name](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in re.finditer(
+        r"(?:row_number\(\)|lag\([^)]*\)|sum\([^)]*\)) "
+        r"windowspecdefinition\((\w+)#", plan
+    ):
+        first = m.group(1)
+        line_start = plan.rfind("\n", 0, m.start()) + 1
+        line = plan[line_start:plan.find("\n", m.start())]
+        if first == key:
+            # a window partitioned by the bare key is only legal over
+            # the primitives' tiny offset tables
+            assert "__ptot" in line or "__pcnt" in line or "__pid" in line, (
+                f"{name}: corpus-grain window partitioned by {key}: "
+                f"{line[:200]}"
+            )
+
+
 @pytest.mark.parametrize("name", TAKE_ORDERED_KEYS)
 def test_global_topk_is_take_ordered(spark, sf_dir, name):
     import __spark_entry__ as entry_mod
