@@ -348,6 +348,14 @@ def _emit() -> None:
     if _emitted:
         return
     _emitted = True
+    if result.get("value") is None:
+        # killed before the concurrent pass finished: the summary line
+        # must still carry a number — fall back to the sequential wall
+        # (or elapsed time if even that is missing)
+        result["value"] = result.get("sequential_total") or round(
+            time.monotonic() - _T_START, 3
+        )
+        result["value_fallback"] = "sequential_total"
     _write_full()
     print(_summary_line(), flush=True)
 
