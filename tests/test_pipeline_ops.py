@@ -445,3 +445,59 @@ def test_keyed_distributed_lag_matches_keyed_window(spark):
         for r in df.select("id", F.lag("v").over(wg).alias("lg")).collect()
     }
     assert gotg == wantg
+
+
+def test_keyed_primitives_edge_shapes(spark):
+    """Keyed distributed rank/cumsum/lag on degenerate shapes: empty
+    input, a single row, and one giant key (every row the same key —
+    the exact shape the range split exists for)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import (
+        distributed_cumsum,
+        distributed_lag,
+        distributed_rank,
+    )
+
+    empty = spark.createDataFrame([], "k string, v long, id long")
+    assert distributed_rank(empty, ["v", "id"], key_cols=["k"]).count() == 0
+    assert (
+        distributed_cumsum(empty, ["v", "id"], "v", key_cols=["k"]).count()
+        == 0
+    )
+    assert (
+        distributed_lag(empty, ["v", "id"], "v", key_cols=["k"]).count() == 0
+    )
+
+    one = spark.createDataFrame([("a", 5, 1)], "k string, v long, id long")
+    r = distributed_rank(one, ["v", "id"], rank_col="rn", n_col="n",
+                         key_cols=["k"]).collect()[0]
+    assert (r.rn, r.n) == (1, 1)
+    lg = distributed_lag(one, ["v", "id"], "v", lag_col="lg",
+                         key_cols=["k"]).collect()[0]
+    assert lg.lg is None
+
+    giant = spark.range(2000).select(
+        F.lit("only").alias("k"), (F.col("id") * 17 % 59).alias("v"),
+        F.col("id"),
+    ).repartition(16)
+    got = {
+        r.id: (r.rn, r.cum)
+        for r in distributed_cumsum(
+            giant, ["v", "id"], "v", cum_col="cum", rank_col="rn",
+            key_cols=["k"],
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("v", "id")
+    want = {
+        r.id: (r.rn, r.cum)
+        for r in giant.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+        ).collect()
+    }
+    assert got == want
