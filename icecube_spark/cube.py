@@ -90,14 +90,24 @@ class Datacube:
             )
         return arr.reshape(height, width)
 
+    def _product_list(self) -> list:
+        """Time-ordered product names with a deterministic tiebreak
+        (ts, then name) — the ONE ordering get_all_products and
+        get_product_index both read, so tied timestamps can never
+        make the two accessors disagree (the reference indexes one
+        stored attrs list and cannot diverge either)."""
+        return [
+            r[0]
+            for r in self.df.orderBy(self.ts_col, self.key_col)
+            .select(self.key_col)
+            .collect()
+        ]
+
     def get_all_products(self) -> list:
         """Reference Datacube.get_all_products (datacube.py:86): every
         product file in time order; KeyError when the cube holds only
         dummy (gap) layers, matching the reference's all-"None" check."""
-        vals = [
-            r[0]
-            for r in self.df.orderBy(self.ts_col).select(self.key_col).collect()
-        ]
+        vals = self._product_list()
         if all(v is None for v in vals):
             raise KeyError("product files metadata is missing from the cube")
         return vals
@@ -108,11 +118,10 @@ class Datacube:
         product list. ValueError on an empty cube (the reference's
         empty-attrs check), KeyError when the product is missing —
         matching the reference's exception contract. Metadata-sized
-        collect: only the product-name column leaves the executors."""
-        vals = [
-            r[0]
-            for r in self.df.orderBy(self.ts_col).select(self.key_col).collect()
-        ]
+        collect: only the product-name column leaves the executors;
+        the ordering is shared with get_all_products (_product_list)
+        so the two can never disagree on tied timestamps."""
+        vals = self._product_list()
         if not vals:
             raise ValueError("no metadata found against this cube")
         try:

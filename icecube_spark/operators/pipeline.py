@@ -689,7 +689,11 @@ def sequence_packing(
         distributed_cumsum(
             toks, [id_col], "n_tokens", cum_col="__cum", key_cols=["source"]
         )
-        .withColumn("offset", F.col("__cum") - F.col("n_tokens"))
+        .withColumn(
+            # coalesce: the window form this replaces skipped a NULL
+            # token count (offset = prefix sum), it did not null the bin
+            "offset", F.col("__cum") - F.coalesce(F.col("n_tokens"), F.lit(0))
+        )
         .drop("__cum")
         .withColumn("bin", F.floor(F.col("offset") / bin_tokens))
     )
@@ -2032,7 +2036,11 @@ def packing_curve(
         distributed_cumsum(
             toks, [id_col], "n_tokens", cum_col="__cum", key_cols=["source"]
         )
-        .withColumn("offset", F.col("__cum") - F.col("n_tokens"))
+        .withColumn(
+            # coalesce: the window form this replaces skipped a NULL
+            # token count (offset = prefix sum), it did not null the bin
+            "offset", F.col("__cum") - F.coalesce(F.col("n_tokens"), F.lit(0))
+        )
         .drop("__cum")
     )
     outs = []
@@ -3166,12 +3174,18 @@ def distributed_lag(
     bnd = loc.groupBy("__pid", *keys).agg(
         F.max_by(F.col(value_col), F.struct(*order_cols)).alias("__last")
     )
+    # hand each partition's last value to the NEXT partition that
+    # actually holds rows of the same key (lead over the tiny boundary
+    # table) — NOT blindly __pid + 1: the range partitioner can emit
+    # empty interior partitions under duplicate sampled bounds, and a
+    # one-deep handoff would silently drop the lag across the gap
+    wnext = Window.partitionBy(*keys).orderBy("__pid")
     o = F.broadcast(
         bnd.select(
-            (F.col("__pid") + 1).alias("__opid"),
+            F.lead("__pid").over(wnext).alias("__opid"),
             *[F.col(k).alias(f"__k_{k}") for k in keys],
             "__last",
-        )
+        ).where(F.col("__opid").isNotNull())
     )
     cond = F.col("__pid") == F.col("__opid")
     for k in keys:

@@ -1533,10 +1533,21 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap").isNotNull())
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_mktsegment", F.col("gap").cast("bigint").alias("gap"))
+        .select(
+            "c_mktsegment",
+            F.col("gap").cast("bigint").alias("gap"),
+            "o_custkey",
+            "o_orderkey",
+        )
     )
+    # tiebreaks satisfy the primitive's total-order contract; the
+    # rank-picked gap is tie-invariant either way
     ranked = distributed_rank(
-        gaps, ["gap"], rank_col="rn", n_col="n", key_cols=["c_mktsegment"]
+        gaps,
+        ["gap", "o_custkey", "o_orderkey"],
+        rank_col="rn",
+        n_col="n",
+        key_cols=["c_mktsegment"],
     )
     at = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("gap"))
