@@ -132,10 +132,14 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            return round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record, never re-raise
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             return None
+        # a success clears any earlier transient failure (warmup shot,
+        # prior pass) so a key with a valid timing is never branded an
+        # error / evicted from the concurrent pass
+        errors.pop(name, None)
+        return round(time.perf_counter() - t0, 3)
 
     # Least-recently-timed first (never-timed keys lead), name as the
     # deterministic tiebreak.
@@ -273,6 +277,14 @@ def main() -> None:
             result["last_timed"][name] = run_seq
             carried.discard(name)
             print(json.dumps({"q": name, "sec": sec}), flush=True)
+        elif name in carried:
+            # a carried reading must not survive a failed re-measure:
+            # this run produced no measurement, so the key reports as
+            # an error — not as a stale timing the n_timed/n_carried
+            # split would misclassify
+            carried.discard(name)
+            timings.pop(name, None)
+            result["last_timed"].pop(name, None)
         sweep_cache()
         if i % 20 == 19:
             result["carried"] = sorted(carried)

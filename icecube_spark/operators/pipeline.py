@@ -3067,6 +3067,9 @@ def distributed_cumsum(
     With ``key_cols`` (plain column names), the running total is per
     key — bit-identical to the ``partitionBy(*key_cols)`` window form
     — without the low-cardinality funnel (see distributed_rank).
+    NULL contract: rows whose entire prefix is NULL get 0, matching
+    ``coalesce(sum(v).over(w), 0)`` (the form every call site
+    replaced), NOT the bare window sum (which would keep NULL there).
     With ``rank_col``, the same pass also emits the ROW_NUMBER over the
     same (key, order) — one repartition serves consumers that need
     both the running total and the sequence number (e.g. OHLC bars).
@@ -3133,7 +3136,9 @@ def distributed_cumsum(
         )
     else:
         out = loc.join(F.broadcast(off), "__pid")
-    out = out.withColumn(cum_col, F.col("__lcum") + F.col("__off"))
+    out = out.withColumn(
+        cum_col, F.coalesce(F.col("__lcum"), F.lit(0)) + F.col("__off")
+    )
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("__lrn") + F.col("__coff"))
     if total_col is not None:
@@ -3160,6 +3165,13 @@ def distributed_lag(
     a total order within each key (the boundary pick uses max_by over
     their struct).
     """
+    if not all(isinstance(c, str) for c in order_cols):
+        raise TypeError(
+            "distributed_lag order_cols must be plain ascending column "
+            "names (the cross-partition boundary pick is max_by over "
+            "their struct; a desc()/expression order would silently "
+            "hand the WRONG boundary value across partitions)"
+        )
     keys = list(key_cols or [])
     p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
         "__pid", F.spark_partition_id()

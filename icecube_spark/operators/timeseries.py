@@ -485,9 +485,15 @@ def conversion_lag_quantiles(
     one source); both aggregates shuffle on the key. Lags are integer
     microseconds and quantiles are rank-selected (value at row
     ceil(q·n)) — pure integer semantics, bit-equal across engines,
-    no interpolation. The final quantile pass runs over one row per
-    converting key (≪ corpus) in a single global window.
+    no interpolation. The quantile ranks come from the keyless
+    distributed_rank (range-partition on (lag, key), local ranks,
+    broadcast offsets) — bit-identical to the global
+    row_number()/count() window pair the SQL oracle uses, but
+    converter-grain rows (one per converting key, which scales WITH
+    the corpus) never funnel through a single task.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     first_from = (
         df.where(F.col(type_col) == from_type)
         .groupBy(key_col)
@@ -506,12 +512,12 @@ def conversion_lag_quantiles(
             (_us("first_to") - _us("from_ts")).alias("lag_us"),
         )
     )
-    w = Window.partitionBy().orderBy("lag_us", key_col)
-    ranked = lags.select(
-        F.col("lag_us"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = distributed_rank(
+        lags.select("lag_us", key_col),
+        ["lag_us", key_col],
+        rank_col="rn",
+        n_col="n",
+    ).select("lag_us", "rn", "n")
     at = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("lag_us"))
     )
@@ -993,57 +999,87 @@ def downsample_lttb(
     in both engines); edge buckets (no neighbor) fall back to their
     first point via a COALESCE(-1) ordering.
 
-    Scale: one shuffle on the type key; ranks, anchors, and the
-    neighbor-anchor carry are three windows sharing that single
-    exchange; the per-bucket argmax moves nothing.
+    Scale: the per-type sequence numbers come from the keyed
+    distributed_rank (range-partition on (t, ts_s, tb), local ranks,
+    broadcast offsets) so a handful-valued type key never serializes
+    its whole corpus-grain slice into one task; the anchor prev/next
+    carries run through distributed_lag on the bucket-grain table
+    (bucket count scales with the corpus too — n/20 rows per type is
+    still a funnel at 100×), with LEAD expressed as LAG over the
+    negated bucket order; the per-bucket argmax is a max_by aggregate
+    (partial map-side combine, ≤ bucket_size rows per group).
     """
-    w = Window.partitionBy("t").orderBy("ts_s", "tb")
-    base = df.select(
-        F.col(type_col).alias("t"),
-        (_us(ts_col) / F.lit(1_000_000)).cast("bigint").alias("ts_s"),
-        F.col(ts_col).alias("ts"),
-        F.floor(F.col(value_col) * 1000).alias("q"),
-        F.col(value_col).alias("v"),
-        F.col(tiebreak_col).alias("tb"),
-    ).withColumn("rn", F.row_number().over(w) - 1)
+    from icecube_spark.operators.pipeline import (
+        distributed_lag,
+        distributed_rank,
+    )
+
+    base = distributed_rank(
+        df.select(
+            F.col(type_col).alias("t"),
+            (_us(ts_col) / F.lit(1_000_000)).cast("bigint").alias("ts_s"),
+            F.col(ts_col).alias("ts"),
+            F.floor(F.col(value_col) * 1000).alias("q"),
+            F.col(value_col).alias("v"),
+            F.col(tiebreak_col).alias("tb"),
+        ),
+        ["ts_s", "tb"],
+        rank_col="rn1",
+        key_cols=["t"],
+    ).withColumn("rn", F.col("rn1") - 1)
     pts = base.withColumn("bucket", F.floor(F.col("rn") / bucket_size))
     anchors = pts.groupBy("t", "bucket").agg(
         F.expr("sum(ts_s) div count(1)").alias("a_t"),
         F.expr("sum(q) div count(1)").alias("a_q"),
         F.count(F.lit(1)).alias("n_points"),
     )
-    wb = Window.partitionBy("t").orderBy("bucket")
-    neigh = anchors.select(
+    anch = anchors.withColumn("a", F.struct("a_t", "a_q")).withColumn(
+        "nbucket", -F.col("bucket")
+    )
+    anch = distributed_lag(anch, ["bucket"], "a", lag_col="prev",
+                           key_cols=["t"])
+    anch = distributed_lag(anch, ["nbucket"], "a", lag_col="nxt",
+                           key_cols=["t"])
+    neigh = anch.select(
         "t",
         "bucket",
         "n_points",
-        F.lag("a_t").over(wb).alias("prev_t"),
-        F.lag("a_q").over(wb).alias("prev_q"),
-        F.lead("a_t").over(wb).alias("next_t"),
-        F.lead("a_q").over(wb).alias("next_q"),
+        F.col("prev.a_t").alias("prev_t"),
+        F.col("prev.a_q").alias("prev_q"),
+        F.col("nxt.a_t").alias("next_t"),
+        F.col("nxt.a_q").alias("next_q"),
     )
-    scored = pts.join(neigh, ["t", "bucket"]).withColumn(
-        "area2",
-        F.abs(
-            (F.col("prev_t") - F.col("next_t")) * (F.col("q") - F.col("prev_q"))
-            - (F.col("prev_t") - F.col("ts_s"))
-            * (F.col("next_q") - F.col("prev_q"))
-        ),
+    scored = pts.join(neigh, ["t", "bucket"]).select(
+        "t",
+        "bucket",
+        "n_points",
+        "ts",
+        "v",
+        "rn",
+        F.coalesce(
+            F.abs(
+                (F.col("prev_t") - F.col("next_t"))
+                * (F.col("q") - F.col("prev_q"))
+                - (F.col("prev_t") - F.col("ts_s"))
+                * (F.col("next_q") - F.col("prev_q"))
+            ),
+            F.lit(-1),
+        ).alias("area2"),
     )
-    pick = Window.partitionBy("t", "bucket").orderBy(
-        F.coalesce("area2", F.lit(-1)).desc(), F.col("rn").asc()
+    best = scored.groupBy("t", "bucket").agg(
+        F.max("n_points").alias("n_points"),
+        F.max_by(
+            F.struct("ts", "v", "area2"),
+            F.struct(F.col("area2"), (-F.col("rn")).alias("nr")),
+        ).alias("b"),
     )
-    return (
-        scored.withColumn("r", F.row_number().over(pick))
-        .where(F.col("r") == 1)
-        .select(
-            F.col("t").alias("event_type"),
-            "bucket",
-            "n_points",
-            "ts",
-            "v",
-            F.coalesce("area2", F.lit(-1)).alias("area2"),
-        )
+    return best.select(
+        F.col("t").alias("event_type"),
+        "bucket",
+        "n_points",
+        F.col("b.ts").alias("ts"),
+        F.col("b.v").alias("v"),
+        F.col("b.area2").alias("area2"),
     )
 
 

@@ -130,3 +130,37 @@ def write_labels_json(flat: DataFrame, path: str) -> None:
     file; read_labels_json accepts both (multiLine covers arrays,
     Spark's json reader covers JSONL natively)."""
     build_labels_df(flat).write.mode("overwrite").json(path)
+
+
+def prune_metadata_rows_for_labels(
+    metadata_df: DataFrame,
+    labels_flat: DataFrame,
+    path_col: str = "product_fpath",
+) -> DataFrame:
+    """Reference parity (labels_datacube.py:160
+    prune_metadata_rows_for_labels): keep metadata rows whose
+    ``path_col`` is NULL (the gap/dummy rows the time axis needs) or
+    whose file basename appears among the labeled ``product_file``s;
+    drop everything else.
+
+    Spark shape: the labeled-products list is a model-sized dim, so
+    the labeled branch is a BROADCAST left-semi join (no corpus
+    shuffle) unioned with the null-path rows — the same two-predicate
+    keep-set the reference loops over row-by-row."""
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    labeled = labels_flat.select(
+        F.col("product_file").alias("__pf")
+    ).distinct()
+    kept_labeled = (
+        metadata_df.where(F.col(path_col).isNotNull())
+        .withColumn("__base", base)
+        .join(
+            F.broadcast(labeled),
+            F.col("__base") == F.col("__pf"),
+            "left_semi",
+        )
+        .drop("__base")
+    )
+    return metadata_df.where(F.col(path_col).isNull()).unionByName(
+        kept_labeled
+    )

@@ -326,3 +326,52 @@ def load_raster_pixels(path: str):
         ) from e
     with rasterio.open(path) as src:  # pragma: no cover
         return src.read()
+
+
+def save_metadata_table_as_csv(metadata_df: DataFrame, folder: str) -> None:
+    """Reference parity (metadata_crawler.py:237
+    save_metadata_table_as_csv): write a crawl-result table as ONE
+    ``metadata.csv`` inside ``folder``. The crawl table is model-sized
+    (one row per product), so the single-named-file contract the
+    reference promises is a driver-side write by design; corpus-scale
+    tables should use ``df.write.csv`` instead."""
+    import os
+
+    metadata_df.toPandas().to_csv(
+        os.path.join(folder, "metadata.csv"), index=False
+    )
+
+
+def save_metadata_table_as_excel_table(
+    metadata_df: DataFrame, folder: str
+) -> None:
+    """Reference parity (metadata_crawler.py:232): ``metadata.xlsx``
+    inside ``folder``. Excel writing needs openpyxl, which this
+    container does not ship — the guard keeps the named API present
+    without a hard dependency."""
+    import os
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "save_metadata_table_as_excel_table needs openpyxl; use "
+            "save_metadata_table_as_csv in this container"
+        ) from exc
+    metadata_df.toPandas().to_excel(
+        os.path.join(folder, "metadata.xlsx"), index=False
+    )
+
+
+def save_image_ids_as_txt(
+    metadata_df: DataFrame, folder: str, id_col: str = "image_number"
+) -> None:
+    """Reference parity (metadata_crawler.py:242): the id column,
+    comma-joined into one ``image_ids.txt``. Ids are one-per-product
+    (model-sized), so the driver collect mirrors the reference's
+    single-file contract."""
+    import os
+
+    ids = [str(r[0]) for r in metadata_df.select(id_col).collect()]
+    with open(os.path.join(folder, "image_ids.txt"), "w") as fh:
+        fh.write(",".join(ids))

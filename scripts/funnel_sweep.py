@@ -1,0 +1,208 @@
+"""Registry-wide window-funnel sweep (VERDICT r7 item 3).
+
+Walks the executed plan of EVERY registry key and flags any window
+whose partition spec is empty or a known low-cardinality column —
+those windows serialize corpus-grain rows into one task (parallelism
+caps at |keys| no matter the cluster) — UNLESS the window is provably
+bounded:
+
+- partitioned by the distributed primitives' ``__pid`` (the local
+  pass of distributed_rank/cumsum/lag: one window per range
+  partition),
+- referencing the primitives' tiny per-(key, partition) offset table
+  columns (``__ptot``/``__pcnt``),
+- an upstream aggregate sits in the window's input subtree (the
+  window then runs on aggregate grain — days, vocab terms, buckets —
+  not raw corpus rows), or
+- the (key, partition-col) pair carries an explicit whitelist reason
+  below.
+
+Shared by ``tests/test_scale_paths.py::test_registry_wide_funnel_sweep``
+and runnable standalone::
+
+    python scripts/funnel_sweep.py [key ...]
+"""
+
+from __future__ import annotations
+
+import re
+
+# Columns whose cardinality does NOT grow with the corpus: a window
+# partitioned by one of these over raw (non-aggregated) rows is a
+# funnel. Aliases the query layer introduces (t, k, lang, label...)
+# are included; corpus-scaled ids (user/order/doc/bucket ids) are not.
+LOW_CARD_COLS = frozenset({
+    "event_type", "type", "t", "source", "src", "lang", "language",
+    "label", "segment", "priority", "o_orderpriority", "c_mktsegment",
+    "n_name", "r_name", "p_brand", "p_type", "p_container", "p_mfgr",
+    "o_orderstatus", "l_returnflag", "l_linestatus", "l_shipmode",
+    "l_shipinstruct", "band", "quality_bucket", "month", "dow", "hour",
+    "year", "k", "grp", "split", "shard", "tile", "cls", "class",
+})
+
+# (key, partition-head) pairs allowed to keep a low-cardinality/global
+# window with an inline justification. Keep this SHORT — the right fix
+# is almost always distributed_rank/cumsum/lag; a whitelist entry must
+# say why the frame is bounded WITHOUT an aggregate visible in the
+# subtree (e.g. the input is a staged/checkpointed aggregate whose
+# lineage the plan string no longer shows).
+WHITELIST: dict[tuple[str, str], str] = {
+}
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _split_top(args: str) -> list[str]:
+    """Split a windowspecdefinition arg string on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _partition_cols(spec_args: str) -> list[str]:
+    """Partition columns of one windowspecdefinition arg list: the
+    top-level args before the first ordered arg (``... ASC/DESC NULLS
+    ...``) or the frame spec."""
+    cols = []
+    for a in _split_top(spec_args):
+        if a.startswith("specifiedwindowframe"):
+            break
+        if re.search(r"\b(ASC|DESC) NULLS", a):
+            break
+        cols.append(a)
+    return cols
+
+
+def _spec_args(line: str, start: int) -> str:
+    """The balanced arg substring of windowspecdefinition( at start."""
+    i = line.index("(", start)
+    depth, j = 0, i
+    for j in range(i, len(line)):
+        if line[j] == "(":
+            depth += 1
+        elif line[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    return line[i + 1:j]
+
+
+def _col_name(expr: str) -> str:
+    """Base column name of a partition expression (``t#12`` -> ``t``,
+    ``cast(x#3 as int)`` -> its first referenced column)."""
+    m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", expr)
+    return m.group(1) if m else expr
+
+
+def _node_indent(line: str) -> int:
+    """Tree depth of a plan line = offset of its ``+-``/``:-`` marker
+    (root lines, which have none, sit at -1)."""
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def scan_plan(plan: str) -> list[dict]:
+    """All windowspecdefinition sites in an executed-plan string with
+    their partition heads and whether an aggregate feeds them."""
+    lines = plan.splitlines()
+    sites = []
+    for i, line in enumerate(lines):
+        if "windowspecdefinition" not in line:
+            continue
+        indent = _node_indent(lines[i])
+        # input subtree: following lines strictly deeper in the tree
+        has_agg = False
+        for nxt in lines[i + 1:]:
+            d = _node_indent(nxt)
+            if d <= indent and d != -1:
+                break
+            if any(a in nxt for a in _AGG_NODES):
+                has_agg = True
+                break
+        for m in re.finditer(r"windowspecdefinition\(", line):
+            args = _spec_args(line, m.start())
+            pcols = [_col_name(c) for c in _partition_cols(args)]
+            sites.append({
+                "line": line.strip()[:300],
+                "partition": pcols,
+                "has_upstream_agg": has_agg,
+                "is_primitive_local": any(
+                    c.startswith("__pid") for c in pcols
+                ),
+                "is_offset_table": "__ptot" in line or "__pcnt" in line,
+            })
+    return sites
+
+
+def violations(key: str, plan: str) -> list[dict]:
+    out = []
+    for s in scan_plan(plan):
+        if s["is_primitive_local"] or s["is_offset_table"]:
+            continue
+        if s["has_upstream_agg"]:
+            continue
+        pcols = s["partition"]
+        head = pcols[0] if pcols else ""
+        funnel = (not pcols) or all(c in LOW_CARD_COLS for c in pcols)
+        if not funnel:
+            continue
+        if (key, head) in WHITELIST:
+            continue
+        out.append({"key": key, "partition": pcols, "line": s["line"]})
+    return out
+
+
+def main(argv: list[str]) -> int:
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry_mod
+    from icecube_spark.session import get_spark
+
+    sf_dir = os.environ.get("ICECUBE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("funnel-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    keys = argv or sorted(qs)
+    flagged, errs = [], {}
+    for i, k in enumerate(keys):
+        try:
+            plan = (
+                qs[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            v = violations(k, plan)
+            flagged.extend(v)
+            if v:
+                print(json.dumps(v), flush=True)
+        except Exception as exc:  # keep sweeping
+            errs[k] = f"{type(exc).__name__}: {exc}"[:200]
+        if i % 25 == 24:
+            print(f"# {i + 1}/{len(keys)} scanned, "
+                  f"{len(flagged)} flagged", flush=True)
+    print(json.dumps({
+        "n_keys": len(keys),
+        "n_flagged_sites": len(flagged),
+        "flagged_keys": sorted({f['key'] for f in flagged}),
+        "errors": errs,
+    }, indent=1))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv[1:]))

@@ -193,6 +193,83 @@ def test_labels_json_round_trip(spark, tmp_path):
     assert a.equals(b)
 
 
+def test_prune_metadata_rows_for_labels(spark):
+    """A18: prune_metadata_rows_for_labels mirrors the reference
+    (labels_datacube.py:160) — null-path gap rows stay, labeled rows
+    stay (matched on basename vs product_file), everything else is
+    dropped; and the labeled branch is a broadcast semi join."""
+    import json
+
+    from icecube_spark.sources import labels as L
+
+    raw = json.load(open(REF_LABELS))
+    labeled_files = [r["product_file"] for r in raw]
+    assert len(labeled_files) >= 2
+    meta = spark.createDataFrame(
+        [
+            (f"/data/{labeled_files[0]}", "a"),
+            (f"/data/sub/{labeled_files[1]}", "b"),
+            ("/data/NOT_LABELED.tif", "c"),
+            (None, "gap1"),
+            (None, "gap2"),
+        ],
+        "product_fpath string, tag string",
+    )
+    flat = L.read_labels_json(spark, REF_LABELS)
+    out = L.prune_metadata_rows_for_labels(meta, flat)
+    got = sorted(r.tag for r in out.collect())
+    assert got == ["a", "b", "gap1", "gap2"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_crawler_export_helpers(spark, tmp_path):
+    """H: the reference's named crawl-export helpers
+    (metadata_crawler.py:232-250) — one metadata.csv, one
+    comma-joined image_ids.txt; the Excel writer either produces
+    metadata.xlsx or refuses with the openpyxl guard."""
+    import os
+
+    from icecube_spark.sources.raster import (
+        save_image_ids_as_txt,
+        save_metadata_table_as_csv,
+        save_metadata_table_as_excel_table,
+    )
+
+    meta = spark.createDataFrame(
+        [(1, "prod_a.tif", 42.0), (2, "prod_b.tif", 41.5)],
+        "image_number int, product_file string, incidence_center double",
+    )
+    folder = str(tmp_path)
+    save_metadata_table_as_csv(meta, folder)
+    import pandas as pd
+
+    back = pd.read_csv(os.path.join(folder, "metadata.csv"))
+    assert list(back.columns) == [
+        "image_number", "product_file", "incidence_center"
+    ]
+    assert len(back) == 2
+
+    save_image_ids_as_txt(meta, folder)
+    txt = open(os.path.join(folder, "image_ids.txt")).read()
+    assert sorted(txt.split(",")) == ["1", "2"]
+
+    try:
+        import openpyxl  # noqa: F401
+
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+    if have_openpyxl:
+        save_metadata_table_as_excel_table(meta, folder)
+        assert os.path.exists(os.path.join(folder, "metadata.xlsx"))
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            save_metadata_table_as_excel_table(meta, folder)
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """H — date-partitioned parquet layout: a month-filtered read must
     touch only that month's partition directories (PartitionFilters in

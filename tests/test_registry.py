@@ -56,3 +56,23 @@ def test_plans_audit_covers_every_registered_key():
     stale = sections - registered
     assert not missing, f"PLANS.md missing sections: {sorted(missing)}"
     assert not stale, f"PLANS.md stale sections: {sorted(stale)}"
+
+
+def test_survey_status_counts_match_registry():
+    """SURVEY §2's STATUS paragraph must carry the live registry
+    numbers (VERDICT r7 item 7) — same pin pattern as the PLANS.md
+    section-count test, so the header can never silently go stale
+    again."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    text = open(path).read()
+    m = re.search(r"STATUS: all (\d+) query keys", text)
+    assert m, "SURVEY.md lost its STATUS sentence"
+    assert int(m.group(1)) == len(entry.queries())
+    m2 = re.search(r"(\d+)\s*\nrows-only by nature", text) or re.search(
+        r"and (\d+)\s*rows-only by nature", text
+    )
+    assert m2, "SURVEY.md STATUS lost its rows-only count"
+    assert int(m2.group(1)) == len(entry._NO_ORACLE)

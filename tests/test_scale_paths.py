@@ -390,6 +390,11 @@ FUNNEL_FREE_KEYS = {
     "quantile_normalize": "source",
     "sequence_packing": "source",
     "packing_curve": "source",
+    # r8: the last two corpus-grain funnels — conversion_lag's old
+    # GLOBAL rank window (empty partition spec → first windowspec arg
+    # is the order col lag_us) and downsample_lttb's per-type windows
+    "conversion_lag": "lag_us",
+    "downsample_lttb": "t",
 }
 
 

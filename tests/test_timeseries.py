@@ -287,6 +287,124 @@ def test_streaming_stream_stream_join_matches_batch(spark, sf_dir):
     assert (got["signup_id"].to_numpy() == want["signup_id"].to_numpy()).all()
 
 
+def test_conversion_lag_matches_window_form(spark, sf_dir):
+    """C23 bit-equivalence: the distributed_rank quantile selection
+    must reproduce the old global-window form (row_number + count over
+    an empty partition spec) exactly — same integer lags, same
+    rank-selected quantiles."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.timeseries import _us
+    from icecube_spark import catalog
+
+    got = tq.conversion_lag(spark, sf_dir).collect()[0]
+
+    ev = catalog.load(spark, sf_dir, "events")
+    first_from = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("from_ts"))
+    )
+    lags = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("to_ts"))
+        .join(first_from, "user_id")
+        .where(F.col("to_ts") >= F.col("from_ts"))
+        .groupBy("user_id", "from_ts")
+        .agg(F.min("to_ts").alias("first_to"))
+        .select(
+            "user_id",
+            (_us("first_to") - _us("from_ts")).alias("lag_us"),
+        )
+    )
+    w = Window.partitionBy().orderBy("lag_us", "user_id")
+    ranked = lags.select(
+        "lag_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("lag_us"))
+    )
+    want = ranked.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_us").alias("min_lag_us"),
+        at(F.lit(0.5)).alias("p50_lag_us"),
+        at(F.lit(0.9)).alias("p90_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_downsample_lttb_matches_window_form(spark, sf_dir):
+    """C35 bit-equivalence: the distributed rank/lag/argmax plan must
+    reproduce the old per-type window form (row_number over the bare
+    type key, lag/lead anchor carries, rank-1 bucket argmax) exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.timeseries import _us
+    from icecube_spark import catalog
+
+    got = {
+        (r.event_type, r.bucket): (r.n_points, r.ts, r.v, r.area2)
+        for r in tq.downsample_lttb(spark, sf_dir).collect()
+    }
+
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("t").orderBy("ts_s", "tb")
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        (_us("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_s"),
+        F.col("ts").alias("ts"),
+        F.floor(F.col("value") * 1000).alias("q"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("tb"),
+    ).withColumn("rn", F.row_number().over(w) - 1)
+    pts = base.withColumn("bucket", F.floor(F.col("rn") / 20))
+    anchors = pts.groupBy("t", "bucket").agg(
+        F.expr("sum(ts_s) div count(1)").alias("a_t"),
+        F.expr("sum(q) div count(1)").alias("a_q"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    wb = Window.partitionBy("t").orderBy("bucket")
+    neigh = anchors.select(
+        "t", "bucket", "n_points",
+        F.lag("a_t").over(wb).alias("prev_t"),
+        F.lag("a_q").over(wb).alias("prev_q"),
+        F.lead("a_t").over(wb).alias("next_t"),
+        F.lead("a_q").over(wb).alias("next_q"),
+    )
+    scored = pts.join(neigh, ["t", "bucket"]).withColumn(
+        "area2",
+        F.abs(
+            (F.col("prev_t") - F.col("next_t"))
+            * (F.col("q") - F.col("prev_q"))
+            - (F.col("prev_t") - F.col("ts_s"))
+            * (F.col("next_q") - F.col("prev_q"))
+        ),
+    )
+    pick = Window.partitionBy("t", "bucket").orderBy(
+        F.coalesce("area2", F.lit(-1)).desc(), F.col("rn").asc()
+    )
+    want = {
+        (r.event_type, r.bucket): (r.n_points, r.ts, r.v, r.area2)
+        for r in scored.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select(
+            F.col("t").alias("event_type"),
+            "bucket",
+            "n_points",
+            "ts",
+            "v",
+            F.coalesce("area2", F.lit(-1)).alias("area2"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_downsample_lttb_one_point_per_bucket(spark, sf_dir):
     """C35: exactly one selected point per (type, bucket); bucket ids
     are the contiguous 0..n_buckets-1 range; edge buckets (no
