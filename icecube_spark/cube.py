@@ -186,6 +186,14 @@ class Datacube:
             r[0] for r in self.df.orderBy(self.ts_col).select(index).collect()
         ]
 
+    def visualize(self) -> None:
+        """Reference parity (sar_datacube_metadata.py:278): the
+        reference ships ``visualize`` as an empty placeholder
+        (``pass``) — mirrored here so porting callers resolve the
+        name. A real implementation would render the per-layer
+        coverage/summary from ``get_dimensions``/``get_metadata``."""
+        return None
+
     def merge(self, other: "Datacube") -> "Datacube":
         """Union two cubes; on (key, ts) conflict the left cube wins
         (reference merge_xrdatasets combine_attrs='drop_conflicts')."""

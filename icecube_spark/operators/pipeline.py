@@ -173,14 +173,22 @@ def length_quantiles(
     """P5 — exact per-group length profile (min/p50/p90/max/count).
     Quantiles are rank-selected (value at row ceil(q*n) in sort
     order) — pure integer semantics, so Spark and DuckDB agree
-    bit-for-bit where interpolation formulas would drift. One shuffle
-    on the group key; the window and aggregate share it."""
-    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
-    ranked = df.select(
-        F.col(group_col),
-        F.col(value_col).cast("bigint").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    bit-for-bit where interpolation formulas would drift. Ranks come
+    from the keyed distributed_rank (range-partition on (group,
+    value, id), local ranks, broadcast offsets) — bit-identical to
+    the keyed window form the oracle uses, but a handful-valued group
+    (|langs|) never serializes its corpus-grain doc slice into one
+    task (the r8 registry-wide funnel sweep caught this one)."""
+    ranked = distributed_rank(
+        df.select(
+            F.col(group_col),
+            F.col(value_col).cast("bigint").alias("v"),
+            F.col(id_col),
+        ),
+        ["v", id_col],
+        rank_col="rn",
+        n_col="n",
+        key_cols=[group_col],
     )
     at = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("v"))
@@ -2271,9 +2279,12 @@ def token_budget_sample(
     shares and means are fixed-order divisions of exact ints.
 
     Plan: per-doc scoring is map-only array work (no explode, no
-    shuffle); the greedy cut is one window per group (partition
-    bounded by group size), and the report is one partial-agg
-    shuffle of |groups| rows.
+    shuffle); the greedy cut is a keyed distributed_cumsum
+    (range-partition on (group, score desc, id), local prefix sums,
+    broadcast offsets) — bit-identical to the per-group running-sum
+    window but a handful-valued group key never serializes its whole
+    corpus-grain doc slice into one task (r8 funnel sweep); the
+    report is one partial-agg shuffle of |groups| rows.
     """
     toks = f"split(trim({text_col}), '\\\\s+')"
     scored = df.select(
@@ -2288,16 +2299,17 @@ def token_budget_sample(
         .cast("bigint")
         .alias("score_q"),
     )
-    w = (
-        Window.partitionBy("grp")
-        .orderBy(F.col("score_q").desc(), F.col("id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    flagged = scored.select(
+    flagged = distributed_cumsum(
+        scored,
+        [F.col("score_q").desc(), F.col("id").asc()],
+        "n_tok",
+        cum_col="__cum",
+        key_cols=["grp"],
+    ).select(
         "grp",
         "n_tok",
         "score_q",
-        (F.sum("n_tok").over(w) <= F.lit(budget_tokens)).alias("kept"),
+        (F.col("__cum") <= F.lit(budget_tokens)).alias("kept"),
     )
     kept_i = F.when(F.col("kept"), F.lit(1)).otherwise(F.lit(0))
     rep = flagged.groupBy("grp").agg(

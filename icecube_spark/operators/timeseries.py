@@ -1003,16 +1003,15 @@ def downsample_lttb(
     distributed_rank (range-partition on (t, ts_s, tb), local ranks,
     broadcast offsets) so a handful-valued type key never serializes
     its whole corpus-grain slice into one task; the anchor prev/next
-    carries run through distributed_lag on the bucket-grain table
-    (bucket count scales with the corpus too — n/20 rows per type is
-    still a funnel at 100×), with LEAD expressed as LAG over the
-    negated bucket order; the per-bucket argmax is a max_by aggregate
-    (partial map-side combine, ≤ bucket_size rows per group).
+    carries exploit that bucket ids are DENSE integers per type
+    (rank div bucket_size), so lag/lead collapse to equi-self-joins
+    on (t, bucket±1) — shuffle-parallel on a corpus-scaled key, no
+    per-type window (bucket count scales with the corpus too: n/20
+    rows per type is still a funnel at 100×); the per-bucket argmax
+    is a max_by aggregate (partial map-side combine, ≤ bucket_size
+    rows per group).
     """
-    from icecube_spark.operators.pipeline import (
-        distributed_lag,
-        distributed_rank,
-    )
+    from icecube_spark.operators.pipeline import distributed_rank
 
     base = distributed_rank(
         df.select(
@@ -1033,21 +1032,22 @@ def downsample_lttb(
         F.expr("sum(q) div count(1)").alias("a_q"),
         F.count(F.lit(1)).alias("n_points"),
     )
-    anch = anchors.withColumn("a", F.struct("a_t", "a_q")).withColumn(
-        "nbucket", -F.col("bucket")
-    )
-    anch = distributed_lag(anch, ["bucket"], "a", lag_col="prev",
-                           key_cols=["t"])
-    anch = distributed_lag(anch, ["nbucket"], "a", lag_col="nxt",
-                           key_cols=["t"])
-    neigh = anch.select(
+    prev = anchors.select(
         "t",
-        "bucket",
-        "n_points",
-        F.col("prev.a_t").alias("prev_t"),
-        F.col("prev.a_q").alias("prev_q"),
-        F.col("nxt.a_t").alias("next_t"),
-        F.col("nxt.a_q").alias("next_q"),
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("a_t").alias("prev_t"),
+        F.col("a_q").alias("prev_q"),
+    )
+    nxt = anchors.select(
+        "t",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("a_t").alias("next_t"),
+        F.col("a_q").alias("next_q"),
+    )
+    neigh = (
+        anchors.select("t", "bucket", "n_points")
+        .join(prev, ["t", "bucket"], "left")
+        .join(nxt, ["t", "bucket"], "left")
     )
     scored = pts.join(neigh, ["t", "bucket"]).select(
         "t",
@@ -2899,7 +2899,10 @@ def markov_accuracy(
 
     Plan: two conditional passes over ONE user-key exchange (lead
     window), a ≤|types|²-row model aggregate broadcast back, one
-    ≤|types|-row score aggregate.
+    ≤|types|-row score aggregate. The global mid-day is an AGGREGATE
+    broadcast back (map-side partial min/max) — the old unbounded
+    global window shipped every row through one task (r8 funnel
+    sweep).
     """
     days = df.select(
         F.col(user_col).alias("user"),
@@ -2911,11 +2914,13 @@ def markov_accuracy(
         F.col(type_col).alias("et"),
         F.col("event_id"),
     )
-    wall = Window.partitionBy()
     wu = Window.partitionBy("user").orderBy("tus", "event_id")
-    seq = days.withColumn(
-        "mid", F.floor((F.min("d").over(wall) + F.max("d").over(wall)) / F.lit(2))
-    ).withColumn("nxt", F.lead("et", 1).over(wu)).withColumn(
+    bounds = days.agg(
+        F.floor((F.min("d") + F.max("d")) / F.lit(2)).alias("mid")
+    )
+    seq = days.crossJoin(F.broadcast(bounds)).withColumn(
+        "nxt", F.lead("et", 1).over(wu)
+    ).withColumn(
         "nxt_d", F.lead("d", 1).over(wu)
     ).where(F.col("nxt").isNotNull())
     train = (

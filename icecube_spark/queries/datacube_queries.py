@@ -1649,10 +1649,15 @@ def cube_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over micro-quantized values (discrete, no
     interpolation).
 
-    Plan: per-layer rank windows; the reference layer's CDF is
+    Plan: the source layer's rank comes from the keyless
+    distributed_rank (range-partition + broadcast offsets — the old
+    global rank window funneled every source pixel through one task;
+    r8 funnel sweep); the reference layer's CDF is
     DISTINCT-value-sized and broadcasts for the between-join — the
     P51 quantile-normalization shape applied to pixels.
     """
+    from icecube_spark.operators.pipeline import distributed_rank
+
     ev = catalog.load(spark, sf_dir, "events")
     src = ev.where(F.col("event_type") == "view").select(
         "event_id",
@@ -1661,12 +1666,13 @@ def cube_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.where(F.col("event_type") == "click").select(
         F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("qv")
     )
-    ws = Window.orderBy("qv", "event_id")
-    ranked = src.select(
+    ranked = distributed_rank(
+        src, ["qv", "event_id"], rank_col="__r", n_col="ns"
+    ).select(
         "event_id",
         "qv",
-        F.row_number().over(ws).cast("bigint").alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("ns"),
+        F.col("__r").cast("bigint").alias("r"),
+        "ns",
     )
     cdf = (
         ref.groupBy("qv")

@@ -32,7 +32,7 @@ import re
 # funnel. Aliases the query layer introduces (t, k, lang, label...)
 # are included; corpus-scaled ids (user/order/doc/bucket ids) are not.
 LOW_CARD_COLS = frozenset({
-    "event_type", "type", "t", "source", "src", "lang", "language",
+    "event_type", "type", "t", "source", "lang", "language",
     "label", "segment", "priority", "o_orderpriority", "c_mktsegment",
     "n_name", "r_name", "p_brand", "p_type", "p_container", "p_mfgr",
     "o_orderstatus", "l_returnflag", "l_linestatus", "l_shipmode",
@@ -123,9 +123,16 @@ def scan_plan(plan: str) -> list[dict]:
         indent = _node_indent(lines[i])
         # input subtree: following lines strictly deeper in the tree
         has_agg = False
+        has_group_limit = False
         for nxt in lines[i + 1:]:
             d = _node_indent(nxt)
             if d <= indent and d != -1:
+                break
+            if "WindowGroupLimit" in nxt:
+                # a rank<=k filter Spark rewrote into map-side top-k
+                # pruning: only k rows per group per input partition
+                # reach the window — bounded, not corpus grain
+                has_group_limit = True
                 break
             if any(a in nxt for a in _AGG_NODES):
                 has_agg = True
@@ -137,6 +144,7 @@ def scan_plan(plan: str) -> list[dict]:
                 "line": line.strip()[:300],
                 "partition": pcols,
                 "has_upstream_agg": has_agg,
+                "has_group_limit": has_group_limit,
                 "is_primitive_local": any(
                     c.startswith("__pid") for c in pcols
                 ),
@@ -150,7 +158,7 @@ def violations(key: str, plan: str) -> list[dict]:
     for s in scan_plan(plan):
         if s["is_primitive_local"] or s["is_offset_table"]:
             continue
-        if s["has_upstream_agg"]:
+        if s["has_upstream_agg"] or s["has_group_limit"]:
             continue
         pcols = s["partition"]
         head = pcols[0] if pcols else ""

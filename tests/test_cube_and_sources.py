@@ -28,6 +28,9 @@ def test_cube_accessors(spark, sf_dir):
     assert dims["user_id"] > 0 and dims["ts"] > 0
     meta = cube.get_metadata()
     assert meta["n_layers"] > 0 and meta["start"] <= meta["end"]
+    # reference sar_datacube_metadata.py:278 ships visualize as an
+    # empty placeholder; the parity method is a documented no-op
+    assert cube.visualize() is None
 
 
 def test_cube_layer_lookup_prunes(spark, sf_dir):

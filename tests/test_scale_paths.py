@@ -474,3 +474,48 @@ def test_ivf_probe_curve_monotone(spark, sf_dir):
     assert all(0.0 <= r <= 1.0 for r in rec)
     assert all(b >= a - 1e-12 for a, b in zip(rec, rec[1:])), rec
     assert rec[-1] >= 0.5, rec
+
+
+def test_registry_wide_funnel_sweep(spark, sf_dir):
+    """VERDICT r7 item 3: the funnel detector, generalized from the
+    FUNNEL_FREE_KEYS allowlist to EVERY registered key. Walks all
+    executed plans and flags any window whose partition spec is empty
+    or a known low-cardinality column — those serialize corpus-grain
+    rows into one task — unless the window is provably bounded: the
+    distributed primitives' __pid local pass, their __ptot/__pcnt
+    offset tables, an upstream aggregate in the input subtree
+    (aggregate grain, not raw rows), or a WindowGroupLimit rewrite
+    (rank<=k pruned map-side). Rules + whitelist live in
+    scripts/funnel_sweep.py; the r8 sweep caught and fixed
+    conversion_lag, downsample_lttb, doc_length_stats,
+    token_budget_sample, cube_hist_match, and markov_accuracy."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "funnel_sweep",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "funnel_sweep.py"
+        ),
+    )
+    fs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fs)
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    flagged, errs = [], {}
+    for k in sorted(qs):
+        try:
+            plan = (
+                qs[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            flagged.extend(fs.violations(k, plan))
+        except Exception as exc:  # pragma: no cover - plan build bug
+            errs[k] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not errs, f"plans failed to build: {errs}"
+    assert not flagged, (
+        f"{len(flagged)} corpus-grain window funnels: "
+        + "; ".join(f"{v['key']}[{','.join(v['partition'])}]" for v in flagged)
+    )
