@@ -338,7 +338,10 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
 WINDOW_GROUP_LIMIT_KEYS = [
     "curation_waterfall", "mmr_diversify", "q2_min_cost_supplier",
     "event_paths", "changepoint_cusum", "ann_recall_eval",
-    "downsample_lttb", "cdc_merge", "embed_cosine_topk",
+    # downsample_lttb left this list in r8: its per-bucket argmax is
+    # now a max_by AGGREGATE (map-side partial combine) — no rank
+    # window to group-limit
+    "cdc_merge", "embed_cosine_topk",
     "embed_knn_label", "embed_ann_lsh", "doc_top_tfidf",
     "topk_terms_per_lang", "sample_per_group", "embed_ann_ivf",
     "pq_code_balance", "label_agreement", "embed_pq_codes",
