@@ -153,6 +153,18 @@ def scan_plan(plan: str) -> list[dict]:
     return sites
 
 
+def join_smells(key: str, plan: str) -> list[dict]:
+    """Quadratic join shapes: a CartesianProduct node is an
+    all-pairs shuffle-side cross join — never acceptable at corpus
+    grain (broadcast nested-loop against a model-sized frame is the
+    legitimate tiny-cross-join shape and is NOT flagged)."""
+    return [
+        {"key": key, "line": ln.strip()[:200]}
+        for ln in plan.splitlines()
+        if "CartesianProduct" in ln
+    ]
+
+
 def violations(key: str, plan: str) -> list[dict]:
     out = []
     for s in scan_plan(plan):

@@ -507,7 +507,7 @@ def test_registry_wide_funnel_sweep(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    flagged, errs = [], {}
+    flagged, cartesians, errs = [], [], {}
     for k in sorted(qs):
         try:
             plan = (
@@ -515,10 +515,15 @@ def test_registry_wide_funnel_sweep(spark, sf_dir):
                 ._jdf.queryExecution().executedPlan().toString()
             )
             flagged.extend(fs.violations(k, plan))
+            cartesians.extend(fs.join_smells(k, plan))
         except Exception as exc:  # pragma: no cover - plan build bug
             errs[k] = f"{type(exc).__name__}: {exc}"[:200]
     assert not errs, f"plans failed to build: {errs}"
     assert not flagged, (
         f"{len(flagged)} corpus-grain window funnels: "
         + "; ".join(f"{v['key']}[{','.join(v['partition'])}]" for v in flagged)
+    )
+    assert not cartesians, (
+        "CartesianProduct (all-pairs shuffle cross join) in: "
+        + "; ".join(sorted({c['key'] for c in cartesians}))
     )
