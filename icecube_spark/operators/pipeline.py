@@ -23,6 +23,23 @@ EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
+def _range_partitions(df: DataFrame, num_ranges: int | None = None) -> int:
+    """Range-partition count for the distributed rank/cumsum/lag/CDF
+    primitives: the caller's explicit ``num_ranges`` if given, else
+    ``spark.sql.shuffle.partitions``. A fixed constant here would cap
+    every percentile/NTILE/lag reroute at that many tasks per pass no
+    matter the cluster — right on local[32], wrong at 100× — so the
+    count follows the same knob that sizes every other shuffle."""
+    if num_ranges is not None:
+        return max(1, int(num_ranges))
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # "auto" or unset under AQE-managed shuffles: Spark's own default
+        n = 200
+    return max(1, n)
+
+
 def _bucket(id_col: str, n: int = 100) -> F.Column:
     """Deterministic bucket in [0, n): md5 of the id, first 60 bits.
     Same text formula evaluates identically in DuckDB, so assignment
@@ -943,17 +960,21 @@ def pagerank(
     baskets, which sources anchor the near-dup graph).
 
     Plan: the loop body is the textbook distributed step — ranks join
-    onto out-edges (shuffle on src), contributions aggregate on dst
-    (second shuffle), damping applied map-side. Per iteration that is
-    two shuffles of |edges| rows; nothing ever collects. Undirected
-    graphs pass both edge directions. Dangling mass is redistributed
-    uniformly (standard convention) and rides the SAME dst aggregate
-    as the edge contributions (dangling rank rows union in under a
-    NULL dst key), so one shuffle job per iteration yields both the
-    received map and the dangling scalar — no separate dangling
-    aggregate job. At 100 TB the edge list is the big side and stays
-    partitioned by src across iterations (one repartition up front
-    makes every ranks join a local co-partitioned join).
+    onto out-edges (shuffle-hash, ranks build side), contributions
+    aggregate on dst (second shuffle), damping applied map-side. Per
+    iteration that is two shuffles of |edges| rows; the corpus never
+    collects (the only driver round-trip is the 1-row dangling-mass
+    scalar). Undirected graphs pass both edge directions. Dangling
+    mass is redistributed uniformly (standard convention) and is
+    summed STRAIGHT OFF the previous iteration's materialized ranks
+    (ranks ⋈ broadcast dangling-node set — a |nodes|-row job) then
+    inlined as a literal, so the big dst aggregate carries edge
+    contributions only and the iteration needs ONE blocking
+    materialization (ranks), not two. At 100 TB the edge list is the
+    big side and stays partitioned by src across iterations (one
+    repartition up front keeps every ranks join co-located; the
+    shuffle_hash hint stops SMJ from re-sorting the cached edges
+    every pass).
 
     Exactness (the exact-Lloyd discipline, operators/ivf.py): ranks
     live as pico-unit BIGINTs (floor(rank·1e12)); every per-edge
@@ -994,42 +1015,35 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(int(math.floor(1e12 / n_nodes))).cast("bigint").alias("qr")
     )
-    dst_type = e.schema["dst"].dataType
     for _ in range(iterations):
-        # one shuffle job per iteration: per-edge contributions AND the
-        # dangling rank rows (NULL dst key) reduce in the same dst
-        # aggregate; checkpointing it makes the received map + dangling
-        # scalar readable below without recomputing the shuffle
+        # per-edge contributions reduce on dst — the ONE |edges|-scale
+        # shuffle of the iteration. The shuffle_hash hint makes ranks
+        # the hash build side (|nodes|/partitions rows per task), so
+        # the src-partitioned edge cache streams UNSORTED — an SMJ
+        # would re-sort the full edge list every iteration even though
+        # its partitioning is reused.
+        rj = ranks.hint("shuffle_hash")
         contribs = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(rj, e.src == rj.node)
             .select(
                 "dst",
                 F.floor(F.col("frac") * F.col("qr").cast("double"))
                 .cast("bigint").alias("c"),
             )
-            .unionByName(
-                ranks.join(F.broadcast(dangling_nodes), "node").select(
-                    F.lit(None).cast(dst_type).alias("dst"),
-                    F.col("qr").alias("c"),
-                )
-            )
             .groupBy("dst")
             .agg(F.sum("c").alias("received"))
-            .localCheckpoint(eager=True)
         )
-        dangling = contribs.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("dst").isNull(), F.col("received"))),
-                F.lit(0),
-            ).cast("bigint").alias("dm")
-        )
+        # dangling mass sums straight off the PREVIOUS ranks (already
+        # materialized by last pass's checkpoint): a |nodes|-row
+        # broadcast-join scalar, collected to the driver (one BIGINT —
+        # model-sized by the repo's collect discipline) and inlined as
+        # a literal, so the big ranks job carries no broadcast
+        # sub-exchange of its own
+        dm = ranks.join(F.broadcast(dangling_nodes), "node").agg(
+            F.coalesce(F.sum("qr"), F.lit(0)).cast("bigint").alias("dm")
+        ).collect()[0]["dm"]
         ranks = (
-            nodes.join(
-                contribs.where(F.col("dst").isNotNull()),
-                nodes.node == contribs.dst,
-                "left",
-            )
-            .crossJoin(F.broadcast(dangling))
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 F.floor(
@@ -1037,7 +1051,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("received"), F.lit(0)).cast("double")
-                        + F.col("dm").cast("double") / F.lit(float(n_nodes))
+                        + F.lit(int(dm)).cast("double") / F.lit(float(n_nodes))
                     )
                 ).cast("bigint").alias("qr"),
             )
@@ -1059,7 +1073,11 @@ def pagerank(
 
 
 def distributed_depth_cuts(
-    df: DataFrame, value_col: str, n_bins: int = 10, with_stats: bool = False
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    with_stats: bool = False,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact global quantile cuts over a NEAR-CONTINUOUS column
     without a single-partition window: the distributed prefix-sum
@@ -1082,7 +1100,7 @@ def distributed_depth_cuts(
     h = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    hp = h.repartitionByRange(32, "v").withColumn(
+    hp = h.repartitionByRange(_range_partitions(df, num_ranges), "v").withColumn(
         "pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("pid").orderBy("v")
@@ -2949,6 +2967,7 @@ def distributed_rank(
     rank_col: str = "rank",
     n_col: str | None = None,
     key_cols: list[str] | None = None,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact ROW_NUMBER over a TOTAL order without a single-partition
     window: RANGE-repartition on the order columns, local row_numbers
@@ -2964,14 +2983,19 @@ def distributed_rank(
     funnel: a plain keyed window sorts each key's entire corpus-grain
     slice in ONE task, so parallelism == |keys| no matter the cluster;
     here the range partitioner splits big keys across many tasks and the
-    per-(key, partition) offset table (≤ |keys|·32 rows) broadcasts
-    back. ``n_col`` then attaches the per-key row count.
+    per-(key, partition) offset table (≤ |keys|·num_ranges rows)
+    broadcasts back. ``n_col`` then attaches the per-key row count.
 
     ``order_cols`` must be a total order within each key (include a
     unique id) so the rank is unambiguous in any engine.
+
+    ``num_ranges`` defaults to ``spark.sql.shuffle.partitions`` (output
+    is bit-identical at any count — only parallelism changes).
     """
     keys = list(key_cols or [])
-    p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
+    p = df.repartitionByRange(
+        _range_partitions(df, num_ranges), *keys, *order_cols
+    ).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
@@ -3035,6 +3059,7 @@ def distributed_ntile(
     order_cols: list[str],
     n_tiles: int,
     tile_col: str = "tile",
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact NTILE over a TOTAL order without a single-partition
     window: the distributed_rank above plus the NTILE group formula
@@ -3043,7 +3068,9 @@ def distributed_ntile(
     ``F.ntile(n).over(Window.orderBy(*order_cols))``, which is what
     the SQL oracles keep using.
     """
-    ranked = distributed_rank(df, order_cols, rank_col="__rn", n_col="__n")
+    ranked = distributed_rank(
+        df, order_cols, rank_col="__rn", n_col="__n", num_ranges=num_ranges
+    )
     rn = F.col("__rn")
     q = F.floor(F.col("__n") / F.lit(float(n_tiles))).cast("bigint")
     r = F.col("__n") % n_tiles
@@ -3064,6 +3091,7 @@ def distributed_cumsum(
     total_col: str | None = None,
     key_cols: list[str] | None = None,
     rank_col: str | None = None,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact running total over a TOTAL order without a single-
     partition window: RANGE-repartition on the order columns, local
@@ -3085,9 +3113,12 @@ def distributed_cumsum(
     With ``rank_col``, the same pass also emits the ROW_NUMBER over the
     same (key, order) — one repartition serves consumers that need
     both the running total and the sequence number (e.g. OHLC bars).
+    ``num_ranges`` defaults to ``spark.sql.shuffle.partitions``.
     """
     keys = list(key_cols or [])
-    p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
+    p = df.repartitionByRange(
+        _range_partitions(df, num_ranges), *keys, *order_cols
+    ).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = (
@@ -3164,6 +3195,7 @@ def distributed_lag(
     value_col: str,
     lag_col: str = "lag",
     key_cols: list[str] | None = None,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact LAG(value, 1) over a total order without the keyed-window
     funnel: RANGE-repartition on (key, order), local lag within each
@@ -3185,7 +3217,9 @@ def distributed_lag(
             "hand the WRONG boundary value across partitions)"
         )
     keys = list(key_cols or [])
-    p = df.repartitionByRange(32, *keys, *order_cols).withColumn(
+    p = df.repartitionByRange(
+        _range_partitions(df, num_ranges), *keys, *order_cols
+    ).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)

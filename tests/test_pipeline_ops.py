@@ -501,3 +501,72 @@ def test_keyed_primitives_edge_shapes(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_primitives_partition_count_invariant(spark):
+    """The distributed primitives must be bit-identical at ANY range
+    count — 8, 32, 64 — and, with num_ranges unset, must derive the
+    count from spark.sql.shuffle.partitions instead of a hardcoded
+    constant (a fixed 32 would cap every rank/NTILE/lag/cumsum reroute
+    at 32 tasks per pass on a 1000-executor cluster)."""
+    from pyspark.sql import functions as F
+
+    from icecube_spark.operators.pipeline import (
+        _range_partitions,
+        distributed_cumsum,
+        distributed_depth_cuts,
+        distributed_lag,
+        distributed_ntile,
+        distributed_rank,
+    )
+
+    df = spark.range(999).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") * 131 % 97).alias("t"),
+        (F.col("id") * 7919 % 101).cast("bigint").alias("x"),
+    ).repartition(16)
+
+    # the default follows the session conf (32 in get_spark), and an
+    # explicit num_ranges wins over it
+    assert _range_partitions(df) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert _range_partitions(df, 7) == 7
+
+    def snap(n):
+        rank = {
+            r.id: (r.rn, r.n)
+            for r in distributed_rank(
+                df, ["t", "id"], rank_col="rn", n_col="n",
+                key_cols=["k"], num_ranges=n,
+            ).collect()
+        }
+        cum = {
+            r.id: (r.cum, r.tot)
+            for r in distributed_cumsum(
+                df, ["t", "id"], "x", cum_col="cum", total_col="tot",
+                key_cols=["k"], num_ranges=n,
+            ).collect()
+        }
+        lag = {
+            r.id: r.lg
+            for r in distributed_lag(
+                df, ["t", "id"], "x", lag_col="lg",
+                key_cols=["k"], num_ranges=n,
+            ).collect()
+        }
+        tile = {
+            r.id: r.tile
+            for r in distributed_ntile(
+                df, ["x", "id"], 10, num_ranges=n
+            ).collect()
+        }
+        cuts = distributed_depth_cuts(
+            df, "x", n_bins=10, num_ranges=n
+        ).collect()[0].cut_list
+        return rank, cum, lag, tile, list(cuts)
+
+    base = snap(8)
+    for n in (32, 64):
+        assert snap(n) == base, f"num_ranges={n} diverged from 8"
