@@ -18,11 +18,14 @@ by a SQL oracle, so the driver can hash-check E4/E44 instead of
 recording a weaker rows-only grade. It also removes MLlib's seeded-
 random variance (the old KMeans build swung 3-11 s run-to-run).
 
-Each Lloyd iteration is one corpus pass: broadcast centroids (k·dim
-doubles) → map-side assignment → one (cluster, dim) partial-agg
-shuffle of quantized rows. The k·dim means come back to the driver
-(model-sized, ~1 KB) and re-broadcast — the canonical distributed
-k-means step; the corpus itself never shuffles.
+Each Lloyd iteration is one corpus pass: broadcast centroids collapse
+to a single k·dim-double row, assignment is a MAP-ONLY array-HOF
+argmin over it (no crossJoin fanout, no corpus-keyed shuffle), and
+the only shuffle is the (cluster, dim) partial-agg of quantized mean
+contributions — ≤ k·dim rows per task after map-side combine. The
+k·dim means come back to the driver (model-sized, ~1 KB) and
+re-broadcast — the canonical distributed k-means step; the corpus
+itself never shuffles.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from icecube_spark.operators.similarity import dot_expr, norm_expr, qdist_expr
+from icecube_spark.operators.similarity import dot_expr, norm_expr, qdist_sql
 
 
 def build_ivf_index(
@@ -81,13 +84,27 @@ def build_ivf_index(
         )
 
     def _assign(cdf: DataFrame) -> DataFrame:
-        qd = qdist_expr("_v", "centroid", dim=dim)
+        # centroids collapse to ONE broadcast row (k·dim doubles) and
+        # the argmin runs as an array HOF over that row, so assignment
+        # is a MAP-ONLY projection: no k× crossJoin fanout and — the
+        # part that matters at 100 TB — no corpus-keyed groupBy
+        # shuffle per Lloyd pass. The HOF fold is interpreted (~5×
+        # slower per row than the flat codegen unroll) but that is
+        # parallel map work; the full-corpus shuffle it replaces
+        # dominated at any scale. array_min over struct(qd, cluster)
+        # is the same lexicographic argmin + lowest-cluster tiebreak
+        # as the old min(struct(...)) aggregate — identical bits.
+        cents = cdf.agg(
+            F.collect_list(F.struct("cluster", "centroid")).alias("_cents")
+        )
+        best = F.expr(
+            "array_min(transform(_cents, c -> struct("
+            + qdist_sql("_v", "c.centroid")
+            + " as qd, c.cluster as cluster)))"
+        )
         return (
-            base.crossJoin(F.broadcast(cdf))
-            .withColumn("qd", qd)
-            .groupBy("_id", "_v")
-            .agg(F.min(F.struct("qd", "cluster")).alias("best"))
-            .select("_id", "_v", F.col("best.cluster").alias("cluster"))
+            base.crossJoin(F.broadcast(cents))
+            .select("_id", "_v", best.getField("cluster").alias("cluster"))
         )
 
     for _ in range(n_iter):

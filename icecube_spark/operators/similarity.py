@@ -672,6 +672,15 @@ _QDIST = """
 """
 
 
+def qdist_sql(x: str, c: str) -> str:
+    """The HOF form of the quantized squared distance as raw SQL text,
+    for embedding inside an outer lambda (e.g. a transform() over a
+    collected centroid array, where ``c`` is a lambda-bound field the
+    flat element_at unroll cannot reference). Identical bits to
+    qdist_expr — BIGINT fold, order-free integer adds."""
+    return _QDIST.format(x=x, c=c)
+
+
 def qdist_expr(x: str, c: str, dim: int | None = EMBED_DIM) -> F.Column:
     """Quantized squared distance sum(floor((x[j]-c[j])²·1e12)) as
     BIGINT. With a known dim the fold unrolls into flat arithmetic
