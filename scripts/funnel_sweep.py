@@ -20,7 +20,13 @@ bounded:
 Shared by ``tests/test_scale_paths.py::test_registry_wide_funnel_sweep``
 and runnable standalone::
 
-    python scripts/funnel_sweep.py [key ...]
+    python scripts/funnel_sweep.py [key ...]        # live plans (slow)
+    python scripts/funnel_sweep.py --plans PLANS.md # pinned plans (<10 s)
+
+The ``--plans`` fast path scans the formatted-explain texts pinned in
+PLANS.md instead of rebuilding 481 live plans, so plan smells surface
+in seconds on every commit; the live-plan pytest stays the round-close
+gate (pinned texts can lag the code).
 """
 
 from __future__ import annotations
@@ -106,10 +112,15 @@ def _col_name(expr: str) -> str:
 
 
 def _node_indent(line: str) -> int:
-    """Tree depth of a plan line = offset of its ``+-``/``:-`` marker
-    (root lines, which have none, sit at -1)."""
-    m = re.search(r"[+:]-", line)
-    return m.start() if m else -1
+    """Tree depth of a plan line. Marker lines get their ``+-``/``:-``
+    offset + 2 (so a first-level child reads 2); root lines (no
+    marker) read 0, so a following sibling root line terminates a
+    subtree scan instead of the scan walking the whole remaining plan.
+    The marker match is anchored to the tree-drawing prefix (spaces and
+    ``:`` continuation bars only) — a ``:-`` inside an expression
+    string must not yield a bogus depth."""
+    m = re.match(r"[ :]*([+:]-)", line)
+    return m.start(1) + 2 if m else 0
 
 
 def scan_plan(plan: str) -> list[dict]:
@@ -126,7 +137,7 @@ def scan_plan(plan: str) -> list[dict]:
         has_group_limit = False
         for nxt in lines[i + 1:]:
             d = _node_indent(nxt)
-            if d <= indent and d != -1:
+            if d <= indent:
                 break
             if "WindowGroupLimit" in nxt:
                 # a rank<=k filter Spark rewrote into map-side top-k
@@ -183,10 +194,167 @@ def violations(key: str, plan: str) -> list[dict]:
     return out
 
 
+def _formatted_sections(md_text: str) -> dict[str, str]:
+    """PLANS.md -> {key: fenced formatted-plan text}."""
+    out: dict[str, str] = {}
+    key = None
+    in_fence = False
+    buf: list[str] = []
+    for line in md_text.splitlines():
+        if line.startswith("## "):
+            key = line[3:].strip()
+            continue
+        if line.startswith("```"):
+            if in_fence and key is not None:
+                out[key] = "\n".join(buf)
+                buf = []
+            in_fence = not in_fence
+            continue
+        if in_fence:
+            buf.append(line)
+    return out
+
+
+def scan_formatted(plan: str) -> list[dict]:
+    """windowspecdefinition sites of a FORMATTED explain (the PLANS.md
+    pinned texts): node tree + numbered detail blocks instead of the
+    inline toString style scan_plan handles. The subtree-agg check
+    walks the final-plan tree; partition heads come from the node's
+    detail block."""
+    lines = plan.splitlines()
+    # tree = lines before the first column-0 "(1) Node" detail block
+    tree_end = len(lines)
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) \S", line):
+            tree_end = i
+            break
+    tree = lines[:tree_end]
+    # prefer the AQE final plan subtree; ignore the initial-plan twin
+    lo, hi = 0, len(tree)
+    for i, line in enumerate(tree):
+        if "== Final Plan ==" in line:
+            lo = i + 1
+        elif "== Initial Plan ==" in line:
+            hi = i
+            break
+    tree = tree[lo:hi]
+    # detail blocks keyed by node id
+    details: dict[str, list[str]] = {}
+    cur = None
+    for line in lines[tree_end:]:
+        m = re.match(r"\((\d+)\) ", line)
+        if m:
+            cur = m.group(1)
+            details[cur] = [line]
+        elif cur is not None:
+            details[cur].append(line)
+    def subtree_scan(i: int, seen: frozenset) -> tuple[bool, bool]:
+        """(has_agg, has_group_limit) for the input subtree of tree
+        line i. A ReusedExchange is a printed leaf whose real subtree
+        (the original Exchange) sits in another branch — resolve it via
+        the detail block's ``Reuses operator id`` and keep scanning
+        there, else a post-AQE final plan under-credits every window
+        fed through exchange reuse."""
+        indent = _node_indent(tree[i])
+        for j in range(i + 1, len(tree)):
+            nxt = tree[j]
+            d = _node_indent(nxt)
+            if d <= indent:
+                break
+            if "WindowGroupLimit" in nxt:
+                return False, True
+            if any(a in nxt for a in _AGG_NODES):
+                return True, False
+            rm = re.search(r"ReusedExchange \((\d+)\)", nxt)
+            if rm and rm.group(1) not in seen:
+                block = "\n".join(details.get(rm.group(1), []))
+                om = re.search(r"Reuses operator id: (\d+)", block)
+                if om:
+                    oid = om.group(1)
+                    for k, oline in enumerate(tree):
+                        if re.search(rf"\b\w+ \({oid}\)", oline):
+                            agg, gl = subtree_scan(
+                                k, seen | {rm.group(1)}
+                            )
+                            if agg or gl:
+                                return agg, gl
+                            break
+        return False, False
+
+    sites = []
+    for i, line in enumerate(tree):
+        m = re.search(r"\bWindow(?:InPandas)? \((\d+)\)", line)
+        if m is None:
+            continue
+        has_agg, has_group_limit = subtree_scan(i, frozenset())
+        block_lines = details.get(m.group(1), [])
+        block = "\n".join(block_lines)
+        for bl in block_lines:
+            for wm in re.finditer(r"windowspecdefinition\(", bl):
+                args = _spec_args(bl, wm.start())
+                pcols = [_col_name(c) for c in _partition_cols(args)]
+                sites.append({
+                    "line": bl.strip()[:300],
+                    "partition": pcols,
+                    "has_upstream_agg": has_agg,
+                    "has_group_limit": has_group_limit,
+                    "is_primitive_local": any(
+                        c.startswith("__pid") for c in pcols
+                    ),
+                    "is_offset_table": "__ptot" in block
+                    or "__pcnt" in block,
+                })
+    return sites
+
+
+def violations_formatted(key: str, plan: str) -> list[dict]:
+    out = []
+    for s in scan_formatted(plan):
+        if s["is_primitive_local"] or s["is_offset_table"]:
+            continue
+        if s["has_upstream_agg"] or s["has_group_limit"]:
+            continue
+        pcols = s["partition"]
+        head = pcols[0] if pcols else ""
+        funnel = (not pcols) or all(c in LOW_CARD_COLS for c in pcols)
+        if not funnel:
+            continue
+        if (key, head) in WHITELIST:
+            continue
+        out.append({"key": key, "partition": pcols, "line": s["line"]})
+    return out
+
+
+def main_plans(path: str, keys: list[str]) -> int:
+    import json
+
+    with open(path) as fh:
+        sections = _formatted_sections(fh.read())
+    use = keys or sorted(sections)
+    flagged, cartesians = [], []
+    for k in use:
+        plan = sections.get(k)
+        if plan is None:
+            continue
+        flagged.extend(violations_formatted(k, plan))
+        cartesians.extend(join_smells(k, plan))
+    print(json.dumps({
+        "n_keys": len(use),
+        "n_flagged_sites": len(flagged),
+        "flagged_keys": sorted({f["key"] for f in flagged}),
+        "cartesian_keys": sorted({c["key"] for c in cartesians}),
+        "flagged": flagged[:50],
+    }, indent=1))
+    return 1 if flagged or cartesians else 0
+
+
 def main(argv: list[str]) -> int:
     import json
     import os
     import sys
+
+    if argv and argv[0] == "--plans":
+        return main_plans(argv[1], argv[2:])
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
