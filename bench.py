@@ -295,10 +295,17 @@ def main() -> None:
             # a carried reading must not survive a failed re-measure:
             # this run produced no measurement, so the key reports as
             # an error — not as a stale timing the n_timed/n_carried
-            # split would misclassify
+            # split would misclassify. The prior reading is parked
+            # under stale_errored (with the run it was last timed in)
+            # so one transient host failure doesn't erase a previously
+            # valid measurement from the record entirely.
             carried.discard(name)
-            timings.pop(name, None)
-            result["last_timed"].pop(name, None)
+            old = timings.pop(name, None)
+            old_seq = result["last_timed"].pop(name, None)
+            if old is not None:
+                result.setdefault("stale_errored", {})[name] = {
+                    "sec": old, "last_timed": old_seq,
+                }
         sweep_cache()
         if i % 20 == 19:
             result["carried"] = sorted(carried)
