@@ -186,13 +186,99 @@ class Datacube:
             r[0] for r in self.df.orderBy(self.ts_col).select(index).collect()
         ]
 
-    def visualize(self) -> None:
+    def visualize(self, path: str | None = None,
+                  width: int = 720, height: int = 240) -> str:
         """Reference parity (sar_datacube_metadata.py:278): the
         reference ships ``visualize`` as an empty placeholder
-        (``pass``) — mirrored here so porting callers resolve the
-        name. A real implementation would render the per-layer
-        coverage/summary from ``get_dimensions``/``get_metadata``."""
-        return None
+        (``pass``); this renders what the name promises — the
+        acquisition timeline — as a dependency-free SVG (pure string
+        assembly, no matplotlib in the container): one lane per stack
+        key, one dot per layer at its acquisition instant, dot area
+        scaled by the layer's row count. The plotted table is one row
+        per LAYER (the cube's Band axis — model-sized by
+        construction, same bound as ``get_all_products``), so the
+        collect is a driver-facade read, not a corpus pull. Returns
+        the SVG text; writes it to ``path`` when given."""
+        from xml.sax.saxutils import escape
+
+        rows = (
+            self.df.groupBy(self.key_col, self.ts_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(self.ts_col, self.key_col)
+            .collect()
+        )
+        pad, lane_h = 36, 0
+        keys = sorted({str(r[self.key_col]) for r in rows})
+        if rows:
+            import datetime as _dt
+
+            def _x(ts):
+                if isinstance(ts, (_dt.datetime, _dt.date)):
+                    t = ts
+                    if isinstance(t, _dt.date) and not isinstance(
+                        t, _dt.datetime
+                    ):
+                        t = _dt.datetime(t.year, t.month, t.day)
+                    return t.timestamp()
+                return float(ts)
+
+            xs = [_x(r[self.ts_col]) for r in rows]
+            x0, x1 = min(xs), max(xs)
+            span = (x1 - x0) or 1.0
+            nmax = max(r["n"] for r in rows)
+            lane_h = (height - 2 * pad) / max(len(keys), 1)
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}"'
+            f' height="{height}" viewBox="0 0 {width} {height}">',
+            f'<rect width="{width}" height="{height}" fill="white"/>',
+            f'<text x="{pad}" y="16" font-size="12" '
+            f'font-family="sans-serif">acquisition timeline '
+            f'({len(rows)} layers / {len(keys)} stacks)</text>',
+        ]
+        for i, k in enumerate(keys):
+            y = pad + (i + 0.5) * lane_h
+            parts.append(
+                f'<text x="4" y="{y + 4:.1f}" font-size="10" '
+                f'font-family="sans-serif">{escape(k[:12])}</text>'
+            )
+            parts.append(
+                f'<line x1="{pad}" y1="{y:.1f}" x2="{width - pad}" '
+                f'y2="{y:.1f}" stroke="#ddd"/>'
+            )
+        for r, xv in zip(rows, xs) if rows else []:
+            i = keys.index(str(r[self.key_col]))
+            cx = pad + (xv - x0) / span * (width - 2 * pad)
+            cy = pad + (i + 0.5) * lane_h
+            rad = 2.0 + 4.0 * (float(r["n"]) / nmax) ** 0.5
+            parts.append(
+                f'<circle cx="{cx:.1f}" cy="{cy:.1f}" r="{rad:.1f}" '
+                f'fill="#1f77b4" fill-opacity="0.7">'
+                f"<title>{escape(str(r[self.ts_col]))} "
+                f"n={r['n']}</title></circle>"
+            )
+        if rows:
+            for xv, anchor in ((x0, "start"), (x1, "end")):
+                lx = pad + (xv - x0) / span * (width - 2 * pad)
+                ts_lbl = next(
+                    str(r[self.ts_col]) for r, v in zip(rows, xs) if v == xv
+                )
+                parts.append(
+                    f'<text x="{lx:.1f}" y="{height - 8}" font-size="10" '
+                    f'text-anchor="{anchor}" font-family="sans-serif">'
+                    f"{escape(ts_lbl)}</text>"
+                )
+        else:
+            parts.append(
+                f'<text x="{width / 2}" y="{height / 2}" font-size="12" '
+                f'text-anchor="middle" font-family="sans-serif">'
+                f"(empty cube)</text>"
+            )
+        parts.append("</svg>")
+        svg = "\n".join(parts)
+        if path is not None:
+            with open(path, "w") as fh:
+                fh.write(svg)
+        return svg
 
     def merge(self, other: "Datacube") -> "Datacube":
         """Union two cubes; on (key, ts) conflict the left cube wins

@@ -146,7 +146,16 @@ def prune_metadata_rows_for_labels(
     Spark shape: the labeled-products list is a model-sized dim, so
     the labeled branch is a BROADCAST left-semi join (no corpus
     shuffle) unioned with the null-path rows — the same two-predicate
-    keep-set the reference loops over row-by-row."""
+    keep-set the reference loops over row-by-row.
+
+    ROW ORDER differs from the reference: the union emits null-path
+    rows before labeled rows, not the original interleaving
+    (labels_datacube.py:177 preserves index order, which its
+    downstream time-axis build relies on). DataFrame order is weak in
+    Spark — callers that need the original interleaving should carry
+    a monotonic row-index column in ``metadata_df`` and ``orderBy``
+    it after pruning (the time-axis builder here sorts by
+    acquisition_date, so it is order-insensitive)."""
     base = F.element_at(F.split(F.col(path_col), "/"), -1)
     labeled = labels_flat.select(
         F.col("product_file").alias("__pf")

@@ -369,9 +369,15 @@ def save_image_ids_as_txt(
     """Reference parity (metadata_crawler.py:242): the id column,
     comma-joined into one ``image_ids.txt``. Ids are one-per-product
     (model-sized), so the driver collect mirrors the reference's
-    single-file contract."""
+    single-file contract. Collected in id order — DataFrame partition
+    order is nondeterministic, and the reference preserves its (id-
+    sorted crawl) table order, so the sort makes the file content
+    stable across runs."""
     import os
 
-    ids = [str(r[0]) for r in metadata_df.select(id_col).collect()]
+    ids = [
+        str(r[0])
+        for r in metadata_df.select(id_col).orderBy(id_col).collect()
+    ]
     with open(os.path.join(folder, "image_ids.txt"), "w") as fh:
         fh.write(",".join(ids))

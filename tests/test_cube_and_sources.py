@@ -28,9 +28,34 @@ def test_cube_accessors(spark, sf_dir):
     assert dims["user_id"] > 0 and dims["ts"] > 0
     meta = cube.get_metadata()
     assert meta["n_layers"] > 0 and meta["start"] <= meta["end"]
-    # reference sar_datacube_metadata.py:278 ships visualize as an
-    # empty placeholder; the parity method is a documented no-op
-    assert cube.visualize() is None
+
+
+def test_cube_visualize_svg(spark, sf_dir, tmp_path):
+    """Reference sar_datacube_metadata.py:278 ships visualize as an
+    empty placeholder; ours renders the acquisition timeline as a
+    dependency-free SVG — well-formed XML, one dot per layer, one
+    lane per stack key, written to disk when a path is given."""
+    import xml.etree.ElementTree as ET
+
+    cube = _events_cube(spark, sf_dir)
+    out = str(tmp_path / "timeline.svg")
+    svg = cube.visualize(path=out)
+    assert open(out).read() == svg
+    root = ET.fromstring(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    assert root.tag == f"{ns}svg"
+    n_layers = (
+        cube.df.select("user_id", "ts").distinct().count()
+    )
+    assert len(root.findall(f"{ns}circle")) == n_layers
+    n_keys = cube.df.select("user_id").distinct().count()
+    assert len(root.findall(f"{ns}line")) == n_keys
+    # empty cube renders a placeholder, not a crash
+    empty = Datacube(
+        cube.df.where(F.lit(False)), "user_id", "ts",
+        ["event_type", "value"],
+    )
+    assert "empty cube" in empty.visualize()
 
 
 def test_cube_layer_lookup_prunes(spark, sf_dir):
@@ -255,7 +280,8 @@ def test_crawler_export_helpers(spark, tmp_path):
 
     save_image_ids_as_txt(meta, folder)
     txt = open(os.path.join(folder, "image_ids.txt")).read()
-    assert sorted(txt.split(",")) == ["1", "2"]
+    # exact content: the writer sorts by id, so the file is stable
+    assert txt == "1,2"
 
     try:
         import openpyxl  # noqa: F401
