@@ -18,14 +18,15 @@ by a SQL oracle, so the driver can hash-check E4/E44 instead of
 recording a weaker rows-only grade. It also removes MLlib's seeded-
 random variance (the old KMeans build swung 3-11 s run-to-run).
 
-Each Lloyd iteration is one corpus pass: broadcast centroids collapse
-to a single k·dim-double row, assignment is a MAP-ONLY array-HOF
-argmin over it (no crossJoin fanout, no corpus-keyed shuffle), and
-the only shuffle is the (cluster, dim) partial-agg of quantized mean
-contributions — ≤ k·dim rows per task after map-side combine. The
-k·dim means come back to the driver (model-sized, ~1 KB) and
-re-broadcast — the canonical distributed k-means step; the corpus
-itself never shuffles.
+Each Lloyd iteration is one corpus pass: the k·dim centroid model
+inlines as literal arrays (bit-exact repr round-trip), assignment is
+a MAP-ONLY array_min argmin projection (no crossJoin fanout, no
+broadcast exchange, no corpus-keyed shuffle), and the only shuffle
+is the (cluster, dim) partial-agg of quantized mean contributions —
+≤ k·dim rows per task after map-side combine. The k·dim means come
+back to the driver (model-sized, ~1 KB) and re-inline — the
+canonical distributed k-means step; the corpus itself never
+shuffles.
 """
 
 from __future__ import annotations
@@ -83,34 +84,50 @@ def build_ivf_index(
             sorted(c.items()), "cluster int, centroid array<double>"
         )
 
-    def _assign(cdf: DataFrame) -> DataFrame:
-        # centroids collapse to ONE broadcast row (k·dim doubles) and
-        # the argmin runs as an array HOF over that row, so assignment
-        # is a MAP-ONLY projection: no k× crossJoin fanout and — the
-        # part that matters at 100 TB — no corpus-keyed groupBy
-        # shuffle per Lloyd pass. The HOF fold is interpreted (~5×
-        # slower per row than the flat codegen unroll) but that is
-        # parallel map work; the full-corpus shuffle it replaces
-        # dominated at any scale. array_min over struct(qd, cluster)
-        # is the same lexicographic argmin + lowest-cluster tiebreak
-        # as the old min(struct(...)) aggregate — identical bits.
-        cents = cdf.agg(
-            F.collect_list(F.struct("cluster", "centroid")).alias("_cents")
-        )
-        best = F.expr(
-            "array_min(transform(_cents, c -> struct("
-            + qdist_sql("_v", "c.centroid")
-            + " as qd, c.cluster as cluster)))"
-        )
+    def _lit_arr(vals: list[float]) -> str:
+        # repr() emits the shortest string that round-trips to the
+        # same IEEE double, and Spark's string→double cast is Java's
+        # correctly-rounded parseDouble — so the literal re-creates
+        # the centroid bit-for-bit
         return (
-            base.crossJoin(F.broadcast(cents))
-            .select("_id", "_v", best.getField("cluster").alias("cluster"))
+            "array(" + ",".join(f"cast('{v!r}' as double)" for v in vals)
+            + ")"
         )
 
+    def _assign(c: dict[int, list[float]]) -> DataFrame:
+        # the k·dim centroid model INLINES as literal arrays and the
+        # argmin runs as one array_min over k struct(qdist, cluster)
+        # terms, so assignment is a MAP-ONLY projection: no k×
+        # crossJoin fanout, no broadcast exchange, and — the part that
+        # matters at 100 TB — no corpus-keyed groupBy shuffle per
+        # Lloyd pass. The fold is interpreted (HOFs skip codegen) but
+        # that is parallel map work; the full-corpus shuffle it
+        # replaces dominated at any scale. array_min over
+        # struct(qd, cluster) is the same lexicographic argmin +
+        # lowest-cluster tiebreak as the old min(struct(...))
+        # aggregate — identical bits (tested equal). A much larger
+        # quantizer (k·dim beyond ~10⁵ terms) should fall back to
+        # joining a broadcast centroid table instead of literals.
+        terms = ",".join(
+            "struct(" + qdist_sql("_v", _lit_arr(vs))
+            + f" as qd, {cid} as cluster)"
+            for cid, vs in sorted(c.items())
+        )
+        best = F.expr(f"array_min(array({terms}))")
+        return base.select(
+            "_id", "_v", best.getField("cluster").alias("cluster")
+        )
+
+    # the (id, vec) projection feeds n_iter eager mean jobs — cache it
+    # for the loop (the canonical iterative-ML corpus cache; released
+    # before returning so the lazy final assignment doesn't pin it)
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(n_iter):
         # one corpus pass; result is k*dim rows — model-sized collect
         means = (
-            _assign(_cdf(cent))
+            _assign(cent)
             .select("cluster", F.posexplode("_v").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(
@@ -131,8 +148,9 @@ def build_ivf_index(
             for c, old in cent.items()
         }
 
+    base.unpersist()
     centroids = _cdf(cent)
-    assigned = _assign(centroids).select(
+    assigned = _assign(cent).select(
         F.col("_id").alias(id_col),
         F.col("_v").alias(vec_col),
         "cluster",
