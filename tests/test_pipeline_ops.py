@@ -527,11 +527,15 @@ def test_primitives_partition_count_invariant(spark):
         (F.col("id") * 7919 % 101).cast("bigint").alias("x"),
     ).repartition(16)
 
-    # the default follows the session conf (32 in get_spark), and an
-    # explicit num_ranges wins over it
-    assert _range_partitions(df) == int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    # the default follows the session conf (32 in get_spark), tracks a
+    # conf CHANGE live, and an explicit num_ranges wins over it
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    assert _range_partitions(df) == int(orig)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "48")
+        assert _range_partitions(df) == 48
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert _range_partitions(df, 7) == 7
 
     def snap(n):

@@ -76,3 +76,33 @@ def test_survey_status_counts_match_registry():
     )
     assert m2, "SURVEY.md STATUS lost its rows-only count"
     assert int(m2.group(1)) == len(entry._NO_ORACLE)
+
+
+def test_fast_funnel_sweep_over_pinned_plans_is_clean():
+    """The sub-second plan-smell gate (funnel_sweep --plans): every
+    PLANS.md pinned formatted plan must scan clean — no
+    empty/low-cardinality window partition without a provable bound,
+    no CartesianProduct outside the broadcast-scalar idiom. The
+    live-plan twin (tests/test_scale_paths.py::
+    test_registry_wide_funnel_sweep) stays the round-close gate;
+    this one makes plan smells surface on every pytest run without
+    building 481 live plans."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "scripts"),
+    )
+    import funnel_sweep as fs
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    sections = fs._formatted_sections(open(path).read())
+    registered = set(entry.queries())
+    assert registered <= set(sections)
+    flagged, cartesians = [], []
+    for k in sorted(registered):
+        flagged.extend(fs.violations_formatted(k, sections[k]))
+        cartesians.extend(fs.join_smells(k, sections[k]))
+    assert not flagged, f"pinned-plan funnels: {flagged[:5]}"
+    assert not cartesians, f"pinned-plan cartesians: {cartesians[:5]}"
