@@ -506,6 +506,17 @@ def test_registry_wide_funnel_sweep(spark, sf_dir):
 
     import __spark_entry__ as entry_mod
 
+    # earlier tests materialize the persisted staging tables, which
+    # replaces their lineage with InMemoryTableScan leaves in every
+    # consumer's plan — hiding the upstream aggregates the detector's
+    # subtree scan credits (basket_lift/basket_pairs' global windows
+    # sit on the staged co-purchase AGGREGATE and must read as such).
+    # Clearing staging makes the sweep scan full lineage regardless of
+    # suite order; plan CONSTRUCTION alone never re-materializes it.
+    from icecube_spark.queries.llm_queries import clear_staging
+
+    clear_staging()
+
     qs = entry_mod.queries()
     flagged, cartesians, errs = [], [], {}
     for k in sorted(qs):
