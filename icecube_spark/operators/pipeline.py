@@ -1884,31 +1884,36 @@ def table_diff(
 
     Exactness: pure null-safe comparisons and exact counts.
 
-    Plan: one full-outer co-partitioned join on the key; one global
-    aggregate. Column comparisons are codegen projections.
+    Plan: ONE full-outer join on the key; one global aggregate.
+    Column comparisons are codegen projections. Presence can't be
+    read off data columns (an all-null row would look absent), so
+    each side carries a constant presence marker INTO the join — the
+    old shape derived presence from a second key-only outer join and
+    re-attached it with a third join, scanning each snapshot twice
+    and shuffling the key three times for the same bits (guide §2.4:
+    remove shuffles outright).
     """
     a = v1.select(
-        F.col(key_col).alias("k"), *[F.col(c).alias(f"a_{c}") for c in cols]
+        F.col(key_col).alias("k"),
+        F.lit(1).alias("in_a"),
+        *[F.col(c).alias(f"a_{c}") for c in cols],
     )
     b = v2.select(
-        F.col(key_col).alias("k"), *[F.col(c).alias(f"b_{c}") for c in cols]
+        F.col(key_col).alias("k"),
+        F.lit(1).alias("in_b"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
     )
     j = a.join(b, "k", "full_outer")
     col_changed = [
         (~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))).cast("int").alias(f"chg_{c}")
         for c in cols
     ]
-    flags = j.select("k", *col_changed)
-    # presence can't be read off data columns (an all-null row would look
-    # absent); synthesize presence markers from a key-only outer join
-    a2 = v1.select(F.col(key_col).alias("k")).withColumn("in_a", F.lit(1))
-    b2 = v2.select(F.col(key_col).alias("k")).withColumn("in_b", F.lit(1))
-    pres = a2.join(b2, "k", "full_outer").select(
+    f2 = j.select(
         "k",
         F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
         F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        *col_changed,
     )
-    f2 = flags.join(pres, "k")
     any_chg = sum(
         [F.col(f"chg_{c}") for c in cols], F.lit(0)
     )

@@ -2501,7 +2501,10 @@ def psi_drift(
             F.max("n2").alias("n2"),
         )
     )
-    keys = df.select(key_col).distinct()
+    # the per-key bounds aggregate already holds exactly the distinct
+    # key set — reusing it drops a third full scan + distinct shuffle
+    # of the corpus (guide §2.4)
+    keys = bounds.select(key_col)
     allbins = keys.crossJoin(
         F.broadcast(
             binned.sparkSession.range(10).select(F.col("id").cast("int").alias("bin"))

@@ -889,15 +889,19 @@ def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     report behind Q12's bucket counts — full distribution instead of
     two buckets.
 
-    Plan: the fact-fact join shuffles once on the order key; per-
-    priority ranks come from the keyed distributed_rank (range-
-    partitioned local ranks + broadcast offsets) — bit-identical to
-    the 5-partition window the oracle uses, but the 5 priority
-    classes no longer cap parallelism at 5 tasks. Latencies are
-    integer days; quantiles are rank-selected — engine-exact.
+    Plan: the fact-fact join shuffles once on the order key, then the
+    line grain COLLAPSES to a (priority, lat_days) count histogram
+    with map-side partial aggregation — latencies are small integer
+    day counts, so the histogram is the exact distribution and the
+    rank-⌈q·n⌉ element is the smallest value whose cumulative count
+    reaches the threshold (identical bits to the rank-selected form
+    the oracle uses: ranks within a tied value all carry that value).
+    The cumulative window runs on the histogram frame (≤ |priorities|
+    × |distinct day gaps| rows, aggregate-bounded), so nothing
+    corpus-grain is range-shuffled or checkpointed — guide §2.3
+    (aggregate before you shuffle), replacing the former
+    distributed_rank pass over every line.
     """
-    from icecube_spark.operators.pipeline import distributed_rank
-
     li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = catalog.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -905,23 +909,31 @@ def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "o_orderpriority",
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lat_days"),
-        "l_orderkey",
-        "l_shipdate",
     )
-    ranked = distributed_rank(
-        lat,
-        ["lat_days", "l_orderkey", "l_shipdate"],
-        rank_col="rn",
-        n_col="n",
-        key_cols=["o_orderpriority"],
+    hist = lat.groupBy("o_orderpriority", "lat_days").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    at = lambda q: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("lat_days"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lat_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "o_orderpriority",
+        "lat_days",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    at = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(q * F.col("n")), F.col("lat_days"))
     )
     return (
-        ranked.groupBy("o_orderpriority")
+        cum.groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
+            F.max("n").alias("n_lines"),
             F.min("lat_days").alias("min_days"),
             at(F.lit(0.5)).alias("p50_days"),
             at(F.lit(0.9)).alias("p90_days"),
@@ -2347,13 +2359,17 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical element — no engine median()/interpolation drift.
 
     Plan: custkey-partitioned lag window (one shuffle), broadcast
-    dim joins, then per-nation ranks via the keyed distributed_rank
-    (range-partitioned local ranks + broadcast offsets) — bit-
-    identical to the 25-partition window the oracle uses, without
-    capping the sort parallelism at the 25 nations. No global sort.
+    dim joins, then the customer grain COLLAPSES to a (nation, gap)
+    count histogram with map-side partial aggregation — day gaps are
+    small integers, so the histogram is the exact distribution and
+    the rank-⌈q·n⌉ element is the smallest gap whose cumulative
+    count reaches the threshold (identical bits to the rank-selected
+    form the oracle uses: ranks within a tied gap all carry that
+    gap). The cumulative window runs on the histogram frame
+    (aggregate-bounded), so nothing corpus-grain is range-shuffled
+    or checkpointed — guide §2.3, replacing the former
+    distributed_rank pass over every gap row. No global sort.
     """
-    from icecube_spark.operators.pipeline import distributed_rank
-
     orders = catalog.load(spark, sf_dir, "orders")
     cust = catalog.load(spark, sf_dir, "customer")
     nation = catalog.load(spark, sf_dir, "nation")
@@ -2366,36 +2382,37 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap").isNotNull())
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("n_name", "gap", "o_custkey", "d")
+        .select("n_name", "gap")
     )
-    ranked = distributed_rank(
-        gaps,
-        ["gap", "o_custkey", "d"],
-        rank_col="rn",
-        n_col="n",
-        key_cols=["n_name"],
+    hist = gaps.groupBy("n_name", "gap").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("n_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "n_name",
+        "gap",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    at = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(F.col("n") * q), F.col("gap"))
     )
     return (
-        ranked.groupBy("n_name")
+        cum.groupBy("n_name")
         .agg(
             F.max("n").cast("bigint").alias("n_gaps"),
             (
-                F.sum(F.col("gap").cast("bigint")).cast("double") / F.max("n")
+                F.sum(F.col("gap").cast("bigint") * F.col("c")).cast("double")
+                / F.max("n")
             ).alias("avg_gap_days"),
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)), F.col("gap")
-                )
-            )
-            .cast("int")
-            .alias("p50_gap_days"),
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.9)), F.col("gap")
-                )
-            )
-            .cast("int")
-            .alias("p90_gap_days"),
+            at(F.lit(0.5)).cast("int").alias("p50_gap_days"),
+            at(F.lit(0.9)).cast("int").alias("p90_gap_days"),
         )
         .orderBy("n_name")
     )

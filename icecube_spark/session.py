@@ -41,6 +41,15 @@ def get_spark(app_name: str = "icecube-spark", master: str | None = None) -> Spa
             "jdbc:derby:;databaseName=/tmp/icecube-spark-metastore;create=true",
         )
     )
+    # Deployment-specific overrides (semicolon-separated key=value):
+    # lets a cluster profile retune any knob above without a code
+    # change, and the optimization rounds A/B configs under the exact
+    # bench entrypoints. Applied last, so they win.
+    extra = os.environ.get("SPARK_GRAFT_CONF", "")
+    for kv in extra.split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
