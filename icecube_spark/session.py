@@ -26,6 +26,18 @@ def get_spark(app_name: str = "icecube-spark", master: str | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.sql.session.timeZone", "UTC")
+        # Round-robin repartition pays a per-partition binary sort of
+        # its input by default (SPARK-23207) so retried tasks reproduce
+        # the same row->partition assignment when the INPUT order is
+        # nondeterministic. The engine's only keyless repartition in a
+        # query path is the catalog scan fan-out, whose input is a
+        # parquet scan — row order replays identically on retry — so
+        # the sort buys nothing and costs a full-width sort of every
+        # fanned-out table. A/B on 11 mixed keys: ~10% mean per-key
+        # win with it off (OPTIMIZATION_r09.md). Override via
+        # SPARK_GRAFT_CONF for pipelines that round-robin
+        # post-shuffle data.
+        .config("spark.sql.execution.sortBeforeRepartition", "false")
         # ContextCleaner default only drives a full JVM GC every 30min;
         # long query campaigns leak unpersisted shuffle/broadcast blocks
         # between keys until then (the r6 single-key GC-shadow spikes).
