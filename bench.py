@@ -170,6 +170,9 @@ def main() -> None:
     # Iterative-plan codegen prewarm: one tiny-SF pagerank compiles the
     # same generated classes the sf0.1 key reuses, so its single
     # measured shot stops carrying 5 iterations of Janino first-touch.
+    # Same treatment for the IVF probe curve (r9): its flat-codegen
+    # distance folds are the largest generated methods in the registry
+    # and its isolated warmup-vs-steady gap is ~4x pure compile.
     try:
         from icecube_spark.queries import pipeline_queries as _pq
         from icecube_spark.queries.analytics import (
@@ -183,6 +186,15 @@ def main() -> None:
         _rel_cp(tiny)
     except Exception as exc:
         errors["warmup:pagerank"] = f"{type(exc).__name__}: {exc}"[:200]
+    try:
+        from icecube_spark.queries import llm_queries as _lqw
+
+        _lqw.ivf_probe_curve(spark, tiny).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        _lqw.release_staging(tiny)
+    except Exception as exc:
+        errors["warmup:probe_curve"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # Pre-build the session-staged artifacts a real deployment
     # materializes before the query campaign (IVF index, dedup pair

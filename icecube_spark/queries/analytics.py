@@ -911,7 +911,7 @@ def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lat_days"),
     )
     hist = lat.groupBy("o_orderpriority", "lat_days").agg(
-        F.count(F.lit(1)).alias("c")
+        F.count(F.lit(1)).alias("__hc")
     )
     wcum = (
         Window.partitionBy("o_orderpriority")
@@ -924,8 +924,8 @@ def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.select(
         "o_orderpriority",
         "lat_days",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("n"),
+        F.sum("__hc").over(wcum).alias("cum"),
+        F.sum("__hc").over(wall).alias("n"),
     )
     at = lambda q: F.min(  # noqa: E731
         F.when(F.col("cum") >= F.ceil(q * F.col("n")), F.col("lat_days"))
@@ -2384,7 +2384,9 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "gap")
     )
-    hist = gaps.groupBy("n_name", "gap").agg(F.count(F.lit(1)).alias("c"))
+    hist = gaps.groupBy("n_name", "gap").agg(
+        F.count(F.lit(1)).alias("__hc")
+    )
     wcum = (
         Window.partitionBy("n_name")
         .orderBy("gap")
@@ -2396,9 +2398,9 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.select(
         "n_name",
         "gap",
-        "c",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("n"),
+        "__hc",
+        F.sum("__hc").over(wcum).alias("cum"),
+        F.sum("__hc").over(wall).alias("n"),
     )
     at = lambda q: F.min(  # noqa: E731
         F.when(F.col("cum") >= F.ceil(F.col("n") * q), F.col("gap"))
@@ -2408,7 +2410,7 @@ def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("bigint").alias("n_gaps"),
             (
-                F.sum(F.col("gap").cast("bigint") * F.col("c")).cast("double")
+                F.sum(F.col("gap").cast("bigint") * F.col("__hc")).cast("double")
                 / F.max("n")
             ).alias("avg_gap_days"),
             at(F.lit(0.5)).cast("int").alias("p50_gap_days"),

@@ -423,8 +423,16 @@ def test_no_low_cardinality_window_funnel(spark, sf_dir, name):
         line = plan[line_start:plan.find("\n", m.start())]
         if first == key:
             # a window partitioned by the bare key is only legal over
-            # the primitives' tiny offset tables
-            assert "__ptot" in line or "__pcnt" in line or "__pid" in line, (
+            # the primitives' tiny offset tables (__ptot/__pcnt/__pid)
+            # or an exact (key, value) count-histogram frame (__hc —
+            # aggregate-bounded by |keys|·|value domain|, the r9
+            # quantile reroute)
+            assert (
+                "__ptot" in line
+                or "__pcnt" in line
+                or "__pid" in line
+                or "__hc" in line
+            ), (
                 f"{name}: corpus-grain window partitioned by {key}: "
                 f"{line[:200]}"
             )
