@@ -1244,7 +1244,10 @@ def pq_recall_eval(
     )
     exact = cosine_topk(
         df, id_col, vec_col, F.col(id_col) < n_queries, k=k
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    # ^ bounded (k·n_queries rows) and referenced by both the overlap
+    # join and the all-queries frame — checkpoint so the exact
+    # brute-force pass runs once (guide §5)
     hits = (
         exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -1692,6 +1695,11 @@ def knn_graph_stats(
         scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= k)
         .select("src", "dst")
+        # bounded (k·|panel| rows) and referenced by the reverse side,
+        # the reciprocity semi-join, the in-degree agg AND the edge
+        # count — checkpoint so the panel² cosine scoring runs once,
+        # not four times (guide §5)
+        .localCheckpoint(eager=True)
     )
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = edges.join(rev, ["src", "dst"], "left_semi")

@@ -2900,12 +2900,16 @@ def markov_accuracy(
     Exactness: the argmax breaks count ties lexicographically; all
     counts and the split are exact integers; accuracy divides them.
 
-    Plan: two conditional passes over ONE user-key exchange (lead
-    window), a ≤|types|²-row model aggregate broadcast back, one
-    ≤|types|-row score aggregate. The global mid-day is an AGGREGATE
-    broadcast back (map-side partial min/max) — the old unbounded
-    global window shipped every row through one task (r8 funnel
-    sweep).
+    Plan: ONE pass over the user-key exchange (lead window) collapses
+    straight to a ≤2·|types|²-row (cur, to, is_train) count table
+    (checkpointed — it is model-sized and both the model and the
+    score read it); the model argmax and the accuracy fold both run
+    on that tiny frame, so the corpus-grain window is never evaluated
+    twice (guide §2.3/§2.4 — the pre-r9 shape ran separate train and
+    test passes over the same window). The global mid-day is an
+    AGGREGATE broadcast back (map-side partial min/max) — the old
+    unbounded global window shipped every row through one task (r8
+    funnel sweep).
     """
     days = df.select(
         F.col(user_col).alias("user"),
@@ -2926,28 +2930,31 @@ def markov_accuracy(
     ).withColumn(
         "nxt_d", F.lead("d", 1).over(wu)
     ).where(F.col("nxt").isNotNull())
-    train = (
-        seq.where(F.col("nxt_d") <= F.col("mid"))
-        .groupBy(F.col("et").alias("cur"), F.col("nxt").alias("to"))
+    trans = (
+        seq.groupBy(
+            F.col("et").alias("cur"),
+            F.col("nxt").alias("to"),
+            (F.col("nxt_d") <= F.col("mid")).alias("is_train"),
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    train = trans.where(F.col("is_train"))
     wr = Window.partitionBy("cur").orderBy(F.col("c").desc(), F.col("to"))
     model = (
         train.withColumn("r", F.row_number().over(wr))
         .where(F.col("r") == 1)
         .select("cur", F.col("to").alias("pred"))
     )
-    test = seq.where(F.col("nxt_d") > F.col("mid")).select(
-        F.col("et").alias("cur"), F.col("nxt")
-    )
+    test = trans.where(~F.col("is_train")).select("cur", "to", "c")
     scored = test.join(F.broadcast(model), "cur", "left")
     return (
         scored.groupBy("cur")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum("c").cast("bigint").alias("n_transitions"),
             F.max("pred").alias("predicted_next"),
             F.sum(
-                F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+                F.when(F.col("to") == F.col("pred"), F.col("c")).otherwise(0)
             ).cast("bigint").alias("n_correct"),
         )
         .select(
@@ -3006,6 +3013,10 @@ def haar_energy(
         (F.row_number().over(wd) - 1).alias("i"),
         "x",
     ).where(F.col("i") < n_days)
+    # bounded (≤ n_days rows per key) and re-derived by every Haar
+    # level below — checkpoint so the corpus scan + (key, day)
+    # aggregate run once instead of once per level (guide §5)
+    cur = cur.localCheckpoint(eager=True)
     energies = []
     for level in range(1, 4):
         paired = (
@@ -3160,7 +3171,10 @@ def ljung_box(
         )
         .cast("bigint")
         .alias("e"),
-    )
+    # calendar-bounded (≤365 rows/year) and referenced by the lag
+    # pairing, the broadcast prev side AND the variance fold —
+    # checkpoint so the daily rollup + centering run once (guide §5)
+    ).localCheckpoint(eager=True)
     lags = cen.select(
         "i", "e", F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag")
     )

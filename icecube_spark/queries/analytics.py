@@ -1648,6 +1648,10 @@ def customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("cust")
         )
         .distinct()
+        # referenced by both self-join sides and the year probe —
+        # checkpoint the narrow (yr, cust) collapse so the orders
+        # scan + distinct shuffle run once, not three times (guide §5)
+        .localCheckpoint(eager=True)
     )
     nxt = active.select((F.col("yr") - 1).alias("yr"), F.col("cust"))
     joined = active.join(nxt.withColumn("ret", F.lit(1)), ["yr", "cust"], "left")
@@ -1884,6 +1888,11 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price"),
             F.col("qty").cast("double").alias("qty_d"),
         )
+        # (month, part)-grain aggregate referenced by the base-month
+        # scan, the base slice AND the reprice join — checkpoint so
+        # the lineitem scan + aggregate run once, not three times
+        # (guide §5)
+        .localCheckpoint(eager=True)
     )
     base_month = mp.agg(F.min("month").alias("bm"))
     base = (
@@ -3361,6 +3370,11 @@ def flag_priority_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        # bounded (|modes|×|priorities| rows) and referenced by both
+        # marginals, the grand total AND the residual join —
+        # checkpoint so the fact join + count run once, not four
+        # times (guide §5)
+        .localCheckpoint(eager=True)
     )
     row_m = obs.groupBy("returnflag").agg(F.sum("n_obs").alias("row_n"))
     col_m = obs.groupBy("priority").agg(F.sum("n_obs").alias("col_n"))

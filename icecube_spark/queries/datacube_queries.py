@@ -1057,6 +1057,13 @@ def _pixel_cells(ev: DataFrame) -> DataFrame:
     lattice); the cell mean folds through DECIMAL(18,8) then
     quantizes to integer micro-units so every downstream moment is
     exact integer math.
+
+    Eagerly checkpointed: the frame is grid-bounded (≤1000×1000 cells
+    by construction, at ANY corpus size) and every stencil/moment
+    consumer references it several times — global-moment branch,
+    neighbor explode, center join — so without the checkpoint the
+    events scan + cell aggregate re-run once per reference
+    (guide §5: cache a tiny reused intermediate, cut the lineage).
     """
     return (
         ev.select(
@@ -1076,6 +1083,7 @@ def _pixel_cells(ev: DataFrame) -> DataFrame:
                 * F.lit(1e6)
             ).cast("bigint"),
         )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -2197,6 +2205,9 @@ def cube_layover_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv")
         )
+    # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
+        # events scan + cell aggregate run once (guide §5)
+        .localCheckpoint(eager=True)
     )
     east = cells.select(
         (F.col("x") - 1).alias("x"), "y", F.col("qv").alias("e")
@@ -2254,6 +2265,9 @@ def cube_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv")
         )
+    # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
+        # events scan + cell aggregate run once (guide §5)
+        .localCheckpoint(eager=True)
     )
     wrow = (
         Window.partitionBy("y")
@@ -2314,6 +2328,9 @@ def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv")
         )
+    # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
+        # events scan + cell aggregate run once (guide §5)
+        .localCheckpoint(eager=True)
     )
     offs = [
         (1, 0, 1, 1414214), (1, 1, 2, 1000000), (0, 1, 4, 1414214),
@@ -2409,6 +2426,9 @@ def cube_contour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv")
         )
+    # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
+        # events scan + cell aggregate run once (guide §5)
+        .localCheckpoint(eager=True)
     ).withColumn("band", F.floor(F.col("qv") / F.lit(5_000_000)).cast("bigint"))
     off_arr = F.array(
         *[
@@ -2551,6 +2571,9 @@ def cube_lbp_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv")
         )
+    # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
+        # events scan + cell aggregate run once (guide §5)
+        .localCheckpoint(eager=True)
     )
     offs = [
         (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
@@ -2708,6 +2731,10 @@ def cube_class_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "band", F.floor(F.col("qv") / F.lit(5_000_000)).cast("bigint")
         )
+        # grid-bounded (≤2·50×50 rows) and read twice by the from/to
+        # self-join: checkpoint so the events scan + half aggregate
+        # run once (guide §5)
+        .localCheckpoint(eager=True)
     )
     a = halves.where(F.col("h1")).select(
         "x", "y", F.col("band").alias("from_band")
@@ -2944,6 +2971,11 @@ def cube_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("x") < 48) & (F.col("y") < 48))
         .groupBy("x", "y")
         .agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
+        # grid-bounded (≤48x48 rows) and referenced by all five level
+        # aggregates PLUS the alive-chain joins — without this the
+        # events scan + cell aggregate re-runs once per reference
+        # (guide §5: cache a tiny reused intermediate, cut the lineage)
+        .localCheckpoint(eager=True)
     )
     thr = 5.5e14  # micro^2 units (~grid median block variance)
     levels = []
@@ -3177,6 +3209,10 @@ def cube_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.floor(davg("value") * F.lit(1e6)).cast("bigint").alias("q"))
         .where(F.col("q") >= 50_000_000)
         .select("x", "y")
+        # grid-bounded (≤48x48 rows) and referenced by all four box
+        # scales — checkpoint once so the events scan + cell aggregate
+        # run once, not per scale (guide §5)
+        .localCheckpoint(eager=True)
     )
     counts = None
     for s in (1, 2, 4, 8):
@@ -3260,6 +3296,10 @@ def cube_change_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sxx"
             ),
         )
+        # grid-bounded (≤2·50×50 rows) and read twice by the from/to
+        # self-join: checkpoint so the events scan + half aggregate
+        # run once (guide §5)
+        .localCheckpoint(eager=True)
     )
     n = F.col("n").cast("double")
     mu = F.col("sx").cast("double") / F.lit(1e6) / n

@@ -553,63 +553,93 @@ def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     before shipping a corpus build; quality_gate_funnel covers rule
     breakdowns, this covers stage attrition end to end.
 
-    Plan: every stage is a filter/anti-join over the previous one in
-    a single lazy graph; the LSH stage reuses the staged corpus
-    tables; the output is a 5-row aggregate.
+    Plan: ONE pass computes per-doc survival flags (length gate +
+    blocklist marker + canonical digest), so stages 1–3 fold in a
+    single aggregate and the canonical stage is a digest-grain
+    min(doc_id) aggregate (identical to the old per-digest
+    row_number=1 pick — doc_id is unique) instead of a window; the
+    pre-r9 shape aggregated each stage from its own lineage and
+    scanned documents 13×. The LSH stage reuses the staged pair
+    table; the output explodes a single fused row into the 5-stage
+    report (guide §2.4: remove repeated passes outright).
     """
     from icecube_spark.operators import text as text_ops
-    from icecube_spark.queries.llm_queries import staged_collapse, staged_corpus
+    from icecube_spark.queries.llm_queries import staged_minhash_pairs
 
     docs = catalog.load(spark, sf_dir, "documents")
     norm = pipeline.normalized_expr("text")
 
-    gated = docs.where(
-        (F.col("n_chars") >= 100)
-        & (F.size(F.split(F.expr(norm), " ")) >= 20)
+    gate = (F.col("n_chars") >= 100) & (
+        F.size(F.split(F.expr(norm), " ")) >= 20
     )
     flagged = text_ops.blocklist_filter(docs, "doc_id", "text").where(
         F.col("verdict") == "flag"
-    ).select("doc_id")
-    blocked_ok = gated.join(flagged, "doc_id", "left_anti")
-
-    digest = F.md5(F.expr(norm))
-    w = Window.partitionBy("digest").orderBy("doc_id")
-    canon = (
-        blocked_ok.select("doc_id", digest.alias("digest"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id")
-    )
-
-    from icecube_spark.queries.llm_queries import staged_minhash_pairs
-
-    pairs = staged_minhash_pairs(spark, sf_dir)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = canon.join(losers, "doc_id", "left_anti")
-
-    def stage(name, df_, order):
-        return df_.agg(
-            F.lit(order).alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).select("doc_id", F.lit(1).alias("__flag"))
+    marked = (
+        docs.select(
+            "doc_id", gate.alias("g"), F.md5(F.expr(norm)).alias("digest")
         )
-
-    out = (
-        stage("raw", docs, 1)
-        .unionAll(stage("length_gates", gated, 2))
-        .unionAll(stage("blocklist", blocked_ok, 3))
-        .unionAll(stage("exact_canonical", canon, 4))
-        .unionAll(stage("near_dup_keepers", final, 5))
-    )
-    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
-    return (
-        out.crossJoin(F.broadcast(total))
+        .join(flagged, "doc_id", "left")
         .select(
-            F.col("stage_no").cast("int").alias("stage_no"),
-            "stage",
-            "n_docs",
+            "doc_id", "g", "digest",
+            (F.col("g") & F.col("__flag").isNull()).alias("ok"),
+        )
+    )
+    head = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.col("g").cast("int")).cast("bigint").alias("n_gated"),
+        F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_blocked_ok"),
+    )
+    canon_tbl = (
+        marked.where(F.col("ok"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    losers = staged_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    n_canon = canon_tbl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canon")
+    )
+    n_final = canon_tbl.join(losers, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_final")
+    )
+    fused = head.crossJoin(F.broadcast(n_canon)).crossJoin(
+        F.broadcast(n_final)
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_no"), F.lit("raw").alias("stage"),
+            F.col("n_raw").alias("n_docs"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_no"), F.lit("length_gates").alias("stage"),
+            F.col("n_gated").alias("n_docs"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_no"), F.lit("blocklist").alias("stage"),
+            F.col("n_blocked_ok").alias("n_docs"),
+        ),
+        F.struct(
+            F.lit(4).alias("stage_no"),
+            F.lit("exact_canonical").alias("stage"),
+            F.col("n_canon").alias("n_docs"),
+        ),
+        F.struct(
+            F.lit(5).alias("stage_no"),
+            F.lit("near_dup_keepers").alias("stage"),
+            F.col("n_final").alias("n_docs"),
+        ),
+    )
+    return (
+        fused.select(F.explode(stages).alias("s"), "n_raw")
+        .select(
+            F.col("s.stage_no").cast("int").alias("stage_no"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
             (
-                F.col("n_docs").cast("double") / F.col("n_raw").cast("double")
+                F.col("s.n_docs").cast("double")
+                / F.col("n_raw").cast("double")
             ).alias("share_of_raw"),
         )
         .orderBy("stage_no")
