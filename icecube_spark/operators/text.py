@@ -647,13 +647,15 @@ def chi2_terms(
     rounding identical. Squaring is done in double so N^4-magnitude
     intermediates cannot overflow int64 at large N.
 
-    Plan: one distinct (doc, term) explode; document frequencies fold
-    map-side and the top-k rank runs over the vocabulary-sized
-    aggregate; the k-term list broadcasts back onto the (doc, term)
-    pairs; per-(term,label) counts are k x |labels| — tiny — and the
-    full k x |labels| grid (zeros included) is built by crossJoining
-    the two broadcast-scale side tables, never touching the corpus
-    again.
+    Plan: ONE distinct (doc, label, term) explode collapses straight
+    to the vocabulary-sized (term, label) count table (checkpointed —
+    every doc has exactly one label, so document frequency is the
+    per-term SUM of those counts); the top-k rank and the n11 slice
+    both read that aggregate, so the corpus-grain tokenize pass runs
+    once (guide §2.3 — the pre-r9 shape tokenized twice: once for
+    document frequencies, once for the label counts). The full
+    k x |labels| grid (zeros included) is built by crossJoining the
+    two broadcast-scale side tables, never touching the corpus again.
     """
     pairs = (
         df.select(
@@ -665,7 +667,12 @@ def chi2_terms(
         .select(id_col, label_col, "term")
         .distinct()
     )
-    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    tl = (
+        pairs.groupBy("term", label_col)
+        .agg(F.count(F.lit(1)).alias("n11"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tl.groupBy("term").agg(F.sum("n11").alias("df_t"))
     wtop = Window.partitionBy().orderBy(F.desc("df_t"), F.asc("term"))
     top = (
         dfreq.withColumn("rank", F.row_number().over(wtop))
@@ -674,11 +681,7 @@ def chi2_terms(
     )
     labels = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_label"))
     total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    n11 = (
-        pairs.join(F.broadcast(top.select("term")), "term")
-        .groupBy("term", label_col)
-        .agg(F.count(F.lit(1)).alias("n11"))
-    )
+    n11 = tl.join(F.broadcast(top.select("term")), "term")
     grid = (
         top.crossJoin(F.broadcast(labels))
         .crossJoin(F.broadcast(total))
@@ -1053,12 +1056,20 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
     ).where(F.col("tok") != "")
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    # vocab-bounded aggregates referenced twice each (vocab size +
+    # LM join; LM + per-doc scoring): checkpoint so the corpus
+    # tokenize/bigram explodes run once per grain, not twice
+    # (guide §5)
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c1")
+    ).localCheckpoint(eager=True)
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     bgs = df.select(
         F.col(id_col), F.explode(F.expr(bigrams_expr)).alias("bg")
     ).where(~F.col("bg").rlike("^ | $|^$"))
-    bi = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    bi = bgs.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).localCheckpoint(eager=True)
     lm = (
         bi.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .join(uni.withColumnRenamed("tok", "w1"), "w1")
