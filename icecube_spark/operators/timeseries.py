@@ -2080,10 +2080,7 @@ def ks_drift(
     pts = split.groupBy(key_col, "x").agg(
         F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(~F.col("early"), 1).otherwise(0)).cast("bigint").alias("c2"),
-    # vocab-bounded ((key, distinct value) grain) and re-derived by
-    # every downstream branch (cumulative/edge/binning) — checkpoint
-    # so the corpus scan + split counts run once (guide §5)
-    ).localCheckpoint(eager=True)
+    )
     wo = wp.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     cum = pts.select(
         key_col,
@@ -2466,10 +2463,7 @@ def psi_drift(
     pts = split.groupBy(key_col, "x").agg(
         F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(~F.col("early"), 1).otherwise(0)).cast("bigint").alias("c2"),
-    # vocab-bounded ((key, distinct value) grain) and re-derived by
-    # every downstream branch (cumulative/edge/binning) — checkpoint
-    # so the corpus scan + split counts run once (guide §5)
-    ).localCheckpoint(eager=True)
+    )
     wo = wp.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     cum = pts.select(
         key_col,

@@ -1312,15 +1312,18 @@ def cube_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = catalog.load(spark, sf_dir, "events")
     cells = _pixel_cells(ev)
-    wall = Window.partitionBy()
-    dev = cells.select(
+    # global moments as an aggregate broadcast back onto the cells —
+    # the old keyless window funneled the (bounded) cell frame
+    # through one task and, over the checkpointed cells, hid its
+    # boundedness proof from the funnel sweep (guide §2.4)
+    gm = cells.agg(
+        F.count(F.lit(1)).alias("__nt"), F.sum("qv").alias("__s")
+    )
+    dev = cells.crossJoin(F.broadcast(gm)).select(
         "x",
         "y",
-        (
-            F.col("qv") * F.count(F.lit(1)).over(wall)
-            - F.sum("qv").over(wall)
-        ).alias("devq"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_cells_total"),
+        (F.col("qv") * F.col("__nt") - F.col("__s")).alias("devq"),
+        F.col("__nt").cast("bigint").alias("n_cells_total"),
     )
     m2 = dev.groupBy().agg(
         F.sum(
