@@ -336,7 +336,10 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
 # a full global sort — pin the physical-plan invariant here
 # (VERDICT r2 item 9).
 WINDOW_GROUP_LIMIT_KEYS = [
-    "curation_waterfall", "mmr_diversify", "q2_min_cost_supplier",
+    # curation_waterfall left this list in r9: its per-digest
+    # canonical pick is now a min(doc_id) AGGREGATE (map-side partial
+    # combine) — no rank window to group-limit
+    "mmr_diversify", "q2_min_cost_supplier",
     "event_paths", "changepoint_cusum", "ann_recall_eval",
     # downsample_lttb left this list in r8: its per-bucket argmax is
     # now a max_by AGGREGATE (map-side partial combine) — no rank

@@ -12,55 +12,65 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+def _persisted_ids(spark) -> set:
+    # track IDs, not counts: Spark's async ContextCleaner may
+    # concurrently drop checkpoint RDDs left by OTHER tests in the
+    # shared session (the r9 bounded-intermediate checkpoints made
+    # this common), so totals can shrink while staging is ADDING
+    # persists — set differences against the baseline are immune
+    return {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
 def test_release_staging_returns_cache_to_baseline(spark):
     lq.clear_staging()
-    base = _n_persisted(spark)
+    base_ids = _persisted_ids(spark)
 
     grams, sigs = lq.staged_corpus(spark, SF)
     grams.count()  # materialize the persists
     pairs = lq.staged_minhash_pairs(spark, SF)
     pairs.count()
-    assert _n_persisted(spark) > base
+    assert _persisted_ids(spark) - base_ids
     assert SF in lq._STAGED and SF in lq._STAGED_MH_PAIRS
 
     lq.release_staging(SF)
     assert SF not in lq._STAGED
     assert SF not in lq._STAGED_COLLAPSE
     assert SF not in lq._STAGED_MH_PAIRS
-    # <= not ==: Spark's async ContextCleaner may concurrently drop
-    # checkpoint RDDs left by OTHER tests in the shared session, so
-    # the count can fall below the measured baseline — what matters
-    # is that OUR staged persists are gone (no growth survives)
-    assert _n_persisted(spark) <= base
+    # id-set difference, not counts: what matters is that OUR staged
+    # persists are gone (no NEW id survives the release)
+    assert not (_persisted_ids(spark) - base_ids)
 
     # releasing one corpus must not touch another's entries
     lq.staged_corpus(spark, SF)
     lq.release_staging("/nonexistent/sfX")
     assert SF in lq._STAGED
     lq.clear_staging()
-    assert _n_persisted(spark) <= base
+    assert not (_persisted_ids(spark) - base_ids)
 
 
 def test_release_staging_clears_copurchase_store(spark):
     from icecube_spark.queries import analytics as an
 
     lq.clear_staging()
-    base = _n_persisted(spark)
+    base_ids = _persisted_ids(spark)
     staged = an.staged_copurchase(spark, SF)
     staged.pairs.count()
     staged.edges2.count()
     assert SF in an._STAGED_COPURCHASE
-    assert _n_persisted(spark) > base
+    assert _persisted_ids(spark) - base_ids
 
     # the llm-side entry points own this store too
     lq.release_staging(SF)
     assert SF not in an._STAGED_COPURCHASE
-    assert _n_persisted(spark) <= base
+    assert not (_persisted_ids(spark) - base_ids)
 
     an.staged_copurchase(spark, SF)
     lq.clear_staging()
     assert not an._STAGED_COPURCHASE
-    assert _n_persisted(spark) <= base
+    assert not (_persisted_ids(spark) - base_ids)
 
 
 def test_release_staging_clears_threshold_keyed_pairs(spark):
