@@ -574,3 +574,29 @@ def test_primitives_partition_count_invariant(spark):
     base = snap(8)
     for n in (32, 64):
         assert snap(n) == base, f"num_ranges={n} diverged from 8"
+
+
+def test_table_diff_all_null_row_reads_present(spark):
+    """r9 one-join rewrite invariant: presence comes from constant
+    markers carried into the single full-outer join, so a row whose
+    compared columns are ALL NULL still counts as present (changed /
+    unchanged), never as added/removed — the edge the old key-only
+    presence join existed to defend."""
+    from icecube_spark.operators.pipeline import table_diff
+
+    v1 = spark.createDataFrame(
+        [(1, None, None), (2, "a", 5.0), (3, "b", 1.0)],
+        "k long, s string, x double",
+    )
+    v2 = spark.createDataFrame(
+        [(1, None, None), (2, None, None), (4, "c", 2.0)],
+        "k long, s string, x double",
+    )
+    row = table_diff(v1, v2, "k", ["s", "x"]).collect()[0]
+    # k=1: all-null on both sides -> unchanged; k=2: values -> nulls
+    # is changed (not removed); k=3 removed; k=4 added
+    assert row["n_added"] == 1
+    assert row["n_removed"] == 1
+    assert row["n_changed"] == 1
+    assert row["n_unchanged"] == 1
+    assert row["n_changed_s"] == 1 and row["n_changed_x"] == 1
