@@ -3485,8 +3485,14 @@ def brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-quantized per customer before the brand fold.
 
     Plan: one lineitem→orders join (custkey recovered), a broadcast
-    part join for brand, one (brand, customer) aggregate, a
-    customer-total aggregate joined back, one brand rollup.
+    part join for brand, ONE (customer, brand) aggregate; the
+    customer's total lines are the windowed sum of that aggregate's
+    n_lines over the customer's brands (every line carries exactly
+    one brand — the part join is inner on a unique key — so the sum
+    is the exact same integer as a second corpus-grain count), then
+    one brand rollup. The corpus join/aggregate runs once instead of
+    twice; the window runs on the entity-grain aggregate (guide
+    §2.3/§2.4 — aggregate before you shuffle, reuse the pass).
     """
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -3504,10 +3510,12 @@ def brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
     )
-    per_cust = lines.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_lines")
+    wcust = Window.partitionBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    wallet = per_cust_brand.join(per_cust, "o_custkey").select(
+    wallet = per_cust_brand.withColumn(
+        "total_lines", F.sum("n_lines").over(wcust)
+    ).select(
         "p_brand",
         "n_orders",
         F.floor(
