@@ -276,8 +276,17 @@ def bigram_lift(
     terms = df.select(F.explode(F.expr(toks)).alias("term")).where(
         F.col("term") != ""
     )
-    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
-    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    # vocab-bounded unigram table, materialized ONCE: three consumers
+    # (both broadcast sides + the total) each re-ran the corpus
+    # tokenize otherwise (guide §5; the bigram_logprob treatment).
+    # The total derives from the aggregate — Σ c_term IS the corpus
+    # token count.
+    uni = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_term"))
+        .localCheckpoint(eager=True)
+    )
+    total = uni.agg(F.sum("c_term").alias("n_total"))
     bi = (
         df.select(F.explode(F.expr(grams2)).alias("gram"))
         .groupBy("gram")

@@ -2437,9 +2437,19 @@ def psi_drift(
     exact regardless of reduction order.
 
     Plan: one (key, distinct-value) conditional count, a cumulative
-    window on that vocab-sized frame to place the 9 edges, a
-    broadcast edge join to bin both halves, and a ≤10-row-per-key
-    fold. Linear in distinct values at any corpus size.
+    window on that vocab-sized frame, then the decile bin in CLOSED
+    FORM — bin(x) = min(9, (10·(cum1−c1)) div n1) — instead of
+    materializing the 9 edges and joining them back: edge_i < x iff
+    the cumulative early count STRICTLY BELOW x reaches
+    ceil(i·n1/10), so the count of passed edges is a pure integer
+    division (n1 ≥ 1 always: the min-day event is ≤ mid by
+    construction). Empty deciles contribute a per-key CONSTANT term
+    (c1_b=c2_b=0), folded as (10−present)·tq0 instead of a
+    keys×bins cross-join + left join. One linear pipeline — the
+    old shape evaluated the cumulative frame twice (edges + bins)
+    and the bin table twice (counts + n-totals), re-running the
+    corpus scan per consumer. Linear in distinct values at any
+    corpus size.
     """
     days = df.select(
         F.col(key_col),
@@ -2474,24 +2484,23 @@ def psi_drift(
         F.sum("c1").over(wp).alias("n1"),
         F.sum("c2").over(wp).alias("n2"),
     )
-    ii = F.explode(F.array([F.lit(i) for i in range(1, 10)])).alias("i")
-    edges = (
-        cum.select(key_col, "x", "cum1", "n1", ii)
-        .where(
-            F.col("cum1")
-            >= F.floor((F.col("i") * F.col("n1") + 9) / F.lit(10))
-        )
-        .groupBy(key_col, "i")
-        .agg(F.min("x").alias("edge"))
-    )
+    # closed-form decile bin: edge_i < x  ⟺  cum1(prev(x)) ≥
+    # ceil(i·n1/10), and cum1(prev(x)) = cum1 − c1, so the number of
+    # edges strictly below x is min(9, (10·(cum1−c1)) div n1) — the
+    # SAME integer the old edge-materialize + join-back computed,
+    # without a second evaluation of the cumulative frame (guide
+    # §2.4). `div` keeps the arithmetic in bigints.
     binned = (
-        cum.select(key_col, "x", "c1", "c2", "n1", "n2")
-        .join(edges.select(key_col, "edge"), key_col, "left")
-        .groupBy(key_col, "x", "c1", "c2", "n1", "n2")
-        .agg(
-            F.sum(F.when(F.col("x") > F.col("edge"), 1).otherwise(0))
-            .cast("int")
-            .alias("bin")
+        cum.select(
+            key_col,
+            "c1",
+            "c2",
+            "n1",
+            "n2",
+            F.least(
+                F.lit(9),
+                F.expr("(10 * (cum1 - c1)) div n1"),
+            ).cast("int").alias("bin"),
         )
         .groupBy(key_col, "bin")
         .agg(
@@ -2501,45 +2510,35 @@ def psi_drift(
             F.max("n2").alias("n2"),
         )
     )
-    # the per-key bounds aggregate already holds exactly the distinct
-    # key set — reusing it drops a third full scan + distinct shuffle
-    # of the corpus (guide §2.4)
-    keys = bounds.select(key_col)
-    allbins = keys.crossJoin(
-        F.broadcast(
-            binned.sparkSession.range(10).select(F.col("id").cast("int").alias("bin"))
+
+    def _term(c1_b, c2_b):
+        p = (c1_b.cast("double") + F.lit(0.5)) / (
+            F.col("n1").cast("double") + F.lit(5.0)
         )
-    )
-    full = (
-        allbins.join(binned.select(key_col, "bin", "c1_b", "c2_b"), [key_col, "bin"], "left")
-        .join(
-            binned.groupBy(key_col).agg(F.max("n1").alias("n1"), F.max("n2").alias("n2")),
-            key_col,
+        q = (c2_b.cast("double") + F.lit(0.5)) / (
+            F.col("n2").cast("double") + F.lit(5.0)
         )
-        .select(
-            key_col,
-            "bin",
-            F.coalesce(F.col("c1_b"), F.lit(0)).alias("c1_b"),
-            F.coalesce(F.col("c2_b"), F.lit(0)).alias("c2_b"),
-            "n1",
-            "n2",
-        )
-    )
-    p = (F.col("c1_b").cast("double") + F.lit(0.5)) / (
-        F.col("n1").cast("double") + F.lit(5.0)
-    )
-    q = (F.col("c2_b").cast("double") + F.lit(0.5)) / (
-        F.col("n2").cast("double") + F.lit(5.0)
-    )
-    lq = F.floor(F.log(p / q) * F.lit(1e6)) / F.lit(1e6)
-    term_q = F.floor((p - q) * lq * F.lit(1e12)).cast("bigint")
+        lq = F.floor(F.log(p / q) * F.lit(1e6)) / F.lit(1e6)
+        return F.floor((p - q) * lq * F.lit(1e12)).cast("bigint")
+
+    # empty deciles all contribute the identical c=0 term, so fold
+    # them as a count×constant instead of cross-joining a bins frame
+    # back against the key set — m·tq0 is exactly the sum of m copies
+    # of the bigint tq0.
     return (
-        full.withColumn("tq", term_q)
+        binned.withColumn("tq", _term(F.col("c1_b"), F.col("c2_b")))
+        .withColumn("tq0", _term(F.lit(0), F.lit(0)))
         .groupBy(key_col)
         .agg(
             F.max("n1").alias("n_early"),
             F.max("n2").alias("n_late"),
-            (F.sum("tq").cast("double") / F.lit(1e12)).alias("psi"),
+            (
+                (
+                    F.sum("tq")
+                    + (F.lit(10) - F.count(F.lit(1))) * F.max("tq0")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("psi"),
         )
         .orderBy(key_col)
     )

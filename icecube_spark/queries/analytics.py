@@ -640,10 +640,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("value", F.col("cost") * F.col("avail"))
     )
-    per_part = held.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        dsum("value").alias("part_value")
+    # keep the per-part sums in DECIMAL so the grand total derives
+    # from the per-part aggregate (exact: Σ_parts Σ_values = Σ_values
+    # in decimal; the double casts happen on the final values only).
+    # Both consumers share the per-part exchange, so the supplies
+    # scan + join run once instead of twice (guide §2.4).
+    per_part_dec = held.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("value").cast("decimal(18,8)")).alias("pv_dec")
     )
-    total = held.agg(dsum("value").alias("total_value"))
+    per_part = per_part_dec.select(
+        "p_partkey", F.col("pv_dec").cast("double").alias("part_value")
+    )
+    total = per_part_dec.agg(
+        F.sum("pv_dec").cast("double").alias("total_value")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("part_value") > 0.001 * F.col("total_value"))
@@ -1490,11 +1500,16 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = quintiles(1996, "q_from")
     b = quintiles(1997, "q_to")
     pairs = a.join(b, "o_custkey")
-    total = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # n_total = Σ cells of the ≤25-row matrix — a window over the
+    # aggregate instead of a second evaluation of the customer join
+    # (guide §2.4; the sum of cell counts IS the pair count)
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         pairs.groupBy("q_from", "q_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
-        .crossJoin(F.broadcast(total))
+        .withColumn("n_total", F.sum("n_customers").over(wall))
         .select(
             "q_from",
             "q_to",
@@ -2266,12 +2281,14 @@ def revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "x")
     )
-    # global totals (exact integers), broadcast to every nation row
-    tot = per_cust.agg(
-        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
-    )
     grp = per_cust.groupBy("n_name").agg(
         F.sum("x").alias("sg"), F.count(F.lit(1)).alias("ng")
+    )
+    # global totals (exact integers) derive from the ≤|nations|-row
+    # group aggregate — Σ sg / Σ ng are the same BIGINTs as a direct
+    # corpus fold, without a third evaluation of per_cust (guide §2.4)
+    tot = grp.agg(
+        F.sum("sg").alias("s"), F.sum("ng").alias("n")
     )
     # within-nation: lq_i = floor(ln(x_i * ng / sg) * 1e6) micro-nats;
     # T_g = sum(x_i * lq_i) / sg / 1e6
@@ -3306,7 +3323,10 @@ def customer_pareto_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_orders").desc(), F.col("o_custkey")],
         rank_col="crank",
     ).select("o_custkey", "revq", "rrank", "crank")
-    tot = per_cust.agg(
+    # totals off the checkpoint-rooted rank output (row-for-row the
+    # customer aggregate) instead of a second evaluation of the
+    # orders scan + aggregate (guide §2.4/§5)
+    tot = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("revq").alias("total_revq"),
     )
