@@ -462,12 +462,16 @@ def ann_recall_eval(
         lsh_code(vec_col).alias("code"),
         norm_expr(vec_col).alias("nrm"),
     )
+    # the query set is broadcast-sized by contract (it rides two
+    # BroadcastExchanges) — materialize it once instead of re-running
+    # the corpus scan + code projection per broadcast and for the
+    # result spine (guide §5)
     queries = coded.where(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("code").alias("qcode"),
         F.col("nrm").alias("qn"),
-    )
+    ).localCheckpoint(eager=True)
     cands = coded.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -486,6 +490,9 @@ def ann_recall_eval(
         .where(F.col("r") <= k)
         .select("query_id", "neighbor_id")
     )
+    # k·|queries| rows, two consumers (overlap join + per-query
+    # count): materialize once so the bucket join + rank window run
+    # once, not per consumer (guide §5; provably bounded by the top-k)
     ann_top = (
         cands.join(
             F.broadcast(queries),
@@ -496,6 +503,7 @@ def ann_recall_eval(
         .withColumn("r", F.row_number().over(wq))
         .where(F.col("r") <= k)
         .select("query_id", F.col("neighbor_id").alias("ann_neighbor"))
+        .localCheckpoint(eager=True)
     )
     hits = (
         exact_top.join(
