@@ -970,7 +970,10 @@ def pagerank(
     (ranks ⋈ broadcast dangling-node set — a |nodes|-row job) then
     inlined as a literal, so the big dst aggregate carries edge
     contributions only and the iteration needs ONE blocking
-    materialization (ranks), not two. At 100 TB the edge list is the
+    materialization (ranks), not two. When the static dangling set is
+    EMPTY (every undirected graph) the per-iteration mass job is
+    skipped outright — dm is identically the 0 the empty aggregate
+    would coalesce to, so the fold is bit-identical. At 100 TB the edge list is the
     big side and stays partitioned by src across iterations (one
     repartition up front keeps every ranks join co-located; the
     shuffle_hash hint stops SMJ from re-sorting the cached edges
@@ -1003,10 +1006,15 @@ def pagerank(
     )
     n_nodes = nodes.count()
     # the dangling-node SET is static — resolve it once, not per
-    # iteration (only its rank mass changes)
+    # iteration (only its rank mass changes). Counting it up front
+    # lets a graph with no sinks (every undirected graph: both edge
+    # directions are passed) skip the per-iteration dangling-mass
+    # job entirely — dm is identically 0 there, and the skip removes
+    # one blocking driver round-trip per iteration
     dangling_nodes = nodes.join(
         out_w, nodes.node == out_w.src, "left_anti"
     ).persist()
+    n_dangling = dangling_nodes.count()
     import math
 
     # pico-unit integer ranks; base/damping literals are single
@@ -1039,9 +1047,12 @@ def pagerank(
         # model-sized by the repo's collect discipline) and inlined as
         # a literal, so the big ranks job carries no broadcast
         # sub-exchange of its own
-        dm = ranks.join(F.broadcast(dangling_nodes), "node").agg(
-            F.coalesce(F.sum("qr"), F.lit(0)).cast("bigint").alias("dm")
-        ).collect()[0]["dm"]
+        if n_dangling:
+            dm = ranks.join(F.broadcast(dangling_nodes), "node").agg(
+                F.coalesce(F.sum("qr"), F.lit(0)).cast("bigint").alias("dm")
+            ).collect()[0]["dm"]
+        else:
+            dm = 0  # same literal the empty-set aggregate coalesces to
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(

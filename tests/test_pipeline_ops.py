@@ -240,6 +240,42 @@ def test_pagerank_matches_numpy(spark, sf_dir):
         assert val == want[node], (node, val, want[node])
 
 
+def test_pagerank_dangling_nodes_matches_numpy(spark):
+    """P33: a DIRECTED graph with sink nodes exercises the
+    per-iteration dangling-mass job (the undirected registry graph has
+    no sinks and skips it) — the quantized fold must stay bit-equal to
+    the dense numpy twin with uniform dangling redistribution."""
+    import math
+
+    import numpy as np
+
+    from icecube_spark.operators.pipeline import pagerank
+
+    # 1->2, 1->3, 2->3, 4->1: nodes 3 (sink) and 5 never appears;
+    # weights are small exact ints so out-degree sums are order-free
+    rows = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (4, 1, 3.0)]
+    edges = spark.createDataFrame(rows, ["pa", "pb", "w"]).repartition(4)
+    got = {r["node"]: r["rank"] for r in pagerank(edges, "pa", "pb", "w").collect()}
+
+    nodes = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for pa, pb, w in rows:
+        M[idx[pb], idx[pa]] += w
+    outw = M.sum(axis=0)
+    assert (outw == 0).sum() > 0  # the sink really is dangling
+    frac = np.divide(M, outw, out=np.zeros_like(M), where=outw > 0)
+    qr = np.full(n, float(math.floor(1e12 / n)))
+    base = (1.0 - 0.85) / n * 1e12
+    for _ in range(5):
+        received = np.floor(frac * qr).sum(axis=1)
+        dm = qr[outw == 0].sum()
+        qr = np.floor(base + 0.85 * (received + dm / n))
+    want = {nodes[i]: qr[i] / 1e12 for i in range(n)}
+    assert got == want
+
+
 def test_distributed_ntile_matches_global_window(spark):
     """distributed_ntile must be bit-identical to F.ntile over a
     global window for every n % k remainder case — it is the 100 TB
