@@ -723,13 +723,40 @@ _DRIVER_GREEN = frozenset({
     "scd2_intervals", "seasonal_decompose", "split_leakage_check",
     "survival_km", "theil_sen_trend", "time_weighted_avg",
     "tokenizer_fertility", "vocab_stats", "zipf_fit",
+    # r9 greens (CORRECTNESS_r09.json: rows+schema+hash all true)
+    "ann_recall_eval", "bigram_lift", "cdc_merge", "centroid_similarity",
+    "changepoint_cusum", "char_profile", "class_weights",
+    "cube_change_detection", "cube_completeness", "cube_mosaic",
+    "dataset_card", "dedup_containment", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_fingerprint", "doc_top_tfidf", "downsample_lttb",
+    "embed_ann_lsh", "embed_cosine_topk", "embed_dim_stats",
+    "embed_knn_label", "embed_label_centroids", "embed_norm_outliers",
+    "embed_top_dims", "event_paths", "ewma_smooth", "feature_pivot",
+    "fuzzy_name_pairs", "gopher_quality", "interval_coverage", "lang_id",
+    "langid_confusion", "ngram_novelty", "pareto_report",
+    "quality_gate_funnel", "quality_score", "repetition_stats",
+    "seasonal_dow", "sentence_stats", "sequence_packing",
+    "shard_manifest", "spatial_overlap_polygon", "term_commonness",
+    "token_count", "weighted_sample",
 })
 
-# Keys whose LATEST driver grade is a stale red repaired in a later
-# round (judge-adjudicated bit-exact since). They pin to the VERY FRONT
-# of the head so the next ~50-key driver sample re-grades them and the
-# record self-repairs with a fresh green entry.
-_REGRADE_FIRST = ("cube_completeness",)
+# Keys that most need a FRESH driver grade, pinned to the very front of
+# the head so the next ~50-key driver sample re-grades them:
+# (a) the three r9 driver-reds, repaired this round (canonical scalar
+#     serialization of array columns; DOUBLE x in embed_standardize);
+# (b) the r9 optimizer rewrites whose equivalence so far rests on the
+#     repo's own driver_verify + pytest, not on a driver grade
+#     (r9 VERDICT "Next round" item 2); a key drops OFF this list once
+#     a later CORRECTNESS_r{N}.json shows it green.
+_REGRADE_FIRST = (
+    "dedup_survivorship", "embed_quantize", "embed_standardize",
+    "psi_drift", "brand_loyalty", "table_diff", "part_pagerank",
+    "ship_latency_quantiles", "reorder_intervals", "markov_accuracy",
+    "curation_waterfall", "chi2_terms", "segment_migration",
+    "revenue_theil", "customer_pareto_overlap", "knn_reciprocity",
+    "pq_recall_eval", "price_index",
+)
 
 # Keys that deliberately carry NO DuckDB oracle (rows-only grade by
 # design — each is pinned by a numpy-twin/property pytest instead).
@@ -742,16 +769,19 @@ _NO_ORACLE = frozenset({
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {
-        k: _QUERIES[k] for k in _REGRADE_FIRST
-        if k in _QUERIES and k not in _DRIVER_GREEN
-    }
+    # _REGRADE_FIRST pins unconditionally: a rewritten key needs a fresh
+    # driver grade even when an OLD (pre-rewrite) grade sits in
+    # _DRIVER_GREEN.
+    front = {k: _QUERIES[k] for k in _REGRADE_FIRST if k in _QUERIES}
     head = {
         k: v for k, v in _QUERIES.items()
         if k not in _DRIVER_GREEN and k not in _NO_ORACLE and k not in front
     }
     mid = {k: v for k, v in _QUERIES.items() if k in _NO_ORACLE}
-    tail = {k: v for k, v in _QUERIES.items() if k in _DRIVER_GREEN}
+    tail = {
+        k: v for k, v in _QUERIES.items()
+        if k in _DRIVER_GREEN and k not in front
+    }
     return {**front, **head, **mid, **tail}
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from icecube_spark.functions.hashing import spark_hex2int
+from icecube_spark.functions.materialize import materialize
 
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
@@ -252,7 +253,7 @@ def connected_components(
     # round is a join + aggregate whose per-task overhead dominates on
     # a near-empty 32-way shuffle, and a 100 TB pair graph scales the
     # partition count back up (one scalar count decides).
-    raw = sym.localCheckpoint()
+    raw = sym.transform(materialize)
     n_edges = raw.count()
     parts = max(1, min(32, n_edges // 100_000 + 1))
     sym = raw.repartition(parts, "src")
@@ -1015,6 +1016,9 @@ def pagerank(
         out_w, nodes.node == out_w.src, "left_anti"
     ).persist()
     n_dangling = dangling_nodes.count()
+    if not n_dangling:
+        # the empty frame is never read again — don't pin it for the run
+        dangling_nodes.unpersist()
     import math
 
     # pico-unit integer ranks; base/damping literals are single
@@ -1076,7 +1080,7 @@ def pagerank(
         # TWICE (edge join + dangling union), so without its own
         # materialization every pass re-plans and re-runs the ranks
         # join per consumer and wall time triples even at sf0.001.
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(materialize)
     out = ranks.select(
         "node", (F.col("qr").cast("double") / F.lit(1e12)).alias("rank")
     )
@@ -1121,7 +1125,7 @@ def distributed_depth_cuts(
     # mode this prevents)
     hl = hp.withColumn(
         "lcum", F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ptot = hl.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
     woff = Window.partitionBy().orderBy("pid")
     off = ptot.select(
@@ -1854,11 +1858,11 @@ def connected_components_fast(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
-    nodes = sym(edges).select(F.col("u").alias("node")).distinct().localCheckpoint()
+    nodes = sym(edges).select(F.col("u").alias("node")).distinct().transform(materialize)
     for _ in range(max_iter):
-        new = small_star(large_star(edges)).localCheckpoint()
+        new = small_star(large_star(edges)).transform(materialize)
         changed = (
             new.join(
                 edges, (new.a == edges.a) & (new.b == edges.b), "left_anti"
@@ -3022,9 +3026,7 @@ def distributed_rank(
     # nondeterministic (e.g. a join), silently corrupting the offsets
     # (at 100 TB this is a reliable-checkpoint, same as the iterative
     # operators)
-    loc = p.withColumn("__lrn", F.row_number().over(wloc)).localCheckpoint(
-        eager=True
-    )
+    loc = p.withColumn("__lrn", F.row_number().over(wloc)).transform(materialize)
     ptot = loc.groupBy("__pid", *keys).agg(F.count(F.lit(1)).alias("__ptot"))
     woff = Window.partitionBy(*keys).orderBy("__pid")
     wall = Window.partitionBy(*keys).rowsBetween(
@@ -3151,7 +3153,7 @@ def distributed_cumsum(
                 Window.partitionBy("__pid", *keys).orderBy(*order_cols)
             ),
         )
-    loc = loc.localCheckpoint(eager=True)
+    loc = loc.transform(materialize)
     ptot = loc.groupBy("__pid", *keys).agg(
         F.sum(value_col).alias("__ptot"),
         F.count(F.lit(1)).alias("__pcnt"),
@@ -3243,7 +3245,7 @@ def distributed_lag(
     loc = (
         p.withColumn("__llag", F.lag(value_col).over(wloc))
         .withColumn("__lrn", F.row_number().over(wloc))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     bnd = loc.groupBy("__pid", *keys).agg(
         F.max_by(F.col(value_col), F.struct(*order_cols)).alias("__last")

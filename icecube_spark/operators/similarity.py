@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from icecube_spark.functions.materialize import materialize
 
 # quantized-integer fold of sum(a[i] * b[i]); doubles in, bit-stable out
 _DOT = """
@@ -471,7 +472,7 @@ def ann_recall_eval(
         F.col(vec_col).alias("qv"),
         F.col("code").alias("qcode"),
         F.col("nrm").alias("qn"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cands = coded.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -503,7 +504,7 @@ def ann_recall_eval(
         .withColumn("r", F.row_number().over(wq))
         .where(F.col("r") <= k)
         .select("query_id", F.col("neighbor_id").alias("ann_neighbor"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     hits = (
         exact_top.join(
@@ -550,7 +551,12 @@ def standardize_dims(
     sliced = df.select(
         F.col(id_col),
         F.posexplode(F.slice(F.col(vec_col), 1, n_dims)).alias("dim", "x"),
-    ).withColumn("q", F.floor(F.col("x").cast("double") * 1e6))
+    ).withColumn(
+        # DOUBLE x up front: the oracle twin emits CAST(... AS DOUBLE), and a
+        # raw float32 column renders differently under the driver's
+        # value-hash even though the numbers are upcast-equal.
+        "x", F.col("x").cast("double")
+    ).withColumn("q", F.floor(F.col("x") * 1e6))
     moments = sliced.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("sq"),
@@ -1252,7 +1258,7 @@ def pq_recall_eval(
     )
     exact = cosine_topk(
         df, id_col, vec_col, F.col(id_col) < n_queries, k=k
-    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    ).select("query_id", "neighbor_id").transform(materialize)
     # ^ bounded (k·n_queries rows) and referenced by both the overlap
     # join and the all-queries frame — checkpoint so the exact
     # brute-force pass runs once (guide §5)
@@ -1707,7 +1713,7 @@ def knn_graph_stats(
         # the reciprocity semi-join, the in-degree agg AND the edge
         # count — checkpoint so the panel² cosine scoring runs once,
         # not four times (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = edges.join(rev, ["src", "dst"], "left_semi")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from icecube_spark.operators.dedup import GRAMS, NORM
+from icecube_spark.functions.materialize import materialize
 
 MARKERS = {
     "en": ("the", "a", "is", "and", "of"),
@@ -284,7 +285,7 @@ def bigram_lift(
     uni = (
         terms.groupBy("term")
         .agg(F.count(F.lit(1)).alias("c_term"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     total = uni.agg(F.sum("c_term").alias("n_total"))
     bi = (
@@ -679,7 +680,7 @@ def chi2_terms(
     tl = (
         pairs.groupBy("term", label_col)
         .agg(F.count(F.lit(1)).alias("n11"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dfreq = tl.groupBy("term").agg(F.sum("n11").alias("df_t"))
     wtop = Window.partitionBy().orderBy(F.desc("df_t"), F.asc("term"))
@@ -1071,14 +1072,14 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # (guide §5)
     uni = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c1")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     bgs = df.select(
         F.col(id_col), F.explode(F.expr(bigrams_expr)).alias("bg")
     ).where(~F.col("bg").rlike("^ | $|^$"))
     bi = bgs.groupBy("bg").agg(
         F.count(F.lit(1)).alias("c2")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     lm = (
         bi.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .join(uni.withColumnRenamed("tok", "w1"), "w1")

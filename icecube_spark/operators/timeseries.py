@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from icecube_spark.functions.parity import davg, dsum
+from icecube_spark.functions.materialize import materialize
 
 
 def _us(c) -> Column:
@@ -2936,7 +2937,7 @@ def markov_accuracy(
             (F.col("nxt_d") <= F.col("mid")).alias("is_train"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     train = trans.where(F.col("is_train"))
     wr = Window.partitionBy("cur").orderBy(F.col("c").desc(), F.col("to"))
@@ -3015,7 +3016,7 @@ def haar_energy(
     # bounded (≤ n_days rows per key) and re-derived by every Haar
     # level below — checkpoint so the corpus scan + (key, day)
     # aggregate run once instead of once per level (guide §5)
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(materialize)
     energies = []
     for level in range(1, 4):
         paired = (
@@ -3173,7 +3174,7 @@ def ljung_box(
     # calendar-bounded (≤365 rows/year) and referenced by the lag
     # pairing, the broadcast prev side AND the variance fold —
     # checkpoint so the daily rollup + centering run once (guide §5)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     lags = cen.select(
         "i", "e", F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag")
     )

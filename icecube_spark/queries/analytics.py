@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 from icecube_spark import catalog
 from icecube_spark.functions.parity import davg, dsum, qsum
+from icecube_spark.functions.materialize import materialize
 from icecube_spark.session import staging_stale
 
 
@@ -1484,7 +1485,7 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("yr").isin(1996, 1997))
         .groupBy("o_custkey", "yr")
         .agg(F.sum("cents").alias("spend_cents"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def quintiles(yr: int, out: str):
@@ -1666,7 +1667,7 @@ def customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referenced by both self-join sides and the year probe —
         # checkpoint the narrow (yr, cust) collapse so the orders
         # scan + distinct shuffle run once, not three times (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nxt = active.select((F.col("yr") - 1).alias("yr"), F.col("cust"))
     joined = active.join(nxt.withColumn("ret", F.lit(1)), ["yr", "cust"], "left")
@@ -1907,7 +1908,7 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan, the base slice AND the reprice join — checkpoint so
         # the lineitem scan + aggregate run once, not three times
         # (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     base_month = mp.agg(F.min("month").alias("bm"))
     base = (
@@ -3394,7 +3395,7 @@ def flag_priority_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # marginals, the grand total AND the residual join —
         # checkpoint so the fact join + count run once, not four
         # times (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     row_m = obs.groupBy("returnflag").agg(F.sum("n_obs").alias("row_n"))
     col_m = obs.groupBy("priority").agg(F.sum("n_obs").alias("col_n"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from icecube_spark import catalog
 from icecube_spark.config import CubeConfig
 from icecube_spark.functions.parity import davg, dsum
+from icecube_spark.functions.materialize import materialize
 from icecube_spark.operators import spatial, temporal
 
 START = "2024-01-01"
@@ -1083,7 +1084,7 @@ def _pixel_cells(ev: DataFrame) -> DataFrame:
                 * F.lit(1e6)
             ).cast("bigint"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
 
@@ -2210,7 +2211,7 @@ def cube_layover_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
         # events scan + cell aggregate run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     east = cells.select(
         (F.col("x") - 1).alias("x"), "y", F.col("qv").alias("e")
@@ -2270,7 +2271,7 @@ def cube_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
         # events scan + cell aggregate run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     wrow = (
         Window.partitionBy("y")
@@ -2333,7 +2334,7 @@ def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
         # events scan + cell aggregate run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     offs = [
         (1, 0, 1, 1414214), (1, 1, 2, 1000000), (0, 1, 4, 1414214),
@@ -2431,7 +2432,7 @@ def cube_contour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
         # events scan + cell aggregate run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     ).withColumn("band", F.floor(F.col("qv") / F.lit(5_000_000)).cast("bigint"))
     off_arr = F.array(
         *[
@@ -2576,7 +2577,7 @@ def cube_lbp_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # grid-bounded (≤50×50) and multi-referenced: checkpoint so the
         # events scan + cell aggregate run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     offs = [
         (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
@@ -2737,7 +2738,7 @@ def cube_class_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grid-bounded (≤2·50×50 rows) and read twice by the from/to
         # self-join: checkpoint so the events scan + half aggregate
         # run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = halves.where(F.col("h1")).select(
         "x", "y", F.col("band").alias("from_band")
@@ -2978,7 +2979,7 @@ def cube_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregates PLUS the alive-chain joins — without this the
         # events scan + cell aggregate re-runs once per reference
         # (guide §5: cache a tiny reused intermediate, cut the lineage)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     thr = 5.5e14  # micro^2 units (~grid median block variance)
     levels = []
@@ -3215,7 +3216,7 @@ def cube_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grid-bounded (≤48x48 rows) and referenced by all four box
         # scales — checkpoint once so the events scan + cell aggregate
         # run once, not per scale (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = None
     for s in (1, 2, 4, 8):
@@ -3302,7 +3303,7 @@ def cube_change_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grid-bounded (≤2·50×50 rows) and read twice by the from/to
         # self-join: checkpoint so the events scan + half aggregate
         # run once (guide §5)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = F.col("n").cast("double")
     mu = F.col("sx").cast("double") / F.lit(1e6) / n

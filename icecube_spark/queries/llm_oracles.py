@@ -393,10 +393,10 @@ ORACLES["embed_quantize"] = """
                MAX(CAST(list_max(embedding) AS DOUBLE)) AS gmax
         FROM embeddings)
     SELECT vec_id,
-           list_transform(embedding, x ->
-               LEAST(255, GREATEST(0, CAST(FLOOR(
+           array_to_string(list_transform(embedding, x ->
+               CAST(LEAST(255, GREATEST(0, CAST(FLOOR(
                    (CAST(x AS DOUBLE) - gmin) * CAST(255 AS DOUBLE)
-                       / (gmax - gmin)) AS INT)))) AS qvec,
+                       / (gmax - gmin)) AS INT))) AS VARCHAR)), ',') AS qvec,
            gmin, gmax
     FROM embeddings CROSS JOIN s
 """

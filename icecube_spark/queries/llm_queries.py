@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from icecube_spark import catalog
 from icecube_spark.operators import dedup, multimodal, similarity, text
+from icecube_spark.functions.materialize import materialize
 from icecube_spark.operators import pipeline as pipeline_ops
 
 
@@ -424,8 +425,21 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6 — global-range int8 scalar quantization of embeddings."""
-    return similarity.scalar_quantize(_emb(spark, sf_dir), "vec_id", "embedding")
+    """E6 — global-range int8 scalar quantization of embeddings.
+
+    The declared result serializes the quantized vector to a
+    comma-joined string: the driver's canonicalizer hashes scalar
+    cells and cannot grade ARRAY columns (the oracle twin applies the
+    identical array_to_string)."""
+    out = similarity.scalar_quantize(_emb(spark, sf_dir), "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.expr("transform(qvec, v -> cast(v as string))"), ","
+        ).alias("qvec"),
+        "gmin",
+        "gmax",
+    )
 
 
 def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,7 +1576,7 @@ def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", F.col("vec_id") < 10, k=5
     ).select(
         "query_id", F.col("neighbor_id").alias("true_id")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     assigned, centroids = staged_ivf_index(spark, sf_dir)
     return probe_recall_curve(
         assigned, centroids, emb, "vec_id", "embedding",

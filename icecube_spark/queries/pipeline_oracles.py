@@ -395,7 +395,8 @@ ORACLES.update({
             FROM aug)
         SELECT content_hash, MIN(doc_id) AS canonical_id,
                COUNT(*) AS n_members, MAX(n_chars) AS best_n_chars,
-               list_sort(list_distinct(list(source))) AS sources
+               array_to_string(list_sort(list_distinct(list(source))), ',')
+                   AS sources
         FROM h GROUP BY 1 HAVING COUNT(*) > 1
     """,
     "class_weights": """

@@ -299,7 +299,16 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pipeline.dedup_survivorship(
         docs.unionByName(mirrored), "doc_id", "text"
     )
-    return out.orderBy("content_hash")
+    # Serialize the merged-source list to a comma-joined string: the
+    # driver's canonicalizer hashes scalar cells and cannot grade ARRAY
+    # columns (the oracle twin applies the identical array_to_string).
+    return out.select(
+        "content_hash",
+        "canonical_id",
+        "n_members",
+        "best_n_chars",
+        F.array_join("sources", ",").alias("sources"),
+    ).orderBy("content_hash")
 
 
 def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,13 @@ def compare(got, want) -> tuple[bool, str]:
         return False, f"rows {len(got)} vs {len(want)}"
     got = got.reindex(cols, axis=1)
     want = want.reindex(cols, axis=1)
+    # The driver's canonicalizer crashes on ARRAY cells (unhashable list
+    # inside pandas sort) — an oracle-graded key must emit scalars only.
+    for c in cols:
+        if got[c].dtype == object and len(got):
+            v = got[c].iloc[0]
+            if isinstance(v, (list, np.ndarray)):
+                return False, f"driver-ungradeable ARRAY column {c}"
     for d in (got, want):
         for c in cols:
             if str(d[c].dtype).startswith("datetime64"):
@@ -49,6 +56,11 @@ def compare(got, want) -> tuple[bool, str]:
             if {gk, wk} <= {"i", "u"}:
                 continue  # signed/unsigned int width only; renders the same
             return False, f"dtype drift in col {c}: {got[c].dtype} vs {want[c].dtype}"
+        # Same kind but different float WIDTH (float32 vs float64): the
+        # values upcast-equal, but the driver hashes RENDERED values and
+        # float32 renders shorter — the r9 embed_standardize signature.
+        if gk == "f" and got[c].dtype != want[c].dtype and len(got):
+            return False, f"float width drift in col {c}: {got[c].dtype} vs {want[c].dtype}"
     for c in cols:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if g.dtype.kind == "f" or w.dtype.kind == "f":

@@ -251,8 +251,9 @@ def test_pagerank_dangling_nodes_matches_numpy(spark):
 
     from icecube_spark.operators.pipeline import pagerank
 
-    # 1->2, 1->3, 2->3, 4->1: nodes 3 (sink) and 5 never appears;
-    # weights are small exact ints so out-degree sums are order-free
+    # 1->2, 1->3, 2->3, 4->1: node 3 is a sink (no outgoing edges), so
+    # the non-empty dangling-mass branch is exercised; weights are
+    # small exact ints so out-degree sums are order-free
     rows = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (4, 1, 3.0)]
     edges = spark.createDataFrame(rows, ["pa", "pb", "w"]).repartition(4)
     got = {r["node"]: r["rank"] for r in pagerank(edges, "pa", "pb", "w").collect()}
