@@ -296,9 +296,13 @@ def probe_recall_curve(
         .where(F.col("rank") <= k_neighbors)
         .select("nprobe", "query_id", F.col("neighbor_id").alias("got_id"))
     )
+    # explicit broadcasts: exact/hits/truth are panel-bounded
+    # (|queries|·k, |nprobes|, 1 rows) but exact is a materialized
+    # ExistingRDD whose stats the planner defaults to "huge", so
+    # without hints all three joins fall back to SortMergeJoin
     hits = (
-        exact.join(
-            got,
+        got.join(
+            F.broadcast(exact),
             (exact["query_id"] == got["query_id"])
             & (exact["true_id"] == got["got_id"]),
         )
@@ -307,8 +311,8 @@ def probe_recall_curve(
     )
     truth = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     return (
-        npdf.join(hits, "nprobe", "left")
-        .crossJoin(truth)
+        npdf.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(truth))
         .select(
             "nprobe",
             "n_truth",

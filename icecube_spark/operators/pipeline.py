@@ -1027,7 +1027,8 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(int(math.floor(1e12 / n_nodes))).cast("bigint").alias("qr")
     )
-    for _ in range(iterations):
+    prev_cached = None
+    for it in range(1, iterations + 1):
         # per-edge contributions reduce on dst — the ONE |edges|-scale
         # shuffle of the iteration. The shuffle_hash hint makes ranks
         # the hash build side (|nodes|/partitions rows per task), so
@@ -1071,16 +1072,23 @@ def pagerank(
                 ).cast("bigint").alias("qr"),
             )
         )
-        # truncate lineage each pass: without this the final plan is
-        # iterations² joins deep and the optimizer, not the data,
-        # dominates wall time (the standard iterative-algorithm
-        # checkpoint; at 100 TB this is a reliable-checkpoint to
-        # HDFS). Tried and reverted: dropping this in favor of the
-        # contribs checkpoint alone — ranks feeds the next iteration
-        # TWICE (edge join + dangling union), so without its own
-        # materialization every pass re-plans and re-runs the ranks
-        # join per consumer and wall time triples even at sf0.001.
-        ranks = ranks.transform(materialize)
+        # Materialization cadence. With a dangling set, ranks is read
+        # TWICE next pass (edge join + mass scalar), so every
+        # iteration must end in a barrier or each consumer re-runs the
+        # pass (the r9 "wall time triples" failure). Sink-free graphs
+        # read ranks ONCE per pass, so a barrier every 2nd iteration
+        # executes the identical work in half the blocking jobs (the
+        # unbarriered pass is planned once, inside its consumer's
+        # job). The barrier itself is a hash-partitioned PERSIST +
+        # count, not a localCheckpoint: the cached relation keeps its
+        # hashpartitioning(node) (canChangeCachedPlanOutputPartitioning
+        # stays at its false default), so the next pass's shuffle-hash
+        # ranks join reuses the partitioning instead of re-exchanging
+        # — and lineage survives, so a lost cache block recomputes
+        # instead of killing the query (better cluster story than the
+        # unreplicated localCheckpoint blocks this replaced).
+        if n_dangling or it % 2 == 0 or it == iterations:
+            ranks = ranks.transform(materialize)
     out = ranks.select(
         "node", (F.col("qr").cast("double") / F.lit(1e12)).alias("rank")
     )
@@ -1742,6 +1750,64 @@ def bloom_filter_eval(
     )
 
 
+def cdf_between_lookup(
+    target: DataFrame,
+    rk_col: str,
+    cdf: DataFrame,
+    lo_col: str = "cum_lo",
+    hi_col: str = "cum_hi",
+) -> DataFrame:
+    """Equi-bucketed inverse-CDF lookup: attach to each target row the
+    cdf row whose cumulative range (lo, hi] covers its rank.
+
+    A direct inequality join against the broadcast cdf plans as a
+    BroadcastNestedLoopJoin — |target|·|cdf| predicate evaluations
+    (cube_hist_match at sf0.1: 20k × 9.8k ≈ 200M, ~55% of the key's
+    wall). Bucketing the rank axis at the mean range width turns it
+    into an equi-join + exact between filter: the cdf side explodes
+    each range onto the buckets it spans (Σ spans ≈ 2·|cdf| rows), the
+    target computes ONE bucket id, and the hash probe sees ~2
+    candidates per row instead of |cdf|. Matches are bit-identical:
+    the bucket key is implied by the between condition, which is
+    re-applied verbatim.
+
+    ``cdf`` must be distinct-value-bounded (it is broadcast either
+    way); it is materialized here so its lineage runs once, not once
+    per consumer (bucket-size scalar + exploded side).
+    """
+    m = (
+        cdf.withColumn(
+            "__bsz",
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT),"
+                f" (max({hi_col}) over ()) div (count(1) over ()))"
+            ),
+        )
+    ).transform(materialize)
+    buckets = m.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{lo_col} div __bsz"),
+                F.expr(f"({hi_col} - 1) div __bsz"),
+            )
+        ),
+    ).drop("__bsz")
+    bsz = m.groupBy().agg(F.max("__bsz").alias("__bsz"))
+    t = (
+        target.crossJoin(F.broadcast(bsz))
+        .withColumn("__b", F.expr(f"({rk_col} - 1) div __bsz"))
+        .drop("__bsz")
+    )
+    return (
+        t.join(F.broadcast(buckets), "__b")
+        .where(
+            (F.col(rk_col) > F.col(lo_col)) & (F.col(rk_col) <= F.col(hi_col))
+        )
+        .drop("__b")
+    )
+
+
 def quantile_normalize(
     df: DataFrame, id_col: str, group_col: str, value_col: str
 ) -> DataFrame:
@@ -1794,10 +1860,7 @@ def quantile_normalize(
         "rk_pool",
         F.expr("(r * n_total + ns - 1) div ns"),
     )
-    joined = target.join(
-        F.broadcast(pooled),
-        (F.col("rk_pool") > F.col("cum_lo")) & (F.col("rk_pool") <= F.col("cum_hi")),
-    )
+    joined = cdf_between_lookup(target, "rk_pool", pooled)
     return joined.select(
         id_col,
         group_col,

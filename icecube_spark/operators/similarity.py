@@ -506,9 +506,14 @@ def ann_recall_eval(
         .select("query_id", F.col("neighbor_id").alias("ann_neighbor"))
         .transform(materialize)
     )
+    # ann_top is a materialized ExistingRDD: the planner defaults its
+    # stats to "huge" and falls back to SortMergeJoin without explicit
+    # broadcasts — but every frame here is panel-bounded (≤ k·|queries|
+    # rows by the top-k cut / query contract), so broadcast is the
+    # scale-correct strategy
     hits = (
         exact_top.join(
-            ann_top,
+            F.broadcast(ann_top),
             (exact_top.query_id == ann_top.query_id)
             & (exact_top.neighbor_id == ann_top.ann_neighbor),
         )
@@ -518,8 +523,8 @@ def ann_recall_eval(
     n_ann = ann_top.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
     base = queries.select("query_id")
     return (
-        base.join(n_ann, "query_id", "left")
-        .join(hits, "query_id", "left")
+        base.join(F.broadcast(n_ann), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.lit(k).alias("k"),
@@ -1262,6 +1267,12 @@ def pq_recall_eval(
     # ^ bounded (k·n_queries rows) and referenced by both the overlap
     # join and the all-queries frame — checkpoint so the exact
     # brute-force pass runs once (guide §5)
+    # NOT broadcast-hinted (measured): forcing the adc side into a
+    # broadcast build serializes its whole ADC-ranking lineage into
+    # the broadcast job and reads ~20% slower than letting the two
+    # panel-bounded sides sort-merge in parallel stages (r10 bracketed
+    # A/B; both sides are k·n_queries rows, so the SMJ is as
+    # scale-safe as the broadcast here)
     hits = (
         exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -1269,7 +1280,7 @@ def pq_recall_eval(
     )
     allq = exact.select("query_id").distinct()
     return (
-        allq.join(hits, "query_id", "left")
+        allq.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),

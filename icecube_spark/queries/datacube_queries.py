@@ -1710,10 +1710,9 @@ def cube_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = ranked.crossJoin(F.broadcast(nref)).withColumn(
         "rk", F.expr("(r * nr + ns - 1) div ns")
     )
-    out = target.join(
-        F.broadcast(cdf),
-        (F.col("rk") > F.col("cum_lo")) & (F.col("rk") <= F.col("cum_hi")),
-    )
+    from icecube_spark.operators.pipeline import cdf_between_lookup
+
+    out = cdf_between_lookup(target, "rk", cdf)
     return out.select(
         "event_id",
         (F.col("qv").cast("double") / F.lit(1e6)).alias("value"),
@@ -2364,7 +2363,11 @@ def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.code").alias("code"),
         F.col("o.fac").alias("fac"),
     )
-    cand = cells.join(nbrs, ["x", "y"]).select(
+    # every frame here is grid-bounded (<=50x50 cells, x8 stencil
+    # fanout) at ANY corpus scale, but cells is a materialized
+    # ExistingRDD whose stats default to "huge" and the joins fall
+    # back to SortMergeJoin without explicit broadcasts
+    cand = nbrs.join(F.broadcast(cells), ["x", "y"]).select(
         "x",
         "y",
         "code",
@@ -2374,7 +2377,7 @@ def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     down = cand.where(F.col("score") > 0)
     best = down.groupBy("x", "y").agg(F.max("score").alias("ms"))
     chosen = (
-        down.join(best, ["x", "y"])
+        down.join(F.broadcast(best), ["x", "y"])
         .where(F.col("score") == F.col("ms"))
         .groupBy("x", "y")
         .agg(
@@ -2383,7 +2386,7 @@ def cube_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cells.join(chosen, ["x", "y"], "left")
+        cells.join(F.broadcast(chosen), ["x", "y"], "left")
         .select(
             "x",
             "y",
