@@ -756,6 +756,9 @@ _REGRADE_FIRST = (
     "curation_waterfall", "chi2_terms", "segment_migration",
     "revenue_theil", "customer_pareto_overlap", "knn_reciprocity",
     "pq_recall_eval", "price_index",
+    # r10 rewrites (bucketed cdf_between_lookup replaces the
+    # nested-loop inverse-CDF join)
+    "cube_hist_match", "quantile_normalize",
 )
 
 # Keys that deliberately carry NO DuckDB oracle (rows-only grade by
